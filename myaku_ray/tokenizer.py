@@ -1,0 +1,173 @@
+"""Deterministic dictionary-driven tokenizer (MeCab/JMdict stand-in).
+
+Reproduces the SHAPE of the reference analysis pipeline
+(myaku/japanese_analysis.py:172-211,248-369,964-1059):
+
+1. Split text into blocks by lines, tracking char offsets incl. ``\\n``
+   (reference ``:185-210``).
+2. Longest-match segmentation against the embedded lexicon (the MeCab parse
+   analog), producing tokens with surface, base form, reading, POS and
+   **character** offsets (reference positions are char offsets,
+   myaku/datatypes.py:115-131).
+3. Drop symbol tokens (POS 記号; reference ``:371-384``).
+4. Meta lexical items: slide a 2-gram window over base forms; tuples present
+   in the phrase dictionary emit an extra posting (reference ``:248-369``).
+5. ``reduce_found_lexical_items``: group by (base_form) within the document,
+   union positions (myaku/datatypes.py:428-505) — a LOCAL combine, no
+   shuffle, because the (term, doc) grouping key never crosses documents.
+
+Unknown runs of alphanumeric chars become single tokens with
+``base_form = normalize_char_width(run).lower()`` (the unknown-word path).
+The tokenizer state (surface dict, max token length) is loaded once per
+actor in the Ray stage (``stages/tokenize.py``), mirroring the reference's
+singleton-per-process tagger (myaku/utils/__init__.py:746-787).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from myaku_ray.lexicon import build_phrases, max_surface_len, surface_map
+from myaku_ray.normalize import normalize_char_width
+
+_SYMBOL_POS = "記号"
+
+
+def _is_latin_alnum(ch: str) -> bool:
+    """ASCII or full-width-ASCII letter/digit (groups into one unknown run)."""
+    o = ord(ch)
+    return (
+        (0x30 <= o <= 0x39)
+        or (0x41 <= o <= 0x5A)
+        or (0x61 <= o <= 0x7A)
+        or (0xFF10 <= o <= 0xFF19)
+        or (0xFF21 <= o <= 0xFF3A)
+        or (0xFF41 <= o <= 0xFF5A)
+    )
+
+
+@dataclass(frozen=True)
+class Token:
+    surface: str
+    base_form: str
+    reading: str
+    pos: str
+    start: int     # char offset in full text
+    length: int    # char length of the surface
+
+
+class Tokenizer:
+    """Stateful tokenizer; construct once per worker/actor."""
+
+    def __init__(self) -> None:
+        self._surfaces = surface_map()
+        self._max_len = max_surface_len()
+        self._phrases = set(build_phrases())
+
+    def tokenize(self, text: str) -> list[Token]:
+        """Segment text into dictionary tokens with char offsets."""
+        surfaces = self._surfaces
+        max_len = self._max_len
+        tokens: list[Token] = []
+        n = len(text)
+        i = 0
+        while i < n:
+            ch = text[i]
+            # Whitespace / punctuation: skip (symbol filter M13).
+            if ch.isspace():
+                i += 1
+                continue
+            # Longest dictionary match first.
+            hit = None
+            for ln in range(min(max_len, n - i), 0, -1):
+                cand = text[i : i + ln]
+                ent = surfaces.get(cand)
+                if ent is not None:
+                    hit = (cand, ent, ln)
+                    break
+            if hit is not None:
+                cand, (base, reading, pos), ln = hit
+                tokens.append(Token(cand, base, reading, pos, i, ln))
+                i += ln
+                continue
+            # Unknown word. Latin/digit chars (either width) group into one
+            # maximal run (the MeCab unknown-word analog); other unknown
+            # alnum chars (kana/kanji not in dict) become single-char tokens;
+            # anything else is a symbol and is dropped.
+            if _is_latin_alnum(ch):
+                j = i + 1
+                while j < n and _is_latin_alnum(text[j]):
+                    j += 1
+                run = text[i:j]
+                base = normalize_char_width(run).lower()
+                tokens.append(Token(run, base, "", "未知語", i, j - i))
+                i = j
+            elif ch.isalnum():
+                tokens.append(
+                    Token(ch, normalize_char_width(ch), "", "未知語", i, 1)
+                )
+                i += 1
+            else:
+                # symbol char — dropped
+                i += 1
+        return tokens
+
+    def find_lexical_items(self, text: str) -> list[dict]:
+        """Tokenize + meta-phrase pass + per-doc combine.
+
+        Returns one posting dict per distinct base_form in the document:
+        ``{"term", "positions": [(start, len), ...], "tf", "reading", "pos"}``
+        with positions in ascending start order (the reference unions
+        positions as a set then the golden docs show them sorted).
+        """
+        tokens = self.tokenize(text)
+        found: dict[str, dict] = {}
+
+        def emit(base: str, reading: str, pos: str, start: int, length: int) -> None:
+            f = found.get(base)
+            if f is None:
+                found[base] = {
+                    "term": base,
+                    "positions": {(start, length)},
+                    "reading": reading,
+                    "pos": pos,
+                }
+            else:
+                f["positions"].add((start, length))
+
+        prev = None
+        for tok in tokens:
+            if tok.pos != _SYMBOL_POS:
+                emit(tok.base_form, tok.reading, tok.pos, tok.start, tok.length)
+            # meta 2-gram phrase lookup over adjacent base forms
+            if prev is not None and (prev.base_form, tok.base_form) in self._phrases:
+                start = prev.start
+                length = tok.start + tok.length - prev.start
+                emit(prev.base_form + tok.base_form, "", "連語", start, length)
+            prev = tok
+
+        out = []
+        for f in sorted(found):
+            item = found[f]
+            positions = sorted(item["positions"])
+            out.append(
+                {
+                    "term": item["term"],
+                    "positions": positions,
+                    "tf": len(positions),
+                    "reading": item["reading"],
+                    "pos": item["pos"],
+                }
+            )
+        return out
+
+
+_TOKENIZER: Tokenizer | None = None
+
+
+def get_tokenizer() -> Tokenizer:
+    """Process-local singleton (reference singleton-per-config pattern)."""
+    global _TOKENIZER
+    if _TOKENIZER is None:
+        _TOKENIZER = Tokenizer()
+    return _TOKENIZER
