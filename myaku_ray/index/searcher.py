@@ -1,0 +1,261 @@
+"""Top-k retrieval: block-max WAND over immutable segments.
+
+Query path mirrors the reference search flow
+(myakuweb-apiserver/search/views.py:305-367 ->
+myaku/datastore/index_search.py:206-277):
+
+1. Query string is width-normalized with the SAME ``normalize_char_width``
+   as index term keys (views.py:305-310), then analyzed with the same
+   tokenizer (so conjugated/half-width query surfaces hit lemma keys).
+2. Each query term's posting sub-lists (one per salt bucket) are read from
+   the term's segment partition with parquet predicate pushdown, decoded
+   lazily, and merged (disjoint sorted doc sets -> k-way merge).
+3. Document-at-a-time WAND with per-term upper bounds + in-list block
+   skipping; bounded min-heap of size k.  Rank order is
+   ``(score, warc_ts, doc_id)`` DESC — exactly ArticleRankKey's total
+   order (myaku/datatypes.py:134-148) with BM25+quality as the score.
+4. Hydration: top-k doc metadata via doc_id-filtered parquet read;
+   positions/previews recomputed per result doc (bounded work), like the
+   reference's query-side preview assembly (search/article_preview.py).
+
+Pruning uses strict ``<`` against the heap-min score so score ties are
+still evaluated and resolved by the tie-break — required for
+rank-identity with the serial oracle.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+from dataclasses import dataclass, field
+
+import pyarrow.dataset as pads
+
+from myaku_ray.index.codec import PostingIterator
+from myaku_ray.index.util import term_hash
+from myaku_ray.normalize import normalize_char_width
+from myaku_ray.tokenizer import get_tokenizer
+
+
+class MergedIterator:
+    """K-way merge of disjoint sorted sub-list iterators (salt buckets)."""
+
+    __slots__ = ("_iters", "max_score", "exhausted")
+
+    def __init__(self, iters: list[PostingIterator]):
+        self._iters = [it for it in iters if not it.exhausted]
+        self.max_score = max((it.max_score for it in iters), default=0.0)
+        self.exhausted = not self._iters
+
+    def _min_iter(self) -> PostingIterator:
+        return min(self._iters, key=lambda it: it.doc_id())
+
+    def doc_id(self) -> int:
+        return self._min_iter().doc_id()
+
+    def score(self) -> float:
+        return self._min_iter().score()
+
+    def warc_us(self) -> int:
+        return self._min_iter().warc_us()
+
+    def tf(self) -> int:
+        return self._min_iter().tf()
+
+    def next(self) -> None:
+        it = self._min_iter()
+        it.next()
+        if it.exhausted:
+            self._iters.remove(it)
+            self.exhausted = not self._iters
+
+    def seek(self, target: int) -> None:
+        live = []
+        for it in self._iters:
+            it.seek(target)
+            if not it.exhausted:
+                live.append(it)
+        self._iters = live
+        self.exhausted = not live
+
+
+@dataclass
+class SearchResult:
+    doc_id: int
+    score: float
+    warc_us: int
+    matched_terms: list = field(default_factory=list)
+    url: str = ""
+    title: str = ""
+    preview: str = ""
+
+
+class Searcher:
+    """Driver-side query engine over a built index directory."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        self._seg_root = os.path.join(index_dir, "segments")
+        self._docs_root = os.path.join(index_dir, "docs")
+        self._tok = get_tokenizer()
+        self._seg_ds_cache: dict[int, pads.Dataset] = {}
+
+    # -- query analysis ---------------------------------------------------
+
+    def analyze_query(self, query_str: str) -> list[str]:
+        """Normalize widths then tokenize to lemma term keys (dedup, ordered)."""
+        q = normalize_char_width(query_str)
+        items = self._tok.find_lexical_items(q)
+        # preserve first-occurrence order of distinct terms
+        seen = set()
+        terms = []
+        for it in sorted(items, key=lambda x: x["positions"][0]):
+            if it["term"] not in seen:
+                seen.add(it["term"])
+                terms.append(it["term"])
+        return terms
+
+    # -- posting access ---------------------------------------------------
+
+    def _segment_dataset(self, seg: int) -> pads.Dataset | None:
+        ds = self._seg_ds_cache.get(seg)
+        if ds is None:
+            path = os.path.join(self._seg_root, f"segment={seg}")
+            if not os.path.isdir(path):
+                return None
+            ds = pads.dataset(path, format="parquet")
+            self._seg_ds_cache[seg] = ds
+        return ds
+
+    def term_iterator(self, term: str) -> MergedIterator | None:
+        seg = term_hash(term) % self.stats["num_segments"]
+        ds = self._segment_dataset(seg)
+        if ds is None:
+            return None
+        tbl = ds.to_table(
+            columns=["term", "blob", "max_score"],
+            filter=pads.field("term") == term,
+        )
+        if tbl.num_rows == 0:
+            return None
+        iters = [
+            PostingIterator(blob.as_py(), float(ms.as_py()))
+            for blob, ms in zip(tbl["blob"], tbl["max_score"])
+        ]
+        return MergedIterator(iters)
+
+    def term_df(self, term: str) -> int:
+        seg = term_hash(term) % self.stats["num_segments"]
+        ds = self._segment_dataset(seg)
+        if ds is None:
+            return 0
+        tbl = ds.to_table(columns=["term", "count"], filter=pads.field("term") == term)
+        return int(sum(c.as_py() for c in tbl["count"]))
+
+    # -- WAND top-k -------------------------------------------------------
+
+    def topk(self, query_str: str, k: int = 10) -> list[SearchResult]:
+        terms = self.analyze_query(query_str)
+        iters: dict[str, MergedIterator] = {}
+        for t in terms:
+            it = self.term_iterator(t)
+            if it is not None:
+                iters[t] = it
+        if not iters:
+            return []
+
+        heap: list[tuple[float, int, int]] = []  # (score, warc_us, doc_id) min-heap
+        live = [(t, it) for t, it in iters.items()]
+
+        def threshold() -> float:
+            return heap[0][0] if len(heap) >= k else float("-inf")
+
+        while live:
+            live = [(t, it) for (t, it) in live if not it.exhausted]
+            if not live:
+                break
+            live.sort(key=lambda p: p[1].doc_id())
+            # WAND pivot: smallest prefix whose UB sum could beat threshold
+            theta = threshold()
+            ub = 0.0
+            pivot = -1
+            for i, (_, it) in enumerate(live):
+                ub += it.max_score
+                if ub >= theta:
+                    pivot = i
+                    break
+            if pivot == -1:
+                break  # even all terms together can't reach the heap min
+            pivot_doc = live[pivot][1].doc_id()
+            if live[0][1].doc_id() == pivot_doc:
+                # Full evaluation of pivot_doc.  Contributions are summed in
+                # sorted-term order so the float64 accumulation order is
+                # deterministic and identical to the serial oracle's.
+                contribs = []
+                warc = 0
+                for t, it in live:
+                    if not it.exhausted and it.doc_id() == pivot_doc:
+                        contribs.append((t, it.score()))
+                        warc = it.warc_us()
+                score = 0.0
+                for _, s in sorted(contribs):
+                    score += s
+                key = (score, warc, pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, key)
+                elif key > heap[0]:
+                    heapq.heapreplace(heap, key)
+                for _, it in live:
+                    if not it.exhausted and it.doc_id() == pivot_doc:
+                        it.next()
+            else:
+                # advance pre-pivot iterators to the pivot doc
+                for i in range(pivot):
+                    live[i][1].seek(pivot_doc)
+
+        ranked = sorted(heap, reverse=True)
+        return [
+            SearchResult(doc_id=d, score=s, warc_us=w) for (s, w, d) in ranked
+        ]
+
+    # -- hydration (J1-analog: bounded doc_id-filtered read) --------------
+
+    def hydrate(self, results: list[SearchResult], query_str: str) -> list[SearchResult]:
+        if not results:
+            return results
+        import pyarrow.dataset as pds
+
+        ids = [r.doc_id for r in results]
+        docs = pds.dataset(self._docs_root, format="parquet").to_table(
+            columns=["doc_id", "url", "title", "text"],
+            filter=pds.field("doc_id").isin(ids),
+        )
+        by_id = {
+            d.as_py(): (u.as_py(), t.as_py(), x.as_py())
+            for d, u, t, x in zip(docs["doc_id"], docs["url"], docs["title"], docs["text"])
+        }
+        terms = set(self.analyze_query(query_str))
+        for r in results:
+            url, title, text = by_id.get(r.doc_id, ("", "", ""))
+            r.url, r.title = url, title
+            r.matched_terms, r.preview = self._preview(text, terms)
+        return results
+
+    def _preview(self, text: str, terms: set) -> tuple[list, str]:
+        """Recompute positions for preview (bounded to one doc)."""
+        from myaku_ray.normalize import find_jpn_sentence_end, find_jpn_sentence_start
+
+        items = self._tok.find_lexical_items(text)
+        matched = [it for it in items if it["term"] in terms]
+        if not matched:
+            return [], text[:100]
+        start, length = matched[0]["positions"][0]
+        s = find_jpn_sentence_start(text, start)
+        e = find_jpn_sentence_end(text, start)
+        return [it["term"] for it in matched], text[s : e + 1]
+
+    def search(self, query_str: str, k: int = 10) -> list[SearchResult]:
+        return self.hydrate(self.topk(query_str, k), query_str)

@@ -1,0 +1,181 @@
+"""Serial single-process oracle: the golden reference for the Ray pipeline.
+
+Mirrors the reference's test strategy (SURVEY.md §5): the distributed
+pipeline must match this oracle EXACTLY — byte-identical extracted text per
+url, identical posting sets, and rank-identical top-k (docIDs AND scores)
+on the query set.  The oracle shares the pure functions (extraction,
+tokenization, scoring) with the pipeline; what it does differently is the
+execution: one process, one thread, plain dicts — no Ray.
+
+Score accumulation over query terms is done in sorted-term order in
+float64 over float32-quantized contributions, matching the WAND engine's
+deterministic summation exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from myaku_ray.corpus import FIXED_NOW, MAX_ARTICLE_LEN, blog_url_of, order_nums_of
+from myaku_ray.html_extract import extract_page
+from myaku_ray.normalize import alnum_count, doc_id_for_url, normalize_char_width, text_hash
+from myaku_ray.scoring import article_quality_score, posting_score
+from myaku_ray.tokenizer import get_tokenizer
+
+
+@dataclass
+class OracleIndex:
+    n_docs: int
+    avgdl: float
+    df: dict            # term -> document frequency
+    postings: dict      # term -> list[(doc_id, tf)]
+    docs: dict          # doc_id -> {"doclen", "quality", "warc_us", "url", "text"}
+
+
+def build_oracle_index(
+    pages_parquet: str,
+    *,
+    blog_ratings: dict[str, float] | None = None,
+    fixed_now=FIXED_NOW,
+) -> OracleIndex:
+    """Serial index build over the same pages parquet the pipeline reads."""
+    blog_ratings = blog_ratings or {}
+    import pyarrow as pa
+
+    tok = get_tokenizer()
+    table = pq.read_table(pages_parquet)
+    # us-since-epoch ints, exactly as the pipeline's cast (naive-UTC, no tz)
+    warc_us_col = table["warc_ts"].cast(pa.int64()).to_pylist()
+
+    # pass 1: extract + filter + doc rows
+    raw_docs = []
+    for i in range(table.num_rows):
+        url = table["url"][i].as_py()
+        lang = table["lang"][i].as_py()
+        if lang != "ja":
+            continue
+        html = table["html"][i].as_py()
+        warc = table["warc_ts"][i].as_py()
+        er = extract_page(html, url)
+        if not er.ok or len(er.text) > MAX_ARTICLE_LEN:
+            continue
+        alnum = alnum_count(er.text)
+        border, sorder = order_nums_of(url)
+        burl = blog_url_of(url)
+        quality = article_quality_score(
+            alnum=alnum,
+            age_days=(fixed_now - warc).days,
+            has_video=er.has_video,
+            source=er.source,
+            blog_rating=blog_ratings.get(burl) if burl else None,
+            blog_article_order=border,
+            blog_section_order=sorder,
+        )
+        raw_docs.append(
+            {
+                "doc_id": doc_id_for_url(url),
+                "url": url,
+                "text": er.text,
+                "hash": text_hash(er.text),
+                "quality": quality,
+                "warc_us": warc_us_col[i],
+            }
+        )
+
+    # exact dedup: winner = min doc_id per content hash (A6)
+    best: dict = {}
+    for d in raw_docs:
+        cur = best.get(d["hash"])
+        if cur is None or d["doc_id"] < cur["doc_id"]:
+            best[d["hash"]] = d
+    winners = sorted(best.values(), key=lambda d: d["doc_id"])
+
+    # tokenize winners -> postings
+    postings: dict = {}
+    docs: dict = {}
+    total_tokens = 0
+    for d in winners:
+        items = tok.find_lexical_items(d["text"])
+        doclen = sum(it["tf"] for it in items)
+        total_tokens += doclen
+        docs[d["doc_id"]] = {
+            "doclen": doclen,
+            "quality": d["quality"],
+            "warc_us": d["warc_us"],
+            "url": d["url"],
+            "text": d["text"],
+        }
+        for it in items:
+            postings.setdefault(it["term"], []).append((d["doc_id"], it["tf"]))
+
+    n_docs = len(winners)
+    avgdl = total_tokens / max(n_docs, 1)
+    df = {t: len(pl) for t, pl in postings.items()}
+    return OracleIndex(n_docs=n_docs, avgdl=avgdl, df=df, postings=postings, docs=docs)
+
+
+def analyze_query(query_str: str) -> list[str]:
+    tok = get_tokenizer()
+    q = normalize_char_width(query_str)
+    items = tok.find_lexical_items(q)
+    seen, out = set(), []
+    for it in sorted(items, key=lambda x: x["positions"][0]):
+        if it["term"] not in seen:
+            seen.add(it["term"])
+            out.append(it["term"])
+    return out
+
+
+def oracle_topk(index: OracleIndex, query_str: str, k: int = 10):
+    """Exact serial top-k: (doc_id, score, warc_us) desc by rank key."""
+    terms = analyze_query(query_str)
+    per_doc: dict[int, dict[str, float]] = {}
+    for t in terms:
+        pl = index.postings.get(t)
+        if not pl:
+            continue
+        dfv = index.df[t]
+        for doc_id, tf in pl:
+            meta = index.docs[doc_id]
+            contrib = posting_score(
+                tf, meta["doclen"], meta["quality"], dfv, index.n_docs, index.avgdl
+            )
+            per_doc.setdefault(doc_id, {})[t] = contrib
+    scored = []
+    for doc_id, contribs in per_doc.items():
+        score = 0.0
+        for t in sorted(contribs):
+            score += contribs[t]
+        scored.append((score, index.docs[doc_id]["warc_us"], doc_id))
+    scored.sort(reverse=True)
+    return [(d, s, w) for (s, w, d) in scored[:k]]
+
+
+def reference_query_set() -> list[str]:
+    """The fixed query set for rank-identity checks (FIXTURES.md §4):
+    mid-df terms, rare terms, high-df particles, width-normalization cases,
+    a set phrase, and a zero-hit term."""
+    from myaku_ray.lexicon import build_lexicon, build_phrases
+
+    lex = build_lexicon()
+    nouns = [e for e in lex if e.pos == "名詞" and not e.base_form.isascii()]
+    kata = [e for e in lex if e.pos == "外来語" and len(e.surfaces) > 1]
+    verbs = [e for e in lex if e.pos == "動詞" and len(e.surfaces) > 2]
+    ascii_terms = [e for e in lex if e.pos == "名詞" and e.base_form.isascii()]
+    a, b = build_phrases()[0]
+    return [
+        nouns[0].base_form,                    # mid/high-df noun
+        nouns[50].base_form,
+        nouns[900].base_form,                  # rare
+        "の",                                   # particle, df ~ corpus
+        "は",
+        kata[0].surfaces[1],                   # half-width katakana query -> h2z
+        verbs[0].surfaces[1],                  # conjugated surface -> base form
+        "".join(chr(ord(c) + 0xFEE0) for c in ascii_terms[0].base_form),  # full-width latin
+        a + b,                                 # set phrase (meta lexical item)
+        nouns[2].base_form + "の" + nouns[7].base_form,  # multi-term
+        "ぬりぬりぺぺぺ",                        # zero-hit
+    ]

@@ -1,0 +1,269 @@
+"""The index-build pipeline: pages parquet -> immutable segment files.
+
+Ray-Data-first expression of the reference build lifecycle
+(myaku/runners/run_crawl.py:174-200 -> index_build.py:268-311), staged for
+resumability (every stage has a _SUCCESS marker + lineage record):
+
+1. ``docs``      read_parquet(pages, pruned columns) -> map_batches(extract)
+                 -> write docs/ parquet.  Per-doc, shuffle-free.
+2. ``dedup``     light (text_hash, doc_id) projection -> groupby(text_hash)
+                 -> loser doc_ids parquet (winner = min doc_id; A6,
+                 index_build.py:116-143).  Only 2 small columns shuffle;
+                 the text/html payload never moves.
+3. ``postings``  docs - losers -> TokenizeStage actor pool -> postings_raw/.
+4. ``stats``     df per term (groupby count) + corpus stats -> df/ + stats.json.
+5. ``segments``  postings + salt -> groupby(term, salt) -> encode sub-list
+                 blobs with per-block max scores -> segments/ partitioned by
+                 ``term_hash % num_segments``.  Salting bounds the largest
+                 group at df_max / salt_buckets, so high-DF particles
+                 (df ~ corpus size) cannot pin one task (SURVEY.md §4 skew).
+
+Scale notes (100 TB):
+- Only stage 5 shuffles posting rows; rows are 6 narrow columns (~40 B).
+- The df/term dictionary is a #terms-row table — broadcast via ray.put
+  here; at extreme vocab sizes swap for a map-side join partitioned by the
+  same term hash (documented partitioning assumption).
+- Loser-id broadcast assumes dup rate << corpus (2% here); the scale path
+  is a hash-bucketed anti-join on doc_id.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from myaku_ray.corpus import FIXED_NOW
+from myaku_ray.index.codec import encode_postings
+from myaku_ray.index.util import term_hash
+from myaku_ray.scoring import posting_scores_vec
+from myaku_ray.stages.extract import make_extract_fn
+from myaku_ray.stages.tokenize import TokenizeStage
+from myaku_ray.state.lineage import is_complete, mark_complete, stage_dir
+
+DEFAULT_NUM_SEGMENTS = 8
+DEFAULT_SALT_BUCKETS = 4
+
+
+def build_index(
+    pages_path: str,
+    index_dir: str,
+    *,
+    blog_ratings: dict[str, float] | None = None,
+    fixed_now=FIXED_NOW,
+    num_segments: int = DEFAULT_NUM_SEGMENTS,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    tokenize_concurrency: int | tuple | None = None,
+    tokenize_batch_size: int = 128,
+    resume: bool = True,
+) -> dict:
+    """Build (or resume building) the full index. Returns build metrics."""
+    os.makedirs(index_dir, exist_ok=True)
+    metrics: dict = {}
+    blog_ratings = blog_ratings or {}
+    ratings_ref = ray.put(blog_ratings)
+
+    # ---- stage 1: docs -------------------------------------------------
+    docs_dir = stage_dir(index_dir, "docs")
+    if not (resume and is_complete(index_dir, "docs")):
+        t0 = time.time()
+        pages = rd.read_parquet(
+            pages_path, columns=["url", "warc_ts", "html", "lang"]
+        )
+        ratings = ray.get(ratings_ref)
+        extract_fn = make_extract_fn(ratings, fixed_now)
+        docs = pages.map_batches(
+            extract_fn, batch_format="pyarrow", batch_size=256
+        )
+        docs.write_parquet(docs_dir)
+        n_docs_all = rd.read_parquet(docs_dir, columns=["doc_id"]).count()
+        mark_complete(
+            index_dir, "docs", rows=n_docs_all, wall_s=round(time.time() - t0, 3)
+        )
+        metrics["docs_wall_s"] = time.time() - t0
+
+    # ---- stage 2: exact dedup (losers) ---------------------------------
+    dedup_dir = stage_dir(index_dir, "dedup")
+    if not (resume and is_complete(index_dir, "dedup")):
+        t0 = time.time()
+        light = rd.read_parquet(docs_dir, columns=["text_hash", "doc_id"])
+
+        def losers_of_group(g: pa.Table) -> pa.Table:
+            ids = g["doc_id"].to_numpy(zero_copy_only=False)
+            if len(ids) <= 1:
+                return pa.table({"doc_id": pa.array([], pa.int64())})
+            keep = ids.min()  # deterministic winner: min doc_id
+            return pa.table({"doc_id": pa.array(sorted(int(x) for x in ids if x != keep), pa.int64())})
+
+        losers = light.groupby("text_hash").map_groups(
+            losers_of_group, batch_format="pyarrow"
+        )
+        losers.write_parquet(dedup_dir)
+        n_losers = rd.read_parquet(dedup_dir).count()
+        mark_complete(
+            index_dir, "dedup", rows=n_losers, wall_s=round(time.time() - t0, 3)
+        )
+        metrics["dedup_losers"] = n_losers
+
+    loser_tbl = rd.read_parquet(dedup_dir).to_pandas()
+    loser_ids = frozenset(int(x) for x in loser_tbl["doc_id"])
+    losers_ref = ray.put(loser_ids)
+
+    # ---- stage 3: tokenize -> postings ---------------------------------
+    postings_dir = stage_dir(index_dir, "postings")
+    if not (resume and is_complete(index_dir, "postings")):
+        t0 = time.time()
+        docs = rd.read_parquet(
+            docs_dir, columns=["doc_id", "text", "quality_score", "warc_ts"]
+        )
+
+        def drop_losers(batch: pa.Table) -> pa.Table:
+            losers_set = ray.get(losers_ref)
+            if not losers_set:
+                return batch
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            mask = np.array([i not in losers_set for i in ids], dtype=bool)
+            return batch.filter(pa.array(mask))
+
+        winners = docs.map_batches(drop_losers, batch_format="pyarrow")
+        if tokenize_concurrency is not None:
+            postings = winners.map_batches(
+                TokenizeStage,
+                batch_format="pyarrow",
+                batch_size=tokenize_batch_size,
+                concurrency=tokenize_concurrency,
+                num_cpus=1,
+            )
+        else:
+            # default: autoscaling actor pool sized by the cluster
+            postings = winners.map_batches(
+                TokenizeStage,
+                batch_format="pyarrow",
+                batch_size=tokenize_batch_size,
+                concurrency=(1, 16),
+                num_cpus=1,
+            )
+        postings.write_parquet(postings_dir)
+        n_postings = rd.read_parquet(postings_dir, columns=["doc_id"]).count()
+        mark_complete(
+            index_dir, "postings", rows=n_postings,
+            wall_s=round(time.time() - t0, 3),
+        )
+        metrics["postings_wall_s"] = time.time() - t0
+
+    # ---- stage 4: df + corpus stats ------------------------------------
+    stats_path = os.path.join(index_dir, "stats.json")
+    df_dir = stage_dir(index_dir, "df")
+    if not (resume and is_complete(index_dir, "df")):
+        t0 = time.time()
+        postings = rd.read_parquet(postings_dir, columns=["term", "tf", "doc_id"])
+        df_ds = postings.groupby("term").aggregate(
+            Count(alias_name="df"), Sum("tf", alias_name="ctf")
+        )
+        df_ds.write_parquet(df_dir)
+
+        # n_docs = winners; doclen sum = sum of tf (every posting row carries
+        # its doc's tf contribution exactly once)
+        n_docs = rd.read_parquet(docs_dir, columns=["doc_id"]).count() - len(loser_ids)
+        df_pdf = rd.read_parquet(df_dir).to_pandas()
+        total_tokens = int(df_pdf["ctf"].sum())
+        avgdl = total_tokens / max(n_docs, 1)
+        stats = {
+            "n_docs": int(n_docs),
+            "total_tokens": total_tokens,
+            "avgdl": avgdl,
+            "n_terms": int(len(df_pdf)),
+            "num_segments": num_segments,
+            "salt_buckets": salt_buckets,
+            "fixed_now_us": int(fixed_now.timestamp() * 1_000_000),
+        }
+        with open(stats_path, "w") as f:
+            json.dump(stats, f)
+        mark_complete(
+            index_dir, "df", rows=len(df_pdf), wall_s=round(time.time() - t0, 3)
+        )
+
+    with open(stats_path) as f:
+        stats = json.load(f)
+
+    # ---- stage 5: segments ---------------------------------------------
+    seg_root = stage_dir(index_dir, "segments")
+    if not (resume and is_complete(index_dir, "segments")):
+        t0 = time.time()
+        df_pdf = rd.read_parquet(df_dir).to_pandas()
+        df_map = dict(zip(df_pdf["term"], df_pdf["df"].astype(int)))
+        df_ref = ray.put(df_map)
+        n_docs = stats["n_docs"]
+        avgdl = stats["avgdl"]
+
+        postings = rd.read_parquet(
+            postings_dir,
+            columns=["term", "doc_id", "tf", "doclen", "quality", "warc_us"],
+        )
+
+        def add_salt(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            salt = (ids % salt_buckets).astype(np.int32)
+            return batch.append_column("salt", pa.array(salt))
+
+        salted = postings.map_batches(add_salt, batch_format="pyarrow")
+
+        def encode_group(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0:
+                return pa.table(
+                    {
+                        "term": pa.array([], pa.string()),
+                        "salt": pa.array([], pa.int32()),
+                        "df": pa.array([], pa.int64()),
+                        "count": pa.array([], pa.int64()),
+                        "max_score": pa.array([], pa.float32()),
+                        "blob": pa.array([], pa.binary()),
+                        "segment": pa.array([], pa.int32()),
+                    }
+                )
+            term = g["term"][0].as_py()
+            salt = g["salt"][0].as_py()
+            dfs = ray.get(df_ref)
+            df = int(dfs[term])
+            ids = g["doc_id"].to_numpy(zero_copy_only=False)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            tfs = g["tf"].to_numpy(zero_copy_only=False)[order]
+            dls = g["doclen"].to_numpy(zero_copy_only=False)[order]
+            qs = g["quality"].to_numpy(zero_copy_only=False)[order]
+            ws = g["warc_us"].to_numpy(zero_copy_only=False)[order]
+            scores = posting_scores_vec(tfs, dls, qs, df, n_docs, avgdl)
+            blob = encode_postings(ids, tfs, scores, ws)
+            return pa.table(
+                {
+                    "term": pa.array([term]),
+                    "salt": pa.array([salt], pa.int32()),
+                    "df": pa.array([df], pa.int64()),
+                    "count": pa.array([len(ids)], pa.int64()),
+                    "max_score": pa.array([float(scores.max())], pa.float32()),
+                    "blob": pa.array([blob], pa.binary()),
+                    "segment": pa.array(
+                        [term_hash(term) % num_segments], pa.int32()
+                    ),
+                }
+            )
+
+        seg_rows = salted.groupby(["term", "salt"]).map_groups(
+            encode_group, batch_format="pyarrow"
+        )
+        seg_rows.write_parquet(seg_root, partition_cols=["segment"])
+        mark_complete(
+            index_dir, "segments", wall_s=round(time.time() - t0, 3),
+            num_segments=num_segments, salt_buckets=salt_buckets,
+        )
+        metrics["segments_wall_s"] = time.time() - t0
+
+    metrics["stats"] = stats
+    return metrics

@@ -1,0 +1,76 @@
+"""Tokenizer actor stage: docs -> posting rows (term, doc_id, tf, ...).
+
+A callable CLASS for ``map_batches(TokenizeStage, concurrency=N, ...)`` —
+the dictionary (surface map + phrase set) is built ONCE per actor in
+``__init__`` (reference singleton tagger: myaku/japanese_analysis.py:919-962,
+myaku/utils/__init__.py:746-787), work happens per batch in ``__call__``.
+
+Emits one row per (term, doc): the FoundJpnLexicalItem analog
+(myaku/datatypes.py:345-425) with the per-doc combine (A1,
+datatypes.py:428-505) already applied — grouping by (term, doc) never
+crosses documents, so this is a local reduction, not a shuffle.
+
+Positions are NOT shipped into the shuffle: the posting payload is
+(tf, doclen, quality, warc_us) — positions for result previews are
+recomputed at hydration time for the top-k docs only (bounded work,
+mirrors the reference recomputing preview sentences query-side,
+search/article_preview.py:126-199).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from myaku_ray.tokenizer import Tokenizer
+
+POSTING_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("doc_id", pa.int64()),
+        ("tf", pa.int32()),
+        ("doclen", pa.int32()),
+        ("quality", pa.int32()),
+        ("warc_us", pa.uint64()),
+    ]
+)
+
+
+class TokenizeStage:
+    def __init__(self) -> None:
+        self._tok = Tokenizer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        doc_ids = batch["doc_id"].to_pylist()
+        qualities = batch["quality_score"].to_pylist()
+        warcs = batch["warc_ts"].cast(pa.int64()).to_pylist()  # us since epoch
+
+        terms: list[str] = []
+        out_doc: list[int] = []
+        out_tf: list[int] = []
+        out_dl: list[int] = []
+        out_q: list[int] = []
+        out_w: list[int] = []
+        for text, did, q, w in zip(texts, doc_ids, qualities, warcs):
+            items = self._tok.find_lexical_items(text)
+            doclen = sum(it["tf"] for it in items)
+            for it in items:
+                terms.append(it["term"])
+                out_doc.append(did)
+                out_tf.append(it["tf"])
+                out_dl.append(doclen)
+                out_q.append(q)
+                out_w.append(w)
+
+        return pa.Table.from_pydict(
+            {
+                "term": terms,
+                "doc_id": out_doc,
+                "tf": out_tf,
+                "doclen": out_dl,
+                "quality": out_q,
+                "warc_us": np.asarray(out_w, dtype=np.uint64),
+            },
+            schema=POSTING_SCHEMA,
+        )

@@ -1,0 +1,172 @@
+"""End-to-end parity: Ray pipeline vs serial oracle (the correctness gate).
+
+Mirrors the reference's golden end-to-end test design
+(myaku/tests/end_to_end/test_crawl.py): fixed deterministic corpus, fixed
+"now", exact equality of index contents and ranked results.
+"""
+
+import os
+import shutil
+
+import pytest
+
+from myaku_ray.corpus import gen_blogs_table, write_pages_parquet
+from myaku_ray.oracle import build_oracle_index, oracle_topk, reference_query_set
+
+N_PAGES = 600
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    base = tmp_path_factory.mktemp("idx")
+    pages = str(base / "pages")
+    index_dir = str(base / "index")
+    write_pages_parquet(pages, N_PAGES)
+    blogs = gen_blogs_table()
+    ratings = dict(zip(blogs["blog_url"], blogs["rating"]))
+
+    from myaku_ray.pipelines.build import build_index
+
+    metrics = build_index(pages, index_dir, blog_ratings=ratings)
+    oracle = build_oracle_index(pages, blog_ratings=ratings)
+    return pages, index_dir, metrics, oracle, ratings
+
+
+def test_corpus_stats_match(built):
+    _, _, metrics, oracle, _ = built
+    assert metrics["stats"]["n_docs"] == oracle.n_docs
+    assert metrics["stats"]["avgdl"] == pytest.approx(oracle.avgdl, abs=0)
+    assert metrics["stats"]["n_terms"] == len(oracle.df)
+
+
+def test_df_matches_oracle(built):
+    _, index_dir, _, oracle, _ = built
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    df_tbl = pads.dataset(os.path.join(index_dir, "df"), format="parquet").to_table()
+    got = dict(zip(df_tbl["term"].to_pylist(), df_tbl["df"].to_pylist()))
+    assert got == oracle.df
+
+
+def test_rank_identity_topk(built):
+    """docIDs AND scores rank-identical on the reference query set."""
+    from myaku_ray.index.searcher import Searcher
+
+    _, index_dir, _, oracle, _ = built
+    s = Searcher(index_dir)
+    for q in reference_query_set():
+        eng = [(r.doc_id, r.score) for r in s.topk(q, 10)]
+        ora = [(d, sc) for (d, sc, _) in oracle_topk(oracle, q, 10)]
+        assert eng == ora, f"query {q!r}: engine {eng} != oracle {ora}"
+
+
+def test_segment_postings_match_oracle(built):
+    """Full posting equality for a sample of terms (docids + tfs)."""
+    from myaku_ray.index.codec import decode_all
+    from myaku_ray.index.searcher import Searcher
+
+    _, index_dir, _, oracle, _ = built
+    s = Searcher(index_dir)
+    import pyarrow.dataset as pads
+
+    terms = sorted(oracle.df)[:50] + ["の", "は"]
+    for t in terms:
+        from myaku_ray.index.util import term_hash
+
+        seg = term_hash(t) % s.stats["num_segments"]
+        ds = s._segment_dataset(seg)
+        tbl = ds.to_table(filter=pads.field("term") == t)
+        got = []
+        for blob in tbl["blob"]:
+            ids, tfs, _, _ = decode_all(blob.as_py())
+            got += list(zip(ids.tolist(), tfs.tolist()))
+        got.sort()
+        want = sorted(oracle.postings.get(t, []))
+        assert got == want, f"postings differ for {t!r}"
+
+
+def test_dedup_winner_is_min_doc_id(built):
+    _, index_dir, metrics, oracle, _ = built
+    # oracle dedup kept min doc_id; engine must have identical doc set
+    import pyarrow.dataset as pads
+
+    docs = pads.dataset(os.path.join(index_dir, "docs"), format="parquet").to_table(
+        columns=["doc_id"]
+    )
+    engine_ids = set(docs["doc_id"].to_pylist())
+    losers = pads.dataset(os.path.join(index_dir, "dedup"), format="parquet").to_table()
+    engine_winners = engine_ids - set(losers["doc_id"].to_pylist())
+    assert engine_winners == set(oracle.docs)
+    assert len(losers) > 0  # dup cases exist in the corpus
+
+
+def test_hydration_and_preview(built):
+    from myaku_ray.index.searcher import Searcher
+
+    _, index_dir, _, oracle, _ = built
+    s = Searcher(index_dir)
+    q = reference_query_set()[0]
+    results = s.search(q, 5)
+    assert results
+    for r in results:
+        assert r.url.startswith("https://")
+        assert r.title
+        assert q in r.matched_terms
+        assert r.preview
+
+
+def test_resume_skips_completed_stages(built, tmp_path):
+    """Deleting one stage and rebuilding redoes only that stage; output equal."""
+    pages, index_dir, _, oracle, ratings = built
+    from myaku_ray.pipelines.build import build_index
+    from myaku_ray.state.lineage import read_lineage
+
+    n_before = len(read_lineage(index_dir))
+    shutil.rmtree(os.path.join(index_dir, "segments"))
+    build_index(pages, index_dir, blog_ratings=ratings)
+    lineage = read_lineage(index_dir)
+    assert len(lineage) == n_before + 1  # only segments re-ran
+    assert lineage[-1]["stage"] == "segments"
+
+    # and the resumed index still matches the oracle
+    from myaku_ray.index.searcher import Searcher
+
+    s = Searcher(index_dir)
+    q = reference_query_set()[0]
+    eng = [(r.doc_id, r.score) for r in s.topk(q, 10)]
+    ora = [(d, sc) for (d, sc, _) in oracle_topk(oracle, q, 10)]
+    assert eng == ora
+
+
+def test_deterministic_rebuild(ray_session, tmp_path):
+    """Two from-scratch builds produce byte-identical segment blobs."""
+    import hashlib
+
+    import pyarrow.dataset as pads
+
+    pages = str(tmp_path / "pages")
+    write_pages_parquet(pages, 150)
+    from myaku_ray.pipelines.build import build_index
+
+    digests = []
+    for run in ("a", "b"):
+        idx = str(tmp_path / f"index_{run}")
+        build_index(pages, idx)
+        tbl = pads.dataset(
+            os.path.join(idx, "segments"), format="parquet", partitioning="hive"
+        ).to_table(columns=["term", "salt", "blob"])
+        rows = sorted(
+            zip(
+                tbl["term"].to_pylist(),
+                tbl["salt"].to_pylist(),
+                (b.as_py() for b in tbl["blob"]),
+            )
+        )
+        h = hashlib.sha256()
+        for t, sa, b in rows:
+            h.update(t.encode())
+            h.update(bytes([sa]))
+            h.update(b)
+        digests.append(h.hexdigest())
+    assert digests[0] == digests[1]
