@@ -1,44 +1,87 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the myaku_ray engine (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (whitespace BM25 index build +
+top-k over ``documents``) at sf0.001.  ``queries()`` exposes one entry per
+implemented operator from SURVEY.md §2 plus the training-data ops;
+``oracle_sql()`` holds the DuckDB-equivalent SQL for every
+SQL-expressible entry (column names and dtypes match exactly; see
+myaku_ray/functions/__init__.py for the numeric-identity rules).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, "/root/repo")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: BM25 index build + top-k over sf0.001 documents."""
+    from myaku_ray.functions.fulltext import bm25_topk_docs
+
+    return bm25_topk_docs("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from myaku_ray.functions import ann, dedup, events, fulltext, relational, textops
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core (sources, filters, joins, aggregates, top-k)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "top_orders_by_revenue": relational.top_orders_by_revenue,
+        "customers_per_region": relational.customers_per_region,
+        # event-stream shapes (windows, sessions)
+        "events_hourly": events.events_hourly,
+        "user_sessions": events.user_sessions,
+        "top_users_by_value": events.top_users_by_value,
+        # text analysis over documents
+        "doc_token_stats": textops.doc_token_stats,
+        "term_doc_freq": textops.term_doc_freq,
+        "doc_quality": textops.doc_quality,
+        "dedup_exact": textops.dedup_exact,
+        "lang_source_profile": textops.lang_source_profile,
+        "doc_fingerprints": textops.doc_fingerprints,
+        # full-text index + BM25 top-k (the engine core)
+        "bm25_topk_docs": fulltext.bm25_topk_docs,
+        # similarity search / embeddings
+        "ann_cosine_topk": ann.ann_cosine_topk,
+        "near_dup_embeddings": ann.near_dup_embeddings,
+        # near-dup family
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash_docs": dedup.simhash_docs,
+        # Myaku pages pipeline (HTML extraction -> lemma index -> ranked
+        # search); strong oracle lives in tests/ — rows-only here
+        "pages_extract_stats": fulltext.pages_extract_stats,
+        "pages_search_topk": fulltext.pages_search_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from myaku_ray.functions import ann, dedup, events, fulltext, relational, textops
+
+    return {
+        "q1_pricing_summary": relational.Q1_SQL,
+        "top_orders_by_revenue": relational.TOP_ORDERS_SQL,
+        "customers_per_region": relational.CUSTOMERS_PER_REGION_SQL,
+        "events_hourly": events.EVENTS_HOURLY_SQL,
+        "user_sessions": events.USER_SESSIONS_SQL,
+        "top_users_by_value": events.TOP_USERS_SQL,
+        "doc_token_stats": textops.DOC_TOKEN_STATS_SQL,
+        "term_doc_freq": textops.TERM_DOC_FREQ_SQL,
+        "doc_quality": textops.DOC_QUALITY_SQL,
+        "dedup_exact": textops.DEDUP_EXACT_SQL,
+        "lang_source_profile": textops.LANG_SOURCE_PROFILE_SQL,
+        "bm25_topk_docs": fulltext.bm25_topk_sql(),
+        "ann_cosine_topk": ann.ANN_COSINE_TOPK_SQL,
+        "near_dup_embeddings": ann.NEAR_DUP_EMBEDDINGS_SQL,
+        "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
+        # minhash_lsh_pairs / simhash_docs / doc_fingerprints /
+        # pages_extract_stats / pages_search_topk: not SQL-expressible
+        # (hash-based signatures, HTML extraction, lemma tokenization)
+    }

@@ -1,0 +1,139 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+- ``ann_cosine_topk``: brute-force cosine top-k — broadcast query matrix,
+  vectorized numpy matmul per batch, partial top-k per batch, tiny final
+  reduce.  The 100 TB path swaps the full scan for the label-blocked
+  variant below (IVF-style coarse partitioning).
+- ``near_dup_embeddings``: embedding-cosine near-duplicate pairs, blocked
+  by ``label`` (LSH/IVF-bucket analog): groupby(label) -> in-group matrix
+  product -> threshold.
+
+Exactness contract with the DuckDB oracle: similarities are computed in
+float64 and rounded to 6 decimals; ranking/thresholding uses the ROUNDED
+value with vec_id tie-breaks, so 1-ulp dot-product-order differences
+between numpy and DuckDB cannot flip any comparison.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+N_QUERIES = 10
+TOPK = 5
+NEAR_DUP_THRESHOLD = 0.4
+
+
+def _matrix(batch_col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in batch_col.to_pylist()])
+
+
+def ann_cosine_topk(sf_dir: str, k: int = TOPK):
+    """Top-k cosine neighbors for query vectors (vec_id < N_QUERIES)."""
+    import pyarrow.dataset as pads
+
+    qtbl = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"], filter=pads.field("vec_id") < N_QUERIES
+    )
+    qids = np.asarray(qtbl["vec_id"].to_pylist())
+    Q = _matrix(qtbl["embedding"])
+    qnorm = np.sqrt((Q * Q).sum(axis=1))
+    q_ref = ray.put((qids, Q, qnorm))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids_l, Q_l, qnorm_l = ray.get(q_ref)
+        X = _matrix(batch["embedding"])
+        ids = np.asarray(batch["vec_id"].to_pylist())
+        xnorm = np.sqrt((X * X).sum(axis=1))
+        sims = (Q_l @ X.T) / (qnorm_l[:, None] * xnorm[None, :])
+        sims_r = np.round(sims, 6)
+        rows = {"query_vec_id": [], "neighbor_vec_id": [], "sim_r": []}
+        for qi, qid in enumerate(qids_l):
+            mask = ids != qid
+            cand_ids = ids[mask]
+            cand = sims_r[qi][mask]
+            # partial top-k within the batch on (sim_r desc, vec_id asc)
+            order = np.lexsort((cand_ids, -cand))[:k]
+            rows["query_vec_id"] += [int(qid)] * len(order)
+            rows["neighbor_vec_id"] += cand_ids[order].astype(int).tolist()
+            rows["sim_r"] += cand[order].tolist()
+        return pa.table(
+            {
+                "query_vec_id": pa.array(rows["query_vec_id"], pa.int64()),
+                "neighbor_vec_id": pa.array(rows["neighbor_vec_id"], pa.int64()),
+                "sim_r": pa.array(rows["sim_r"], pa.float64()),
+            }
+        )
+
+    allc = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    allc = allc.sort_values(
+        ["query_vec_id", "sim_r", "neighbor_vec_id"],
+        ascending=[True, False, True],
+    )
+    out = allc.groupby("query_vec_id", as_index=False).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_vec_id").cumcount() + 1
+    return out
+
+
+ANN_COSINE_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+     b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+     s AS (
+       SELECT q.qid AS query_vec_id, b.vec_id AS neighbor_vec_id,
+              round(list_dot_product(q.qv, b.v)
+                    / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim_r
+       FROM q, b WHERE b.vec_id != q.qid)
+SELECT query_vec_id, neighbor_vec_id, sim_r,
+       CAST(row_number() OVER (PARTITION BY query_vec_id ORDER BY sim_r DESC, neighbor_vec_id) AS BIGINT) AS rank
+FROM s
+QUALIFY rank <= {TOPK}
+"""
+
+
+def near_dup_embeddings(sf_dir: str, threshold: float = NEAR_DUP_THRESHOLD):
+    """Embedding near-dup pairs within label blocks (cos >= threshold)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
+        ids = g["vec_id"].to_numpy()
+        norm = np.sqrt((X * X).sum(axis=1))
+        sims = np.round((X @ X.T) / (norm[:, None] * norm[None, :]), 6)
+        iu = np.triu_indices(len(ids), k=1)
+        mask = sims[iu] >= threshold
+        a = ids[iu[0][mask]]
+        b = ids[iu[1][mask]]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return pd.DataFrame(
+            {
+                "vec_id_a": lo.astype(np.int64),
+                "vec_id_b": hi.astype(np.int64),
+                "sim_r": sims[iu][mask],
+                "label": np.full(mask.sum(), int(g["label"].iloc[0]), dtype=np.int64),
+            }
+        )
+
+    return ds.groupby("label").map_groups(pairs_of_group, batch_format="pandas")
+
+
+NEAR_DUP_EMBEDDINGS_SQL = f"""
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS sim_r,
+       CAST(a.label AS BIGINT) AS label
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+            / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= {NEAR_DUP_THRESHOLD}::DOUBLE
+"""

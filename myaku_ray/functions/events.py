@@ -1,0 +1,134 @@
+"""Event-stream-shaped operators: windowed aggregates, sessionization.
+
+Ray Data has no event-time windows (it is a batch engine); the stream
+semantics are expressed per the documented pattern: tumbling windows as a
+bucket-key groupby, sessionization as per-key ``map_groups`` over the
+ts-sorted group (ordering assumption: within one user the (ts, event_id)
+order is total — stated here, used identically by the SQL oracle's window
+functions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+HOUR_US = 3_600_000_000
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def _millis(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 1000.0 + 0.5).astype(np.int64)
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour windows per event_type: count + Σ value (millis)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour_bucket": pa.array(ts_us // HOUR_US),
+                "value_milli": pa.array(_millis(batch["value"].to_numpy(zero_copy_only=False))),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "hour_bucket"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_milli", alias_name="sum_value_milli"),
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type,
+  epoch_us(ts) // 3600000000 AS hour_bucket,
+  count(*) AS n_events,
+  CAST(sum(CAST(floor(value*1000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_milli
+FROM events
+GROUP BY event_type, hour_bucket
+"""
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Per-user session counts with a 30-min inactivity gap."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessions_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts_us = g["ts"].astype("int64").to_numpy()
+        gaps = np.diff(ts_us)
+        n_sessions = 1 + int((gaps > gap_us).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [len(g)],
+                "n_sessions": [n_sessions],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions_of_group, batch_format="pandas")
+
+
+USER_SESSIONS_SQL = """
+WITH ordered AS (
+  SELECT user_id,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) > {gap_us}
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+SELECT user_id,
+  count(*) AS n_events,
+  CAST(1 + sum(new_sess) AS BIGINT) AS n_sessions
+FROM ordered GROUP BY user_id
+""".format(gap_us=SESSION_GAP_US)
+
+
+def top_users_by_value(sf_dir: str, k: int = 20):
+    """Top-k users by Σ value (millis); deterministic (sum DESC, user) order."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "value_milli": pa.array(_millis(batch["value"].to_numpy(zero_copy_only=False))),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("value_milli", alias_name="total_value_milli"),
+            Count(alias_name="n_events"),
+        )
+    )
+    pdf = agg.to_pandas().sort_values(
+        ["total_value_milli", "user_id"], ascending=[False, True]
+    )
+    return pdf.head(k).reset_index(drop=True)
+
+
+TOP_USERS_SQL = """
+SELECT user_id,
+  CAST(sum(CAST(floor(value*1000.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_milli,
+  count(*) AS n_events
+FROM events GROUP BY user_id
+ORDER BY total_value_milli DESC, user_id
+LIMIT 20
+"""

@@ -1,0 +1,144 @@
+"""Full-text query operators exposed to the driver gate.
+
+- ``bm25_topk_docs``: build the whitespace BM25 index over ``documents``
+  with the real engine (salted shuffle -> varint segments -> WAND) and
+  return top-10 per reference term.  SQL-checkable: scores are
+  float32-quantized exactly as the DuckDB oracle's ``::FLOAT`` cast.
+- ``pages_*``: the Myaku-semantics pipeline over the synthetic web-page
+  corpus (HTML extraction, lemma tokenization, quality-weighted ranking).
+  Not SQL-expressible -> driver records rows-only checks; the pytest suite
+  holds the strong (oracle) gate for these.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pandas as pd
+import pyarrow as pa
+
+TEXT_QUERY_TERMS = [
+    "data", "spark", "window", "the", "vector", "customer", "zzzmissing",
+]
+CACHE_ROOT = "/tmp/myaku_ray_cache"
+
+
+def _cache_dir(kind: str, sf_dir: str) -> str:
+    key = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    return os.path.join(CACHE_ROOT, f"{kind}_{key}")
+
+
+def bm25_topk_docs(sf_dir: str, k: int = 10):
+    from myaku_ray.pipelines.text_index import TextSearcher, build_text_index
+
+    idx = _cache_dir("textindex", sf_dir)
+    build_text_index(f"{sf_dir}/documents.parquet", idx)
+    s = TextSearcher(idx)
+    rows = {"term": [], "doc_id": [], "score": [], "rank": []}
+    for term in TEXT_QUERY_TERMS:
+        for rank, (doc_id, score) in enumerate(s.topk(term, k), start=1):
+            rows["term"].append(term)
+            rows["doc_id"].append(doc_id)
+            rows["score"].append(score)
+            rows["rank"].append(rank)
+    import numpy as np
+
+    return pa.table(
+        {
+            "term": pa.array(rows["term"], pa.string()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score": pa.array(np.asarray(rows["score"], dtype=np.float32)),
+            "rank": pa.array(rows["rank"], pa.int64()),
+        }
+    )
+
+
+BM25_TOPK_SQL_TEMPLATE = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT CAST(sum(doclen) AS DOUBLE) / count(*) FROM dl) AS avgdl),
+s AS (
+  SELECT tf.term, tf.doc_id,
+    (ln(1.0::DOUBLE + (stats.n_docs - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE))
+     * (tf.tf * (1.2::DOUBLE + 1.0::DOUBLE))
+     / (tf.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * dl.doclen / stats.avgdl)))::FLOAT AS score
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN ({terms})
+)
+SELECT term, doc_id, score,
+  CAST(row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id DESC) AS BIGINT) AS rank
+FROM s
+QUALIFY rank <= {k}
+"""
+
+
+def bm25_topk_sql(k: int = 10) -> str:
+    terms = ", ".join(f"'{t}'" for t in TEXT_QUERY_TERMS)
+    return BM25_TOPK_SQL_TEMPLATE.format(terms=terms, k=k)
+
+
+# ---------------------------------------------------------------------------
+# Pages-corpus pipelines (Myaku semantics; rows-only driver checks)
+# ---------------------------------------------------------------------------
+
+PAGES_N = 600
+
+
+def _pages_dir() -> str:
+    from myaku_ray.corpus import write_pages_parquet
+
+    d = os.path.join(CACHE_ROOT, f"pages_{PAGES_N}")
+    write_pages_parquet(d, PAGES_N)
+    return d
+
+
+def pages_extract_stats(sf_dir: str):
+    """Extraction pipeline summary over the synthetic page corpus."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from myaku_ray.corpus import gen_blogs_table
+    from myaku_ray.stages.extract import make_extract_fn
+
+    blogs = gen_blogs_table()
+    ratings = dict(zip(blogs["blog_url"], blogs["rating"]))
+    pages = rd.read_parquet(_pages_dir(), columns=["url", "warc_ts", "html", "lang"])
+    docs = pages.map_batches(
+        make_extract_fn(ratings), batch_format="pyarrow", batch_size=256
+    )
+    return docs.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("alnum_count", alias_name="sum_alnum"),
+    )
+
+
+def pages_search_topk(sf_dir: str, k: int = 10):
+    """Full Myaku pipeline: build the pages index, run the reference query
+    set, return ranked (query, rank, doc_id, score, url) rows."""
+    from myaku_ray.corpus import gen_blogs_table
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.oracle import reference_query_set
+    from myaku_ray.pipelines.build import build_index
+
+    pages = _pages_dir()
+    idx = os.path.join(CACHE_ROOT, f"pagesindex_{PAGES_N}")
+    blogs = gen_blogs_table()
+    ratings = dict(zip(blogs["blog_url"], blogs["rating"]))
+    build_index(pages, idx, blog_ratings=ratings)
+    s = Searcher(idx)
+    rows = {"query": [], "rank": [], "doc_id": [], "score": [], "url": []}
+    for q in reference_query_set():
+        for rank, r in enumerate(s.search(q, k), start=1):
+            rows["query"].append(q)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r.doc_id)
+            rows["score"].append(r.score)
+            rows["url"].append(r.url)
+    return pd.DataFrame(rows)

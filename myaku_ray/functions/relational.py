@@ -1,0 +1,194 @@
+"""Relational pipelines over the TPC-H-ish tables (Ray-Data-first).
+
+Join strategy notes (SURVEY.md §2.4): dimension sides (region, nation,
+customer at these scales) are broadcast via ``ray.put`` and looked up
+map-side inside ``map_batches`` — no shuffle.  The only shuffles are the
+final small ``groupby`` aggregates over pre-aggregated partials.  At
+production scale the orders⋈lineitem side would switch to the documented
+hash-bucket partitioned join; the pre-aggregation (combine per batch,
+then groupby over partials) is the piece that holds at 100 TB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+Q1_CUTOFF = "1998-09-01"
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    """floor(x*100 + 0.5) as int64 — matches SQL CAST(floor(x*100.0+0.5) AS BIGINT)."""
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+def _millis(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 1000.0 + 0.5).astype(np.int64)
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 analog: pricing summary by (returnflag, linestatus)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_shipdate",
+        ],
+    )
+
+    cutoff = np.datetime64(Q1_CUTOFF)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(ship <= cutoff))
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": pa.array(qty.astype(np.int64)),
+                "price_cents": pa.array(_cents(price)),
+                "disc_price_cents": pa.array(_cents(price * (1.0 - disc))),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_base_price_cents"),
+            Sum("disc_price_cents", alias_name="sum_disc_price_cents"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return out
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(sum(CAST(floor(l_extendedprice*100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+  CAST(sum(CAST(floor(l_extendedprice*(1.0::DOUBLE - l_discount)*100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def top_orders_by_revenue(sf_dir: str, k: int = 10):
+    """Top-k orders by discounted revenue, hydrated with customer info.
+
+    lineitem is pre-aggregated per batch (combiner) before the groupby;
+    orders/customer are read filtered to the k winners (bounded)."""
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        cents = _cents(price * (1.0 - disc))
+        df = pd.DataFrame({"l_orderkey": key, "revenue_cents": cents})
+        g = df.groupby("l_orderkey", as_index=False)["revenue_cents"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    top = rev.sort("revenue_cents", descending=True).limit(k * 3).to_pandas()
+    top = top.sort_values(
+        ["revenue_cents", "l_orderkey"], ascending=[False, True]
+    ).head(k)
+
+    import pyarrow.dataset as pads
+
+    orders = pads.dataset(f"{sf_dir}/orders.parquet").to_table(
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        filter=pads.field("o_orderkey").isin(top["l_orderkey"].tolist()),
+    ).to_pandas()
+    cust = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+        filter=pads.field("c_custkey").isin(orders["o_custkey"].tolist()),
+    ).to_pandas()
+    out = top.merge(orders, left_on="l_orderkey", right_on="o_orderkey").merge(
+        cust, left_on="o_custkey", right_on="c_custkey"
+    )
+    out = out.sort_values(["revenue_cents", "l_orderkey"], ascending=[False, True])
+    return out[["l_orderkey", "revenue_cents", "c_name", "c_mktsegment"]].reset_index(
+        drop=True
+    )
+
+
+TOP_ORDERS_SQL = """
+SELECT l.l_orderkey, l.revenue_cents, c.c_name, c.c_mktsegment
+FROM (
+  SELECT l_orderkey,
+    CAST(sum(CAST(floor(l_extendedprice*(1.0::DOUBLE - l_discount)*100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem GROUP BY l_orderkey
+) l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY l.revenue_cents DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+def customers_per_region(sf_dir: str):
+    """customer ⋈ nation ⋈ region via broadcast map-side lookup."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    lookup_ref = ray.put((n2r, r2name))
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        n2r_m, r2n_m = ray.get(lookup_ref)
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        names = [r2n_m[n2r_m[int(x)]] for x in nk]
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "r_name": pa.array(names, pa.string()),
+                "acctbal_cents": pa.array(_cents(bal)),
+            }
+        )
+
+    return (
+        cust.map_batches(tag, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(
+            Count(alias_name="n_customers"),
+            Sum("acctbal_cents", alias_name="sum_acctbal_cents"),
+        )
+    )
+
+
+CUSTOMERS_PER_REGION_SQL = """
+SELECT r.r_name,
+  count(*) AS n_customers,
+  CAST(sum(CAST(floor(c.c_acctbal*100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name
+"""

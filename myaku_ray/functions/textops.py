@@ -1,0 +1,192 @@
+"""Text-analysis operators over the generic ``documents`` table.
+
+Whitespace tokens (== DuckDB ``string_split(text, ' ')``) keep every op
+SQL-checkable: token counting, document frequency, quality scoring
+(stopword/length ratios), exact dedup, language profiling.  Ratios are
+double divisions of exact integers — bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+STOPWORDS = ("the", "a")
+
+
+def doc_token_stats(sf_dir: str):
+    """Per-doc token counts: n_tokens, n_distinct."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids, n_tok, n_dis = [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = text.split(" ")
+            ids.append(did)
+            n_tok.append(len(toks))
+            n_dis.append(len(set(toks)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_distinct": pa.array(n_dis, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+DOC_TOKEN_STATS_SQL = """
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+FROM documents
+"""
+
+
+def term_doc_freq(sf_dir: str):
+    """Corpus term statistics: df (docs containing) + total tf."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    from collections import Counter
+
+    def explode(batch: pa.Table) -> pa.Table:
+        terms, tfs = [], []
+        for text in batch["text"].to_pylist():
+            for t, c in Counter(text.split(" ")).items():
+                terms.append(t)
+                tfs.append(c)
+        return pa.table(
+            {"term": pa.array(terms, pa.string()), "tf": pa.array(tfs, pa.int64())}
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Count(alias_name="df"), Sum("tf", alias_name="total_tf"))
+    )
+
+
+TERM_DOC_FREQ_SQL = """
+WITH tf AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS total_tf
+FROM tf GROUP BY term
+"""
+
+
+def doc_quality(sf_dir: str):
+    """Quality-scoring signals: stopword ratio, mean token length, shortness."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    stop = set(STOPWORDS)
+
+    def q(batch: pa.Table) -> pa.Table:
+        ids, n_tok, n_stop, ratio, mean_len = [], [], [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = text.split(" ")
+            ns = sum(t in stop for t in toks)
+            total_len = sum(len(t) for t in toks)
+            ids.append(did)
+            n_tok.append(len(toks))
+            n_stop.append(ns)
+            ratio.append(ns / len(toks))
+            mean_len.append(total_len / len(toks))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_stopwords": pa.array(n_stop, pa.int64()),
+                "stopword_ratio": pa.array(ratio, pa.float64()),
+                "mean_token_len": pa.array(mean_len, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(q, batch_format="pyarrow")
+
+
+DOC_QUALITY_SQL = """
+WITH l AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stopwords,
+  CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks) AS stopword_ratio,
+  CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS mean_token_len
+FROM l
+"""
+
+
+def dedup_exact(sf_dir: str):
+    """Exact dedup by content: winner = min doc_id per identical text (A6)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hashes = [
+            hashlib.sha256(t.encode()).hexdigest() for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "h": pa.array(hashes, pa.string())}
+        )
+
+    agg = (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="keeper_doc_id"), Count(alias_name="n_copies"))
+    )
+    return agg.select_columns(["keeper_doc_id", "n_copies"])
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def lang_source_profile(sf_dir: str):
+    """Corpus profile per (lang, source): docs + char volume."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+    return ds.groupby(["lang", "source"]).aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"),
+    )
+
+
+LANG_SOURCE_PROFILE_SQL = """
+SELECT lang, source, count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY lang, source
+"""
+
+
+def doc_fingerprints(sf_dir: str):
+    """64-bit rolling/content fingerprints per doc (blake2b of normalized
+    token stream) — the exact-dup / shard-routing key at scale.  Not
+    SQL-expressible (driver records rows-only check)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            norm = " ".join(text.split(" "))
+            d = hashlib.blake2b(norm.encode(), digest_size=8).digest()
+            ids.append(did)
+            fps.append(int.from_bytes(d, "big") & 0x7FFF_FFFF_FFFF_FFFF)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "fingerprint": pa.array(fps, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")

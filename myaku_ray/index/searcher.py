@@ -25,7 +25,6 @@ rank-identity with the serial oracle.
 
 from __future__ import annotations
 
-import heapq
 import json
 import os
 from dataclasses import dataclass, field
@@ -166,59 +165,11 @@ class Searcher:
                 iters[t] = it
         if not iters:
             return []
+        from myaku_ray.index.wand import wand_topk
 
-        heap: list[tuple[float, int, int]] = []  # (score, warc_us, doc_id) min-heap
-        live = [(t, it) for t, it in iters.items()]
-
-        def threshold() -> float:
-            return heap[0][0] if len(heap) >= k else float("-inf")
-
-        while live:
-            live = [(t, it) for (t, it) in live if not it.exhausted]
-            if not live:
-                break
-            live.sort(key=lambda p: p[1].doc_id())
-            # WAND pivot: smallest prefix whose UB sum could beat threshold
-            theta = threshold()
-            ub = 0.0
-            pivot = -1
-            for i, (_, it) in enumerate(live):
-                ub += it.max_score
-                if ub >= theta:
-                    pivot = i
-                    break
-            if pivot == -1:
-                break  # even all terms together can't reach the heap min
-            pivot_doc = live[pivot][1].doc_id()
-            if live[0][1].doc_id() == pivot_doc:
-                # Full evaluation of pivot_doc.  Contributions are summed in
-                # sorted-term order so the float64 accumulation order is
-                # deterministic and identical to the serial oracle's.
-                contribs = []
-                warc = 0
-                for t, it in live:
-                    if not it.exhausted and it.doc_id() == pivot_doc:
-                        contribs.append((t, it.score()))
-                        warc = it.warc_us()
-                score = 0.0
-                for _, s in sorted(contribs):
-                    score += s
-                key = (score, warc, pivot_doc)
-                if len(heap) < k:
-                    heapq.heappush(heap, key)
-                elif key > heap[0]:
-                    heapq.heapreplace(heap, key)
-                for _, it in live:
-                    if not it.exhausted and it.doc_id() == pivot_doc:
-                        it.next()
-            else:
-                # advance pre-pivot iterators to the pivot doc
-                for i in range(pivot):
-                    live[i][1].seek(pivot_doc)
-
-        ranked = sorted(heap, reverse=True)
         return [
-            SearchResult(doc_id=d, score=s, warc_us=w) for (s, w, d) in ranked
+            SearchResult(doc_id=d, score=s, warc_us=w)
+            for (d, s, w) in wand_topk(iters, k)
         ]
 
     # -- hydration (J1-analog: bounded doc_id-filtered read) --------------

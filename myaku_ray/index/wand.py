@@ -1,0 +1,62 @@
+"""Document-at-a-time WAND top-k over merged posting iterators.
+
+Shared by the pages-corpus Searcher and the documents-table TextSearcher.
+Pruning is strict-< against the heap minimum so score ties are evaluated
+and resolved by the (score, warc_us, doc_id) DESC tie-break — required for
+rank-identity with serial oracles (ArticleRankKey order,
+myaku/datatypes.py:134-148).
+
+Score accumulation over a doc's matching terms runs in sorted-term order
+(deterministic float64 summation, identical to the oracles).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+
+def wand_topk(term_iters: dict, k: int) -> list[tuple[int, float, int]]:
+    """Top-k (doc_id, score, warc_us) from {term: MergedIterator}."""
+    heap: list[tuple[float, int, int]] = []  # min-heap of (score, warc, doc)
+    live = [(t, it) for t, it in term_iters.items() if it is not None and not it.exhausted]
+
+    while live:
+        live = [(t, it) for (t, it) in live if not it.exhausted]
+        if not live:
+            break
+        live.sort(key=lambda p: p[1].doc_id())
+        theta = heap[0][0] if len(heap) >= k else float("-inf")
+        ub = 0.0
+        pivot = -1
+        for i, (_, it) in enumerate(live):
+            ub += it.max_score
+            if ub >= theta:
+                pivot = i
+                break
+        if pivot == -1:
+            break
+        pivot_doc = live[pivot][1].doc_id()
+        if live[0][1].doc_id() == pivot_doc:
+            contribs = []
+            warc = 0
+            for t, it in live:
+                if not it.exhausted and it.doc_id() == pivot_doc:
+                    contribs.append((t, it.score()))
+                    warc = it.warc_us()
+            score = 0.0
+            for _, s in sorted(contribs):
+                score += s
+            key = (score, warc, pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, key)
+            elif key > heap[0]:
+                heapq.heapreplace(heap, key)
+            for _, it in live:
+                if not it.exhausted and it.doc_id() == pivot_doc:
+                    it.next()
+        else:
+            for i in range(pivot):
+                live[i][1].seek(pivot_doc)
+
+    ranked = sorted(heap, reverse=True)
+    return [(d, s, w) for (s, w, d) in ranked]
