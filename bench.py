@@ -1,0 +1,212 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Default mode: runs inside ONE Ray session (num_cpus=$RAY_GRAFT_CPUS,
+default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <headline seconds>, "unit": "sec",
+     "queries": {...per-pipeline seconds...}, "sf": ..., "num_cpus": N,
+     "build_docs_per_s": ..., "query_p50_ms": ..., ...}
+
+Headline = full Myaku index build (read -> extract -> tokenize actor pool
+-> dedup -> salted posting shuffle -> segment write) over the synthetic
+page corpus (BASELINE.md protocol), plus BM25 top-10 latency over the
+built segments, plus the documents-table pipelines at $GRAFT_SF_DIR.
+
+--scaling: runs the SAME job in two fresh processes (num_cpus=8 and 32)
+on the same cached corpus and reports both throughputs + efficiency
+(the sandbox substitute for the N vs 4N cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_PAGES = int(os.environ.get("MYAKU_BENCH_PAGES", "20000"))
+CORPUS_DIR = f"/tmp/myaku_bench/pages_{BENCH_PAGES}"
+QUERY_REPEATS = 5
+
+
+def _ray_init(num_cpus: int) -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def ensure_corpus() -> str:
+    from myaku_ray.corpus import write_pages_parquet
+
+    write_pages_parquet(CORPUS_DIR, BENCH_PAGES)
+    return CORPUS_DIR
+
+
+def warm_page_cache(path: str) -> None:
+    for root, _, files in os.walk(path):
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+
+
+def bench_build(pages: str, num_cpus: int) -> dict:
+    from myaku_ray.corpus import gen_blogs_table
+    from myaku_ray.pipelines.build import build_index
+
+    blogs = gen_blogs_table()
+    ratings = dict(zip(blogs["blog_url"], blogs["rating"]))
+    index_dir = f"/tmp/myaku_bench/index_{num_cpus}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    t0 = time.time()
+    metrics = build_index(
+        pages,
+        index_dir,
+        blog_ratings=ratings,
+        tokenize_concurrency=(1, max(num_cpus - 2, 1)),
+    )
+    wall = time.time() - t0
+    n_docs = metrics["stats"]["n_docs"]
+    return {
+        "index_dir": index_dir,
+        "build_s": round(wall, 3),
+        "n_docs": n_docs,
+        "docs_per_s": round(n_docs / wall, 1),
+    }
+
+
+def bench_queries(index_dir: str) -> dict:
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.oracle import reference_query_set
+
+    s = Searcher(index_dir)
+    qs = reference_query_set()
+    # warm segment datasets
+    for q in qs:
+        s.topk(q, 10)
+    lats = []
+    for _ in range(QUERY_REPEATS):
+        for q in qs:
+            t0 = time.time()
+            s.topk(q, 10)
+            lats.append((time.time() - t0) * 1000)
+    lats.sort()
+    return {
+        "query_p50_ms": round(statistics.median(lats), 2),
+        "query_p95_ms": round(lats[int(len(lats) * 0.95)], 2),
+        "n_queries": len(lats),
+    }
+
+
+def bench_doc_pipelines(sf_dir: str) -> dict:
+    from myaku_ray.functions import ann, dedup, events, fulltext, relational, textops
+
+    shutil.rmtree("/tmp/myaku_ray_cache", ignore_errors=True)
+    timings = {}
+    jobs = {
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "events_hourly": events.events_hourly,
+        "user_sessions": events.user_sessions,
+        "term_doc_freq": textops.term_doc_freq,
+        "dedup_exact": textops.dedup_exact,
+        "bm25_topk_docs": fulltext.bm25_topk_docs,
+        "ann_cosine_topk": ann.ann_cosine_topk,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+    }
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    for name, fn in jobs.items():
+        t0 = time.time()
+        res = fn(sf_dir)
+        if isinstance(res, ray.data.Dataset):
+            res.to_pandas()  # consume
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def run_once() -> dict:
+    _ray_init(NUM_CPUS)
+    pages = ensure_corpus()
+    warm_page_cache(pages)
+    build = bench_build(pages, NUM_CPUS)
+    queries = bench_queries(build["index_dir"])
+    doc_timings = bench_doc_pipelines(SF_DIR)
+    import ray
+
+    ray.shutdown()
+    out = {
+        "metric": "myaku_ray index build + BM25 query + doc pipelines",
+        "value": build["build_s"],
+        "unit": "sec",
+        "queries": {
+            "index_build": build["build_s"],
+            **doc_timings,
+        },
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_pages": BENCH_PAGES,
+        "n_docs": build["n_docs"],
+        "build_docs_per_s": build["docs_per_s"],
+        **queries,
+    }
+    return out
+
+
+def run_scaling() -> dict:
+    """Same job at two parallelism levels in fresh processes."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        results[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    lo, hi = results[8], results[32]
+    eff = (lo["build_docs_per_s"] and hi["build_docs_per_s"]) and (
+        (hi["build_docs_per_s"] / lo["build_docs_per_s"]) / (32 / 8)
+    )
+    return {
+        "metric": "scaling: index build docs/s at num_cpus=8 vs 32",
+        "docs_per_s_8": lo["build_docs_per_s"],
+        "docs_per_s_32": hi["build_docs_per_s"],
+        "build_s_8": lo["value"],
+        "build_s_32": hi["value"],
+        "scaling_efficiency": round(eff, 3),
+        "bench_pages": lo["bench_pages"],
+        "n_docs": lo["n_docs"],
+    }
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

@@ -212,19 +212,123 @@ class PostingIterator:
 
 
 def decode_all(blob: bytes):
-    """Decode a full blob -> (doc_ids, tfs, scores, warc_us) numpy arrays."""
-    it = PostingIterator(blob)
-    n = it.n
+    """Decode a full blob -> (doc_ids, tfs, scores, warc_us) numpy arrays.
+
+    One tight sequential pass (no iterator machinery) — used by the
+    array-backed query path and by parity tests."""
+    mv = memoryview(blob)
+    n, pos = read_varint(mv, 0)
+    n_blocks, pos = read_varint(mv, pos)
     ids = np.empty(n, dtype=np.int64)
     tfs = np.empty(n, dtype=np.int32)
     scores = np.empty(n, dtype=np.float32)
     warc = np.empty(n, dtype=np.uint64)
     k = 0
-    while not it.exhausted:
-        ids[k] = it.doc_id()
-        tfs[k] = it.tf()
-        scores[k] = it.score()
-        warc[k] = it.warc_us()
-        k += 1
-        it.next()
+    prev = 0
+    for _ in range(n_blocks):
+        body_len, pos = read_varint(mv, pos)
+        count, pos = read_varint(mv, pos)
+        _, pos = read_varint(mv, pos)  # last_docid_delta (redundant here)
+        pos += 4  # max_score
+        p = pos
+        for j in range(count):
+            shift = 0
+            out = 0
+            while True:
+                b = mv[p]
+                p += 1
+                out |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+            prev += out
+            ids[k + j] = prev
+        for j in range(count):
+            shift = 0
+            out = 0
+            while True:
+                b = mv[p]
+                p += 1
+                out |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+            tfs[k + j] = out
+        scores[k : k + count] = np.frombuffer(mv, dtype="<f4", count=count, offset=p)
+        p += 4 * count
+        warc[k : k + count] = np.frombuffer(mv, dtype="<u8", count=count, offset=p)
+        p += 8 * count
+        k += count
+        pos += body_len
     return ids[:k], tfs[:k], scores[:k], warc[:k]
+
+
+class ArrayPostings:
+    """Array-backed posting iterator (same protocol as PostingIterator).
+
+    Built by fully decoding one or more disjoint sub-list blobs and merging
+    them with one argsort.  The per-posting query cost becomes numpy ops
+    instead of Python-level block machinery — the right trade below
+    ~10^6 postings per term; beyond that the streaming block iterators
+    with block-max skipping take over (``DECODE_LIMIT`` in the searchers).
+    """
+
+    __slots__ = ("ids", "scores", "warc", "_i", "max_score", "exhausted", "n")
+
+    def __init__(self, blobs: list[bytes], max_score: float | None = None):
+        parts = [decode_all(b) for b in blobs]
+        if len(parts) == 1:
+            ids, _, scores, warc = parts[0]
+        else:
+            ids = np.concatenate([p[0] for p in parts])
+            scores = np.concatenate([p[2] for p in parts])
+            warc = np.concatenate([p[3] for p in parts])
+            order = np.argsort(ids, kind="stable")
+            ids, scores, warc = ids[order], scores[order], warc[order]
+        self.ids, self.scores, self.warc = ids, scores, warc
+        self.n = len(ids)
+        self._i = 0
+        self.max_score = (
+            float(scores.max()) if max_score is None and self.n else (max_score or 0.0)
+        )
+        self.exhausted = self.n == 0
+
+    def doc_id(self) -> int:
+        return int(self.ids[self._i])
+
+    def score(self) -> float:
+        return float(self.scores[self._i])
+
+    def warc_us(self) -> int:
+        return int(self.warc[self._i])
+
+    def next(self) -> None:
+        self._i += 1
+        if self._i >= self.n:
+            self.exhausted = True
+
+    def seek(self, target: int) -> None:
+        i = int(np.searchsorted(self.ids[self._i :], target, side="left"))
+        self._i += i
+        if self._i >= self.n:
+            self.exhausted = True
+
+    def topk_arrays(self, k: int) -> list[tuple[int, float, int]]:
+        """Vectorized single-term top-k with exact (score, warc, doc) order."""
+        if self.n == 0:
+            return []
+        if self.n > k * 8:
+            # pre-select candidates by score only, keeping enough to cover ties
+            part = np.argpartition(self.scores, -min(k * 8, self.n - 1))[-k * 8 :]
+            cutoff = self.scores[part].min()
+            cand = np.nonzero(self.scores >= cutoff)[0]
+        else:
+            cand = np.arange(self.n)
+        order = np.lexsort(
+            (self.ids[cand], self.warc[cand], self.scores[cand])
+        )[::-1][:k]
+        sel = cand[order]
+        return [
+            (int(self.ids[i]), float(self.scores[i]), int(self.warc[i]))
+            for i in sel
+        ]

@@ -31,8 +31,12 @@ from dataclasses import dataclass, field
 
 import pyarrow.dataset as pads
 
-from myaku_ray.index.codec import PostingIterator
+from myaku_ray.index.codec import ArrayPostings, PostingIterator
 from myaku_ray.index.util import term_hash
+
+# Above this many postings per term, keep the streaming block iterators
+# (bounded memory); below it, decode to numpy arrays (vectorized top-k).
+DECODE_LIMIT = 1_000_000
 from myaku_ray.normalize import normalize_char_width
 from myaku_ray.tokenizer import get_tokenizer
 
@@ -79,6 +83,21 @@ class MergedIterator:
         self.exhausted = not live
 
 
+def make_term_iterator(rows: list):
+    """Choose the query-path representation for one term's sub-list blobs:
+    array-backed (vectorized) under DECODE_LIMIT postings, streaming
+    block iterators with skipping above it."""
+    from myaku_ray.index.codec import read_varint
+
+    total = 0
+    for blob, _ in rows:
+        n, _pos = read_varint(memoryview(blob), 0)
+        total += n
+    if total <= DECODE_LIMIT:
+        return ArrayPostings([b for b, _ in rows])
+    return MergedIterator([PostingIterator(b, ms) for b, ms in rows])
+
+
 @dataclass
 class SearchResult:
     doc_id: int
@@ -93,7 +112,7 @@ class SearchResult:
 class Searcher:
     """Driver-side query engine over a built index directory."""
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, cache_segments: bool = True):
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
@@ -101,6 +120,11 @@ class Searcher:
         self._docs_root = os.path.join(index_dir, "docs")
         self._tok = get_tokenizer()
         self._seg_ds_cache: dict[int, pads.Dataset] = {}
+        # In-memory per-segment term dictionary: term -> [(blob, max_score)].
+        # Bounded by segment size; at production scale replace with a
+        # term-dictionary (offsets) file + mmap'd blob reads per term.
+        self._cache_segments = cache_segments
+        self._seg_terms: dict[int, dict] = {}
 
     # -- query analysis ---------------------------------------------------
 
@@ -129,22 +153,41 @@ class Searcher:
             self._seg_ds_cache[seg] = ds
         return ds
 
-    def term_iterator(self, term: str) -> MergedIterator | None:
+    def _segment_term_map(self, seg: int) -> dict | None:
+        m = self._seg_terms.get(seg)
+        if m is None:
+            ds = self._segment_dataset(seg)
+            if ds is None:
+                return None
+            tbl = ds.to_table(columns=["term", "blob", "max_score"])
+            m = {}
+            for t, blob, ms in zip(tbl["term"], tbl["blob"], tbl["max_score"]):
+                m.setdefault(t.as_py(), []).append(
+                    (blob.as_py(), float(ms.as_py()))
+                )
+            self._seg_terms[seg] = m
+        return m
+
+    def term_iterator(self, term: str):
         seg = term_hash(term) % self.stats["num_segments"]
-        ds = self._segment_dataset(seg)
-        if ds is None:
+        if self._cache_segments:
+            m = self._segment_term_map(seg)
+            rows = m.get(term) if m else None
+        else:
+            ds = self._segment_dataset(seg)
+            if ds is None:
+                return None
+            tbl = ds.to_table(
+                columns=["term", "blob", "max_score"],
+                filter=pads.field("term") == term,
+            )
+            rows = [
+                (blob.as_py(), float(ms.as_py()))
+                for blob, ms in zip(tbl["blob"], tbl["max_score"])
+            ]
+        if not rows:
             return None
-        tbl = ds.to_table(
-            columns=["term", "blob", "max_score"],
-            filter=pads.field("term") == term,
-        )
-        if tbl.num_rows == 0:
-            return None
-        iters = [
-            PostingIterator(blob.as_py(), float(ms.as_py()))
-            for blob, ms in zip(tbl["blob"], tbl["max_score"])
-        ]
-        return MergedIterator(iters)
+        return make_term_iterator(rows)
 
     def term_df(self, term: str) -> int:
         seg = term_hash(term) % self.stats["num_segments"]
@@ -165,11 +208,21 @@ class Searcher:
                 iters[t] = it
         if not iters:
             return []
-        from myaku_ray.index.wand import wand_topk
+        if len(iters) == 1:
+            (it,) = iters.values()
+            if isinstance(it, ArrayPostings):
+                return [
+                    SearchResult(doc_id=d, score=s, warc_us=w)
+                    for (d, s, w) in it.topk_arrays(k)
+                ]
+        from myaku_ray.index.wand import array_topk, wand_topk
 
+        if all(isinstance(it, ArrayPostings) for it in iters.values()):
+            hits = array_topk(iters, k)
+        else:
+            hits = wand_topk(iters, k)
         return [
-            SearchResult(doc_id=d, score=s, warc_us=w)
-            for (d, s, w) in wand_topk(iters, k)
+            SearchResult(doc_id=d, score=s, warc_us=w) for (d, s, w) in hits
         ]
 
     # -- hydration (J1-analog: bounded doc_id-filtered read) --------------

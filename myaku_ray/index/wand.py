@@ -14,6 +14,34 @@ from __future__ import annotations
 
 import heapq
 
+import numpy as np
+
+
+def array_topk(iters: dict, k: int) -> list[tuple[int, float, int]]:
+    """Vectorized multi-term top-k when every term is array-backed.
+
+    Accumulates per-doc scores with ``acc[doc] += contributions`` one term
+    at a time in SORTED term order — float64 over float32 contributions,
+    exactly the serial oracle's summation order."""
+    terms = sorted(iters)
+    all_ids = np.unique(np.concatenate([iters[t].ids for t in terms]))
+    acc = np.zeros(len(all_ids), dtype=np.float64)
+    warc = np.zeros(len(all_ids), dtype=np.uint64)
+    for t in terms:
+        it = iters[t]
+        idx = np.searchsorted(all_ids, it.ids)
+        acc[idx] += it.scores.astype(np.float64)
+        warc[idx] = it.warc
+    if len(all_ids) > k * 8:
+        part = np.argpartition(acc, -min(k * 8, len(acc) - 1))[-k * 8 :]
+        cutoff = acc[part].min()
+        cand = np.nonzero(acc >= cutoff)[0]
+    else:
+        cand = np.arange(len(all_ids))
+    order = np.lexsort((all_ids[cand], warc[cand], acc[cand]))[::-1][:k]
+    sel = cand[order]
+    return [(int(all_ids[i]), float(acc[i]), int(warc[i])) for i in sel]
+
 
 def wand_topk(term_iters: dict, k: int) -> list[tuple[int, float, int]]:
     """Top-k (doc_id, score, warc_us) from {term: MergedIterator}."""

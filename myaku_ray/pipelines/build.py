@@ -52,6 +52,18 @@ DEFAULT_NUM_SEGMENTS = 8
 DEFAULT_SALT_BUCKETS = 4
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers only (no data read)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        total += pq.read_metadata(f).num_rows
+    return total
+
+
 def build_index(
     pages_path: str,
     index_dir: str,
@@ -83,9 +95,9 @@ def build_index(
             extract_fn, batch_format="pyarrow", batch_size=256
         )
         docs.write_parquet(docs_dir)
-        n_docs_all = rd.read_parquet(docs_dir, columns=["doc_id"]).count()
         mark_complete(
-            index_dir, "docs", rows=n_docs_all, wall_s=round(time.time() - t0, 3)
+            index_dir, "docs", rows=_parquet_rows(docs_dir),
+            wall_s=round(time.time() - t0, 3),
         )
         metrics["docs_wall_s"] = time.time() - t0
 
@@ -106,7 +118,7 @@ def build_index(
             losers_of_group, batch_format="pyarrow"
         )
         losers.write_parquet(dedup_dir)
-        n_losers = rd.read_parquet(dedup_dir).count()
+        n_losers = _parquet_rows(dedup_dir)
         mark_complete(
             index_dir, "dedup", rows=n_losers, wall_s=round(time.time() - t0, 3)
         )
@@ -151,27 +163,53 @@ def build_index(
                 num_cpus=1,
             )
         postings.write_parquet(postings_dir)
-        n_postings = rd.read_parquet(postings_dir, columns=["doc_id"]).count()
         mark_complete(
-            index_dir, "postings", rows=n_postings,
+            index_dir, "postings", rows=_parquet_rows(postings_dir),
             wall_s=round(time.time() - t0, 3),
         )
         metrics["postings_wall_s"] = time.time() - t0
 
-    # ---- stage 4: df + corpus stats ------------------------------------
+    # ---- stage 4: df + corpus stats (map-side combined) ----------------
+    # Pre-aggregate (term -> partial df/tf) inside map_batches so the
+    # groupby shuffles ~|vocab| rows per batch instead of every posting.
     stats_path = os.path.join(index_dir, "stats.json")
     df_dir = stage_dir(index_dir, "df")
     if not (resume and is_complete(index_dir, "df")):
         t0 = time.time()
-        postings = rd.read_parquet(postings_dir, columns=["term", "tf", "doc_id"])
-        df_ds = postings.groupby("term").aggregate(
-            Count(alias_name="df"), Sum("tf", alias_name="ctf")
+        postings = rd.read_parquet(postings_dir, columns=["term", "tf"])
+
+        def partial_df(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            pdf = pd.DataFrame(
+                {
+                    "term": batch["term"].to_pylist(),
+                    "tf": batch["tf"].to_numpy(zero_copy_only=False),
+                }
+            )
+            g = pdf.groupby("term", as_index=False).agg(
+                pdf_count=("tf", "size"), ptf=("tf", "sum")
+            )
+            return pa.table(
+                {
+                    "term": pa.array(g["term"], pa.string()),
+                    "pdf_count": pa.array(g["pdf_count"].astype("int64")),
+                    "ptf": pa.array(g["ptf"].astype("int64")),
+                }
+            )
+
+        df_ds = (
+            postings.map_batches(partial_df, batch_format="pyarrow", batch_size=65536)
+            .groupby("term")
+            .aggregate(
+                Sum("pdf_count", alias_name="df"), Sum("ptf", alias_name="ctf")
+            )
         )
         df_ds.write_parquet(df_dir)
 
         # n_docs = winners; doclen sum = sum of tf (every posting row carries
         # its doc's tf contribution exactly once)
-        n_docs = rd.read_parquet(docs_dir, columns=["doc_id"]).count() - len(loser_ids)
+        n_docs = _parquet_rows(docs_dir) - len(loser_ids)
         df_pdf = rd.read_parquet(df_dir).to_pandas()
         total_tokens = int(df_pdf["ctf"].sum())
         avgdl = total_tokens / max(n_docs, 1)

@@ -214,14 +214,15 @@ class TextSearcher:
         )
         if tbl.num_rows == 0:
             return None
-        return MergedIterator(
-            [
-                PostingIterator(b.as_py(), float(m.as_py()))
-                for b, m in zip(tbl["blob"], tbl["max_score"])
-            ]
+        from myaku_ray.index.searcher import make_term_iterator
+
+        return make_term_iterator(
+            [(b.as_py(), float(m.as_py())) for b, m in zip(tbl["blob"], tbl["max_score"])]
         )
 
     def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        from myaku_ray.index.codec import ArrayPostings
+
         terms = []
         seen = set()
         for t in tokenize_ws(query):
@@ -232,4 +233,12 @@ class TextSearcher:
         iters = {t: it for t, it in iters.items() if it is not None}
         if not iters:
             return []
+        if len(iters) == 1:
+            (it,) = iters.values()
+            if isinstance(it, ArrayPostings):
+                return [(d, s) for (d, s, _) in it.topk_arrays(k)]
+        from myaku_ray.index.wand import array_topk
+
+        if all(isinstance(it, ArrayPostings) for it in iters.values()):
+            return [(d, s) for (d, s, _) in array_topk(iters, k)]
         return [(d, s) for (d, s, _) in wand_topk(iters, k)]
