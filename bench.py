@@ -29,7 +29,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_PAGES = int(os.environ.get("MYAKU_BENCH_PAGES", "20000"))
+BENCH_PAGES = int(os.environ.get("MYAKU_BENCH_PAGES", "100000"))
 CORPUS_DIR = f"/tmp/myaku_bench/pages_{BENCH_PAGES}"
 QUERY_REPEATS = 5
 
@@ -82,7 +82,7 @@ def bench_build(pages: str, num_cpus: int) -> dict:
         pages,
         index_dir,
         blog_ratings=ratings,
-        tokenize_concurrency=(1, max(num_cpus - 2, 1)),
+        tokenize_concurrency=max(num_cpus - 2, 1),
     )
     wall = time.time() - t0
     n_docs = metrics["stats"]["n_docs"]

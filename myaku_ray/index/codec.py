@@ -56,39 +56,84 @@ def read_varint(mv, pos: int) -> tuple[int, int]:
         shift += 7
 
 
+# varint byte-length boundaries: value v needs searchsorted(bounds, v)+1 bytes
+_VARINT_BOUNDS = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
+
+
+def encode_varint_stream(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized varint encoding of a uint64 array.
+
+    Returns (bytes_u8, per_value_byte_lengths).  Scatter by rounds: round r
+    writes byte r of every value still needing one (≤10 rounds total)."""
+    vals = vals.astype(np.uint64, copy=False)
+    nb = (np.searchsorted(_VARINT_BOUNDS, vals, side="right") + 1).astype(np.int64)
+    offs = np.zeros(len(vals), dtype=np.int64)
+    np.cumsum(nb[:-1], out=offs[1:]) if len(vals) > 1 else None
+    out = np.empty(int(nb.sum()), dtype=np.uint8)
+    active = np.arange(len(vals))
+    r = 0
+    while len(active):
+        v = vals[active]
+        byte = ((v >> np.uint64(7 * r)) & np.uint64(0x7F)).astype(np.uint8)
+        more = nb[active] - 1 > r
+        byte[more] |= 0x80
+        out[offs[active] + r] = byte
+        active = active[more]
+        r += 1
+    return out, nb
+
+
 def encode_postings(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     scores: np.ndarray,
     warc_us: np.ndarray,
 ) -> bytes:
-    """Encode one sorted posting sub-list into a blob. Pure, deterministic."""
+    """Encode one sorted posting sub-list into a blob. Pure, deterministic.
+
+    Varint payloads for the whole list are produced with two vectorized
+    calls; the per-block Python work is header assembly + slicing only."""
     n = len(doc_ids)
     out = bytearray()
     write_varint(out, n)
     n_blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
     write_varint(out, n_blocks)
+    if n == 0:
+        return bytes(out)
+    ids64 = doc_ids.astype(np.int64, copy=False)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = ids64[0]
+    np.subtract(
+        ids64[1:], ids64[:-1], out=deltas[1:], casting="unsafe"
+    )
+    delta_bytes, delta_lens = encode_varint_stream(deltas)
+    tf_bytes, tf_lens = encode_varint_stream(tfs.astype(np.uint64, copy=False))
+    # per-block byte extents of each varint stream
+    block_starts = np.arange(0, n, BLOCK_SIZE)
+    dl_cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(delta_lens, out=dl_cum[1:])
+    tl_cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tf_lens, out=tl_cum[1:])
+    scores_f4 = scores.astype("<f4", copy=False)
+    warc_u8 = warc_us.astype("<u8", copy=False)
     prev_last = 0
     for b in range(n_blocks):
-        lo = b * BLOCK_SIZE
+        lo = int(block_starts[b])
         hi = min(lo + BLOCK_SIZE, n)
-        ids = doc_ids[lo:hi]
-        body = bytearray()
-        prev = prev_last
-        for d in ids:
-            write_varint(body, int(d) - prev)
-            prev = int(d)
-        for t in tfs[lo:hi]:
-            write_varint(body, int(t))
-        body += scores[lo:hi].astype("<f4").tobytes()
-        body += warc_us[lo:hi].astype("<u8").tobytes()
-
-        write_varint(out, len(body))
-        write_varint(out, hi - lo)
-        write_varint(out, int(ids[-1]) - prev_last)
-        out += struct.pack("<f", float(scores[lo:hi].max()))
-        out += body
-        prev_last = int(ids[-1])
+        count = hi - lo
+        d_lo, d_hi = int(dl_cum[lo]), int(dl_cum[hi])
+        t_lo, t_hi = int(tl_cum[lo]), int(tl_cum[hi])
+        body_len = (d_hi - d_lo) + (t_hi - t_lo) + 12 * count
+        write_varint(out, body_len)
+        write_varint(out, count)
+        last = int(ids64[hi - 1])
+        write_varint(out, last - prev_last)
+        out += struct.pack("<f", float(scores_f4[lo:hi].max()))
+        out += delta_bytes[d_lo:d_hi].tobytes()
+        out += tf_bytes[t_lo:t_hi].tobytes()
+        out += scores_f4[lo:hi].tobytes()
+        out += warc_u8[lo:hi].tobytes()
+        prev_last = last
     return bytes(out)
 
 
@@ -211,56 +256,80 @@ class PostingIterator:
         self._i = i
 
 
+def decode_varint_stream(buf: np.ndarray) -> np.ndarray:
+    """Vectorized decode of a uint8 buffer holding exactly a varint sequence.
+
+    Continuation bits mark value boundaries; each byte contributes its low
+    7 bits shifted by 7×(byte index within its varint).  The shifted
+    contributions occupy disjoint bit ranges, so ``np.add.reduceat`` over
+    value start offsets reassembles every varint in one pass."""
+    if len(buf) == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = (buf & 0x80) == 0
+    starts = np.empty(len(buf), dtype=bool)
+    starts[0] = True
+    starts[1:] = ends[:-1]
+    start_pos = np.flatnonzero(starts)
+    # byte index within each varint, built with one cumsum (cheaper than
+    # arange+repeat on this memory-bound box): +1 per byte, reset at starts
+    run_lens = np.diff(np.append(start_pos, len(buf)))
+    inc = np.ones(len(buf), dtype=np.uint64)
+    inc[start_pos[1:]] -= run_lens[:-1].astype(np.uint64)
+    inc[0] = 0
+    shift = np.cumsum(inc)
+    shift *= 7
+    vals = (buf & np.uint8(0x7F)).astype(np.uint64)
+    vals <<= shift
+    return np.add.reduceat(vals, start_pos)
+
+
 def decode_all(blob: bytes):
     """Decode a full blob -> (doc_ids, tfs, scores, warc_us) numpy arrays.
 
-    One tight sequential pass (no iterator machinery) — used by the
-    array-backed query path and by parity tests."""
+    Header walk is Python (4 varints/block); the per-posting payload —
+    2n varints + fixed f32/u64 arrays — decodes vectorized."""
+    arr = np.frombuffer(blob, dtype=np.uint8)
     mv = memoryview(blob)
     n, pos = read_varint(mv, 0)
     n_blocks, pos = read_varint(mv, pos)
-    ids = np.empty(n, dtype=np.int64)
-    tfs = np.empty(n, dtype=np.int32)
-    scores = np.empty(n, dtype=np.float32)
-    warc = np.empty(n, dtype=np.uint64)
-    k = 0
-    prev = 0
-    for _ in range(n_blocks):
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.astype(np.int32), z.astype(np.float32), z.astype(np.uint64)
+    counts = np.empty(n_blocks, dtype=np.int64)
+    var_parts = []
+    score_parts = []
+    warc_parts = []
+    for bi in range(n_blocks):
         body_len, pos = read_varint(mv, pos)
         count, pos = read_varint(mv, pos)
         _, pos = read_varint(mv, pos)  # last_docid_delta (redundant here)
         pos += 4  # max_score
-        p = pos
-        for j in range(count):
-            shift = 0
-            out = 0
-            while True:
-                b = mv[p]
-                p += 1
-                out |= (b & 0x7F) << shift
-                if not b & 0x80:
-                    break
-                shift += 7
-            prev += out
-            ids[k + j] = prev
-        for j in range(count):
-            shift = 0
-            out = 0
-            while True:
-                b = mv[p]
-                p += 1
-                out |= (b & 0x7F) << shift
-                if not b & 0x80:
-                    break
-                shift += 7
-            tfs[k + j] = out
-        scores[k : k + count] = np.frombuffer(mv, dtype="<f4", count=count, offset=p)
-        p += 4 * count
-        warc[k : k + count] = np.frombuffer(mv, dtype="<u8", count=count, offset=p)
-        p += 8 * count
-        k += count
+        counts[bi] = count
+        var_len = body_len - 12 * count
+        var_parts.append(arr[pos : pos + var_len])
+        fixed = pos + var_len
+        score_parts.append(np.frombuffer(mv, dtype="<f4", count=count, offset=fixed))
+        warc_parts.append(
+            np.frombuffer(mv, dtype="<u8", count=count, offset=fixed + 4 * count)
+        )
         pos += body_len
-    return ids[:k], tfs[:k], scores[:k], warc[:k]
+    varbuf = var_parts[0] if n_blocks == 1 else np.concatenate(var_parts)
+    vals = decode_varint_stream(varbuf)
+    # per-block layout [deltas(count), tfs(count)]; first delta of each block
+    # is relative to the previous block's last docid, so ONE global cumsum
+    # over all deltas reconstructs absolute ids.
+    block_bounds = np.cumsum(counts)[:-1]
+    inc = np.ones(int(counts.sum()), dtype=np.int64)
+    if n_blocks > 1:
+        inc[block_bounds] += counts[:-1]
+    inc[0] = 0
+    delta_idx = np.cumsum(inc)
+    tf_idx = delta_idx + np.repeat(counts, counts)
+    ids = np.cumsum(vals[delta_idx].astype(np.int64))
+    tfs = vals[tf_idx].astype(np.int32)
+    scores = score_parts[0] if n_blocks == 1 else np.concatenate(score_parts)
+    warc = warc_parts[0] if n_blocks == 1 else np.concatenate(warc_parts)
+    return ids, tfs, scores.astype(np.float32, copy=False), warc
 
 
 class ArrayPostings:
@@ -292,6 +361,17 @@ class ArrayPostings:
             float(scores.max()) if max_score is None and self.n else (max_score or 0.0)
         )
         self.exhausted = self.n == 0
+
+    @classmethod
+    def from_arrays(cls, ids, scores, warc, max_score: float) -> "ArrayPostings":
+        """Zero-copy clone over already-decoded arrays (searcher term cache)."""
+        obj = object.__new__(cls)
+        obj.ids, obj.scores, obj.warc = ids, scores, warc
+        obj.n = len(ids)
+        obj._i = 0
+        obj.max_score = max_score
+        obj.exhausted = obj.n == 0
+        return obj
 
     def doc_id(self) -> int:
         return int(self.ids[self._i])

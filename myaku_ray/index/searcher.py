@@ -125,6 +125,12 @@ class Searcher:
         # term-dictionary (offsets) file + mmap'd blob reads per term.
         self._cache_segments = cache_segments
         self._seg_terms: dict[int, dict] = {}
+        # Decoded-array cache: term -> (ids, scores, warc, max_score).
+        # Bounded by total cached postings; FIFO eviction.  Plays the role
+        # of the reference's Redis hot-query caches (datastore/cache.py).
+        self._term_arrays: dict[str, tuple] = {}
+        self._cached_postings = 0
+        self._cache_budget = 8_000_000
 
     # -- query analysis ---------------------------------------------------
 
@@ -169,6 +175,9 @@ class Searcher:
         return m
 
     def term_iterator(self, term: str):
+        cached = self._term_arrays.get(term)
+        if cached is not None:
+            return ArrayPostings.from_arrays(*cached)
         seg = term_hash(term) % self.stats["num_segments"]
         if self._cache_segments:
             m = self._segment_term_map(seg)
@@ -187,7 +196,19 @@ class Searcher:
             ]
         if not rows:
             return None
-        return make_term_iterator(rows)
+        it = make_term_iterator(rows)
+        if isinstance(it, ArrayPostings):
+            while (
+                self._cached_postings + it.n > self._cache_budget
+                and self._term_arrays
+            ):
+                oldest = next(iter(self._term_arrays))
+                old_ids = self._term_arrays.pop(oldest)[0]
+                self._cached_postings -= len(old_ids)
+            if it.n <= self._cache_budget:
+                self._term_arrays[term] = (it.ids, it.scores, it.warc, it.max_score)
+                self._cached_postings += it.n
+        return it
 
     def term_df(self, term: str) -> int:
         seg = term_hash(term) % self.stats["num_segments"]
@@ -234,13 +255,20 @@ class Searcher:
 
         ids = [r.doc_id for r in results]
         docs = pds.dataset(self._docs_root, format="parquet").to_table(
-            columns=["doc_id", "url", "title", "text"],
+            columns=["doc_id", "url", "title", "text", "warc_ts"],
             filter=pds.field("doc_id").isin(ids),
         )
-        by_id = {
-            d.as_py(): (u.as_py(), t.as_py(), x.as_py())
-            for d, u, t, x in zip(docs["doc_id"], docs["url"], docs["title"], docs["text"])
-        }
+        # re-crawled docs appear once per version — latest warc_ts wins
+        by_id: dict = {}
+        best_warc: dict = {}
+        for d, u, t, x, w in zip(
+            docs["doc_id"], docs["url"], docs["title"], docs["text"],
+            docs["warc_ts"].cast("int64"),
+        ):
+            did, wv = d.as_py(), w.as_py()
+            if did not in by_id or wv > best_warc[did]:
+                by_id[did] = (u.as_py(), t.as_py(), x.as_py())
+                best_warc[did] = wv
         terms = set(self.analyze_query(query_str))
         for r in results:
             url, title, text = by_id.get(r.doc_id, ("", "", ""))

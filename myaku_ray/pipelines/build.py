@@ -41,15 +41,16 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 from myaku_ray.corpus import FIXED_NOW
-from myaku_ray.index.codec import encode_postings
-from myaku_ray.index.util import term_hash
-from myaku_ray.scoring import posting_scores_vec
+from myaku_ray.index.segment_build import encode_segments
 from myaku_ray.stages.extract import make_extract_fn
 from myaku_ray.stages.tokenize import TokenizeStage
 from myaku_ray.state.lineage import is_complete, mark_complete, stage_dir
 
 DEFAULT_NUM_SEGMENTS = 8
 DEFAULT_SALT_BUCKETS = 4
+# Below this many docs, exact dedup runs as a driver-side pandas groupby
+# over (text_hash, doc_id) only; above it, the distributed groupby shuffle.
+DEDUP_DRIVER_LIMIT = 2_000_000
 
 
 def _parquet_rows(path: str) -> int:
@@ -102,22 +103,46 @@ def build_index(
         metrics["docs_wall_s"] = time.time() - t0
 
     # ---- stage 2: exact dedup (losers) ---------------------------------
+    # Scale switch: the groupby('text_hash') shuffle is the correct plan at
+    # cluster scale, but for corpora whose (hash, id) columns fit on the
+    # driver a local groupby computes the same deterministic winner set
+    # without paying a Ray all-to-all job (~seconds of fixed overhead).
     dedup_dir = stage_dir(index_dir, "dedup")
     if not (resume and is_complete(index_dir, "dedup")):
         t0 = time.time()
-        light = rd.read_parquet(docs_dir, columns=["text_hash", "doc_id"])
+        n_doc_rows = _parquet_rows(docs_dir)
+        if n_doc_rows <= DEDUP_DRIVER_LIMIT:
+            import pandas as pd
+            import pyarrow.parquet as pq
 
-        def losers_of_group(g: pa.Table) -> pa.Table:
-            ids = g["doc_id"].to_numpy(zero_copy_only=False)
-            if len(ids) <= 1:
-                return pa.table({"doc_id": pa.array([], pa.int64())})
-            keep = ids.min()  # deterministic winner: min doc_id
-            return pa.table({"doc_id": pa.array(sorted(int(x) for x in ids if x != keep), pa.int64())})
+            light_t = pq.read_table(docs_dir, columns=["text_hash", "doc_id"])
+            pdf = pd.DataFrame(
+                {
+                    "text_hash": light_t["text_hash"].to_pylist(),
+                    "doc_id": light_t["doc_id"].to_numpy(zero_copy_only=False),
+                }
+            )
+            winners = pdf.groupby("text_hash")["doc_id"].transform("min")
+            loser_arr = np.sort(pdf.loc[pdf["doc_id"] != winners, "doc_id"].to_numpy())
+            os.makedirs(dedup_dir, exist_ok=True)
+            pq.write_table(
+                pa.table({"doc_id": pa.array(loser_arr, pa.int64())}),
+                os.path.join(dedup_dir, "losers.parquet"),
+            )
+        else:
+            light = rd.read_parquet(docs_dir, columns=["text_hash", "doc_id"])
 
-        losers = light.groupby("text_hash").map_groups(
-            losers_of_group, batch_format="pyarrow"
-        )
-        losers.write_parquet(dedup_dir)
+            def losers_of_group(g: pa.Table) -> pa.Table:
+                ids = g["doc_id"].to_numpy(zero_copy_only=False)
+                if len(ids) <= 1:
+                    return pa.table({"doc_id": pa.array([], pa.int64())})
+                keep = ids.min()  # deterministic winner: min doc_id
+                return pa.table({"doc_id": pa.array(sorted(int(x) for x in ids if x != keep), pa.int64())})
+
+            losers = light.groupby("text_hash").map_groups(
+                losers_of_group, batch_format="pyarrow"
+            )
+            losers.write_parquet(dedup_dir)
         n_losers = _parquet_rows(dedup_dir)
         mark_complete(
             index_dir, "dedup", rows=n_losers, wall_s=round(time.time() - t0, 3)
@@ -145,23 +170,19 @@ def build_index(
             return batch.filter(pa.array(mask))
 
         winners = docs.map_batches(drop_losers, batch_format="pyarrow")
-        if tokenize_concurrency is not None:
-            postings = winners.map_batches(
-                TokenizeStage,
-                batch_format="pyarrow",
-                batch_size=tokenize_batch_size,
-                concurrency=tokenize_concurrency,
-                num_cpus=1,
-            )
-        else:
-            # default: autoscaling actor pool sized by the cluster
-            postings = winners.map_batches(
-                TokenizeStage,
-                batch_format="pyarrow",
-                batch_size=tokenize_batch_size,
-                concurrency=(1, 16),
-                num_cpus=1,
-            )
+        if tokenize_concurrency is None:
+            # default: FIXED pool sized to the cluster — autoscaling pools
+            # ((1, N)) ramp too slowly for a stage this short, leaving most
+            # CPUs idle; tokenizer init is ~60ms so full spin-up is cheap
+            avail = int(ray.cluster_resources().get("CPU", 8))
+            tokenize_concurrency = max(avail - 2, 1)
+        postings = winners.map_batches(
+            TokenizeStage,
+            batch_format="pyarrow",
+            batch_size=tokenize_batch_size,
+            concurrency=tokenize_concurrency,
+            num_cpus=1,
+        )
         postings.write_parquet(postings_dir)
         mark_complete(
             index_dir, "postings", rows=_parquet_rows(postings_dir),
@@ -237,66 +258,20 @@ def build_index(
         t0 = time.time()
         df_pdf = rd.read_parquet(df_dir).to_pandas()
         df_map = dict(zip(df_pdf["term"], df_pdf["df"].astype(int)))
-        df_ref = ray.put(df_map)
-        n_docs = stats["n_docs"]
-        avgdl = stats["avgdl"]
 
         postings = rd.read_parquet(
             postings_dir,
             columns=["term", "doc_id", "tf", "doclen", "quality", "warc_us"],
         )
-
-        def add_salt(batch: pa.Table) -> pa.Table:
-            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-            salt = (ids % salt_buckets).astype(np.int32)
-            return batch.append_column("salt", pa.array(salt))
-
-        salted = postings.map_batches(add_salt, batch_format="pyarrow")
-
-        def encode_group(g: pa.Table) -> pa.Table:
-            if g.num_rows == 0:
-                return pa.table(
-                    {
-                        "term": pa.array([], pa.string()),
-                        "salt": pa.array([], pa.int32()),
-                        "df": pa.array([], pa.int64()),
-                        "count": pa.array([], pa.int64()),
-                        "max_score": pa.array([], pa.float32()),
-                        "blob": pa.array([], pa.binary()),
-                        "segment": pa.array([], pa.int32()),
-                    }
-                )
-            term = g["term"][0].as_py()
-            salt = g["salt"][0].as_py()
-            dfs = ray.get(df_ref)
-            df = int(dfs[term])
-            ids = g["doc_id"].to_numpy(zero_copy_only=False)
-            order = np.argsort(ids, kind="stable")
-            ids = ids[order]
-            tfs = g["tf"].to_numpy(zero_copy_only=False)[order]
-            dls = g["doclen"].to_numpy(zero_copy_only=False)[order]
-            qs = g["quality"].to_numpy(zero_copy_only=False)[order]
-            ws = g["warc_us"].to_numpy(zero_copy_only=False)[order]
-            scores = posting_scores_vec(tfs, dls, qs, df, n_docs, avgdl)
-            blob = encode_postings(ids, tfs, scores, ws)
-            return pa.table(
-                {
-                    "term": pa.array([term]),
-                    "salt": pa.array([salt], pa.int32()),
-                    "df": pa.array([df], pa.int64()),
-                    "count": pa.array([len(ids)], pa.int64()),
-                    "max_score": pa.array([float(scores.max())], pa.float32()),
-                    "blob": pa.array([blob], pa.binary()),
-                    "segment": pa.array(
-                        [term_hash(term) % num_segments], pa.int32()
-                    ),
-                }
-            )
-
-        seg_rows = salted.groupby(["term", "salt"]).map_groups(
-            encode_group, batch_format="pyarrow"
+        encode_segments(
+            postings,
+            seg_root,
+            df_map=df_map,
+            n_docs=stats["n_docs"],
+            avgdl=stats["avgdl"],
+            num_segments=num_segments,
+            salt_buckets=salt_buckets,
         )
-        seg_rows.write_parquet(seg_root, partition_cols=["segment"])
         mark_complete(
             index_dir, "segments", wall_s=round(time.time() - t0, 3),
             num_segments=num_segments, salt_buckets=salt_buckets,

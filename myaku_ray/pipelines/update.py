@@ -1,0 +1,441 @@
+"""Incremental index update + refresh (the reference's batch-incremental flow).
+
+Reproduces the reference's semantics on a built index directory:
+
+- **Watermark anti-join (J4)**: incoming pages are filtered against the
+  indexed (url -> warc_ts) checkpoint; keep a page iff its url is new OR
+  its warc_ts is strictly newer (re-crawl-on-update,
+  myaku/crawlers/crawl_track.py:89-129).
+- **Re-crawl replacement**: an updated url keeps its doc_id (hash of url)
+  but gets a new warc_ts; the old version's posting rows are tombstoned
+  via a (doc_id -> latest warc_us) supersede map — postings carry warc_us,
+  so no generation column is needed anywhere.
+- **Exact-dedup recompute (A6/J5)**: the text_hash winner set is
+  recomputed over live docs each update (winner = min doc_id, the same
+  deterministic rule as the base build), so results stay rank-identical
+  to a from-scratch build over the union corpus — including the corner
+  cases the reference's `can_store_article` guard handles implicitly:
+  a new doc with a smaller doc_id displacing an indexed winner, and a
+  former loser resurrected when its re-crawled winner's text changed.
+- **Delta tokenization**: ONLY docs that won dedup and have no postings
+  for their current (doc_id, warc_us) version are tokenized — the
+  expensive actor-pool stage runs on the delta, not the corpus.
+- **Refresh**: df / corpus stats / segments are recomputed from the
+  accumulated posting files (base + deltas) with the drop filter applied.
+  BM25 scores depend on global df/N/avgdl, so exact score parity with a
+  full rebuild REQUIRES re-encoding segments; the encode is a cheap
+  columnar shuffle compared to tokenization.  At 10^12-doc scale one
+  would amortize this with score-frozen delta generations + periodic
+  compaction; the refresh here IS that compaction step.
+
+Incremental state files (all under the index dir):
+
+- ``docs/delta-<k>/``, ``postings/delta-<k>/`` — per-update outputs, same
+  schemas as the base build (parquet discovery reads base+deltas as one
+  dataset).
+- ``supersede.json`` — {doc_id: latest_warc_us} for re-crawled urls.
+- ``losers.parquet`` — CURRENT full dedup-loser doc_id set (overwritten).
+- ``tokenized.parquet`` — (doc_id, warc_us) versions whose postings exist.
+- every stage appends a lineage record (state/lineage.py).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from myaku_ray.corpus import FIXED_NOW
+from myaku_ray.index.segment_build import encode_segments
+from myaku_ray.stages.extract import make_extract_fn
+from myaku_ray.stages.tokenize import TokenizeStage
+from myaku_ray.state.lineage import append_lineage, mark_complete, stage_dir
+
+
+# ---------------------------------------------------------------------------
+# small state files
+# ---------------------------------------------------------------------------
+
+def _supersede_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "supersede.json")
+
+
+def load_supersede(index_dir: str) -> dict[int, int]:
+    p = _supersede_path(index_dir)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return {int(k): int(v) for k, v in json.load(f).items()}
+
+
+def save_supersede(index_dir: str, m: dict[int, int]) -> None:
+    with open(_supersede_path(index_dir), "w") as f:
+        json.dump({str(k): v for k, v in m.items()}, f)
+
+
+def load_losers(index_dir: str) -> set[int]:
+    p = os.path.join(index_dir, "losers.parquet")
+    if os.path.exists(p):
+        return set(int(x) for x in pq.read_table(p)["doc_id"].to_pylist())
+    # base build stores losers under dedup/ — fall back to that
+    d = stage_dir(index_dir, "dedup")
+    if os.path.isdir(d):
+        return set(
+            int(x)
+            for x in pq.read_table(d, columns=["doc_id"])["doc_id"].to_pylist()
+        )
+    return set()
+
+
+def save_losers(index_dir: str, losers: set[int]) -> None:
+    pq.write_table(
+        pa.table({"doc_id": pa.array(sorted(losers), pa.int64())}),
+        os.path.join(index_dir, "losers.parquet"),
+    )
+
+
+def load_tokenized(index_dir: str) -> set[tuple[int, int]]:
+    p = os.path.join(index_dir, "tokenized.parquet")
+    if os.path.exists(p):
+        t = pq.read_table(p)
+        return set(
+            zip(
+                (int(x) for x in t["doc_id"].to_pylist()),
+                (int(x) for x in t["warc_us"].to_pylist()),
+            )
+        )
+    # derive from the base build: winners = docs minus dedup losers
+    light = _docs_light(index_dir)
+    losers = load_losers(index_dir)
+    return set(
+        (int(r.doc_id), int(r.warc_us))
+        for r in light.itertuples()
+        if int(r.doc_id) not in losers
+    )
+
+
+def save_tokenized(index_dir: str, versions: set[tuple[int, int]]) -> None:
+    ids, warcs = zip(*sorted(versions)) if versions else ((), ())
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(ids), pa.int64()),
+                "warc_us": pa.array(list(warcs), pa.uint64()),
+            }
+        ),
+        os.path.join(index_dir, "tokenized.parquet"),
+    )
+
+
+def _docs_light(index_dir: str) -> pd.DataFrame:
+    """(doc_id, url, text_hash, warc_us) over base + delta doc files.
+
+    Driver-side here (checkpoint-sized columns only, no text).  At
+    10^12-doc scale this becomes a Dataset groupby on doc_id — the same
+    columns, never the payload."""
+    docs_dir = stage_dir(index_dir, "docs")
+    t = pq.read_table(
+        docs_dir, columns=["doc_id", "url", "text_hash", "warc_ts"]
+    )
+    df = pd.DataFrame(
+        {
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            "url": t["url"].to_pylist(),
+            "text_hash": t["text_hash"].to_pylist(),
+            "warc_us": t["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+        }
+    )
+    # latest version wins per doc_id (re-crawled urls appear twice)
+    df = df.sort_values(["doc_id", "warc_us"]).drop_duplicates(
+        "doc_id", keep="last"
+    )
+    return df.reset_index(drop=True)
+
+
+def _next_delta_id(index_dir: str, stage: str) -> int:
+    existing = glob.glob(os.path.join(stage_dir(index_dir, stage), "delta-*"))
+    ks = [int(os.path.basename(p).split("-")[1]) for p in existing]
+    return (max(ks) + 1) if ks else 1
+
+
+# ---------------------------------------------------------------------------
+# update
+# ---------------------------------------------------------------------------
+
+def update_index(
+    pages_path: str,
+    index_dir: str,
+    *,
+    blog_ratings: dict[str, float] | None = None,
+    fixed_now=FIXED_NOW,
+    tokenize_concurrency: int | tuple | None = (1, 8),
+    tokenize_batch_size: int = 128,
+) -> dict:
+    """Incrementally index new/updated pages; returns update metrics."""
+    t_start = time.time()
+    blog_ratings = blog_ratings or {}
+    metrics: dict = {}
+
+    old = _docs_light(index_dir)
+    # snapshot BEFORE the delta docs land on disk — the derive-from-docs
+    # fallback must not see the new delta as already-tokenized
+    tokenized = load_tokenized(index_dir)
+    old_warc = dict(zip(old["doc_id"].astype(int), old["warc_us"].astype(int)))
+    # url -> warc for the anti-join (url maps 1:1 to doc_id)
+    url_warc = dict(zip(old["url"], old["warc_us"].astype(int)))
+    url_warc_ref = ray.put(url_warc)
+
+    # ---- J4 anti-join: keep new urls or strictly-newer re-crawls -------
+    pages = rd.read_parquet(pages_path, columns=["url", "warc_ts", "html", "lang"])
+
+    def keep_updated(batch: pa.Table) -> pa.Table:
+        known = ray.get(url_warc_ref)
+        urls = batch["url"].to_pylist()
+        warcs = batch["warc_ts"].cast(pa.int64()).to_pylist()
+        mask = [
+            (u not in known) or (w > known[u]) for u, w in zip(urls, warcs)
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    fresh = pages.map_batches(keep_updated, batch_format="pyarrow")
+
+    # ---- extract the fresh pages to delta docs -------------------------
+    k = _next_delta_id(index_dir, "docs")
+    docs_delta_dir = os.path.join(stage_dir(index_dir, "docs"), f"delta-{k}")
+    extract_fn = make_extract_fn(blog_ratings, fixed_now)
+    fresh.map_batches(
+        extract_fn, batch_format="pyarrow", batch_size=256
+    ).write_parquet(docs_delta_dir)
+
+    if os.path.isdir(docs_delta_dir):
+        new_t = pq.read_table(
+            docs_delta_dir, columns=["doc_id", "url", "text_hash", "warc_ts"]
+        )
+    else:
+        # zero extracted rows: Ray's write_parquet creates no directory
+        new_t = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "url": pa.array([], pa.string()),
+                "text_hash": pa.array([], pa.string()),
+                "warc_ts": pa.array([], pa.timestamp("us")),
+            }
+        )
+    n_new = new_t.num_rows
+    metrics["n_fresh_docs"] = n_new
+    if n_new == 0:
+        # No fresh docs — but a previous update may have crashed between
+        # writing its docs delta and tokenizing, so fall through to the
+        # dedup/need recompute (cheap, driver-side) instead of returning:
+        # `need` self-heals any winner version whose postings are missing.
+        shutil.rmtree(docs_delta_dir, ignore_errors=True)
+
+    new_df = pd.DataFrame(
+        {
+            "doc_id": new_t["doc_id"].to_numpy(zero_copy_only=False),
+            "url": new_t["url"].to_pylist(),
+            "text_hash": new_t["text_hash"].to_pylist(),
+            "warc_us": new_t["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+        }
+    )
+
+    # ---- supersede map for re-crawled doc_ids --------------------------
+    supersede = load_supersede(index_dir)
+    recrawled = new_df[new_df["doc_id"].isin(old["doc_id"])]
+    for did, w in zip(recrawled["doc_id"].astype(int), recrawled["warc_us"].astype(int)):
+        supersede[did] = max(w, supersede.get(did, 0))
+    save_supersede(index_dir, supersede)
+    metrics["n_recrawled"] = len(recrawled)
+
+    # ---- dedup recompute over live docs --------------------------------
+    live = pd.concat(
+        [old[~old["doc_id"].isin(set(new_df["doc_id"]))], new_df],
+        ignore_index=True,
+    )
+    winners = live.groupby("text_hash")["doc_id"].min()
+    winner_ids = set(winners.astype(int))
+    losers = set(live["doc_id"].astype(int)) - winner_ids
+    prev_losers = load_losers(index_dir)
+    save_losers(index_dir, losers)
+    metrics["n_losers"] = len(losers)
+    metrics["n_displaced"] = len(losers - prev_losers - set(new_df["doc_id"].astype(int)))
+
+    # ---- which versions need tokenizing --------------------------------
+    live_versions = set(
+        zip(live["doc_id"].astype(int), live["warc_us"].astype(int))
+    )
+    need = {
+        (d, w) for (d, w) in live_versions
+        if d in winner_ids and (d, w) not in tokenized
+    }
+    metrics["n_tokenized"] = len(need)
+
+    if need:
+        need_ids_ref = ray.put({d for d, _ in need})
+        docs_all = rd.read_parquet(
+            stage_dir(index_dir, "docs"),
+            columns=["doc_id", "text", "quality_score", "warc_ts"],
+        )
+
+        def keep_need(batch: pa.Table) -> pa.Table:
+            need_ids = ray.get(need_ids_ref)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            warcs = batch["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            mask = np.array(
+                [
+                    (int(i) in need_ids) and ((int(i), int(w)) in need)
+                    for i, w in zip(ids, warcs)
+                ],
+                dtype=bool,
+            )
+            return batch.filter(pa.array(mask))
+
+        # `need` (small set of (doc_id, warc) pairs) rides into the task
+        # closure; need_ids via object store for the common-path check
+        to_tok = docs_all.map_batches(keep_need, batch_format="pyarrow")
+        postings_delta_dir = os.path.join(
+            stage_dir(index_dir, "postings"), f"delta-{k}"
+        )
+        to_tok.map_batches(
+            TokenizeStage,
+            batch_format="pyarrow",
+            batch_size=tokenize_batch_size,
+            concurrency=tokenize_concurrency,
+            num_cpus=1,
+        ).write_parquet(postings_delta_dir)
+        tokenized |= need
+        save_tokenized(index_dir, tokenized)
+
+    append_lineage(
+        index_dir, stage=f"update-{k}", n_fresh=n_new,
+        n_tokenized=len(need), n_losers=len(losers),
+        wall_s=round(time.time() - t_start, 3),
+    )
+
+    # ---- refresh stats + segments (exact-parity compaction) ------------
+    if n_new == 0 and not need and losers == prev_losers:
+        metrics["refreshed"] = False
+        metrics["update_wall_s"] = round(time.time() - t_start, 3)
+        return metrics
+    refresh_metrics = refresh_index(index_dir)
+    metrics.update(refresh_metrics)
+    metrics["refreshed"] = True
+    metrics["update_wall_s"] = round(time.time() - t_start, 3)
+    return metrics
+
+
+# ---------------------------------------------------------------------------
+# refresh (recompute df/stats/segments from accumulated postings)
+# ---------------------------------------------------------------------------
+
+def refresh_index(index_dir: str) -> dict:
+    t0 = time.time()
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        prev_stats = json.load(f)
+    num_segments = prev_stats["num_segments"]
+    salt_buckets = prev_stats["salt_buckets"]
+
+    losers = load_losers(index_dir)
+    supersede = load_supersede(index_dir)
+    drop_ref = ray.put((frozenset(losers), supersede))
+
+    def drop_dead(batch: pa.Table) -> pa.Table:
+        loser_set, sup = ray.get(drop_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        warcs = batch["warc_us"].to_numpy(zero_copy_only=False)
+        if not loser_set and not sup:
+            return batch
+        mask = np.fromiter(
+            (
+                (int(i) not in loser_set)
+                and (int(i) not in sup or int(w) >= sup[int(i)])
+                for i, w in zip(ids, warcs)
+            ),
+            dtype=bool,
+            count=len(ids),
+        )
+        return batch.filter(pa.array(mask))
+
+    postings_dir = stage_dir(index_dir, "postings")
+
+    # ---- df + corpus stats ---------------------------------------------
+    live_postings = rd.read_parquet(
+        postings_dir, columns=["term", "doc_id", "tf", "warc_us"]
+    ).map_batches(drop_dead, batch_format="pyarrow")
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {
+                "term": batch["term"].to_pylist(),
+                "tf": batch["tf"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = pdf.groupby("term", as_index=False).agg(
+            pdf_count=("tf", "size"), ptf=("tf", "sum")
+        )
+        return pa.table(
+            {
+                "term": pa.array(g["term"], pa.string()),
+                "pdf_count": pa.array(g["pdf_count"].astype("int64")),
+                "ptf": pa.array(g["ptf"].astype("int64")),
+            }
+        )
+
+    df_dir = stage_dir(index_dir, "df")
+    shutil.rmtree(df_dir, ignore_errors=True)
+    (
+        live_postings.map_batches(partial_df, batch_format="pyarrow", batch_size=65536)
+        .groupby("term")
+        .aggregate(Sum("pdf_count", alias_name="df"), Sum("ptf", alias_name="ctf"))
+        .write_parquet(df_dir)
+    )
+
+    light = _docs_light(index_dir)
+    n_docs = int((~light["doc_id"].isin(losers)).sum())
+    df_pdf = pq.read_table(df_dir).to_pandas()
+    total_tokens = int(df_pdf["ctf"].sum())
+    avgdl = total_tokens / max(n_docs, 1)
+    stats = {
+        "n_docs": n_docs,
+        "total_tokens": total_tokens,
+        "avgdl": avgdl,
+        "n_terms": int(len(df_pdf)),
+        "num_segments": num_segments,
+        "salt_buckets": salt_buckets,
+        "fixed_now_us": prev_stats["fixed_now_us"],
+    }
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump(stats, f)
+    mark_complete(index_dir, "df", rows=len(df_pdf), refreshed=True)
+
+    # ---- segments ------------------------------------------------------
+    df_map = dict(zip(df_pdf["term"], df_pdf["df"].astype(int)))
+
+    postings = rd.read_parquet(
+        postings_dir,
+        columns=["term", "doc_id", "tf", "doclen", "quality", "warc_us"],
+    ).map_batches(drop_dead, batch_format="pyarrow")
+
+    seg_root = stage_dir(index_dir, "segments")
+    shutil.rmtree(seg_root, ignore_errors=True)
+    encode_segments(
+        postings,
+        seg_root,
+        df_map=df_map,
+        n_docs=stats["n_docs"],
+        avgdl=stats["avgdl"],
+        num_segments=num_segments,
+        salt_buckets=salt_buckets,
+    )
+    mark_complete(index_dir, "segments", refreshed=True)
+    return {"refresh_wall_s": round(time.time() - t0, 3), "stats": stats}

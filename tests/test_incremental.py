@@ -1,0 +1,146 @@
+"""Three-stage incremental test: initial build / update / no-change crawl.
+
+Mirrors the reference's end-to-end pattern (myaku/tests/end_to_end/
+test_crawl.py:2349-2387 runs the real crawl three times and asserts exact
+DB state each time).  Here each stage asserts the distributed index is
+rank-identical to a from-scratch serial oracle over the
+latest-version-per-url union corpus, and that the update stage only
+tokenized the delta.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+
+from myaku_ray.corpus import gen_blogs_table, write_pages_parquet
+from myaku_ray.corpus_update import (
+    gen_update_batch,
+    write_union_parquet,
+    write_update_parquet,
+)
+from myaku_ray.index.searcher import Searcher
+from myaku_ray.normalize import doc_id_for_url
+from myaku_ray.oracle import build_oracle_index, oracle_topk, reference_query_set
+from myaku_ray.pipelines.build import build_index
+from myaku_ray.pipelines.update import update_index
+
+N_BASE = 400
+
+
+@pytest.fixture(scope="module")
+def ratings():
+    blogs = gen_blogs_table()
+    return dict(zip(blogs["blog_url"], blogs["rating"]))
+
+
+@pytest.fixture(scope="module")
+def base_pages(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages_base")
+    write_pages_parquet(str(d), N_BASE, use_ray=False)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def index_dir(tmp_path_factory, base_pages, ratings):
+    d = tmp_path_factory.mktemp("idx_incremental")
+    build_index(base_pages, str(d), blog_ratings=ratings,
+                tokenize_concurrency=2)
+    return str(d)
+
+
+def _assert_parity(index_dir: str, pages_path: str, ratings: dict) -> None:
+    s = Searcher(index_dir)
+    oi = build_oracle_index(pages_path, blog_ratings=ratings)
+    assert s.stats["n_docs"] == oi.n_docs
+    for q in reference_query_set():
+        got = [(r.doc_id, round(r.score, 5)) for r in s.search(q, k=10)]
+        want = [(d, round(sc, 5)) for d, sc, *_ in oracle_topk(oi, q, k=10)]
+        assert got == want, f"rank mismatch for {q!r}"
+
+
+def test_stage1_initial_build(index_dir, base_pages, ratings):
+    _assert_parity(index_dir, base_pages, ratings)
+
+
+def test_stage2_update(index_dir, base_pages, ratings, tmp_path_factory):
+    # find a dup group in the base docs to exercise resurrection: re-crawl
+    # the dup WINNER with fresh text -> its former loser must win its hash
+    docs = pq.read_table(
+        f"{index_dir}/docs", columns=["doc_id", "url", "text_hash"]
+    ).to_pandas()
+    groups = docs.groupby("text_hash")["doc_id"].agg(["count", "min"])
+    dup_hashes = groups[groups["count"] > 1]
+    assert len(dup_hashes) > 0, "base corpus has no dup group"
+    winner_id = int(dup_hashes["min"].iloc[0])
+    winner_url = docs.loc[docs["doc_id"] == winner_id, "url"].iloc[0]
+    # base index of that url (urls encode their index deterministically)
+    recrawl_idx = _index_of_url(winner_url)
+
+    batch = gen_update_batch(
+        N_BASE, n_new=60, recrawl_indices=[recrawl_idx, 7],
+        dup_of_indices=[50],
+    )
+    upd_dir = tmp_path_factory.mktemp("pages_upd")
+    write_update_parquet(str(upd_dir), batch)
+
+    m = update_index(
+        str(upd_dir), index_dir, blog_ratings=ratings,
+        tokenize_concurrency=2,
+    )
+    assert m["refreshed"]
+    assert m["n_recrawled"] == 2
+    # only the delta was tokenized: <= fresh extracted docs + resurrected
+    assert 0 < m["n_tokenized"] <= m["n_fresh_docs"] + 4
+
+    union = tmp_path_factory.mktemp("pages_union") / "union.parquet"
+    write_union_parquet(str(union), base_pages, batch)
+    _assert_parity(index_dir, str(union), ratings)
+
+    # the injected duplicate resolved deterministically: exactly one of
+    # (donor, dup) is live — min doc_id wins
+    donor_url = _url_of_index(50)
+    dup_url = batch["url"][len(batch) - 1].as_py()
+    live_winner = min(doc_id_for_url(donor_url), doc_id_for_url(dup_url))
+    from myaku_ray.pipelines.update import load_losers
+
+    losers = load_losers(index_dir)
+    assert live_winner not in losers
+    assert (
+        max(doc_id_for_url(donor_url), doc_id_for_url(dup_url)) in losers
+    )
+
+
+def test_stage3_no_change(index_dir, base_pages, ratings, tmp_path_factory):
+    # re-present an already-indexed slice: nothing is fresh, no refresh
+    batch = gen_update_batch(N_BASE, n_new=0, recrawl_indices=[],
+                             dup_of_indices=[])
+    import pyarrow as pa
+
+    base_slice = pq.read_table(base_pages).slice(0, 100)
+    upd_dir = tmp_path_factory.mktemp("pages_nochange")
+    write_update_parquet(str(upd_dir), base_slice)
+    m = update_index(str(upd_dir), index_dir, blog_ratings=ratings,
+                     tokenize_concurrency=2)
+    assert m["n_fresh_docs"] == 0
+    assert m["n_tokenized"] == 0
+    assert m["refreshed"] is False
+
+
+def _index_of_url(url: str) -> int:
+    """Invert the deterministic url scheme of corpus.gen_page_row."""
+    if "/series/" in url:
+        parts = url.split("/")
+        series = int(parts[-3])
+        episode = int(parts[-1])
+        seq = series * 20 + (episode - 1)
+        return seq * 3 + 2
+    src = int(url.split("src")[1][0])
+    seq = int(url.rstrip("/").split("/")[-1])
+    return seq * 3 + src
+
+
+def _url_of_index(i: int) -> str:
+    from myaku_ray.corpus import gen_page_row
+
+    return gen_page_row(i, N_BASE)["url"]
