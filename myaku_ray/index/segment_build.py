@@ -54,6 +54,24 @@ def _empty_rows() -> pa.Table:
     )
 
 
+def partial_df(batch: pa.Table) -> pa.Table:
+    """Map-side combiner for the df/ctf aggregation: one Arrow-native
+    group_by per batch, so the global groupby shuffles ~|vocab| rows per
+    batch instead of every posting row."""
+    g = (
+        batch.select(["term", "tf"])
+        .group_by("term")
+        .aggregate([("tf", "count"), ("tf", "sum")])
+    )
+    return pa.table(
+        {
+            "term": g["term"],
+            "pdf_count": g["tf_count"].cast(pa.int64()),
+            "ptf": g["tf_sum"].cast(pa.int64()),
+        }
+    )
+
+
 def make_add_keys_fn(salt_buckets: int, n_buckets: int):
     """Batch fn adding salt + encode-bucket columns.
 

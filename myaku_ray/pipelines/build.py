@@ -41,7 +41,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 from myaku_ray.corpus import FIXED_NOW
-from myaku_ray.index.segment_build import encode_segments
+from myaku_ray.index.segment_build import encode_segments, partial_df
 from myaku_ray.stages.extract import make_extract_fn
 from myaku_ray.stages.tokenize import TokenizeStage
 from myaku_ray.state.lineage import is_complete, mark_complete, stage_dir
@@ -198,26 +198,6 @@ def build_index(
     if not (resume and is_complete(index_dir, "df")):
         t0 = time.time()
         postings = rd.read_parquet(postings_dir, columns=["term", "tf"])
-
-        def partial_df(batch: pa.Table) -> pa.Table:
-            import pandas as pd
-
-            pdf = pd.DataFrame(
-                {
-                    "term": batch["term"].to_pylist(),
-                    "tf": batch["tf"].to_numpy(zero_copy_only=False),
-                }
-            )
-            g = pdf.groupby("term", as_index=False).agg(
-                pdf_count=("tf", "size"), ptf=("tf", "sum")
-            )
-            return pa.table(
-                {
-                    "term": pa.array(g["term"], pa.string()),
-                    "pdf_count": pa.array(g["pdf_count"].astype("int64")),
-                    "ptf": pa.array(g["ptf"].astype("int64")),
-                }
-            )
 
         df_ds = (
             postings.map_batches(partial_df, batch_format="pyarrow", batch_size=65536)

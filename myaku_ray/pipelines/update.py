@@ -56,7 +56,7 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 from myaku_ray.corpus import FIXED_NOW
-from myaku_ray.index.segment_build import encode_segments
+from myaku_ray.index.segment_build import encode_segments, partial_df
 from myaku_ray.stages.extract import make_extract_fn
 from myaku_ray.stages.tokenize import TokenizeStage
 from myaku_ray.state.lineage import append_lineage, mark_complete, stage_dir
@@ -372,24 +372,6 @@ def refresh_index(index_dir: str) -> dict:
     live_postings = rd.read_parquet(
         postings_dir, columns=["term", "doc_id", "tf", "warc_us"]
     ).map_batches(drop_dead, batch_format="pyarrow")
-
-    def partial_df(batch: pa.Table) -> pa.Table:
-        pdf = pd.DataFrame(
-            {
-                "term": batch["term"].to_pylist(),
-                "tf": batch["tf"].to_numpy(zero_copy_only=False),
-            }
-        )
-        g = pdf.groupby("term", as_index=False).agg(
-            pdf_count=("tf", "size"), ptf=("tf", "sum")
-        )
-        return pa.table(
-            {
-                "term": pa.array(g["term"], pa.string()),
-                "pdf_count": pa.array(g["pdf_count"].astype("int64")),
-                "ptf": pa.array(g["ptf"].astype("int64")),
-            }
-        )
 
     df_dir = stage_dir(index_dir, "df")
     shutil.rmtree(df_dir, ignore_errors=True)
