@@ -28,7 +28,9 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from myaku_ray.functions import ann, dedup, events, fulltext, relational, textops
+    from myaku_ray.functions import (
+        ann, dedup, events, fulltext, media, relational, textops,
+    )
 
     return {
         # relational core (sources, filters, joins, aggregates, top-k)
@@ -59,11 +61,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # search); strong oracle lives in tests/ — rows-only here
         "pages_extract_stats": fulltext.pages_extract_stats,
         "pages_search_topk": fulltext.pages_search_topk,
+        # language ID (profile scoring)
+        "lang_id_ngram": textops.lang_id_ngram,
+        # IVF approximate ANN (recall-tested vs brute force, not SQL)
+        "ivf_cosine_topk": ann.ivf_cosine_topk,
+        # multimodal binary-column stages (decode stubbed, plumbing real)
+        "media_meta_stats": media.media_meta_stats,
+        "media_features": media.media_features,
+        "media_frame_sample": media.media_frame_sample,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from myaku_ray.functions import ann, dedup, events, fulltext, relational, textops
+    from myaku_ray.functions import (
+        ann, dedup, events, fulltext, media, relational, textops,
+    )
 
     return {
         "q1_pricing_summary": relational.Q1_SQL,
@@ -81,7 +93,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": ann.ANN_COSINE_TOPK_SQL,
         "near_dup_embeddings": ann.NEAR_DUP_EMBEDDINGS_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
+        "lang_id_ngram": textops.LANG_ID_NGRAM_SQL,
+        "media_meta_stats": media.MEDIA_META_STATS_SQL,
         # minhash_lsh_pairs / simhash_docs / doc_fingerprints /
-        # pages_extract_stats / pages_search_topk: not SQL-expressible
-        # (hash-based signatures, HTML extraction, lemma tokenization)
+        # pages_extract_stats / pages_search_topk / ivf_cosine_topk /
+        # media_features / media_frame_sample: not SQL-expressible
+        # (hash signatures, HTML extraction, lemma tokenization,
+        # approximate ANN, stubbed media decode)
     }

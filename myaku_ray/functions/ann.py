@@ -137,3 +137,113 @@ WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= {NEAR_DUP_THRESHOLD}::DOUBLE
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate nearest neighbor — the scale path
+# ---------------------------------------------------------------------------
+
+IVF_N_CLUSTERS = 16
+IVF_NPROBE = 4
+IVF_TRAIN_SAMPLE = 2048
+IVF_KMEANS_ITERS = 5
+
+
+def _unit(X: np.ndarray) -> np.ndarray:
+    n = np.sqrt((X * X).sum(axis=1, keepdims=True))
+    n[n == 0] = 1.0
+    return X / n
+
+
+def _train_centroids(X: np.ndarray, n_clusters: int, iters: int) -> np.ndarray:
+    """Deterministic spherical k-means from evenly-strided seeds (no RNG —
+    resumable builds need repeatable assignments).  Vectors and centroids
+    live on the unit sphere so cell assignment matches the cosine metric
+    the queries use."""
+    Xu = _unit(X)
+    seeds = Xu[:: max(len(Xu) // n_clusters, 1)][:n_clusters]
+    C = seeds.copy()
+    for _ in range(iters):
+        assign = (Xu @ C.T).argmax(axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                C[c] = _unit(Xu[m].mean(axis=0)[None, :])[0]
+    return C
+
+
+def ivf_cosine_topk(
+    sf_dir: str,
+    k: int = TOPK,
+    n_clusters: int = IVF_N_CLUSTERS,
+    nprobe: int = IVF_NPROBE,
+):
+    """IVF-partitioned approximate cosine top-k (same output schema as
+    ``ann_cosine_topk``; approximate — verified by a recall test, not a
+    SQL oracle).
+
+    Scale path vs the brute-force scan: centroids are trained once on a
+    driver-side sample and broadcast; every batch assigns its vectors to
+    coarse cells map-side; each query only scans vectors whose cell is
+    among its ``nprobe`` closest centroids — at 10^12 vectors the probed
+    fraction (nprobe/n_clusters) is the whole cost model, and cells map
+    onto hash-partitioned parquet so a probe is a pruned read."""
+    import pyarrow.dataset as pads
+
+    head = pads.dataset(f"{sf_dir}/embeddings.parquet").head(IVF_TRAIN_SAMPLE)
+    X_train = _matrix(head["embedding"])
+    C = _train_centroids(X_train, n_clusters, IVF_KMEANS_ITERS)
+    cnorm = np.sqrt((C * C).sum(axis=1))
+
+    qtbl = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"], filter=pads.field("vec_id") < N_QUERIES
+    )
+    qids = np.asarray(qtbl["vec_id"].to_pylist())
+    Q = _matrix(qtbl["embedding"])
+    qnorm = np.sqrt((Q * Q).sum(axis=1))
+    # nprobe nearest cells per query, by cosine to centroids
+    qsims = (Q @ C.T) / (qnorm[:, None] * cnorm[None, :])
+    probe = np.argsort(-qsims, axis=1)[:, :nprobe]
+    probe_sets = [frozenset(int(c) for c in row) for row in probe]
+    bcast = ray.put((qids, Q, qnorm, C, probe_sets))
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids_l, Q_l, qnorm_l, C_l, probes = ray.get(bcast)
+        X = _matrix(batch["embedding"])
+        ids = np.asarray(batch["vec_id"].to_pylist())
+        xnorm = np.sqrt((X * X).sum(axis=1))
+        cell = (_unit(X) @ C_l.T).argmax(axis=1)
+        sims = (Q_l @ X.T) / (qnorm_l[:, None] * xnorm[None, :])
+        sims_r = np.round(sims, 6)
+        rows = {"query_vec_id": [], "neighbor_vec_id": [], "sim_r": []}
+        for qi, qid in enumerate(qids_l):
+            mask = (ids != qid) & np.isin(cell, list(probes[qi]))
+            if not mask.any():
+                continue
+            cand_ids = ids[mask]
+            cand = sims_r[qi][mask]
+            take = min(k, len(cand))
+            sel = np.lexsort((cand_ids, -cand))[:take]
+            rows["query_vec_id"].extend([int(qid)] * take)
+            rows["neighbor_vec_id"].extend(int(x) for x in cand_ids[sel])
+            rows["sim_r"].extend(float(x) for x in cand[sel])
+        return pa.table(
+            {
+                "query_vec_id": pa.array(rows["query_vec_id"], pa.int64()),
+                "neighbor_vec_id": pa.array(rows["neighbor_vec_id"], pa.int64()),
+                "sim_r": pa.array(rows["sim_r"], pa.float64()),
+            }
+        )
+
+    cands = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    cands = cands.sort_values(
+        ["query_vec_id", "sim_r", "neighbor_vec_id"],
+        ascending=[True, False, True],
+    )
+    out = cands.groupby("query_vec_id").head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_vec_id").cumcount()
+    return out[["query_vec_id", "rank", "neighbor_vec_id", "sim_r"]]

@@ -1,0 +1,210 @@
+"""Multimodal (image/audio/video) stages over opaque binary columns.
+
+The container has no image/audio codecs, so DECODING IS STUBBED with a
+deterministic fake (documented per stage) — but everything Ray-side is
+real and tested: binary-column schema, actor-pool ``map_batches`` stages
+with model state loaded once per actor in ``__init__``, small batch sizes
+for large payloads, and typed metadata output layouts.  Swapping the
+stub for pillow/ffmpeg is a one-function change inside the actor.
+
+The ``documents`` table stands in for a media manifest: each row's text
+bytes (utf-8) play the role of an encoded media payload, with the media
+type derived deterministically from the source column.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+_MEDIA_TYPES = ("image", "video", "audio")
+
+
+def media_type_of_source(source: str) -> str:
+    """Deterministic media type from the srcN name: N % 3 -> image/video/audio."""
+    try:
+        n = int(source[3:])
+    except (ValueError, IndexError):
+        n = 0
+    return _MEDIA_TYPES[n % 3]
+FEATURE_DIM = 16
+FRAMES_PER_VIDEO = 4
+# Large binary payloads: keep batches small so batch × concurrency fits
+# in a worker heap (the real constraint for image/video columns).
+MEDIA_BATCH_SIZE = 64
+
+
+def _as_media(batch: pa.Table) -> pa.Table:
+    """documents -> media manifest (media_id, media_type, payload:binary)."""
+    texts = batch["text"].to_pylist()
+    sources = batch["source"].to_pylist()
+    payloads = [t.encode("utf-8") for t in texts]
+    types = [media_type_of_source(s) for s in sources]
+    return pa.table(
+        {
+            "media_id": batch["doc_id"],
+            "media_type": pa.array(types, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+class MediaFeatureStage:
+    """Actor-pool stage: decode + feature-extract per media item.
+
+    ``__init__`` stands in for model load (once per actor — the pattern
+    under test); ``__call__`` is vectorized over the batch.
+
+    STUB: real decode would be pillow/torchvision/ffmpeg; here features
+    are a deterministic blake2b expansion of the payload, and "decoded"
+    dimensions derive from the byte length.  Deterministic per payload,
+    so distributed results are reproducible and testable.
+    """
+
+    def __init__(self) -> None:
+        # fake "model": a fixed projection matrix derived from a constant
+        # seed, built once per actor (~the expensive load in real life)
+        rng = np.random.default_rng(1234)
+        self._proj = rng.standard_normal((32, FEATURE_DIM)).astype(np.float32)
+
+    def _decode_stub(self, payload: bytes) -> np.ndarray:
+        # deterministic 32-byte digest -> float vector in [0, 1)
+        d = hashlib.blake2b(payload, digest_size=32).digest()
+        return np.frombuffer(d, dtype=np.uint8).astype(np.float32) / 255.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        raw = np.stack([self._decode_stub(p) for p in payloads])
+        feats = raw @ self._proj  # batched "inference"
+        n_bytes = np.asarray([len(p) for p in payloads], dtype=np.int64)
+        widths = (n_bytes % 1920).astype(np.int32)
+        heights = (n_bytes % 1080).astype(np.int32)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "media_type": batch["media_type"],
+                "n_bytes": pa.array(n_bytes),
+                "width": pa.array(widths),
+                "height": pa.array(heights),
+                "feature": pa.array(
+                    [row.tolist() for row in feats],
+                    pa.list_(pa.float32(), FEATURE_DIM),
+                ),
+                "feat_norm": pa.array(
+                    np.sqrt((feats.astype(np.float64) ** 2).sum(axis=1))
+                ),
+            }
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool stage: sample N evenly-spaced frames from each video.
+
+    STUB: a real implementation seeks keyframes with ffmpeg; here each
+    "frame" is the deterministic digest of (payload, frame_index)."""
+
+    def __init__(self, n_frames: int = FRAMES_PER_VIDEO) -> None:
+        self._n = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, types, fidx, frames = [], [], [], []
+        for mid, mtype, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["media_type"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if mtype != "video":
+                continue
+            for j in range(self._n):
+                ids.append(mid)
+                types.append(mtype)
+                fidx.append(j)
+                frames.append(
+                    hashlib.blake2b(
+                        payload + j.to_bytes(4, "big"), digest_size=16
+                    ).digest()
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "media_type": pa.array(types, pa.string()),
+                "frame_index": pa.array(fidx, pa.int32()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+def media_meta_stats(sf_dir: str):
+    """Per-media-type byte/volume stats through the binary manifest.
+    Exact-oracle checkable: byte lengths are utf-8 lengths of text."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    media = ds.map_batches(_as_media, batch_format="pyarrow")
+
+    def add_len(batch: pa.Table) -> pa.Table:
+        n = pa.array(
+            [len(p) for p in batch["payload"].to_pylist()], pa.int64()
+        )
+        return pa.table(
+            {"media_type": batch["media_type"], "n_bytes": n}
+        )
+
+    return media.map_batches(add_len, batch_format="pyarrow").groupby(
+        "media_type"
+    ).aggregate(
+        Count(alias_name="n_items"),
+        Sum("n_bytes", alias_name="total_bytes"),
+        Max("n_bytes", alias_name="max_bytes"),
+    )
+
+
+MEDIA_META_STATS_SQL = """
+SELECT CASE CAST(substr(source, 4) AS INTEGER) % 3
+         WHEN 0 THEN 'image' WHEN 1 THEN 'video' ELSE 'audio' END
+         AS media_type,
+       count(*) AS n_items,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+FROM documents GROUP BY 1
+"""
+
+
+def media_features(sf_dir: str):
+    """Feature extraction through the actor pool (stubbed decode);
+    deterministic output, rows-only driver check."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    media = ds.map_batches(_as_media, batch_format="pyarrow")
+    feats = media.map_batches(
+        MediaFeatureStage,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    return feats.select_columns(
+        ["media_id", "media_type", "n_bytes", "width", "height", "feat_norm"]
+    )
+
+
+def media_frame_sample(sf_dir: str):
+    """Frame sampling for video items (stubbed decode); rows-only check."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    media = ds.map_batches(_as_media, batch_format="pyarrow")
+    return media.map_batches(
+        FrameSampleStage,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )

@@ -190,3 +190,64 @@ def doc_fingerprints(sf_dir: str):
         )
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+# Marker-token profiles for n-gram-profile language ID.  The synthetic
+# documents table shares one vocabulary across langs, so the profiles are
+# illustrative; the operator shape (per-language profile scoring with a
+# deterministic argmax) is the real thing, and the DuckDB oracle mirrors
+# it exactly (substring-count arithmetic, alphabetical tie-break).
+LANG_PROFILES = {
+    "de": ("batch", "slow", "table"),
+    "en": ("the", "fast", "row"),
+    "fr": ("window", "sparse", "column"),
+}
+
+
+def lang_id_ngram(sf_dir: str):
+    """Profile-based language ID: argmax of marker-token counts."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def lid(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        scores = {
+            lang: [sum(t.count(m) for m in marks) for t in texts]
+            for lang, marks in LANG_PROFILES.items()
+        }
+        langs = sorted(LANG_PROFILES)  # alphabetical tie-break (first max)
+        preds = []
+        for i in range(len(texts)):
+            best = max(langs, key=lambda l: (scores[l][i], ))
+            # max() keeps the FIRST max in iteration order == alphabetical
+            preds.append(best)
+        cols = {"doc_id": batch["doc_id"], "lang_pred": pa.array(preds, pa.string())}
+        for lang in langs:
+            cols[f"score_{lang}"] = pa.array(scores[lang], pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(lid, batch_format="pyarrow")
+
+
+def _sql_count(marker: str) -> str:
+    return (
+        f"(length(text) - length(replace(text, '{marker}', ''))) / {len(marker)}"
+    )
+
+
+LANG_ID_NGRAM_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+    CAST({' + '.join(_sql_count(m) for m in LANG_PROFILES['de'])} AS BIGINT) AS score_de,
+    CAST({' + '.join(_sql_count(m) for m in LANG_PROFILES['en'])} AS BIGINT) AS score_en,
+    CAST({' + '.join(_sql_count(m) for m in LANG_PROFILES['fr'])} AS BIGINT) AS score_fr
+  FROM documents
+)
+SELECT doc_id,
+  CASE
+    WHEN score_de >= score_en AND score_de >= score_fr THEN 'de'
+    WHEN score_en >= score_fr THEN 'en'
+    ELSE 'fr'
+  END AS lang_pred,
+  score_de, score_en, score_fr
+FROM scored
+"""

@@ -131,6 +131,12 @@ class Searcher:
         self._term_arrays: dict[str, tuple] = {}
         self._cached_postings = 0
         self._cache_budget = 8_000_000
+        # Materialized first-page cache (pipelines/first_page.py) — the
+        # Redis page-1 cache analog; None when absent or stale.
+        from myaku_ray.pipelines.first_page import load_first_page
+
+        fp = load_first_page(index_dir)
+        self._first_page, self._first_page_k = fp if fp else (None, 0)
 
     # -- query analysis ---------------------------------------------------
 
@@ -222,6 +228,16 @@ class Searcher:
 
     def topk(self, query_str: str, k: int = 10) -> list[SearchResult]:
         terms = self.analyze_query(query_str)
+        if (
+            self._first_page is not None
+            and len(terms) == 1
+            and k <= self._first_page_k
+        ):
+            hits = self._first_page.get(terms[0], [])
+            return [
+                SearchResult(doc_id=d, score=s, warc_us=w)
+                for (d, s, w) in hits[:k]
+            ]
         iters: dict[str, MergedIterator] = {}
         for t in terms:
             it = self.term_iterator(t)

@@ -338,7 +338,34 @@ def update_index(
 # refresh (recompute df/stats/segments from accumulated postings)
 # ---------------------------------------------------------------------------
 
-def refresh_index(index_dir: str) -> dict:
+def load_quality_overrides(index_dir: str) -> dict[int, int]:
+    """doc_id -> rescored quality (written by pipelines.rescore)."""
+    p = os.path.join(index_dir, "quality_overrides.parquet")
+    if not os.path.exists(p):
+        return {}
+    t = pq.read_table(p)
+    return dict(
+        zip(
+            (int(x) for x in t["doc_id"].to_pylist()),
+            (int(x) for x in t["quality"].to_pylist()),
+        )
+    )
+
+
+def save_quality_overrides(index_dir: str, m: dict[int, int]) -> None:
+    items = sorted(m.items())
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in items], pa.int64()),
+                "quality": pa.array([q for _, q in items], pa.int64()),
+            }
+        ),
+        os.path.join(index_dir, "quality_overrides.parquet"),
+    )
+
+
+def refresh_index(index_dir: str, *, recompute_df: bool = True) -> dict:
     t0 = time.time()
     with open(os.path.join(index_dir, "stats.json")) as f:
         prev_stats = json.load(f)
@@ -347,40 +374,58 @@ def refresh_index(index_dir: str) -> dict:
 
     losers = load_losers(index_dir)
     supersede = load_supersede(index_dir)
-    drop_ref = ray.put((frozenset(losers), supersede))
+    overrides = load_quality_overrides(index_dir)
+    drop_ref = ray.put((frozenset(losers), supersede, overrides))
 
     def drop_dead(batch: pa.Table) -> pa.Table:
-        loser_set, sup = ray.get(drop_ref)
+        """Filter tombstoned rows; apply rescored quality overrides."""
+        loser_set, sup, ov = ray.get(drop_ref)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        warcs = batch["warc_us"].to_numpy(zero_copy_only=False)
-        if not loser_set and not sup:
-            return batch
-        mask = np.fromiter(
-            (
-                (int(i) not in loser_set)
-                and (int(i) not in sup or int(w) >= sup[int(i)])
-                for i, w in zip(ids, warcs)
-            ),
-            dtype=bool,
-            count=len(ids),
-        )
-        return batch.filter(pa.array(mask))
+        if loser_set or sup:
+            warcs = batch["warc_us"].to_numpy(zero_copy_only=False)
+            mask = np.fromiter(
+                (
+                    (int(i) not in loser_set)
+                    and (int(i) not in sup or int(w) >= sup[int(i)])
+                    for i, w in zip(ids, warcs)
+                ),
+                dtype=bool,
+                count=len(ids),
+            )
+            batch = batch.filter(pa.array(mask))
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if ov and "quality" in batch.column_names:
+            qs = batch["quality"].to_numpy(zero_copy_only=False)
+            new_q = np.fromiter(
+                (ov.get(int(i), int(q)) for i, q in zip(ids, qs)),
+                dtype=np.int32,
+                count=len(ids),
+            )
+            batch = batch.set_column(
+                batch.schema.get_field_index("quality"),
+                "quality",
+                pa.array(new_q, pa.int32()),
+            )
+        return batch
 
     postings_dir = stage_dir(index_dir, "postings")
+    df_dir = stage_dir(index_dir, "df")
 
     # ---- df + corpus stats ---------------------------------------------
-    live_postings = rd.read_parquet(
-        postings_dir, columns=["term", "doc_id", "tf", "warc_us"]
-    ).map_batches(drop_dead, batch_format="pyarrow")
+    # A quality-only rescore leaves tf/df/doclen untouched — skip the
+    # df shuffle (recompute_df=False) and reuse the existing df/ table.
+    if recompute_df:
+        live_postings = rd.read_parquet(
+            postings_dir, columns=["term", "doc_id", "tf", "warc_us"]
+        ).map_batches(drop_dead, batch_format="pyarrow")
 
-    df_dir = stage_dir(index_dir, "df")
-    shutil.rmtree(df_dir, ignore_errors=True)
-    (
-        live_postings.map_batches(partial_df, batch_format="pyarrow", batch_size=65536)
-        .groupby("term")
-        .aggregate(Sum("pdf_count", alias_name="df"), Sum("ptf", alias_name="ctf"))
-        .write_parquet(df_dir)
-    )
+        shutil.rmtree(df_dir, ignore_errors=True)
+        (
+            live_postings.map_batches(partial_df, batch_format="pyarrow", batch_size=65536)
+            .groupby("term")
+            .aggregate(Sum("pdf_count", alias_name="df"), Sum("ptf", alias_name="ctf"))
+            .write_parquet(df_dir)
+        )
 
     light = _docs_light(index_dir)
     n_docs = int((~light["doc_id"].isin(losers)).sum())

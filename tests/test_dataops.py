@@ -1,0 +1,119 @@
+"""Training-data ops: IVF ANN recall, language ID, media stage plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def clustered_embeddings(tmp_path_factory):
+    """Vectors with real cluster structure (10 tight cosine clusters) —
+    what production embedding columns look like, unlike the isotropic
+    sf tables."""
+    rng = np.random.default_rng(99)
+    centers = rng.standard_normal((10, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(500):
+        c = i % 10
+        v = centers[c] + 0.15 * rng.standard_normal(64)
+        rows.append(v)
+    X = np.stack(rows)
+    d = tmp_path_factory.mktemp("emb")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(500), pa.int64()),
+                "embedding": pa.array(
+                    [r.tolist() for r in X], pa.list_(pa.float32())
+                ),
+                "label": pa.array((np.arange(500) % 10).astype(np.int32)),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d)
+
+
+def _recall(bf: pd.DataFrame, iv: pd.DataFrame) -> float:
+    bs = bf.groupby("query_vec_id")["neighbor_vec_id"].apply(set)
+    ivs = iv.groupby("query_vec_id")["neighbor_vec_id"].apply(set)
+    return sum(
+        len(bs[q] & ivs.get(q, set())) / len(bs[q]) for q in bs.index
+    ) / len(bs)
+
+
+def test_ivf_recall_on_clustered_data(ray_session, clustered_embeddings):
+    from myaku_ray.functions.ann import ann_cosine_topk, ivf_cosine_topk
+
+    bf = ann_cosine_topk(clustered_embeddings)
+    bf = bf if isinstance(bf, pd.DataFrame) else bf.to_pandas()
+    iv = ivf_cosine_topk(clustered_embeddings)
+    assert _recall(bf, iv) >= 0.9  # probes 4/16 cells, finds ~all neighbors
+
+
+def test_ivf_beats_random_probe_baseline(ray_session):
+    """Even on the isotropic sf embeddings, IVF recall must clearly beat
+    the probed-fraction baseline (nprobe/n_clusters of a random scan)."""
+    from myaku_ray.functions.ann import (
+        IVF_N_CLUSTERS, IVF_NPROBE, ann_cosine_topk, ivf_cosine_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    bf = ann_cosine_topk(sf)
+    bf = bf if isinstance(bf, pd.DataFrame) else bf.to_pandas()
+    iv = ivf_cosine_topk(sf)
+    assert _recall(bf, iv) >= 1.5 * IVF_NPROBE / IVF_N_CLUSTERS
+
+
+def test_ivf_deterministic(ray_session, clustered_embeddings):
+    from myaku_ray.functions.ann import ivf_cosine_topk
+
+    a = ivf_cosine_topk(clustered_embeddings)
+    b = ivf_cosine_topk(clustered_embeddings)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_media_features_deterministic_and_typed(ray_session):
+    from myaku_ray.functions.media import FEATURE_DIM, media_features
+
+    sf = "/root/testdata/sf0.001"
+    a = media_features(sf).to_pandas().sort_values("media_id").reset_index(drop=True)
+    b = media_features(sf).to_pandas().sort_values("media_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a["media_type"]) <= {"image", "video", "audio"}
+    assert (a["n_bytes"] > 0).all()
+
+
+def test_media_frame_sample_only_videos(ray_session):
+    from myaku_ray.functions.media import FRAMES_PER_VIDEO, media_frame_sample
+
+    sf = "/root/testdata/sf0.001"
+    f = media_frame_sample(sf).to_pandas()
+    assert (f["media_type"] == "video").all()
+    per_item = f.groupby("media_id").size()
+    assert (per_item == FRAMES_PER_VIDEO).all()
+    assert f["frame"].map(len).eq(16).all()
+    # frames are distinct per index (stub digests include the index)
+    assert f.groupby("media_id")["frame"].nunique().eq(FRAMES_PER_VIDEO).all()
+
+
+def test_lang_id_matches_duckdb(ray_session):
+    import duckdb
+
+    from myaku_ray.functions.textops import LANG_ID_NGRAM_SQL, lang_id_ngram
+
+    sf = "/root/testdata/sf0.001"
+    got = lang_id_ngram(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.sql(LANG_ID_NGRAM_SQL).df().sort_values("doc_id").reset_index(drop=True)
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)].astype(got.dtypes.to_dict())
+    pd.testing.assert_frame_equal(got, want)

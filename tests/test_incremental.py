@@ -81,6 +81,7 @@ def test_stage2_update(index_dir, base_pages, ratings, tmp_path_factory):
         N_BASE, n_new=60, recrawl_indices=[recrawl_idx, 7],
         dup_of_indices=[50],
     )
+    _STAGE2_STATE["batch"] = batch
     upd_dir = tmp_path_factory.mktemp("pages_upd")
     write_update_parquet(str(upd_dir), batch)
 
@@ -125,6 +126,39 @@ def test_stage3_no_change(index_dir, base_pages, ratings, tmp_path_factory):
     assert m["n_fresh_docs"] == 0
     assert m["n_tokenized"] == 0
     assert m["refreshed"] is False
+
+
+def test_stage4_rescore(index_dir, base_pages, ratings, tmp_path_factory):
+    """Advance the clock across recency-bucket boundaries: rescore must
+    leave the index rank-identical to an oracle built at the new now."""
+    from datetime import timedelta
+
+    from myaku_ray.corpus import FIXED_NOW
+    from myaku_ray.pipelines.rescore import rescore_index
+
+    now2 = FIXED_NOW + timedelta(days=200)
+    m = rescore_index(index_dir, now=now2, blog_ratings=ratings)
+    assert m["n_rescored"] > 0
+
+    union = tmp_path_factory.mktemp("pages_union2") / "union.parquet"
+    write_union_parquet(str(union), base_pages, _stage2_batch(index_dir))
+    s = Searcher(index_dir)
+    oi = build_oracle_index(str(union), blog_ratings=ratings, fixed_now=now2)
+    for q in reference_query_set():
+        got = [(r.doc_id, round(r.score, 5)) for r in s.search(q, k=10)]
+        want = [(d, round(sc, 5)) for d, sc, *_ in oracle_topk(oi, q, k=10)]
+        assert got == want, f"rescore rank mismatch for {q!r}"
+
+    # idempotence: same clock again -> nothing crosses a boundary
+    m2 = rescore_index(index_dir, now=now2, blog_ratings=ratings)
+    assert m2["n_rescored"] == 0
+
+
+_STAGE2_STATE: dict = {}
+
+
+def _stage2_batch(index_dir: str):
+    return _STAGE2_STATE["batch"]
 
 
 def _index_of_url(url: str) -> int:

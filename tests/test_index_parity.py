@@ -170,3 +170,36 @@ def test_deterministic_rebuild(ray_session, tmp_path):
             h.update(b)
         digests.append(h.hexdigest())
     assert digests[0] == digests[1]
+
+
+def test_first_page_cache_parity(built):
+    """Materialized top-10-per-term table == live single-term search, and
+    staleness detection invalidates it when segments are rebuilt."""
+    import json
+    import os
+
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.pipelines.first_page import (
+        build_first_page_cache,
+        load_first_page,
+    )
+
+    pages, index_dir, _, oracle, ratings = built
+    build_first_page_cache(index_dir)
+
+    cached = Searcher(index_dir)
+    assert cached._first_page is not None
+    live = Searcher(index_dir)
+    live._first_page = None  # force the live WAND/array path
+
+    # every indexed term the oracle knows, plus reference single terms
+    sample = sorted(oracle.df)[::7][:60]
+    for term in sample:
+        a = [(r.doc_id, round(r.score, 5)) for r in cached.topk(term, 10)]
+        b = [(r.doc_id, round(r.score, 5)) for r in live.topk(term, 10)]
+        assert a == b, term
+
+    # staleness: touching segments/_SUCCESS must invalidate the cache
+    succ = os.path.join(index_dir, "segments", "_SUCCESS")
+    os.utime(succ, None)
+    assert load_first_page(index_dir) is None
