@@ -307,3 +307,39 @@ class Searcher:
 
     def search(self, query_str: str, k: int = 10) -> list[SearchResult]:
         return self.hydrate(self.topk(query_str, k), query_str)
+
+    # -- pagination + counts (K2/A3 analogs) ------------------------------
+
+    PAGE_SIZE = 10  # SEARCH_RESULTS_PAGE_SIZE, myaku/datastore/__init__.py:22
+    MAX_QUERY_LEN = 120  # myakuweb-apiserver/search/views.py:37
+
+    def search_page(self, query_str: str, page: int = 1) -> list[SearchResult]:
+        """Page N of ranked results: skip (page-1)*10, take 10 — the
+        reference's cursor paginate (index_search.py:232-236) expressed
+        over the bounded top-(page*10) heap."""
+        if not query_str or len(query_str) > self.MAX_QUERY_LEN:
+            raise ValueError(
+                f"query must be 1..{self.MAX_QUERY_LEN} chars"
+            )
+        if page < 1:
+            raise ValueError("page must be >= 1")
+        hits = self.topk(query_str, page * self.PAGE_SIZE)
+        lo = (page - 1) * self.PAGE_SIZE
+        return self.hydrate(hits[lo : lo + self.PAGE_SIZE], query_str)
+
+    def count(self, query_str: str) -> int:
+        """Total matching docs (docs containing >= 1 query term) — the
+        reference's per-query article count (index_search.py:52-66)."""
+        terms = self.analyze_query(query_str)
+        seen: set[int] = set()
+        for t in terms:
+            it = self.term_iterator(t)
+            if it is None:
+                continue
+            if isinstance(it, ArrayPostings):
+                seen.update(int(x) for x in it.ids)
+            else:
+                while not it.exhausted:
+                    seen.add(it.doc_id())
+                    it.next()
+        return len(seen)

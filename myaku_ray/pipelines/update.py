@@ -162,6 +162,23 @@ def _docs_light(index_dir: str) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def load_crawl_skip(index_dir: str) -> dict[str, int]:
+    """url -> warc_us of the version that failed extraction (paywalled /
+    non-ja / oversized / empty) — the reference's crawl_skip collection
+    (myaku/crawlers/crawl_track.py:65-87).  A strictly newer warc_ts
+    re-tries the url; the same version is never re-extracted."""
+    p = os.path.join(index_dir, "crawl_skip.json")
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return {k: int(v) for k, v in json.load(f).items()}
+
+
+def save_crawl_skip(index_dir: str, m: dict[str, int]) -> None:
+    with open(os.path.join(index_dir, "crawl_skip.json"), "w") as f:
+        json.dump(m, f)
+
+
 def _next_delta_id(index_dir: str, stage: str) -> int:
     existing = glob.glob(os.path.join(stage_dir(index_dir, stage), "delta-*"))
     ks = [int(os.path.basename(p).split("-")[1]) for p in existing]
@@ -193,17 +210,21 @@ def update_index(
     old_warc = dict(zip(old["doc_id"].astype(int), old["warc_us"].astype(int)))
     # url -> warc for the anti-join (url maps 1:1 to doc_id)
     url_warc = dict(zip(old["url"], old["warc_us"].astype(int)))
-    url_warc_ref = ray.put(url_warc)
+    crawl_skip = load_crawl_skip(index_dir)
+    url_warc_ref = ray.put((url_warc, crawl_skip))
 
     # ---- J4 anti-join: keep new urls or strictly-newer re-crawls -------
+    # (crawl_skip drops versions that already failed extraction)
     pages = rd.read_parquet(pages_path, columns=["url", "warc_ts", "html", "lang"])
 
     def keep_updated(batch: pa.Table) -> pa.Table:
-        known = ray.get(url_warc_ref)
+        known, skip = ray.get(url_warc_ref)
         urls = batch["url"].to_pylist()
         warcs = batch["warc_ts"].cast(pa.int64()).to_pylist()
         mask = [
-            (u not in known) or (w > known[u]) for u, w in zip(urls, warcs)
+            ((u not in known) or (w > known[u]))
+            and ((u not in skip) or (w > skip[u]))
+            for u, w in zip(urls, warcs)
         ]
         return batch.filter(pa.array(mask, pa.bool_()))
 
@@ -233,6 +254,23 @@ def update_index(
         )
     n_new = new_t.num_rows
     metrics["n_fresh_docs"] = n_new
+
+    # ---- crawl-skip bookkeeping: fresh versions that failed extraction -
+    light_in = pq.read_table(pages_path, columns=["url", "warc_ts"])
+    in_urls = light_in["url"].to_pylist()
+    in_warcs = light_in["warc_ts"].cast(pa.int64()).to_pylist()
+    extracted_urls = set(new_t["url"].to_pylist())
+    skip_changed = False
+    for u, w in zip(in_urls, in_warcs):
+        passed = ((u not in url_warc) or (w > url_warc[u])) and (
+            (u not in crawl_skip) or (w > crawl_skip[u])
+        )
+        if passed and u not in extracted_urls:
+            crawl_skip[u] = max(w, crawl_skip.get(u, 0))
+            skip_changed = True
+    if skip_changed:
+        save_crawl_skip(index_dir, crawl_skip)
+    metrics["n_crawl_skipped"] = len(crawl_skip)
     if n_new == 0:
         # No fresh docs — but a previous update may have crashed between
         # writing its docs delta and tokenizing, so fall through to the

@@ -178,3 +178,41 @@ def _url_of_index(i: int) -> str:
     from myaku_ray.corpus import gen_page_row
 
     return gen_page_row(i, N_BASE)["url"]
+
+
+def test_stage5_crawl_skip(index_dir, base_pages, ratings, tmp_path_factory):
+    """Pages that fail extraction are recorded in crawl_skip and never
+    re-extracted when re-presented at the same warc_ts (crawl_track.py
+    skip-set semantics)."""
+    import pyarrow.parquet as pq
+
+    from myaku_ray.pipelines.update import load_crawl_skip, update_index
+
+    # find base pages that never extracted (paywalled / non-ja / empty)
+    base_t = pq.read_table(base_pages, columns=["url", "warc_ts"])
+    docs = pq.read_table(f"{index_dir}/docs", columns=["url"])
+    extracted = set(docs["url"].to_pylist())
+    failed = [u for u in base_t["url"].to_pylist() if u not in extracted]
+    assert failed, "base corpus has no failing pages"
+
+    mask = [u in set(failed) for u in base_t["url"].to_pylist()]
+    failing_slice = pq.read_table(base_pages).filter(
+        __import__("pyarrow").array(mask, __import__("pyarrow").bool_())
+    )
+    upd_dir = tmp_path_factory.mktemp("pages_failing")
+    write_update_parquet(str(upd_dir), failing_slice.select(
+        ["url", "warc_ts", "html", "text", "lang"]
+    ))
+
+    m1 = update_index(str(upd_dir), index_dir, blog_ratings=ratings,
+                      tokenize_concurrency=2)
+    assert m1["n_fresh_docs"] == 0
+    assert m1["refreshed"] is False
+    skip = load_crawl_skip(index_dir)
+    assert set(failed) <= set(skip)
+
+    # second presentation: the skip set blocks them before extraction
+    m2 = update_index(str(upd_dir), index_dir, blog_ratings=ratings,
+                      tokenize_concurrency=2)
+    assert m2["n_fresh_docs"] == 0
+    assert m2["n_crawl_skipped"] == len(skip)

@@ -203,3 +203,60 @@ def test_first_page_cache_parity(built):
     succ = os.path.join(index_dir, "segments", "_SUCCESS")
     os.utime(succ, None)
     assert load_first_page(index_dir) is None
+
+
+def test_streaming_wand_path_parity(built, monkeypatch):
+    """Force the streaming block-max WAND path (normally used above
+    DECODE_LIMIT postings) and assert it matches the oracle too — the
+    scale path must not rot while the array path serves small indexes."""
+    import myaku_ray.index.searcher as searcher_mod
+    from myaku_ray.index.codec import PostingIterator
+    from myaku_ray.index.searcher import MergedIterator, Searcher
+    from myaku_ray.oracle import oracle_topk, reference_query_set
+
+    pages, index_dir, _, oracle, ratings = built
+    monkeypatch.setattr(searcher_mod, "DECODE_LIMIT", -1)
+    s = Searcher(index_dir)
+    s._first_page = None
+    for q in reference_query_set():
+        it_terms = s.analyze_query(q)
+        if it_terms:
+            it = s.term_iterator(it_terms[0])
+            if it is not None:
+                assert isinstance(it, MergedIterator), "WAND path not active"
+        got = [(r.doc_id, round(r.score, 5)) for r in s.topk(q, 10)]
+        want = [(d, round(sc, 5)) for d, sc, *_ in oracle_topk(oracle, q, k=10)]
+        assert got == want, f"streaming-path mismatch for {q!r}"
+
+
+def test_pagination_and_count(built):
+    """search_page / count reproduce the reference's paginate + total
+    count semantics (index_search.py:52-66,232-236)."""
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.oracle import analyze_query, oracle_topk, reference_query_set
+
+    pages, index_dir, _, oracle, ratings = built
+    s = Searcher(index_dir)
+    for q in reference_query_set():
+        terms = analyze_query(q)
+        want_docs = set()
+        for t in terms:
+            want_docs.update(d for d, _ in oracle.postings.get(t, []))
+        assert s.count(q) == len(want_docs), q
+
+        want_all = [
+            (d, round(sc, 5)) for d, sc, *_ in oracle_topk(oracle, q, k=30)
+        ]
+        got_pages = []
+        for p in (1, 2, 3):
+            got_pages.extend(
+                (r.doc_id, round(r.score, 5)) for r in s.search_page(q, p)
+            )
+        assert got_pages == want_all[: len(got_pages)], q
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        s.search_page("x" * 200, 1)
+    with _pytest.raises(ValueError):
+        s.search_page("ok", 0)
