@@ -215,10 +215,18 @@ def run_scaling() -> dict:
     n_lo = int(os.environ.get("MYAKU_SCALING_N", "4"))
     n_hi = 4 * n_lo
     repeats = int(os.environ.get("MYAKU_SCALING_REPEATS", "2"))
+    # Larger corpus than the plain bench: parallel work must dominate the
+    # fixed per-stage costs for the ratio to measure the pipeline.
+    scaling_pages = os.environ.get(
+        "MYAKU_BENCH_PAGES", os.environ.get("MYAKU_SCALING_PAGES", "200000")
+    )
     results = {}
     for ncpu in (n_lo, n_hi):
         env = dict(
-            os.environ, RAY_GRAFT_CPUS=str(ncpu), MYAKU_BENCH_BUILD_ONLY="1"
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            MYAKU_BENCH_BUILD_ONLY="1",
+            MYAKU_BENCH_PAGES=scaling_pages,
         )
         best = None
         for _ in range(repeats):  # best-of-N: the host is shared and noisy

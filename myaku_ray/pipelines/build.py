@@ -198,15 +198,39 @@ def build_index(
     if not (resume and is_complete(index_dir, "df")):
         t0 = time.time()
         postings = rd.read_parquet(postings_dir, columns=["term", "tf"])
-
-        df_ds = (
-            postings.map_batches(partial_df, batch_format="pyarrow", batch_size=65536)
-            .groupby("term")
-            .aggregate(
-                Sum("pdf_count", alias_name="df"), Sum("ptf", alias_name="ctf")
-            )
+        partials = postings.map_batches(
+            partial_df, batch_format="pyarrow", batch_size=65536
         )
-        df_ds.write_parquet(df_dir)
+        # Scale switch (same rationale as dedup): the partial tables are
+        # ~|vocab| rows per input block — final-merge driver-side below
+        # the limit, distributed groupby above it.
+        if _parquet_rows(docs_dir) <= DEDUP_DRIVER_LIMIT:
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            pdf = partials.to_pandas()
+            g = pdf.groupby("term", as_index=False).agg(
+                df=("pdf_count", "sum"), ctf=("ptf", "sum")
+            )
+            os.makedirs(df_dir, exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {
+                        "term": pa.array(g["term"], pa.string()),
+                        "df": pa.array(g["df"].astype("int64")),
+                        "ctf": pa.array(g["ctf"].astype("int64")),
+                    }
+                ),
+                os.path.join(df_dir, "df.parquet"),
+            )
+        else:
+            (
+                partials.groupby("term")
+                .aggregate(
+                    Sum("pdf_count", alias_name="df"), Sum("ptf", alias_name="ctf")
+                )
+                .write_parquet(df_dir)
+            )
 
         # n_docs = winners; doclen sum = sum of tf (every posting row carries
         # its doc's tf contribution exactly once)

@@ -25,7 +25,7 @@ singleton-per-process tagger (myaku/utils/__init__.py:746-787).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from typing import NamedTuple
 
 from myaku_ray.lexicon import build_phrases, max_surface_len, surface_map
 from myaku_ray.normalize import normalize_char_width
@@ -46,8 +46,7 @@ def _is_latin_alnum(ch: str) -> bool:
     )
 
 
-@dataclass(frozen=True)
-class Token:
+class Token(NamedTuple):
     surface: str
     base_form: str
     reading: str
@@ -63,11 +62,20 @@ class Tokenizer:
         self._surfaces = surface_map()
         self._max_len = max_surface_len()
         self._phrases = set(build_phrases())
+        # candidate match lengths per first char, longest first — the
+        # longest-match scan only probes lengths that exist for that
+        # first char instead of every length down from the global max
+        by_first: dict[str, set[int]] = {}
+        for s in self._surfaces:
+            by_first.setdefault(s[0], set()).add(len(s))
+        self._lens_by_first: dict[str, tuple[int, ...]] = {
+            c: tuple(sorted(lens, reverse=True)) for c, lens in by_first.items()
+        }
 
     def tokenize(self, text: str) -> list[Token]:
         """Segment text into dictionary tokens with char offsets."""
         surfaces = self._surfaces
-        max_len = self._max_len
+        lens_by_first = self._lens_by_first
         tokens: list[Token] = []
         n = len(text)
         i = 0
@@ -77,14 +85,20 @@ class Tokenizer:
             if ch.isspace():
                 i += 1
                 continue
-            # Longest dictionary match first.
+            # Longest dictionary match first, probing only lengths that
+            # exist for this first char.
             hit = None
-            for ln in range(min(max_len, n - i), 0, -1):
-                cand = text[i : i + ln]
-                ent = surfaces.get(cand)
-                if ent is not None:
-                    hit = (cand, ent, ln)
-                    break
+            cand_lens = lens_by_first.get(ch)
+            if cand_lens is not None:
+                remaining = n - i
+                for ln in cand_lens:
+                    if ln > remaining:
+                        continue
+                    cand = text[i : i + ln]
+                    ent = surfaces.get(cand)
+                    if ent is not None:
+                        hit = (cand, ent, ln)
+                        break
             if hit is not None:
                 cand, (base, reading, pos), ln = hit
                 tokens.append(Token(cand, base, reading, pos, i, ln))
