@@ -72,89 +72,97 @@ def partial_df(batch: pa.Table) -> pa.Table:
     )
 
 
-def make_add_keys_fn(salt_buckets: int, n_buckets: int):
-    """Batch fn adding salt + encode-bucket columns.
+def add_salt_bucket(batch: pa.Table, salt_buckets: int, n_buckets: int) -> pa.Table:
+    """Append salt + encode-bucket columns.
 
     Hashes each UNIQUE term once per batch (vocab ≪ rows), then scatters."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    salt = (ids % salt_buckets).astype(np.int32)
+    codes, uniques = pd.factorize(
+        pd.Series(batch["term"].to_pylist()), sort=False
+    )
+    uhash = np.fromiter(
+        (term_hash(t) for t in uniques), dtype=np.int64, count=len(uniques)
+    )
+    bucket = ((uhash[codes] * np.int64(31) + salt) % n_buckets).astype(
+        np.int32
+    )
+    return batch.append_column("salt", pa.array(salt)).append_column(
+        "bucket", pa.array(bucket)
+    )
 
+
+def make_add_keys_fn(salt_buckets: int, n_buckets: int):
     def add_keys(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        salt = (ids % salt_buckets).astype(np.int32)
-        codes, uniques = pd.factorize(
-            pd.Series(batch["term"].to_pylist()), sort=False
-        )
-        uhash = np.fromiter(
-            (term_hash(t) for t in uniques), dtype=np.int64, count=len(uniques)
-        )
-        bucket = ((uhash[codes] * np.int64(31) + salt) % n_buckets).astype(
-            np.int32
-        )
-        return batch.append_column("salt", pa.array(salt)).append_column(
-            "bucket", pa.array(bucket)
-        )
+        return add_salt_bucket(batch, salt_buckets, n_buckets)
 
     return add_keys
 
 
-def make_encode_bucket_fn(
-    df_ref, n_docs: int, avgdl: float, num_segments: int
-):
-    """Group fn: encode every (term, salt) sub-list inside one bucket."""
+def encode_bucket_table(
+    g: pa.Table, dfs: dict, n_docs: int, avgdl: float, num_segments: int
+) -> pa.Table:
+    """Encode every (term, salt) sub-list inside one bucket's rows."""
+    if g.num_rows == 0:
+        return _empty_rows()
+    g = g.sort_by(
+        [("term", "ascending"), ("salt", "ascending"), ("doc_id", "ascending")]
+    )
+    terms = g["term"].to_pylist()
+    codes, uniques = pd.factorize(pd.Series(terms), sort=False)
+    salts = g["salt"].to_numpy(zero_copy_only=False)
+    ids = g["doc_id"].to_numpy(zero_copy_only=False)
+    tfs = g["tf"].to_numpy(zero_copy_only=False)
+    dls = g["doclen"].to_numpy(zero_copy_only=False)
+    qs = g["quality"].to_numpy(zero_copy_only=False)
+    ws = g["warc_us"].to_numpy(zero_copy_only=False)
+    # group boundaries where (term code, salt) changes
+    change = np.empty(len(codes), dtype=bool)
+    change[0] = True
+    change[1:] = (codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], len(codes))
+
+    out_term: list[str] = []
+    out_salt: list[int] = []
+    out_df: list[int] = []
+    out_count: list[int] = []
+    out_max: list[float] = []
+    out_blob: list[bytes] = []
+    out_seg: list[int] = []
+    for lo, hi in zip(starts, ends):
+        term = uniques[codes[lo]]
+        df = int(dfs[term])
+        scores = posting_scores_vec(
+            tfs[lo:hi], dls[lo:hi], qs[lo:hi], df, n_docs, avgdl
+        )
+        blob = encode_postings(ids[lo:hi], tfs[lo:hi], scores, ws[lo:hi])
+        out_term.append(term)
+        out_salt.append(int(salts[lo]))
+        out_df.append(df)
+        out_count.append(hi - lo)
+        out_max.append(float(scores.max()))
+        out_blob.append(blob)
+        out_seg.append(term_hash(term) % num_segments)
+    return pa.table(
+        {
+            "term": pa.array(out_term, pa.string()),
+            "salt": pa.array(out_salt, pa.int32()),
+            "df": pa.array(out_df, pa.int64()),
+            "count": pa.array(out_count, pa.int64()),
+            "max_score": pa.array(out_max, pa.float32()),
+            "blob": pa.array(out_blob, pa.binary()),
+            "segment": pa.array(out_seg, pa.int32()),
+        }
+    )
+
+
+def make_encode_bucket_fn(df_ref, n_docs: int, avgdl: float, num_segments: int):
+    """Group fn wrapper for the Dataset groupby fallback path."""
 
     def encode_bucket(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return _empty_rows()
         dfs = ray.get(df_ref) if not isinstance(df_ref, dict) else df_ref
-        g = g.sort_by(
-            [("term", "ascending"), ("salt", "ascending"), ("doc_id", "ascending")]
-        )
-        terms = g["term"].to_pylist()
-        codes, uniques = pd.factorize(pd.Series(terms), sort=False)
-        salts = g["salt"].to_numpy(zero_copy_only=False)
-        ids = g["doc_id"].to_numpy(zero_copy_only=False)
-        tfs = g["tf"].to_numpy(zero_copy_only=False)
-        dls = g["doclen"].to_numpy(zero_copy_only=False)
-        qs = g["quality"].to_numpy(zero_copy_only=False)
-        ws = g["warc_us"].to_numpy(zero_copy_only=False)
-        # group boundaries where (term code, salt) changes
-        change = np.empty(len(codes), dtype=bool)
-        change[0] = True
-        change[1:] = (codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1])
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], len(codes))
-
-        out_term: list[str] = []
-        out_salt: list[int] = []
-        out_df: list[int] = []
-        out_count: list[int] = []
-        out_max: list[float] = []
-        out_blob: list[bytes] = []
-        out_seg: list[int] = []
-        for lo, hi in zip(starts, ends):
-            term = uniques[codes[lo]]
-            df = int(dfs[term])
-            scores = posting_scores_vec(
-                tfs[lo:hi], dls[lo:hi], qs[lo:hi], df, n_docs, avgdl
-            )
-            blob = encode_postings(ids[lo:hi], tfs[lo:hi], scores, ws[lo:hi])
-            out_term.append(term)
-            out_salt.append(int(salts[lo]))
-            out_df.append(df)
-            out_count.append(hi - lo)
-            out_max.append(float(scores.max()))
-            out_blob.append(blob)
-            out_seg.append(term_hash(term) % num_segments)
-        return pa.table(
-            {
-                "term": pa.array(out_term, pa.string()),
-                "salt": pa.array(out_salt, pa.int32()),
-                "df": pa.array(out_df, pa.int64()),
-                "count": pa.array(out_count, pa.int64()),
-                "max_score": pa.array(out_max, pa.float32()),
-                "blob": pa.array(out_blob, pa.binary()),
-                "segment": pa.array(out_seg, pa.int32()),
-            }
-        )
+        return encode_bucket_table(g, dfs, n_docs, avgdl, num_segments)
 
     return encode_bucket
 
@@ -180,3 +188,176 @@ def encode_segments(
         batch_format="pyarrow",
     )
     rows.write_parquet(seg_root, partition_cols=["segment"])
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-free encode over bucket-partitioned postings
+# ---------------------------------------------------------------------------
+#
+# When the tokenize stage writes postings hive-partitioned by encode
+# bucket (``postings/bucket=N/``), the filesystem already IS the shuffle:
+# every bucket directory holds exactly the rows one encode group needs,
+# written map-side by the tokenize tasks.  Encoding then reads each
+# bucket's files in ONE task and never moves a posting row through the
+# object store.  The Dataset API cannot express "treat each hive
+# partition as a complete group without re-shuffling", so this path uses
+# raw Ray tasks over the partition directories — the documented
+# last-resort case (a partitioning assumption the layout guarantees).
+
+def apply_drop(
+    t: pa.Table,
+    losers: frozenset,
+    supersede: dict,
+    overrides: dict,
+) -> pa.Table:
+    """Tombstone filter + quality overrides (refresh/rescore semantics)."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    if losers or supersede:
+        warcs = t["warc_us"].to_numpy(zero_copy_only=False)
+        mask = np.fromiter(
+            (
+                (int(i) not in losers)
+                and (int(i) not in supersede or int(w) >= supersede[int(i)])
+                for i, w in zip(ids, warcs)
+            ),
+            dtype=bool,
+            count=len(ids),
+        )
+        t = t.filter(pa.array(mask))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    if overrides:
+        qs = t["quality"].to_numpy(zero_copy_only=False)
+        new_q = np.fromiter(
+            (overrides.get(int(i), int(q)) for i, q in zip(ids, qs)),
+            dtype=np.int32,
+            count=len(ids),
+        )
+        t = t.set_column(
+            t.schema.get_field_index("quality"), "quality",
+            pa.array(new_q, pa.int32()),
+        )
+    return t
+
+
+POSTING_COLS = ["term", "salt", "doc_id", "tf", "doclen", "quality", "warc_us"]
+
+
+@ray.remote
+def _encode_bucket_task(
+    bucket_id: int,
+    files: list,
+    df_map: dict,
+    n_docs: int,
+    avgdl: float,
+    num_segments: int,
+    drop,
+    seg_root: str,
+) -> int:
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pa.concat_tables([pq.read_table(f, columns=POSTING_COLS) for f in files])
+    if drop is not None:
+        losers, supersede, overrides = drop
+        t = apply_drop(t, losers, supersede, overrides)
+    rows = encode_bucket_table(t, df_map, n_docs, avgdl, num_segments)
+    segs = rows["segment"].to_numpy(zero_copy_only=False)
+    for seg in np.unique(segs):
+        sub = rows.filter(pa.array(segs == seg))
+        d = os.path.join(seg_root, f"segment={int(seg)}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            sub.drop_columns(["segment"]),
+            os.path.join(d, f"bucket-{bucket_id:05d}.parquet"),
+        )
+    return rows.num_rows
+
+
+def bucket_file_map(postings_roots: list) -> dict[int, list]:
+    """bucket id -> parquet files, parsed from any ``bucket=N`` path
+    component under the given roots (base + update deltas)."""
+    import glob
+    import os
+
+    out: dict[int, list] = {}
+    for root in postings_roots:
+        for f in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True):
+            bucket = None
+            for part in f.split(os.sep):
+                if part.startswith("bucket="):
+                    bucket = int(part.split("=")[1])
+                    break
+            if bucket is None:
+                # mixed/legacy layout: one un-bucketed file poisons the
+                # whole map — the caller must use the shuffle path
+                return {}
+            out.setdefault(bucket, []).append(f)
+    return out
+
+
+def encode_segments_partitioned(
+    postings_roots: list,
+    seg_root: str,
+    *,
+    df_map: dict,
+    n_docs: int,
+    avgdl: float,
+    num_segments: int,
+    drop=None,
+) -> bool:
+    """Encode from bucket-partitioned postings; returns False when the
+    layout is not partitioned (caller falls back to the shuffle path)."""
+    buckets = bucket_file_map(postings_roots)
+    if not buckets:
+        return False
+    df_ref = ray.put(df_map)
+    drop_ref = ray.put(drop)
+    refs = [
+        _encode_bucket_task.remote(
+            b, files, df_ref, n_docs, avgdl, num_segments, drop_ref, seg_root
+        )
+        for b, files in sorted(buckets.items())
+    ]
+    ray.get(refs)
+    return True
+
+
+@ray.remote
+def _bucket_df_task(files: list, drop) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    cols = ["term", "tf"] if drop is None else ["term", "tf", "doc_id", "warc_us"]
+    t = pa.concat_tables([pq.read_table(f, columns=cols) for f in files])
+    if drop is not None:
+        losers, supersede, _overrides = drop
+        t = apply_drop(t, losers, supersede, {})
+    return partial_df(t)
+
+
+def df_from_buckets(buckets: dict[int, list], drop=None) -> pa.Table:
+    """(term, df, ctf) via one partial-df task per bucket + a driver merge.
+
+    A term's rows span at most `salt_buckets` buckets, so the merge input
+    is ≤ salt_buckets × |vocab| rows — vocabulary-sized, not
+    postings-sized.  (At extreme vocab scale the fallback is the
+    distributed groupby in the pipelines.)"""
+    drop_ref = ray.put(drop)
+    parts = ray.get(
+        [
+            _bucket_df_task.remote(files, drop_ref)
+            for _, files in sorted(buckets.items())
+        ]
+    )
+    merged = (
+        pa.concat_tables(parts)
+        .group_by("term")
+        .aggregate([("pdf_count", "sum"), ("ptf", "sum")])
+    )
+    return pa.table(
+        {
+            "term": merged["term"],
+            "df": merged["pdf_count_sum"].cast(pa.int64()),
+            "ctf": merged["ptf_sum"].cast(pa.int64()),
+        }
+    )

@@ -41,7 +41,13 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 from myaku_ray.corpus import FIXED_NOW
-from myaku_ray.index.segment_build import encode_segments, partial_df
+from myaku_ray.index.segment_build import (
+    bucket_file_map,
+    df_from_buckets,
+    encode_segments,
+    encode_segments_partitioned,
+    partial_df,
+)
 from myaku_ray.stages.extract import make_extract_fn
 from myaku_ray.stages.tokenize import TokenizeStage
 from myaku_ray.state.lineage import is_complete, mark_complete, stage_dir
@@ -73,6 +79,9 @@ def build_index(
     fixed_now=FIXED_NOW,
     num_segments: int = DEFAULT_NUM_SEGMENTS,
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    # 64 write-partitions: enough encode parallelism for tens of CPUs
+    # while keeping tokenize write fan-out (tasks × buckets files) sane
+    encode_buckets: int = 64,
     tokenize_concurrency: int | tuple | None = None,
     tokenize_batch_size: int = 128,
     resume: bool = True,
@@ -182,8 +191,14 @@ def build_index(
             batch_size=tokenize_batch_size,
             concurrency=tokenize_concurrency,
             num_cpus=1,
+            fn_constructor_kwargs={
+                "salt_buckets": salt_buckets,
+                "encode_buckets": encode_buckets,
+            },
         )
-        postings.write_parquet(postings_dir)
+        # Hive-partition by encode bucket: the write IS the (term, salt)
+        # shuffle — segment encode later reads one bucket dir per task.
+        postings.write_parquet(postings_dir, partition_cols=["bucket"])
         mark_complete(
             index_dir, "postings", rows=_parquet_rows(postings_dir),
             wall_s=round(time.time() - t0, 3),
@@ -197,33 +212,21 @@ def build_index(
     df_dir = stage_dir(index_dir, "df")
     if not (resume and is_complete(index_dir, "df")):
         t0 = time.time()
-        postings = rd.read_parquet(postings_dir, columns=["term", "tf"])
-        partials = postings.map_batches(
-            partial_df, batch_format="pyarrow", batch_size=65536
-        )
-        # Scale switch (same rationale as dedup): the partial tables are
-        # ~|vocab| rows per input block — final-merge driver-side below
-        # the limit, distributed groupby above it.
-        if _parquet_rows(docs_dir) <= DEDUP_DRIVER_LIMIT:
-            import pandas as pd
-            import pyarrow.parquet as pq
+        import pyarrow.parquet as pq
 
-            pdf = partials.to_pandas()
-            g = pdf.groupby("term", as_index=False).agg(
-                df=("pdf_count", "sum"), ctf=("ptf", "sum")
-            )
+        buckets = bucket_file_map([postings_dir])
+        if buckets:
+            # one partial-df task per bucket + a vocabulary-sized driver
+            # merge — no read of 1000s of tiny hive files through a
+            # Dataset, no posting-row shuffle
+            df_tbl = df_from_buckets(buckets)
             os.makedirs(df_dir, exist_ok=True)
-            pq.write_table(
-                pa.table(
-                    {
-                        "term": pa.array(g["term"], pa.string()),
-                        "df": pa.array(g["df"].astype("int64")),
-                        "ctf": pa.array(g["ctf"].astype("int64")),
-                    }
-                ),
-                os.path.join(df_dir, "df.parquet"),
-            )
+            pq.write_table(df_tbl, os.path.join(df_dir, "df.parquet"))
         else:
+            postings = rd.read_parquet(postings_dir, columns=["term", "tf"])
+            partials = postings.map_batches(
+                partial_df, batch_format="pyarrow", batch_size=65536
+            )
             (
                 partials.groupby("term")
                 .aggregate(
@@ -245,6 +248,7 @@ def build_index(
             "n_terms": int(len(df_pdf)),
             "num_segments": num_segments,
             "salt_buckets": salt_buckets,
+            "encode_buckets": encode_buckets,
             "fixed_now_us": int(fixed_now.timestamp() * 1_000_000),
         }
         with open(stats_path, "w") as f:
@@ -263,19 +267,28 @@ def build_index(
         df_pdf = rd.read_parquet(df_dir).to_pandas()
         df_map = dict(zip(df_pdf["term"], df_pdf["df"].astype(int)))
 
-        postings = rd.read_parquet(
-            postings_dir,
-            columns=["term", "doc_id", "tf", "doclen", "quality", "warc_us"],
-        )
-        encode_segments(
-            postings,
+        if not encode_segments_partitioned(
+            [postings_dir],
             seg_root,
             df_map=df_map,
             n_docs=stats["n_docs"],
             avgdl=stats["avgdl"],
             num_segments=num_segments,
-            salt_buckets=salt_buckets,
-        )
+        ):
+            # postings not bucket-partitioned (legacy layout): shuffle path
+            postings = rd.read_parquet(
+                postings_dir,
+                columns=["term", "doc_id", "tf", "doclen", "quality", "warc_us"],
+            )
+            encode_segments(
+                postings,
+                seg_root,
+                df_map=df_map,
+                n_docs=stats["n_docs"],
+                avgdl=stats["avgdl"],
+                num_segments=num_segments,
+                salt_buckets=salt_buckets,
+            )
         mark_complete(
             index_dir, "segments", wall_s=round(time.time() - t0, 3),
             num_segments=num_segments, salt_buckets=salt_buckets,

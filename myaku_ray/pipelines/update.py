@@ -56,7 +56,13 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 from myaku_ray.corpus import FIXED_NOW
-from myaku_ray.index.segment_build import encode_segments, partial_df
+from myaku_ray.index.segment_build import (
+    bucket_file_map,
+    df_from_buckets,
+    encode_segments,
+    encode_segments_partitioned,
+    partial_df,
+)
 from myaku_ray.stages.extract import make_extract_fn
 from myaku_ray.stages.tokenize import TokenizeStage
 from myaku_ray.state.lineage import append_lineage, mark_complete, stage_dir
@@ -344,13 +350,22 @@ def update_index(
         postings_delta_dir = os.path.join(
             stage_dir(index_dir, "postings"), f"delta-{k}"
         )
-        to_tok.map_batches(
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            _stats = json.load(f)
+        delta_postings = to_tok.map_batches(
             TokenizeStage,
             batch_format="pyarrow",
             batch_size=tokenize_batch_size,
             concurrency=tokenize_concurrency,
             num_cpus=1,
-        ).write_parquet(postings_delta_dir)
+            fn_constructor_kwargs={
+                "salt_buckets": _stats["salt_buckets"],
+                "encode_buckets": _stats.get("encode_buckets", 64),
+            },
+        )
+        delta_postings.write_parquet(
+            postings_delta_dir, partition_cols=["bucket"]
+        )
         tokenized |= need
         save_tokenized(index_dir, tokenized)
 
@@ -449,21 +464,35 @@ def refresh_index(index_dir: str, *, recompute_df: bool = True) -> dict:
     postings_dir = stage_dir(index_dir, "postings")
     df_dir = stage_dir(index_dir, "df")
 
+    # Base + delta posting files, listed explicitly: hive `bucket=` dirs
+    # sit at different depths (postings/bucket=N vs postings/delta-k/
+    # bucket=N), so directory-level partition inference would misfire.
+    posting_files = sorted(
+        glob.glob(os.path.join(postings_dir, "**", "*.parquet"), recursive=True)
+    )
+
     # ---- df + corpus stats ---------------------------------------------
     # A quality-only rescore leaves tf/df/doclen untouched — skip the
     # df shuffle (recompute_df=False) and reuse the existing df/ table.
     if recompute_df:
-        live_postings = rd.read_parquet(
-            postings_dir, columns=["term", "doc_id", "tf", "warc_us"]
-        ).map_batches(drop_dead, batch_format="pyarrow")
-
         shutil.rmtree(df_dir, ignore_errors=True)
-        (
-            live_postings.map_batches(partial_df, batch_format="pyarrow", batch_size=65536)
-            .groupby("term")
-            .aggregate(Sum("pdf_count", alias_name="df"), Sum("ptf", alias_name="ctf"))
-            .write_parquet(df_dir)
-        )
+        buckets = bucket_file_map([postings_dir])
+        if buckets:
+            df_tbl = df_from_buckets(
+                buckets, drop=(frozenset(losers), supersede, {})
+            )
+            os.makedirs(df_dir, exist_ok=True)
+            pq.write_table(df_tbl, os.path.join(df_dir, "df.parquet"))
+        else:
+            live_postings = rd.read_parquet(
+                posting_files, columns=["term", "doc_id", "tf", "warc_us"]
+            ).map_batches(drop_dead, batch_format="pyarrow")
+            (
+                live_postings.map_batches(partial_df, batch_format="pyarrow", batch_size=65536)
+                .groupby("term")
+                .aggregate(Sum("pdf_count", alias_name="df"), Sum("ptf", alias_name="ctf"))
+                .write_parquet(df_dir)
+            )
 
     light = _docs_light(index_dir)
     n_docs = int((~light["doc_id"].isin(losers)).sum())
@@ -477,6 +506,7 @@ def refresh_index(index_dir: str, *, recompute_df: bool = True) -> dict:
         "n_terms": int(len(df_pdf)),
         "num_segments": num_segments,
         "salt_buckets": salt_buckets,
+        "encode_buckets": prev_stats.get("encode_buckets", 64),
         "fixed_now_us": prev_stats["fixed_now_us"],
     }
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
@@ -486,21 +516,29 @@ def refresh_index(index_dir: str, *, recompute_df: bool = True) -> dict:
     # ---- segments ------------------------------------------------------
     df_map = dict(zip(df_pdf["term"], df_pdf["df"].astype(int)))
 
-    postings = rd.read_parquet(
-        postings_dir,
-        columns=["term", "doc_id", "tf", "doclen", "quality", "warc_us"],
-    ).map_batches(drop_dead, batch_format="pyarrow")
-
     seg_root = stage_dir(index_dir, "segments")
     shutil.rmtree(seg_root, ignore_errors=True)
-    encode_segments(
-        postings,
+    if not encode_segments_partitioned(
+        [postings_dir],
         seg_root,
         df_map=df_map,
         n_docs=stats["n_docs"],
         avgdl=stats["avgdl"],
         num_segments=num_segments,
-        salt_buckets=salt_buckets,
-    )
+        drop=(frozenset(losers), supersede, overrides),
+    ):
+        postings = rd.read_parquet(
+            posting_files,
+            columns=["term", "doc_id", "tf", "doclen", "quality", "warc_us"],
+        ).map_batches(drop_dead, batch_format="pyarrow")
+        encode_segments(
+            postings,
+            seg_root,
+            df_map=df_map,
+            n_docs=stats["n_docs"],
+            avgdl=stats["avgdl"],
+            num_segments=num_segments,
+            salt_buckets=salt_buckets,
+        )
     mark_complete(index_dir, "segments", refreshed=True)
     return {"refresh_wall_s": round(time.time() - t0, 3), "stats": stats}

@@ -37,8 +37,19 @@ POSTING_SCHEMA = pa.schema(
 
 
 class TokenizeStage:
-    def __init__(self) -> None:
+    """Optionally emits ``salt`` + ``bucket`` columns so the postings
+    parquet can be written hive-partitioned by encode bucket — the
+    filesystem then IS the (term, salt) shuffle: segment encode reads one
+    bucket directory per task instead of paying a sort all-to-all."""
+
+    def __init__(
+        self,
+        salt_buckets: int | None = None,
+        encode_buckets: int | None = None,
+    ) -> None:
         self._tok = Tokenizer()
+        self._salt_buckets = salt_buckets
+        self._encode_buckets = encode_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
@@ -63,7 +74,7 @@ class TokenizeStage:
                 out_q.append(q)
                 out_w.append(w)
 
-        return pa.Table.from_pydict(
+        out = pa.Table.from_pydict(
             {
                 "term": terms,
                 "doc_id": out_doc,
@@ -74,3 +85,8 @@ class TokenizeStage:
             },
             schema=POSTING_SCHEMA,
         )
+        if self._salt_buckets is not None and self._encode_buckets is not None:
+            from myaku_ray.index.segment_build import add_salt_bucket
+
+            out = add_salt_bucket(out, self._salt_buckets, self._encode_buckets)
+        return out
