@@ -293,17 +293,20 @@ class Searcher:
         return results
 
     def _preview(self, text: str, terms: set) -> tuple[list, str]:
-        """Recompute positions for preview (bounded to one doc)."""
-        from myaku_ray.normalize import find_jpn_sentence_end, find_jpn_sentence_start
+        """Recompute positions for preview (bounded to one doc), then run
+        the reference's sample selection (preview.py K5 semantics)."""
+        from myaku_ray.preview import build_preview
 
         items = self._tok.find_lexical_items(text)
         matched = [it for it in items if it["term"] in terms]
         if not matched:
             return [], text[:100]
-        start, length = matched[0]["positions"][0]
-        s = find_jpn_sentence_start(text, start)
-        e = find_jpn_sentence_end(text, start)
-        return [it["term"] for it in matched], text[s : e + 1]
+        positions = sorted(
+            {tuple(p) for it in matched for p in it["positions"]}
+        )
+        samples = build_preview(text, positions)
+        preview = " … ".join(s.text for s in samples)
+        return [it["term"] for it in matched], preview
 
     def search(self, query_str: str, k: int = 10) -> list[SearchResult]:
         return self.hydrate(self.topk(query_str, k), query_str)
