@@ -283,6 +283,8 @@ def bucket_file_map(postings_roots: list) -> dict[int, list]:
     out: dict[int, list] = {}
     for root in postings_roots:
         for f in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True):
+            if os.path.basename(f).startswith("_"):
+                continue  # metadata shards (e.g. _tokenized.parquet)
             bucket = None
             for part in f.split(os.sep):
                 if part.startswith("bucket="):

@@ -71,6 +71,15 @@ def _parquet_rows(path: str) -> int:
     return total
 
 
+def _clear_stage(index_dir: str, stage: str) -> None:
+    """Remove partial output of an interrupted stage before re-running:
+    write_parquet uses unique filenames and never deletes, so re-running
+    into a half-written directory would duplicate rows."""
+    import shutil
+
+    shutil.rmtree(stage_dir(index_dir, stage), ignore_errors=True)
+
+
 def build_index(
     pages_path: str,
     index_dir: str,
@@ -95,6 +104,7 @@ def build_index(
     # ---- stage 1: docs -------------------------------------------------
     docs_dir = stage_dir(index_dir, "docs")
     if not (resume and is_complete(index_dir, "docs")):
+        _clear_stage(index_dir, "docs")
         t0 = time.time()
         pages = rd.read_parquet(
             pages_path, columns=["url", "warc_ts", "html", "lang"]
@@ -118,6 +128,7 @@ def build_index(
     # without paying a Ray all-to-all job (~seconds of fixed overhead).
     dedup_dir = stage_dir(index_dir, "dedup")
     if not (resume and is_complete(index_dir, "dedup")):
+        _clear_stage(index_dir, "dedup")
         t0 = time.time()
         n_doc_rows = _parquet_rows(docs_dir)
         if n_doc_rows <= DEDUP_DRIVER_LIMIT:
@@ -165,6 +176,7 @@ def build_index(
     # ---- stage 3: tokenize -> postings ---------------------------------
     postings_dir = stage_dir(index_dir, "postings")
     if not (resume and is_complete(index_dir, "postings")):
+        _clear_stage(index_dir, "postings")
         t0 = time.time()
         docs = rd.read_parquet(
             docs_dir, columns=["doc_id", "text", "quality_score", "warc_ts"]
@@ -211,6 +223,7 @@ def build_index(
     stats_path = os.path.join(index_dir, "stats.json")
     df_dir = stage_dir(index_dir, "df")
     if not (resume and is_complete(index_dir, "df")):
+        _clear_stage(index_dir, "df")
         t0 = time.time()
         import pyarrow.parquet as pq
 
@@ -263,6 +276,7 @@ def build_index(
     # ---- stage 5: segments ---------------------------------------------
     seg_root = stage_dir(index_dir, "segments")
     if not (resume and is_complete(index_dir, "segments")):
+        _clear_stage(index_dir, "segments")
         t0 = time.time()
         df_pdf = rd.read_parquet(df_dir).to_pandas()
         df_map = dict(zip(df_pdf["term"], df_pdf["df"].astype(int)))

@@ -35,7 +35,9 @@ Incremental state files (all under the index dir):
   dataset).
 - ``supersede.json`` — {doc_id: latest_warc_us} for re-crawled urls.
 - ``losers.parquet`` — CURRENT full dedup-loser doc_id set (overwritten).
-- ``tokenized.parquet`` — (doc_id, warc_us) versions whose postings exist.
+- ``postings/delta-<k>/_tokenized.meta`` — (doc_id, warc_us) versions the
+  delta tokenized, valid only with the delta's ``_DELTA_DONE`` marker
+  (partial deltas from a crash are swept before every update).
 - every stage appends a lineage record (state/lineage.py).
 """
 
@@ -111,26 +113,50 @@ def save_losers(index_dir: str, losers: set[int]) -> None:
 
 
 def load_tokenized(index_dir: str) -> set[tuple[int, int]]:
-    p = os.path.join(index_dir, "tokenized.parquet")
-    if os.path.exists(p):
-        t = pq.read_table(p)
-        return set(
+    """(doc_id, warc_us) versions whose postings exist.
+
+    Derived, never a lone side file (a side file can desync from the
+    posting data on a crash): base versions = root-level doc files minus
+    the BASE dedup losers, plus one ``_tokenized.meta`` shard per
+    COMPLETED update delta (the shard lives inside the delta dir, so the
+    crash-cleanup that removes a partial delta removes its shard too)."""
+    docs_dir = stage_dir(index_dir, "docs")
+    base_files = sorted(glob.glob(os.path.join(docs_dir, "*.parquet")))
+    out: set[tuple[int, int]] = set()
+    if base_files:
+        t = pq.read_table(base_files, columns=["doc_id", "warc_ts"])
+        base_losers: set[int] = set()
+        d = stage_dir(index_dir, "dedup")
+        if os.path.isdir(d):
+            base_losers = set(
+                int(x)
+                for x in pq.read_table(d, columns=["doc_id"])["doc_id"].to_pylist()
+            )
+        for did, w in zip(
+            t["doc_id"].to_pylist(),
+            t["warc_ts"].cast(pa.int64()).to_pylist(),
+        ):
+            if int(did) not in base_losers:
+                out.add((int(did), int(w)))
+    for shard in glob.glob(
+        os.path.join(stage_dir(index_dir, "postings"), "delta-*", "_tokenized.meta")
+    ):
+        if not os.path.exists(
+            os.path.join(os.path.dirname(shard), "_DELTA_DONE")
+        ):
+            continue
+        t = pq.read_table(shard)
+        out.update(
             zip(
                 (int(x) for x in t["doc_id"].to_pylist()),
                 (int(x) for x in t["warc_us"].to_pylist()),
             )
         )
-    # derive from the base build: winners = docs minus dedup losers
-    light = _docs_light(index_dir)
-    losers = load_losers(index_dir)
-    return set(
-        (int(r.doc_id), int(r.warc_us))
-        for r in light.itertuples()
-        if int(r.doc_id) not in losers
-    )
+    return out
 
 
-def save_tokenized(index_dir: str, versions: set[tuple[int, int]]) -> None:
+def _write_tokenized_shard(delta_dir: str, versions: set[tuple[int, int]]) -> None:
+    os.makedirs(delta_dir, exist_ok=True)
     ids, warcs = zip(*sorted(versions)) if versions else ((), ())
     pq.write_table(
         pa.table(
@@ -139,7 +165,7 @@ def save_tokenized(index_dir: str, versions: set[tuple[int, int]]) -> None:
                 "warc_us": pa.array(list(warcs), pa.uint64()),
             }
         ),
-        os.path.join(index_dir, "tokenized.parquet"),
+        os.path.join(delta_dir, "_tokenized.meta"),
     )
 
 
@@ -191,6 +217,24 @@ def _next_delta_id(index_dir: str, stage: str) -> int:
     return (max(ks) + 1) if ks else 1
 
 
+def _clean_partial_deltas(index_dir: str) -> None:
+    """Remove delta dirs from a crashed update (no _DELTA_DONE marker) —
+    their partial files would otherwise duplicate or orphan rows.  The
+    marker lands only after the update's postings AND state files are
+    consistent."""
+    for stage in ("docs", "postings"):
+        for d in glob.glob(os.path.join(stage_dir(index_dir, stage), "delta-*")):
+            if not os.path.exists(os.path.join(d, "_DELTA_DONE")):
+                shutil.rmtree(d, ignore_errors=True)
+
+
+def _mark_delta_done(*dirs: str) -> None:
+    for d in dirs:
+        if os.path.isdir(d):
+            with open(os.path.join(d, "_DELTA_DONE"), "w") as f:
+                f.write("ok")
+
+
 # ---------------------------------------------------------------------------
 # update
 # ---------------------------------------------------------------------------
@@ -209,9 +253,10 @@ def update_index(
     blog_ratings = blog_ratings or {}
     metrics: dict = {}
 
+    _clean_partial_deltas(index_dir)
     old = _docs_light(index_dir)
-    # snapshot BEFORE the delta docs land on disk — the derive-from-docs
-    # fallback must not see the new delta as already-tokenized
+    # derives from root doc files + completed-delta shards only, so the
+    # delta this update is about to write cannot appear as tokenized
     tokenized = load_tokenized(index_dir)
     old_warc = dict(zip(old["doc_id"].astype(int), old["warc_us"].astype(int)))
     # url -> warc for the anti-join (url maps 1:1 to doc_id)
@@ -366,8 +411,12 @@ def update_index(
         delta_postings.write_parquet(
             postings_delta_dir, partition_cols=["bucket"]
         )
-        tokenized |= need
-        save_tokenized(index_dir, tokenized)
+        _write_tokenized_shard(postings_delta_dir, need)
+        _mark_delta_done(docs_delta_dir, postings_delta_dir)
+    elif n_new > 0:
+        # nothing to tokenize (all fresh docs were dedup losers) — the
+        # docs delta is still state the next update depends on
+        _mark_delta_done(docs_delta_dir)
 
     append_lineage(
         index_dir, stage=f"update-{k}", n_fresh=n_new,
@@ -468,7 +517,11 @@ def refresh_index(index_dir: str, *, recompute_df: bool = True) -> dict:
     # sit at different depths (postings/bucket=N vs postings/delta-k/
     # bucket=N), so directory-level partition inference would misfire.
     posting_files = sorted(
-        glob.glob(os.path.join(postings_dir, "**", "*.parquet"), recursive=True)
+        f
+        for f in glob.glob(
+            os.path.join(postings_dir, "**", "*.parquet"), recursive=True
+        )
+        if not os.path.basename(f).startswith("_")
     )
 
     # ---- df + corpus stats ---------------------------------------------

@@ -216,3 +216,49 @@ def test_stage5_crawl_skip(index_dir, base_pages, ratings, tmp_path_factory):
                       tokenize_concurrency=2)
     assert m2["n_fresh_docs"] == 0
     assert m2["n_crawl_skipped"] == len(skip)
+
+
+def test_crashed_update_self_heals(base_pages, ratings, tmp_path_factory):
+    """An update killed between its docs-delta write and tokenization must
+    be cleaned up and redone on the next run with no duplicate postings."""
+    import os
+    import shutil
+
+    from myaku_ray.oracle import build_oracle_index
+    from myaku_ray.pipelines.update import load_tokenized
+
+    idx = str(tmp_path_factory.mktemp("idx_crash"))
+    build_index(base_pages, idx, blog_ratings=ratings, tokenize_concurrency=2)
+
+    batch = gen_update_batch(N_BASE, n_new=30)
+    upd = tmp_path_factory.mktemp("pages_crash")
+    write_update_parquet(str(upd), batch)
+
+    # simulate the crash: a docs delta exists WITHOUT its _DELTA_DONE
+    # (as if update_index died right after extraction)
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from myaku_ray.stages.extract import make_extract_fn
+
+    fake_delta = os.path.join(idx, "docs", "delta-1")
+    os.makedirs(fake_delta)
+    ext = make_extract_fn(ratings)
+    pages_t = pq.read_table(str(upd))
+    pq2.write_table(
+        ext(pages_t.select(["url", "warc_ts", "html", "lang"])),
+        os.path.join(fake_delta, "partial.parquet"),
+    )
+    before = load_tokenized(idx)
+
+    m = update_index(str(upd), idx, blog_ratings=ratings,
+                     tokenize_concurrency=2)
+    assert not os.path.exists(os.path.join(fake_delta, "partial.parquet")) or \
+        os.path.exists(os.path.join(fake_delta, "_DELTA_DONE"))
+    assert m["n_fresh_docs"] > 0  # the crashed delta did not mask the docs
+
+    union = tmp_path_factory.mktemp("pages_crash_union") / "union.parquet"
+    write_union_parquet(str(union), base_pages, batch)
+    _assert_parity(idx, str(union), ratings)
+    after = load_tokenized(idx)
+    assert len(after) > len(before)
