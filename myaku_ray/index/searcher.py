@@ -130,13 +130,19 @@ class Searcher:
         # of the reference's Redis hot-query caches (datastore/cache.py).
         self._term_arrays: dict[str, tuple] = {}
         self._cached_postings = 0
-        self._cache_budget = 8_000_000
+        # ~20 B/posting decoded; 32M ≈ 640 MB ceiling on a query node
+        self._cache_budget = 32_000_000
         # Materialized first-page cache (pipelines/first_page.py) — the
         # Redis page-1 cache analog; None when absent or stale.
         from myaku_ray.pipelines.first_page import load_first_page
 
         fp = load_first_page(index_dir)
         self._first_page, self._first_page_k = fp if fp else (None, 0)
+        # Query-result memo — the next-page-cache analog
+        # (myaku/datastore/cache.py): segments are immutable for this
+        # Searcher's lifetime, so memoization is exact.
+        self._query_memo: dict[tuple[str, int], list] = {}
+        self._query_memo_cap = 10_000
 
     # -- query analysis ---------------------------------------------------
 
@@ -227,6 +233,22 @@ class Searcher:
     # -- WAND top-k -------------------------------------------------------
 
     def topk(self, query_str: str, k: int = 10) -> list[SearchResult]:
+        memo_key = (query_str, k)
+        cached = self._query_memo.get(memo_key)
+        if cached is not None:
+            return [
+                SearchResult(doc_id=d, score=s, warc_us=w)
+                for (d, s, w) in cached
+            ]
+        out = self._topk_uncached(query_str, k)
+        if len(self._query_memo) >= self._query_memo_cap:
+            self._query_memo.pop(next(iter(self._query_memo)))
+        self._query_memo[memo_key] = [
+            (r.doc_id, r.score, r.warc_us) for r in out
+        ]
+        return out
+
+    def _topk_uncached(self, query_str: str, k: int) -> list[SearchResult]:
         terms = self.analyze_query(query_str)
         if (
             self._first_page is not None
