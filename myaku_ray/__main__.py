@@ -1,0 +1,147 @@
+"""CLI entry points: ``python -m myaku_ray <command>``.
+
+The runner surface of the reference (myaku/runners/run_crawl.py,
+rescore.py, build_first_page_cache.py) as subcommands over the Ray
+pipelines.  Owns its Ray session (guarded init), unlike the library.
+
+    python -m myaku_ray build   <pages_dir> <index_dir> [--cpus N]
+    python -m myaku_ray update  <pages_dir> <index_dir> [--cpus N]
+    python -m myaku_ray rescore <index_dir> [--now ISO] [--cpus N]
+    python -m myaku_ray first-page <index_dir> [--cpus N]
+    python -m myaku_ray search  <index_dir> <query> [--k K] [--page P]
+    python -m myaku_ray gen     <out_dir> <n_pages>
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(cpus: int | None) -> None:
+    import logging
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(
+            address="local", include_dashboard=False, logging_level="ERROR"
+        )
+        if cpus:
+            kwargs["num_cpus"] = cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def _ratings() -> dict:
+    from myaku_ray.corpus import gen_blogs_table
+
+    blogs = gen_blogs_table()
+    return dict(zip(blogs["blog_url"], blogs["rating"]))
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="myaku_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("pages_dir")
+    b.add_argument("index_dir")
+    b.add_argument("--cpus", type=int, default=None)
+
+    u = sub.add_parser("update")
+    u.add_argument("pages_dir")
+    u.add_argument("index_dir")
+    u.add_argument("--cpus", type=int, default=None)
+
+    r = sub.add_parser("rescore")
+    r.add_argument("index_dir")
+    r.add_argument("--now", default=None, help="ISO timestamp (UTC naive)")
+    r.add_argument("--cpus", type=int, default=None)
+
+    f = sub.add_parser("first-page")
+    f.add_argument("index_dir")
+    f.add_argument("--cpus", type=int, default=None)
+
+    s = sub.add_parser("search")
+    s.add_argument("index_dir")
+    s.add_argument("query")
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--page", type=int, default=None)
+
+    g = sub.add_parser("gen")
+    g.add_argument("out_dir")
+    g.add_argument("n_pages", type=int)
+    g.add_argument("--cpus", type=int, default=None)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "build":
+        _init_ray(args.cpus)
+        from myaku_ray.pipelines.build import build_index
+
+        m = build_index(args.pages_dir, args.index_dir, blog_ratings=_ratings())
+        print(json.dumps({"stats": m["stats"]}))
+    elif args.cmd == "update":
+        _init_ray(args.cpus)
+        from myaku_ray.pipelines.update import update_index
+
+        m = update_index(args.pages_dir, args.index_dir, blog_ratings=_ratings())
+        print(json.dumps({k: v for k, v in m.items() if k != "stats"}))
+    elif args.cmd == "rescore":
+        _init_ray(args.cpus)
+        from datetime import datetime
+
+        from myaku_ray.corpus import FIXED_NOW
+        from myaku_ray.pipelines.rescore import rescore_index
+
+        now = datetime.fromisoformat(args.now) if args.now else FIXED_NOW
+        m = rescore_index(args.index_dir, now=now, blog_ratings=_ratings())
+        print(json.dumps({k: v for k, v in m.items() if k != "stats"}))
+    elif args.cmd == "first-page":
+        _init_ray(args.cpus)
+        from myaku_ray.pipelines.first_page import build_first_page_cache
+
+        print(json.dumps(build_first_page_cache(args.index_dir)))
+    elif args.cmd == "search":
+        from myaku_ray.index.searcher import Searcher
+
+        s_ = Searcher(args.index_dir)
+        hits = (
+            s_.search_page(args.query, args.page)
+            if args.page
+            else s_.search(args.query, k=args.k)
+        )
+        for h in hits:
+            print(
+                json.dumps(
+                    {
+                        "doc_id": h.doc_id,
+                        "score": round(h.score, 5),
+                        "url": h.url,
+                        "title": h.title,
+                        "preview": h.preview,
+                    },
+                    ensure_ascii=False,
+                )
+            )
+    elif args.cmd == "gen":
+        _init_ray(args.cpus)
+        from myaku_ray.corpus import write_pages_parquet
+
+        write_pages_parquet(args.out_dir, args.n_pages)
+        print(json.dumps({"out": args.out_dir, "n_pages": args.n_pages}))
+
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -355,16 +355,22 @@ class Searcher:
     def count(self, query_str: str) -> int:
         """Total matching docs (docs containing >= 1 query term) — the
         reference's per-query article count (index_search.py:52-66)."""
+        import numpy as np
+
         terms = self.analyze_query(query_str)
-        seen: set[int] = set()
+        parts = []
         for t in terms:
             it = self.term_iterator(t)
             if it is None:
                 continue
             if isinstance(it, ArrayPostings):
-                seen.update(int(x) for x in it.ids)
+                parts.append(it.ids)
             else:
+                ids = []
                 while not it.exhausted:
-                    seen.add(it.doc_id())
+                    ids.append(it.doc_id())
                     it.next()
-        return len(seen)
+                parts.append(np.asarray(ids, dtype=np.int64))
+        if not parts:
+            return 0
+        return int(len(np.unique(np.concatenate(parts))))

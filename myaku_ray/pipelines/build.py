@@ -169,8 +169,10 @@ def build_index(
         )
         metrics["dedup_losers"] = n_losers
 
-    loser_tbl = rd.read_parquet(dedup_dir).to_pandas()
-    loser_ids = frozenset(int(x) for x in loser_tbl["doc_id"])
+    import pyarrow.parquet as _pq
+
+    loser_tbl = _pq.read_table(dedup_dir, columns=["doc_id"])
+    loser_ids = frozenset(int(x) for x in loser_tbl["doc_id"].to_pylist())
     losers_ref = ray.put(loser_ids)
 
     # ---- stage 3: tokenize -> postings ---------------------------------
