@@ -171,11 +171,28 @@ class Searcher:
             self._seg_ds_cache[seg] = ds
         return ds
 
+    # Full-segment term maps are loaded only for segments under this many
+    # bytes; larger segments use per-term parquet predicate pushdown (the
+    # production path would be a term-dictionary file + mmap'd blobs).
+    SEGMENT_MAP_MAX_BYTES = 48 * 1024 * 1024
+
+    def _segment_bytes(self, seg: int) -> int:
+        import glob as _glob
+
+        path = os.path.join(self._seg_root, f"segment={seg}")
+        return sum(
+            os.path.getsize(f)
+            for f in _glob.glob(os.path.join(path, "*.parquet"))
+        )
+
     def _segment_term_map(self, seg: int) -> dict | None:
         m = self._seg_terms.get(seg)
         if m is None:
             ds = self._segment_dataset(seg)
             if ds is None:
+                return None
+            if self._segment_bytes(seg) > self.SEGMENT_MAP_MAX_BYTES:
+                self._seg_terms[seg] = False  # too big: per-term reads
                 return None
             tbl = ds.to_table(columns=["term", "blob", "max_score"])
             m = {}
@@ -184,17 +201,18 @@ class Searcher:
                     (blob.as_py(), float(ms.as_py()))
                 )
             self._seg_terms[seg] = m
-        return m
+        return m if m is not False else None
 
     def term_iterator(self, term: str):
         cached = self._term_arrays.get(term)
         if cached is not None:
             return ArrayPostings.from_arrays(*cached)
         seg = term_hash(term) % self.stats["num_segments"]
-        if self._cache_segments:
-            m = self._segment_term_map(seg)
-            rows = m.get(term) if m else None
+        m = self._segment_term_map(seg) if self._cache_segments else None
+        if m is not None:
+            rows = m.get(term)
         else:
+            # per-term predicate-pushdown read (big segment / no caching)
             ds = self._segment_dataset(seg)
             if ds is None:
                 return None

@@ -78,9 +78,9 @@ def add_salt_bucket(batch: pa.Table, salt_buckets: int, n_buckets: int) -> pa.Ta
     Hashes each UNIQUE term once per batch (vocab ≪ rows), then scatters."""
     ids = batch["doc_id"].to_numpy(zero_copy_only=False)
     salt = (ids % salt_buckets).astype(np.int32)
-    codes, uniques = pd.factorize(
-        pd.Series(batch["term"].to_pylist()), sort=False
-    )
+    enc = batch["term"].combine_chunks().dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    uniques = enc.dictionary.to_pylist()
     uhash = np.fromiter(
         (term_hash(t) for t in uniques), dtype=np.int64, count=len(uniques)
     )
@@ -108,8 +108,11 @@ def encode_bucket_table(
     g = g.sort_by(
         [("term", "ascending"), ("salt", "ascending"), ("doc_id", "ascending")]
     )
-    terms = g["term"].to_pylist()
-    codes, uniques = pd.factorize(pd.Series(terms), sort=False)
+    # dictionary-encode instead of to_pylist: only the (vocab-sized)
+    # dictionary materializes as Python strings, never the row column
+    enc = g["term"].combine_chunks().dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    uniques = enc.dictionary.to_pylist()
     salts = g["salt"].to_numpy(zero_copy_only=False)
     ids = g["doc_id"].to_numpy(zero_copy_only=False)
     tfs = g["tf"].to_numpy(zero_copy_only=False)

@@ -71,6 +71,14 @@ def _parquet_rows(path: str) -> int:
     return total
 
 
+def _auto_encode_buckets(n_docs: int) -> int:
+    """Bucket count targeting ~100k docs' worth of postings per bucket
+    group of 64 — keeps per-bucket encode tasks roughly constant-sized as
+    the corpus grows, bounded so tokenize write fan-out (input blocks ×
+    buckets files) stays sane."""
+    return int(min(max(64, n_docs // 6000), 4096))
+
+
 def _clear_stage(index_dir: str, stage: str) -> None:
     """Remove partial output of an interrupted stage before re-running:
     write_parquet uses unique filenames and never deletes, so re-running
@@ -88,9 +96,9 @@ def build_index(
     fixed_now=FIXED_NOW,
     num_segments: int = DEFAULT_NUM_SEGMENTS,
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
-    # 64 write-partitions: enough encode parallelism for tens of CPUs
-    # while keeping tokenize write fan-out (tasks × buckets files) sane
-    encode_buckets: int = 64,
+    # encode write-partitions; None = scaled to corpus size (see
+    # _auto_encode_buckets) so per-bucket encode tasks stay ~constant work
+    encode_buckets: int | None = None,
     tokenize_concurrency: int | tuple | None = None,
     tokenize_batch_size: int = 128,
     resume: bool = True,
@@ -174,6 +182,9 @@ def build_index(
     loser_tbl = _pq.read_table(dedup_dir, columns=["doc_id"])
     loser_ids = frozenset(int(x) for x in loser_tbl["doc_id"].to_pylist())
     losers_ref = ray.put(loser_ids)
+
+    if encode_buckets is None:
+        encode_buckets = _auto_encode_buckets(_parquet_rows(docs_dir))
 
     # ---- stage 3: tokenize -> postings ---------------------------------
     postings_dir = stage_dir(index_dir, "postings")
