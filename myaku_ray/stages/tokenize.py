@@ -64,15 +64,15 @@ class TokenizeStage:
         out_q: list[int] = []
         out_w: list[int] = []
         for text, did, q, w in zip(texts, doc_ids, qualities, warcs):
-            items = self._tok.find_lexical_items(text)
-            doclen = sum(it["tf"] for it in items)
-            for it in items:
-                terms.append(it["term"])
-                out_doc.append(did)
-                out_tf.append(it["tf"])
-                out_dl.append(doclen)
-                out_q.append(q)
-                out_w.append(w)
+            tfs = self._tok.find_term_tfs(text)
+            doclen = sum(tfs.values())
+            n = len(tfs)
+            terms.extend(tfs.keys())
+            out_tf.extend(tfs.values())
+            out_doc.extend([did] * n)
+            out_dl.extend([doclen] * n)
+            out_q.extend([q] * n)
+            out_w.extend([w] * n)
 
         out = pa.Table.from_pydict(
             {

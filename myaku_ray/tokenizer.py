@@ -176,6 +176,28 @@ class Tokenizer:
         return out
 
 
+    def find_term_tfs(self, text: str) -> dict[str, int]:
+        """Build-side fast path: term -> tf, no position materialization.
+
+        Equivalent to ``{it['term']: it['tf'] for it in
+        find_lexical_items(text)}`` — occurrences have distinct start
+        offsets, so tf == occurrence count (verified by a parity test);
+        the per-occurrence (start, len) sets exist only for query-side
+        previews and golden tests."""
+        tokens = self.tokenize(text)
+        counts: dict[str, int] = {}
+        prev = None
+        for tok in tokens:
+            if tok.pos != _SYMBOL_POS:
+                b = tok.base_form
+                counts[b] = counts.get(b, 0) + 1
+            if prev is not None and (prev.base_form, tok.base_form) in self._phrases:
+                p = prev.base_form + tok.base_form
+                counts[p] = counts.get(p, 0) + 1
+            prev = tok
+        return counts
+
+
 _TOKENIZER: Tokenizer | None = None
 
 

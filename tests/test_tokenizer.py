@@ -81,3 +81,17 @@ def test_unknown_latin_run_groups():
     items = tok.find_lexical_items("xyzzy123。")
     # one unknown-run token, lower-cased half-width base
     assert any(i["term"] == "xyzzy123" for i in items)
+
+
+def test_find_term_tfs_matches_lexical_items():
+    """Build-side fast path produces identical (term, tf) pairs."""
+    from myaku_ray.corpus import gen_page_row
+
+    tok = get_tokenizer()
+    for i in range(0, 120, 7):
+        text = gen_page_row(i, 200)["text"]
+        if not text:
+            continue
+        want = {it["term"]: it["tf"] for it in tok.find_lexical_items(text)}
+        got = tok.find_term_tfs(text)
+        assert got == want, i
