@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_search_topk": fulltext.pages_search_topk,
         # language ID (profile scoring)
         "lang_id_ngram": textops.lang_id_ngram,
+        # composed training-data curation (dedup + lang + quality gates)
+        "curate_documents": textops.curate_documents,
         # IVF approximate ANN (recall-tested vs brute force, not SQL)
         "ivf_cosine_topk": ann.ivf_cosine_topk,
         # multimodal binary-column stages (decode stubbed, plumbing real)
@@ -94,6 +96,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_embeddings": ann.NEAR_DUP_EMBEDDINGS_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
         "lang_id_ngram": textops.LANG_ID_NGRAM_SQL,
+        "curate_documents": textops.CURATE_DOCUMENTS_SQL,
         "media_meta_stats": media.MEDIA_META_STATS_SQL,
         # minhash_lsh_pairs / simhash_docs / doc_fingerprints /
         # pages_extract_stats / pages_search_topk / ivf_cosine_topk /

@@ -251,3 +251,91 @@ SELECT doc_id,
   score_de, score_en, score_fr
 FROM scored
 """
+
+
+# Curation thresholds (the composed training-data filter pipeline)
+CURATE_MIN_TOKENS = 30
+CURATE_MAX_STOPWORD_RATIO = 0.30
+
+
+def curate_documents(sf_dir: str):
+    """End-to-end corpus curation: exact dedup (keep min doc_id) ->
+    language filter (en) -> quality gates (length + stopword ratio) ->
+    per-source survivor stats.  The composed shape of a training-data
+    cleaning pipeline, exactly mirrored in SQL.
+
+    One pass computes hash + quality signals per batch (no row ever read
+    twice); the dedup winner resolution is the only shuffle."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    stop = set(STOPWORDS)
+
+    def signals(batch: pa.Table) -> pa.Table:
+        ids, hs, langs, srcs, keep_q, n_toks = [], [], [], [], [], []
+        for did, text, lang, src in zip(
+            batch["doc_id"].to_pylist(),
+            batch["text"].to_pylist(),
+            batch["lang"].to_pylist(),
+            batch["source"].to_pylist(),
+        ):
+            toks = text.split(" ")
+            ns = sum(t in stop for t in toks)
+            ids.append(did)
+            hs.append(hashlib.sha256(text.encode()).hexdigest())
+            langs.append(lang)
+            srcs.append(src)
+            n_toks.append(len(toks))
+            keep_q.append(
+                len(toks) >= CURATE_MIN_TOKENS
+                and ns / len(toks) <= CURATE_MAX_STOPWORD_RATIO
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "h": pa.array(hs, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+                "source": pa.array(srcs, pa.string()),
+                "n_tokens": pa.array(n_toks, pa.int64()),
+                "keep_q": pa.array(keep_q, pa.bool_()),
+            }
+        )
+
+    sig = ds.map_batches(signals, batch_format="pyarrow")
+
+    def winners_of_group(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        keep = int(ids.min())
+        mask = pa.array(ids == keep)
+        return g.filter(mask)
+
+    survivors = (
+        sig.groupby("h")
+        .map_groups(winners_of_group, batch_format="pyarrow")
+        .filter(lambda r: r["lang"] == "en" and r["keep_q"])
+    )
+    return survivors.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tokens", alias_name="sum_tokens"),
+        Min("doc_id", alias_name="min_doc_id"),
+    )
+
+
+CURATE_DOCUMENTS_SQL = f"""
+WITH sig AS (
+  SELECT doc_id, text, lang, source,
+    len(string_split(text, ' ')) AS n_tokens,
+    CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+         AS DOUBLE) / len(string_split(text, ' ')) AS sw_ratio,
+    min(doc_id) OVER (PARTITION BY text) AS winner
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+  min(doc_id) AS min_doc_id
+FROM sig
+WHERE doc_id = winner AND lang = 'en'
+  AND n_tokens >= {CURATE_MIN_TOKENS} AND sw_ratio <= {CURATE_MAX_STOPWORD_RATIO}
+GROUP BY source
+"""
