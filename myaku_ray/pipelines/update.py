@@ -341,9 +341,17 @@ def update_index(
     # ---- supersede map for re-crawled doc_ids --------------------------
     supersede = load_supersede(index_dir)
     recrawled = new_df[new_df["doc_id"].isin(old["doc_id"])]
+    overrides = load_quality_overrides(index_dir)
+    ov_changed = False
     for did, w in zip(recrawled["doc_id"].astype(int), recrawled["warc_us"].astype(int)):
         supersede[did] = max(w, supersede.get(did, 0))
+        # a rescore override belongs to the OLD version's text/length —
+        # the re-crawled version carries its own freshly computed quality
+        if overrides.pop(did, None) is not None:
+            ov_changed = True
     save_supersede(index_dir, supersede)
+    if ov_changed:
+        save_quality_overrides(index_dir, overrides)
     metrics["n_recrawled"] = len(recrawled)
 
     # ---- dedup recompute over live docs --------------------------------

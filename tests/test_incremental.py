@@ -262,3 +262,81 @@ def test_crashed_update_self_heals(base_pages, ratings, tmp_path_factory):
     _assert_parity(idx, str(union), ratings)
     after = load_tokenized(idx)
     assert len(after) > len(before)
+
+
+def test_refresh_fallback_on_flat_postings(base_pages, ratings, tmp_path_factory):
+    """An index whose postings are NOT bucket-partitioned (legacy layout)
+    must refresh through the Dataset-groupby fallback and stay
+    rank-identical."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from myaku_ray.pipelines.update import refresh_index
+
+    idx = str(tmp_path_factory.mktemp("idx_flat"))
+    build_index(base_pages, idx, blog_ratings=ratings, tokenize_concurrency=2)
+
+    # flatten: merge all bucketed posting files into one flat file
+    pdir = os.path.join(idx, "postings")
+    files = [
+        f for f in glob.glob(os.path.join(pdir, "**", "*.parquet"), recursive=True)
+        if not os.path.basename(f).startswith("_")
+    ]
+    cols = ["term", "doc_id", "tf", "doclen", "quality", "warc_us"]
+    flat = pa.concat_tables([pq2.read_table(f, columns=cols) for f in files])
+    shutil.rmtree(pdir)
+    os.makedirs(pdir)
+    pq2.write_table(flat, os.path.join(pdir, "flat.parquet"))
+
+    m = refresh_index(idx)
+    assert "refresh_wall_s" in m
+    _assert_parity(idx, base_pages, ratings)
+
+
+def test_update_after_rescore(base_pages, ratings, tmp_path_factory):
+    """rescore then a later incremental update at the same clock must
+    stay rank-identical to a from-scratch oracle at that clock (quality
+    overrides and fresh-doc scores must agree)."""
+    from datetime import timedelta
+
+    from myaku_ray.corpus import FIXED_NOW
+    from myaku_ray.oracle import build_oracle_index
+    from myaku_ray.pipelines.rescore import rescore_index
+
+    idx = str(tmp_path_factory.mktemp("idx_interleave"))
+    build_index(base_pages, idx, blog_ratings=ratings, tokenize_concurrency=2)
+
+    now2 = FIXED_NOW + timedelta(days=120)
+    rescore_index(idx, now=now2, blog_ratings=ratings)
+
+    # re-crawl a doc that HAS a rescore override: the override belongs to
+    # the old version and must be dropped, not applied to the new text
+    from myaku_ray.pipelines.update import load_quality_overrides
+
+    overrides = load_quality_overrides(idx)
+    assert overrides, "rescore produced no overrides"
+    docs = pq.read_table(f"{idx}/docs", columns=["doc_id", "url"]).to_pandas()
+    ov_doc = sorted(overrides)[0]
+    ov_url = docs.loc[docs["doc_id"] == ov_doc, "url"].iloc[0]
+    recrawl_idx = _index_of_url(ov_url)
+
+    batch = gen_update_batch(N_BASE, n_new=40, recrawl_indices=[recrawl_idx, 11])
+    upd = tmp_path_factory.mktemp("pages_interleave")
+    write_update_parquet(str(upd), batch)
+    m = update_index(str(upd), idx, blog_ratings=ratings,
+                     fixed_now=now2, tokenize_concurrency=2)
+    assert m["refreshed"]
+
+    union = tmp_path_factory.mktemp("union_interleave") / "union.parquet"
+    write_union_parquet(str(union), base_pages, batch)
+    s = Searcher(idx)
+    oi = build_oracle_index(str(union), blog_ratings=ratings, fixed_now=now2)
+    assert s.stats["n_docs"] == oi.n_docs
+    for q in reference_query_set():
+        got = [(r.doc_id, round(r.score, 5)) for r in s.search(q, k=10)]
+        want = [(d, round(sc, 5)) for d, sc, *_ in oracle_topk(oi, q, k=10)]
+        assert got == want, f"interleave mismatch for {q!r}"
