@@ -71,6 +71,14 @@ def _parquet_rows(path: str) -> int:
     return total
 
 
+def _auto_salt_buckets(n_docs: int) -> int:
+    """Salt count bounding the largest posting sub-list: a particle term
+    with df ≈ n_docs splits into `salt` disjoint doc_id strides, so one
+    encode/query task never holds more than ~25M postings (~500 MB
+    decoded) of a single term."""
+    return int(max(4, n_docs // 25_000_000))
+
+
 def _auto_encode_buckets(n_docs: int) -> int:
     """Bucket count targeting ~100k docs' worth of postings per bucket
     group of 64 — keeps per-bucket encode tasks roughly constant-sized as
@@ -95,7 +103,7 @@ def build_index(
     blog_ratings: dict[str, float] | None = None,
     fixed_now=FIXED_NOW,
     num_segments: int = DEFAULT_NUM_SEGMENTS,
-    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    salt_buckets: int | None = None,
     # encode write-partitions; None = scaled to corpus size (see
     # _auto_encode_buckets) so per-bucket encode tasks stay ~constant work
     encode_buckets: int | None = None,
@@ -183,8 +191,11 @@ def build_index(
     loser_ids = frozenset(int(x) for x in loser_tbl["doc_id"].to_pylist())
     losers_ref = ray.put(loser_ids)
 
+    n_doc_count = _parquet_rows(docs_dir)
+    if salt_buckets is None:
+        salt_buckets = _auto_salt_buckets(n_doc_count)
     if encode_buckets is None:
-        encode_buckets = _auto_encode_buckets(_parquet_rows(docs_dir))
+        encode_buckets = _auto_encode_buckets(n_doc_count)
 
     # ---- stage 3: tokenize -> postings ---------------------------------
     postings_dir = stage_dir(index_dir, "postings")
