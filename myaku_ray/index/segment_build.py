@@ -270,9 +270,12 @@ def _encode_bucket_task(
         sub = rows.filter(pa.array(segs == seg))
         d = os.path.join(seg_root, f"segment={int(seg)}")
         os.makedirs(d, exist_ok=True)
+        # small row groups: files are term-sorted, so per-term predicate
+        # pushdown at query time skips row groups by term min/max stats
         pq.write_table(
             sub.drop_columns(["segment"]),
             os.path.join(d, f"bucket-{bucket_id:05d}.parquet"),
+            row_group_size=512,
         )
     return rows.num_rows
 
