@@ -9,6 +9,7 @@ pipelines.  Owns its Ray session (guarded init), unlike the library.
     python -m myaku_ray rescore <index_dir> [--now ISO] [--cpus N]
     python -m myaku_ray first-page <index_dir> [--cpus N]
     python -m myaku_ray search  <index_dir> <query> [--k K] [--page P]
+    python -m myaku_ray delete  <index_dir> <url> [...]
     python -m myaku_ray gen     <out_dir> <n_pages>
 """
 
@@ -73,6 +74,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--page", type=int, default=None)
 
+    d = sub.add_parser("delete")
+    d.add_argument("index_dir")
+    d.add_argument("urls", nargs="+")
+    d.add_argument("--cpus", type=int, default=None)
+
     g = sub.add_parser("gen")
     g.add_argument("out_dir")
     g.add_argument("n_pages", type=int)
@@ -129,6 +135,11 @@ def main(argv: list[str] | None = None) -> int:
                     ensure_ascii=False,
                 )
             )
+    elif args.cmd == "delete":
+        _init_ray(args.cpus)
+        from myaku_ray.pipelines.update import delete_urls
+
+        print(json.dumps(delete_urls(args.index_dir, args.urls)))
     elif args.cmd == "gen":
         _init_ray(args.cpus)
         from myaku_ray.corpus import write_pages_parquet

@@ -342,16 +342,24 @@ def update_index(
     supersede = load_supersede(index_dir)
     recrawled = new_df[new_df["doc_id"].isin(old["doc_id"])]
     overrides = load_quality_overrides(index_dir)
+    deleted = load_deleted(index_dir)
     ov_changed = False
+    del_changed = False
     for did, w in zip(recrawled["doc_id"].astype(int), recrawled["warc_us"].astype(int)):
         supersede[did] = max(w, supersede.get(did, 0))
         # a rescore override belongs to the OLD version's text/length —
         # the re-crawled version carries its own freshly computed quality
         if overrides.pop(did, None) is not None:
             ov_changed = True
+        # a removed page that reappears with a newer version is un-deleted
+        if did in deleted:
+            deleted.discard(did)
+            del_changed = True
     save_supersede(index_dir, supersede)
     if ov_changed:
         save_quality_overrides(index_dir, overrides)
+    if del_changed:
+        save_deleted(index_dir, deleted)
     metrics["n_recrawled"] = len(recrawled)
 
     # ---- dedup recompute over live docs --------------------------------
@@ -359,6 +367,7 @@ def update_index(
         [old[~old["doc_id"].isin(set(new_df["doc_id"]))], new_df],
         ignore_index=True,
     )
+    live = live[~live["doc_id"].isin(deleted)]
     winners = live.groupby("text_hash")["doc_id"].min()
     winner_ids = set(winners.astype(int))
     losers = set(live["doc_id"].astype(int)) - winner_ids
@@ -482,7 +491,7 @@ def refresh_index(index_dir: str, *, recompute_df: bool = True) -> dict:
     num_segments = prev_stats["num_segments"]
     salt_buckets = prev_stats["salt_buckets"]
 
-    losers = load_losers(index_dir)
+    losers = load_losers(index_dir) | load_deleted(index_dir)
     supersede = load_supersede(index_dir)
     overrides = load_quality_overrides(index_dir)
     drop_ref = ray.put((frozenset(losers), supersede, overrides))
@@ -603,3 +612,118 @@ def refresh_index(index_dir: str, *, recompute_df: bool = True) -> dict:
         )
     mark_complete(index_dir, "segments", refreshed=True)
     return {"refresh_wall_s": round(time.time() - t0, 3), "stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# document removal (check_for_removed_articles analog)
+# ---------------------------------------------------------------------------
+
+def load_deleted(index_dir: str) -> set[int]:
+    p = os.path.join(index_dir, "deleted.parquet")
+    if not os.path.exists(p):
+        return set()
+    return set(int(x) for x in pq.read_table(p)["doc_id"].to_pylist())
+
+
+def save_deleted(index_dir: str, ids: set[int]) -> None:
+    pq.write_table(
+        pa.table({"doc_id": pa.array(sorted(ids), pa.int64())}),
+        os.path.join(index_dir, "deleted.parquet"),
+    )
+
+
+def delete_urls(
+    index_dir: str,
+    urls: list[str],
+    *,
+    tokenize_concurrency: int | tuple | None = (1, 8),
+    tokenize_batch_size: int = 128,
+) -> dict:
+    """Remove documents whose source pages disappeared (the reference's
+    check_for_removed_articles runner, runners/check_for_removed_articles
+    .py — there the article is flagged `page_removed`; here its postings
+    are tombstoned and the index refreshed).
+
+    Deletion interacts with exact dedup exactly like a re-crawl that
+    changes content: if a deleted doc was a text_hash winner, its
+    smallest surviving duplicate is resurrected (tokenized now if its
+    postings never existed)."""
+    t0 = time.time()
+    metrics: dict = {}
+    _clean_partial_deltas(index_dir)
+
+    old = _docs_light(index_dir)
+    tokenized = load_tokenized(index_dir)
+    deleted = load_deleted(index_dir)
+    url_ids = set(
+        old.loc[old["url"].isin(set(urls)), "doc_id"].astype(int)
+    )
+    new_deleted = url_ids - deleted
+    metrics["n_deleted"] = len(new_deleted)
+    if not new_deleted:
+        metrics["refreshed"] = False
+        return metrics
+    deleted |= new_deleted
+    save_deleted(index_dir, deleted)
+
+    # dedup recompute over surviving docs (winner = min doc_id)
+    live = old[~old["doc_id"].isin(deleted)]
+    winners = live.groupby("text_hash")["doc_id"].min()
+    winner_ids = set(winners.astype(int))
+    losers = set(live["doc_id"].astype(int)) - winner_ids
+    save_losers(index_dir, losers)
+
+    # resurrected winners that were never tokenized
+    live_versions = set(zip(live["doc_id"].astype(int), live["warc_us"].astype(int)))
+    need = {
+        (d, w) for (d, w) in live_versions
+        if d in winner_ids and (d, w) not in tokenized
+    }
+    metrics["n_resurrected"] = len(need)
+    if need:
+        k = _next_delta_id(index_dir, "postings")
+        postings_delta_dir = os.path.join(
+            stage_dir(index_dir, "postings"), f"delta-{k}"
+        )
+        need_ids_ref = ray.put({d for d, _ in need})
+        docs_all = rd.read_parquet(
+            stage_dir(index_dir, "docs"),
+            columns=["doc_id", "text", "quality_score", "warc_ts"],
+        )
+
+        def keep_need(batch: pa.Table) -> pa.Table:
+            need_ids = ray.get(need_ids_ref)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            warcs = batch["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            mask = np.array(
+                [
+                    (int(i) in need_ids) and ((int(i), int(w)) in need)
+                    for i, w in zip(ids, warcs)
+                ],
+                dtype=bool,
+            )
+            return batch.filter(pa.array(mask))
+
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            _stats = json.load(f)
+        docs_all.map_batches(keep_need, batch_format="pyarrow").map_batches(
+            TokenizeStage,
+            batch_format="pyarrow",
+            batch_size=tokenize_batch_size,
+            concurrency=tokenize_concurrency,
+            num_cpus=1,
+            fn_constructor_kwargs={
+                "salt_buckets": _stats["salt_buckets"],
+                "encode_buckets": _stats.get("encode_buckets", 64),
+            },
+        ).write_parquet(postings_delta_dir, partition_cols=["bucket"])
+        _write_tokenized_shard(postings_delta_dir, need)
+        _mark_delta_done(postings_delta_dir)
+
+    append_lineage(
+        index_dir, stage="delete", n_deleted=len(new_deleted),
+        n_resurrected=len(need), wall_s=round(time.time() - t0, 3),
+    )
+    metrics.update(refresh_index(index_dir))
+    metrics["refreshed"] = True
+    return metrics

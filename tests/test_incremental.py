@@ -340,3 +340,41 @@ def test_update_after_rescore(base_pages, ratings, tmp_path_factory):
         got = [(r.doc_id, round(r.score, 5)) for r in s.search(q, k=10)]
         want = [(d, round(sc, 5)) for d, sc, *_ in oracle_topk(oi, q, k=10)]
         assert got == want, f"interleave mismatch for {q!r}"
+
+
+def test_delete_urls_with_resurrection(base_pages, ratings, tmp_path_factory):
+    """Deleting a dedup-winner url must tombstone its postings, resurrect
+    its smallest surviving duplicate, and stay rank-identical to an
+    oracle built over the corpus minus the deleted page."""
+    import pyarrow as pa
+
+    from myaku_ray.oracle import build_oracle_index
+    from myaku_ray.pipelines.update import delete_urls, load_deleted
+
+    idx = str(tmp_path_factory.mktemp("idx_delete"))
+    build_index(base_pages, idx, blog_ratings=ratings, tokenize_concurrency=2)
+
+    docs = pq.read_table(
+        f"{idx}/docs", columns=["doc_id", "url", "text_hash"]
+    ).to_pandas()
+    groups = docs.groupby("text_hash")["doc_id"].agg(["count", "min"])
+    dup = groups[groups["count"] > 1]
+    assert len(dup) > 0
+    winner_id = int(dup["min"].iloc[0])
+    winner_url = docs.loc[docs["doc_id"] == winner_id, "url"].iloc[0]
+
+    m = delete_urls(idx, [winner_url], tokenize_concurrency=2)
+    assert m["n_deleted"] == 1
+    assert m["n_resurrected"] >= 1
+    assert winner_id in load_deleted(idx)
+
+    # oracle over the corpus with the deleted page removed
+    full = pq.read_table(base_pages)
+    mask = pa.array([u != winner_url for u in full["url"].to_pylist()], pa.bool_())
+    reduced = tmp_path_factory.mktemp("pages_deleted") / "reduced.parquet"
+    pq.write_table(full.filter(mask), str(reduced))
+    _assert_parity(idx, str(reduced), ratings)
+
+    # idempotent re-delete
+    m2 = delete_urls(idx, [winner_url], tokenize_concurrency=2)
+    assert m2["n_deleted"] == 0 and m2["refreshed"] is False
