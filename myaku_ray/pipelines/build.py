@@ -234,7 +234,9 @@ def build_index(
         )
         # Hive-partition by encode bucket: the write IS the (term, salt)
         # shuffle — segment encode later reads one bucket dir per task.
-        postings.write_parquet(postings_dir, partition_cols=["bucket"])
+        postings.write_parquet(
+            postings_dir, partition_cols=["bucket"], compression="lz4"
+        )
         mark_complete(
             index_dir, "postings", rows=_parquet_rows(postings_dir),
             wall_s=round(time.time() - t0, 3),

@@ -426,7 +426,7 @@ def update_index(
             },
         )
         delta_postings.write_parquet(
-            postings_delta_dir, partition_cols=["bucket"]
+            postings_delta_dir, partition_cols=["bucket"], compression="lz4"
         )
         _write_tokenized_shard(postings_delta_dir, need)
         _mark_delta_done(docs_delta_dir, postings_delta_dir)
@@ -716,7 +716,7 @@ def delete_urls(
                 "salt_buckets": _stats["salt_buckets"],
                 "encode_buckets": _stats.get("encode_buckets", 64),
             },
-        ).write_parquet(postings_delta_dir, partition_cols=["bucket"])
+        ).write_parquet(postings_delta_dir, partition_cols=["bucket"], compression="lz4")
         _write_tokenized_shard(postings_delta_dir, need)
         _mark_delta_done(postings_delta_dir)
 
