@@ -10,19 +10,27 @@ resumability (every stage has a _SUCCESS marker + lineage record):
                  -> loser doc_ids parquet (winner = min doc_id; A6,
                  index_build.py:116-143).  Only 2 small columns shuffle;
                  the text/html payload never moves.
-3. ``postings``  docs - losers -> TokenizeStage actor pool -> postings_raw/.
-4. ``stats``     df per term (groupby count) + corpus stats -> df/ + stats.json.
-5. ``segments``  postings + salt -> groupby(term, salt) -> encode sub-list
-                 blobs with per-block max scores -> segments/ partitioned by
-                 ``term_hash % num_segments``.  Salting bounds the largest
-                 group at df_max / salt_buckets, so high-DF particles
-                 (df ~ corpus size) cannot pin one task (SURVEY.md §4 skew).
+3. ``postings``  docs - losers -> TokenizeStage actor pool -> postings/
+                 written hive-partitioned by encode bucket
+                 (hash(term)·31+salt % B) — the write IS the (term, salt)
+                 exchange; no posting row ever moves through the object
+                 store after this.
+4. ``stats``     per-bucket partial-df tasks + vocabulary-sized driver
+                 merge -> df/ + stats.json (distributed groupby fallback
+                 above the scale switch).
+5. ``segments``  one raw Ray task per bucket dir: Arrow-sort, score,
+                 delta+varint-encode every (term, salt) sub-list ->
+                 segments/ partitioned by ``term_hash % num_segments``.
+                 Salting bounds the largest sub-list at df_max / salt
+                 (adaptive — SURVEY.md §4 skew), so high-DF particles
+                 cannot pin one task.
 
 Scale notes (100 TB):
-- Only stage 5 shuffles posting rows; rows are 6 narrow columns (~40 B).
-- The df/term dictionary is a #terms-row table — broadcast via ray.put
-  here; at extreme vocab sizes swap for a map-side join partitioned by the
-  same term hash (documented partitioning assumption).
+- The bucket-partitioned postings write is the only exchange AND the
+  resumability checkpoint; bucket and salt counts scale with the corpus
+  (_auto_encode_buckets / _auto_salt_buckets).
+- The df/term dictionary is a #terms-row table; at extreme vocab sizes
+  swap the driver merge for the distributed groupby (scale switch).
 - Loser-id broadcast assumes dup rate << corpus (2% here); the scale path
   is a hash-bucketed anti-join on doc_id.
 """
