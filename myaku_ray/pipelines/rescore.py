@@ -13,15 +13,19 @@ Ray-Data expression:
 1. ``map_batches`` over the docs table recomputes the full integer quality
    score per doc at ``now`` (pure arithmetic on stored columns + the
    broadcast blog-ratings dim — no tokenization, no text reads beyond the
-   needed columns) and emits only CHANGED (doc_id, quality) pairs — docs
-   whose age stayed inside its bucket produce nothing, exactly the
-   reference's boundary-crossing selection, computed instead of tracked.
-2. Changed pairs merge into ``quality_overrides.parquet``; the segment
-   refresh applies them as a column substitution on the posting stream
-   before re-encoding.  tf/df/doclen are untouched, so the df shuffle is
-   skipped (``refresh_index(recompute_df=False)``) — only the cheap
-   encode shuffle runs, the analog of the reference rewriting FLI rank
-   fields without re-analyzing text (index_rescore.py:199-282).
+   needed columns) and emits only CHANGED (doc_id, quality, warc_us)
+   rows — docs whose age stayed inside its bucket produce nothing, exactly
+   the reference's boundary-crossing selection, computed instead of
+   tracked.
+2. Changed rows merge into ``quality_overrides.parquet`` keyed by the
+   version they scored (warc_us): a later re-crawl invalidates the
+   override by derivation (pipelines.update.effective_overrides), no
+   mutation needed.  The segment refresh applies effective overrides as a
+   column substitution on the posting stream before re-encoding.
+   tf/df/doclen are untouched, so the df shuffle is skipped
+   (``refresh_index(recompute_df=False)``) — only the cheap encode
+   shuffle runs, the analog of the reference rewriting FLI rank fields
+   without re-analyzing text (index_rescore.py:199-282).
 3. ``stats.json`` records the new clock (``fixed_now_us``) — the
    rescore-tracking checkpoint (index_rescore.py:332-343).
 
@@ -41,6 +45,9 @@ import ray.data as rd
 
 from myaku_ray.corpus import blog_url_of, order_nums_of
 from myaku_ray.pipelines.update import (
+    _docs_versions,
+    derive_supersede,
+    effective_overrides,
     load_quality_overrides,
     refresh_index,
     save_quality_overrides,
@@ -67,27 +74,34 @@ def rescore_index(
             "source", "has_video",
         ],
     )
-    prev_overrides = load_quality_overrides(index_dir)
-    prev_ref = ray.put(prev_overrides)
-    from myaku_ray.pipelines.update import load_supersede
-
-    supersede = load_supersede(index_dir)
+    versions = _docs_versions(index_dir)
+    supersede = derive_supersede(versions)
+    latest_warc = {
+        int(d): int(w)
+        for d, w in versions.groupby("doc_id")["warc_us"].max().items()
+    }
+    prev_records = load_quality_overrides(index_dir)
+    prev_eff = effective_overrides(latest_warc, prev_records)
+    prev_ref = ray.put(prev_eff)
     sup_ref = ray.put(supersede)
 
     def changed_quality(batch: pa.Table) -> pa.Table:
         ratings = ray.get(ratings_ref)
         prev_ov = ray.get(prev_ref)
         sup = ray.get(sup_ref)
+        warc_us_all = batch["warc_ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
         if sup:  # keep only the live version of re-crawled docs
             ids_np = batch["doc_id"].to_numpy(zero_copy_only=False)
-            warc_us = batch["warc_ts"].cast(pa.int64()).to_numpy(
-                zero_copy_only=False
-            )
             mask = [
                 int(i) not in sup or int(w) >= sup[int(i)]
-                for i, w in zip(ids_np, warc_us)
+                for i, w in zip(ids_np, warc_us_all)
             ]
             batch = batch.filter(pa.array(mask, pa.bool_()))
+            warc_us_all = batch["warc_ts"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
         urls = batch["url"].to_pylist()
         warcs = batch["warc_ts"].to_pylist()
         alnums = batch["alnum_count"].to_pylist()
@@ -95,9 +109,9 @@ def rescore_index(
         sources = batch["source"].to_pylist()
         vids = batch["has_video"].to_pylist()
         ids = batch["doc_id"].to_pylist()
-        out_id, out_q = [], []
-        for did, url, warc, alnum, q0, src, hv in zip(
-            ids, urls, warcs, alnums, stored_q, sources, vids
+        out_id, out_q, out_w = [], [], []
+        for did, url, warc, alnum, q0, src, hv, wus in zip(
+            ids, urls, warcs, alnums, stored_q, sources, vids, warc_us_all
         ):
             border, sorder = order_nums_of(url)
             burl = blog_url_of(url)
@@ -115,10 +129,12 @@ def rescore_index(
             if q != current:
                 out_id.append(did)
                 out_q.append(q)
+                out_w.append(int(wus))
         return pa.table(
             {
                 "doc_id": pa.array(out_id, pa.int64()),
                 "quality": pa.array(out_q, pa.int64()),
+                "warc_us": pa.array(out_w, pa.int64()),
             }
         )
 
@@ -128,9 +144,14 @@ def rescore_index(
     metrics = {"n_rescored": n_changed}
     stats_path = os.path.join(index_dir, "stats.json")
     if n_changed:
-        merged = dict(prev_overrides)
+        merged = dict(prev_records)
         merged.update(
-            zip(changed["doc_id"].astype(int), changed["quality"].astype(int))
+            {
+                int(d): (int(q), int(w))
+                for d, q, w in zip(
+                    changed["doc_id"], changed["quality"], changed["warc_us"]
+                )
+            }
         )
         save_quality_overrides(index_dir, merged)
         metrics.update(refresh_index(index_dir, recompute_df=False))

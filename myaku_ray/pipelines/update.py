@@ -28,16 +28,35 @@ Reproduces the reference's semantics on a built index directory:
   would amortize this with score-frozen delta generations + periodic
   compaction; the refresh here IS that compaction step.
 
-Incremental state files (all under the index dir):
+Crash-consistency model (every root state value is either a user-action
+record written atomically at its own action time, or DERIVED from the
+committed delta set — never a mutation that can desync from a
+half-written delta):
 
-- ``docs/delta-<k>/``, ``postings/delta-<k>/`` — per-update outputs, same
-  schemas as the base build (parquet discovery reads base+deltas as one
-  dataset).
-- ``supersede.json`` — {doc_id: latest_warc_us} for re-crawled urls.
-- ``losers.parquet`` — CURRENT full dedup-loser doc_id set (overwritten).
-- ``postings/delta-<k>/_tokenized.meta`` — (doc_id, warc_us) versions the
-  delta tokenized, valid only with the delta's ``_DELTA_DONE`` marker
-  (partial deltas from a crash are swept before every update).
+- ``docs/delta-<k>/``, ``postings/delta-<k>/`` — per-update outputs; a
+  delta COUNTS only once its ``_DELTA_DONE`` marker exists (partial
+  deltas from a crash are swept before every update).  Delta ids come
+  from ONE counter spanning both stages, so an update after a
+  delete-resurrection can never reuse a live postings delta dir.
+- supersede (doc_id -> latest warc_us for re-crawled docs) is DERIVED
+  from the committed doc files (a doc with >1 committed version is a
+  re-crawl; max warc wins) — no side file to desync.
+- ``deleted.parquet`` — (doc_id, warc_us) records written by
+  delete_urls with the latest committed version at deletion time; a doc
+  is effectively deleted iff its current latest committed warc_us is <=
+  the recorded one, so a strictly-newer re-crawl un-deletes it with no
+  state mutation.
+- ``quality_overrides.parquet`` — (doc_id, quality, warc_us) written by
+  rescore for the version it scored; an override is effective iff the
+  doc's latest committed warc_us still equals the recorded one (a
+  re-crawl silently invalidates it — the override belonged to the old
+  version's text).
+- ``losers.parquet`` — CURRENT dedup-loser doc_id set, recomputed and
+  written ONLY by refresh_index from committed state (observability +
+  the no-change fast path; the authority is always the derivation).
+- ``stats.json`` records ``refreshed_thru_delta`` = max committed delta
+  id at the last completed refresh, so a crash between delta commit and
+  refresh can never satisfy the no-change fast path.
 - every stage appends a lineage record (state/lineage.py).
 """
 
@@ -71,24 +90,78 @@ from myaku_ray.state.lineage import append_lineage, mark_complete, stage_dir
 
 
 # ---------------------------------------------------------------------------
-# small state files
+# atomic small-file writes
 # ---------------------------------------------------------------------------
 
-def _supersede_path(index_dir: str) -> str:
-    return os.path.join(index_dir, "supersede.json")
+def _atomic_write_table(path: str, table: pa.Table) -> None:
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
 
 
-def load_supersede(index_dir: str) -> dict[int, int]:
-    p = _supersede_path(index_dir)
-    if not os.path.exists(p):
-        return {}
-    with open(p) as f:
-        return {int(k): int(v) for k, v in json.load(f).items()}
+def _atomic_write_json(path: str, obj) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
 
 
-def save_supersede(index_dir: str, m: dict[int, int]) -> None:
-    with open(_supersede_path(index_dir), "w") as f:
-        json.dump({str(k): v for k, v in m.items()}, f)
+# ---------------------------------------------------------------------------
+# committed-state readers (the derivation layer)
+# ---------------------------------------------------------------------------
+
+def _committed_doc_files(index_dir: str) -> list[str]:
+    """Base doc files + files of deltas that carry _DELTA_DONE."""
+    docs_dir = stage_dir(index_dir, "docs")
+    files = sorted(glob.glob(os.path.join(docs_dir, "*.parquet")))
+    for d in sorted(glob.glob(os.path.join(docs_dir, "delta-*"))):
+        if os.path.exists(os.path.join(d, "_DELTA_DONE")):
+            files.extend(sorted(glob.glob(os.path.join(d, "**", "*.parquet"),
+                                          recursive=True)))
+    return files
+
+
+def _docs_versions(index_dir: str) -> pd.DataFrame:
+    """Every COMMITTED (doc_id, url, text_hash, warc_us) doc version.
+
+    Driver-side here (checkpoint-sized columns only, no text).  At
+    10^12-doc scale this becomes a Dataset groupby on doc_id — the same
+    columns, never the payload."""
+    files = _committed_doc_files(index_dir)
+    if not files:
+        return pd.DataFrame(
+            columns=["doc_id", "url", "text_hash", "warc_us"]
+        ).astype({"doc_id": "int64", "warc_us": "int64"})
+    t = pq.read_table(files, columns=["doc_id", "url", "text_hash", "warc_ts"])
+    return pd.DataFrame(
+        {
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            "url": t["url"].to_pylist(),
+            "text_hash": t["text_hash"].to_pylist(),
+            "warc_us": t["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+        }
+    )
+
+
+def _docs_light(index_dir: str) -> pd.DataFrame:
+    """Latest committed version per doc_id."""
+    df = _docs_versions(index_dir)
+    df = df.sort_values(["doc_id", "warc_us"]).drop_duplicates(
+        "doc_id", keep="last"
+    )
+    return df.reset_index(drop=True)
+
+
+def derive_supersede(versions: pd.DataFrame) -> dict[int, int]:
+    """doc_id -> latest committed warc_us, for re-crawled docs only.
+
+    Derived from the committed doc files instead of a separately-persisted
+    json: delta completeness implies the newer version's postings were
+    committed in the same transaction, so the old version's postings are
+    always safe to drop."""
+    g = versions.groupby("doc_id")["warc_us"].agg(["nunique", "max"])
+    multi = g[g["nunique"] > 1]
+    return dict(zip(multi.index.astype(int), multi["max"].astype(int)))
 
 
 def load_losers(index_dir: str) -> set[int]:
@@ -106,9 +179,9 @@ def load_losers(index_dir: str) -> set[int]:
 
 
 def save_losers(index_dir: str, losers: set[int]) -> None:
-    pq.write_table(
-        pa.table({"doc_id": pa.array(sorted(losers), pa.int64())}),
+    _atomic_write_table(
         os.path.join(index_dir, "losers.parquet"),
+        pa.table({"doc_id": pa.array(sorted(losers), pa.int64())}),
     )
 
 
@@ -157,6 +230,12 @@ def load_tokenized(index_dir: str) -> set[tuple[int, int]]:
 
 def _write_tokenized_shard(delta_dir: str, versions: set[tuple[int, int]]) -> None:
     os.makedirs(delta_dir, exist_ok=True)
+    meta = os.path.join(delta_dir, "_tokenized.meta")
+    if os.path.exists(meta):
+        raise RuntimeError(
+            f"postings delta dir already holds a tokenized shard: {delta_dir} "
+            "(delta-id collision — ids must come from the unified counter)"
+        )
     ids, warcs = zip(*sorted(versions)) if versions else ((), ())
     pq.write_table(
         pa.table(
@@ -165,33 +244,8 @@ def _write_tokenized_shard(delta_dir: str, versions: set[tuple[int, int]]) -> No
                 "warc_us": pa.array(list(warcs), pa.uint64()),
             }
         ),
-        os.path.join(delta_dir, "_tokenized.meta"),
+        meta,
     )
-
-
-def _docs_light(index_dir: str) -> pd.DataFrame:
-    """(doc_id, url, text_hash, warc_us) over base + delta doc files.
-
-    Driver-side here (checkpoint-sized columns only, no text).  At
-    10^12-doc scale this becomes a Dataset groupby on doc_id — the same
-    columns, never the payload."""
-    docs_dir = stage_dir(index_dir, "docs")
-    t = pq.read_table(
-        docs_dir, columns=["doc_id", "url", "text_hash", "warc_ts"]
-    )
-    df = pd.DataFrame(
-        {
-            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
-            "url": t["url"].to_pylist(),
-            "text_hash": t["text_hash"].to_pylist(),
-            "warc_us": t["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
-        }
-    )
-    # latest version wins per doc_id (re-crawled urls appear twice)
-    df = df.sort_values(["doc_id", "warc_us"]).drop_duplicates(
-        "doc_id", keep="last"
-    )
-    return df.reset_index(drop=True)
 
 
 def load_crawl_skip(index_dir: str) -> dict[str, int]:
@@ -207,14 +261,28 @@ def load_crawl_skip(index_dir: str) -> dict[str, int]:
 
 
 def save_crawl_skip(index_dir: str, m: dict[str, int]) -> None:
-    with open(os.path.join(index_dir, "crawl_skip.json"), "w") as f:
-        json.dump(m, f)
+    _atomic_write_json(os.path.join(index_dir, "crawl_skip.json"), m)
 
 
-def _next_delta_id(index_dir: str, stage: str) -> int:
-    existing = glob.glob(os.path.join(stage_dir(index_dir, stage), "delta-*"))
-    ks = [int(os.path.basename(p).split("-")[1]) for p in existing]
+def _next_delta_id(index_dir: str) -> int:
+    """ONE counter spanning docs AND postings deltas: delete_urls writes a
+    postings delta with no docs twin, so per-stage counters would let the
+    next update reuse its dir and clobber _tokenized.meta (the resurrected
+    doc would be re-tokenized forever after, duplicating posting rows)."""
+    ks = []
+    for stage in ("docs", "postings"):
+        for p in glob.glob(os.path.join(stage_dir(index_dir, stage), "delta-*")):
+            ks.append(int(os.path.basename(p).split("-")[1]))
     return (max(ks) + 1) if ks else 1
+
+
+def _max_committed_delta_id(index_dir: str) -> int:
+    ks = [0]
+    for stage in ("docs", "postings"):
+        for p in glob.glob(os.path.join(stage_dir(index_dir, stage), "delta-*")):
+            if os.path.exists(os.path.join(p, "_DELTA_DONE")):
+                ks.append(int(os.path.basename(p).split("-")[1]))
+    return max(ks)
 
 
 def _clean_partial_deltas(index_dir: str) -> None:
@@ -233,6 +301,88 @@ def _mark_delta_done(*dirs: str) -> None:
         if os.path.isdir(d):
             with open(os.path.join(d, "_DELTA_DONE"), "w") as f:
                 f.write("ok")
+
+
+# ---------------------------------------------------------------------------
+# versioned user-action state: deleted docs + rescore overrides
+# ---------------------------------------------------------------------------
+
+def load_deleted(index_dir: str) -> dict[int, int]:
+    """doc_id -> warc_us of the latest committed version at deletion time.
+    The doc counts as deleted only while its latest committed version is
+    still <= this watermark (see effective_deleted)."""
+    p = os.path.join(index_dir, "deleted.parquet")
+    if not os.path.exists(p):
+        return {}
+    t = pq.read_table(p)
+    ids = (int(x) for x in t["doc_id"].to_pylist())
+    if "warc_us" in t.column_names:
+        return dict(zip(ids, (int(x) for x in t["warc_us"].to_pylist())))
+    # legacy single-column layout: treat as unconditionally deleted
+    return {i: 2**62 for i in ids}
+
+
+def save_deleted(index_dir: str, records: dict[int, int]) -> None:
+    items = sorted(records.items())
+    _atomic_write_table(
+        os.path.join(index_dir, "deleted.parquet"),
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in items], pa.int64()),
+                "warc_us": pa.array([w for _, w in items], pa.int64()),
+            }
+        ),
+    )
+
+
+def effective_deleted(latest_warc: dict[int, int], records: dict[int, int]) -> set[int]:
+    """Deleted iff no strictly-newer version was committed since the
+    delete — a re-crawl un-deletes with zero state mutation."""
+    return {
+        d for d, w in records.items() if latest_warc.get(d, 0) <= w
+    }
+
+
+def load_quality_overrides(index_dir: str) -> dict[int, tuple[int, int]]:
+    """doc_id -> (rescored quality, warc_us of the version scored)."""
+    p = os.path.join(index_dir, "quality_overrides.parquet")
+    if not os.path.exists(p):
+        return {}
+    t = pq.read_table(p)
+    ids = [int(x) for x in t["doc_id"].to_pylist()]
+    qs = [int(x) for x in t["quality"].to_pylist()]
+    if "warc_us" in t.column_names:
+        ws = [int(x) for x in t["warc_us"].to_pylist()]
+    else:
+        ws = [0] * len(ids)  # legacy layout: can't validate, treat as stale
+    return {d: (q, w) for d, q, w in zip(ids, qs, ws)}
+
+
+def save_quality_overrides(
+    index_dir: str, records: dict[int, tuple[int, int]]
+) -> None:
+    items = sorted(records.items())
+    _atomic_write_table(
+        os.path.join(index_dir, "quality_overrides.parquet"),
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in items], pa.int64()),
+                "quality": pa.array([q for _, (q, _w) in items], pa.int64()),
+                "warc_us": pa.array([w for _, (_q, w) in items], pa.int64()),
+            }
+        ),
+    )
+
+
+def effective_overrides(
+    latest_warc: dict[int, int], records: dict[int, tuple[int, int]]
+) -> dict[int, int]:
+    """An override applies only while the version it scored is still the
+    doc's latest committed version — a re-crawl invalidates it (the
+    override belonged to the OLD version's text/length)."""
+    return {
+        d: q for d, (q, w) in records.items() if latest_warc.get(d) == w
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -258,7 +408,6 @@ def update_index(
     # derives from root doc files + completed-delta shards only, so the
     # delta this update is about to write cannot appear as tokenized
     tokenized = load_tokenized(index_dir)
-    old_warc = dict(zip(old["doc_id"].astype(int), old["warc_us"].astype(int)))
     # url -> warc for the anti-join (url maps 1:1 to doc_id)
     url_warc = dict(zip(old["url"], old["warc_us"].astype(int)))
     crawl_skip = load_crawl_skip(index_dir)
@@ -282,7 +431,7 @@ def update_index(
     fresh = pages.map_batches(keep_updated, batch_format="pyarrow")
 
     # ---- extract the fresh pages to delta docs -------------------------
-    k = _next_delta_id(index_dir, "docs")
+    k = _next_delta_id(index_dir)
     docs_delta_dir = os.path.join(stage_dir(index_dir, "docs"), f"delta-{k}")
     extract_fn = make_extract_fn(blog_ratings, fixed_now)
     fresh.map_batches(
@@ -307,6 +456,8 @@ def update_index(
     metrics["n_fresh_docs"] = n_new
 
     # ---- crawl-skip bookkeeping: fresh versions that failed extraction -
+    # (additive + deterministic per version, so committing it before the
+    # delta is crash-safe: a re-run recomputes the identical entries)
     light_in = pq.read_table(pages_path, columns=["url", "warc_ts"])
     in_urls = light_in["url"].to_pylist()
     in_warcs = light_in["warc_ts"].cast(pa.int64()).to_pylist()
@@ -337,32 +488,19 @@ def update_index(
             "warc_us": new_t["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
         }
     )
-
-    # ---- supersede map for re-crawled doc_ids --------------------------
-    supersede = load_supersede(index_dir)
     recrawled = new_df[new_df["doc_id"].isin(old["doc_id"])]
-    overrides = load_quality_overrides(index_dir)
-    deleted = load_deleted(index_dir)
-    ov_changed = False
-    del_changed = False
-    for did, w in zip(recrawled["doc_id"].astype(int), recrawled["warc_us"].astype(int)):
-        supersede[did] = max(w, supersede.get(did, 0))
-        # a rescore override belongs to the OLD version's text/length —
-        # the re-crawled version carries its own freshly computed quality
-        if overrides.pop(did, None) is not None:
-            ov_changed = True
-        # a removed page that reappears with a newer version is un-deleted
-        if did in deleted:
-            deleted.discard(did)
-            del_changed = True
-    save_supersede(index_dir, supersede)
-    if ov_changed:
-        save_quality_overrides(index_dir, overrides)
-    if del_changed:
-        save_deleted(index_dir, deleted)
     metrics["n_recrawled"] = len(recrawled)
+    # NOTE: no state files are written here.  supersede is derived from
+    # the committed doc files; override/deleted invalidation for re-crawls
+    # is derived from the version watermarks (effective_* above).  A crash
+    # anywhere before _mark_delta_done leaves the index byte-identical.
 
     # ---- dedup recompute over live docs --------------------------------
+    latest_warc = dict(zip(old["doc_id"].astype(int), old["warc_us"].astype(int)))
+    latest_warc.update(
+        zip(new_df["doc_id"].astype(int), new_df["warc_us"].astype(int))
+    )
+    deleted = effective_deleted(latest_warc, load_deleted(index_dir))
     live = pd.concat(
         [old[~old["doc_id"].isin(set(new_df["doc_id"]))], new_df],
         ignore_index=True,
@@ -372,7 +510,6 @@ def update_index(
     winner_ids = set(winners.astype(int))
     losers = set(live["doc_id"].astype(int)) - winner_ids
     prev_losers = load_losers(index_dir)
-    save_losers(index_dir, losers)
     metrics["n_losers"] = len(losers)
     metrics["n_displaced"] = len(losers - prev_losers - set(new_df["doc_id"].astype(int)))
 
@@ -442,7 +579,18 @@ def update_index(
     )
 
     # ---- refresh stats + segments (exact-parity compaction) ------------
-    if n_new == 0 and not need and losers == prev_losers:
+    # Fast path only when nothing changed AND the last refresh already
+    # covered every committed delta (a crash between delta commit and
+    # refresh leaves refreshed_thru_delta behind the committed max).
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        _cur_stats = json.load(f)
+    if (
+        n_new == 0
+        and not need
+        and losers == prev_losers
+        and _cur_stats.get("refreshed_thru_delta", 0)
+        >= _max_committed_delta_id(index_dir)
+    ):
         metrics["refreshed"] = False
         metrics["update_wall_s"] = round(time.time() - t_start, 3)
         return metrics
@@ -457,44 +605,34 @@ def update_index(
 # refresh (recompute df/stats/segments from accumulated postings)
 # ---------------------------------------------------------------------------
 
-def load_quality_overrides(index_dir: str) -> dict[int, int]:
-    """doc_id -> rescored quality (written by pipelines.rescore)."""
-    p = os.path.join(index_dir, "quality_overrides.parquet")
-    if not os.path.exists(p):
-        return {}
-    t = pq.read_table(p)
-    return dict(
-        zip(
-            (int(x) for x in t["doc_id"].to_pylist()),
-            (int(x) for x in t["quality"].to_pylist()),
-        )
-    )
-
-
-def save_quality_overrides(index_dir: str, m: dict[int, int]) -> None:
-    items = sorted(m.items())
-    pq.write_table(
-        pa.table(
-            {
-                "doc_id": pa.array([d for d, _ in items], pa.int64()),
-                "quality": pa.array([q for _, q in items], pa.int64()),
-            }
-        ),
-        os.path.join(index_dir, "quality_overrides.parquet"),
-    )
-
-
 def refresh_index(index_dir: str, *, recompute_df: bool = True) -> dict:
+    """Recompute df / corpus stats / segments from committed state.
+
+    Everything the drop filter needs — supersede, dedup losers, effective
+    deleted set, effective overrides — is DERIVED here from the committed
+    doc files + the versioned user-action records, so refresh is always
+    consistent no matter where a previous run crashed."""
     t0 = time.time()
     with open(os.path.join(index_dir, "stats.json")) as f:
         prev_stats = json.load(f)
     num_segments = prev_stats["num_segments"]
     salt_buckets = prev_stats["salt_buckets"]
 
-    losers = load_losers(index_dir) | load_deleted(index_dir)
-    supersede = load_supersede(index_dir)
-    overrides = load_quality_overrides(index_dir)
-    drop_ref = ray.put((frozenset(losers), supersede, overrides))
+    versions = _docs_versions(index_dir)
+    supersede = derive_supersede(versions)
+    latest = versions.sort_values(["doc_id", "warc_us"]).drop_duplicates(
+        "doc_id", keep="last"
+    )
+    latest_warc = dict(zip(latest["doc_id"].astype(int), latest["warc_us"].astype(int)))
+    deleted = effective_deleted(latest_warc, load_deleted(index_dir))
+    live = latest[~latest["doc_id"].isin(deleted)]
+    winners = live.groupby("text_hash")["doc_id"].min()
+    losers = set(live["doc_id"].astype(int)) - set(winners.astype(int))
+    save_losers(index_dir, losers)
+    overrides = effective_overrides(latest_warc, load_quality_overrides(index_dir))
+
+    drop_losers = losers | deleted
+    drop_ref = ray.put((frozenset(drop_losers), supersede, overrides))
 
     def drop_dead(batch: pa.Table) -> pa.Table:
         """Filter tombstoned rows; apply rescored quality overrides."""
@@ -549,7 +687,7 @@ def refresh_index(index_dir: str, *, recompute_df: bool = True) -> dict:
         buckets = bucket_file_map([postings_dir])
         if buckets:
             df_tbl = df_from_buckets(
-                buckets, drop=(frozenset(losers), supersede, {})
+                buckets, drop=(frozenset(drop_losers), supersede, {})
             )
             os.makedirs(df_dir, exist_ok=True)
             pq.write_table(df_tbl, os.path.join(df_dir, "df.parquet"))
@@ -564,8 +702,7 @@ def refresh_index(index_dir: str, *, recompute_df: bool = True) -> dict:
                 .write_parquet(df_dir)
             )
 
-    light = _docs_light(index_dir)
-    n_docs = int((~light["doc_id"].isin(losers)).sum())
+    n_docs = int(len(live)) - len(losers)
     df_pdf = pq.read_table(df_dir).to_pandas()
     total_tokens = int(df_pdf["ctf"].sum())
     avgdl = total_tokens / max(n_docs, 1)
@@ -579,8 +716,7 @@ def refresh_index(index_dir: str, *, recompute_df: bool = True) -> dict:
         "encode_buckets": prev_stats.get("encode_buckets", 64),
         "fixed_now_us": prev_stats["fixed_now_us"],
     }
-    with open(os.path.join(index_dir, "stats.json"), "w") as f:
-        json.dump(stats, f)
+    _atomic_write_json(os.path.join(index_dir, "stats.json"), stats)
     mark_complete(index_dir, "df", rows=len(df_pdf), refreshed=True)
 
     # ---- segments ------------------------------------------------------
@@ -595,7 +731,7 @@ def refresh_index(index_dir: str, *, recompute_df: bool = True) -> dict:
         n_docs=stats["n_docs"],
         avgdl=stats["avgdl"],
         num_segments=num_segments,
-        drop=(frozenset(losers), supersede, overrides),
+        drop=(frozenset(drop_losers), supersede, overrides),
     ):
         postings = rd.read_parquet(
             posting_files,
@@ -611,26 +747,17 @@ def refresh_index(index_dir: str, *, recompute_df: bool = True) -> dict:
             salt_buckets=salt_buckets,
         )
     mark_complete(index_dir, "segments", refreshed=True)
+    # the refresh watermark lands LAST — a crash anywhere above leaves it
+    # behind the committed-delta max, so the next update cannot fast-path
+    # past a pending refresh
+    stats["refreshed_thru_delta"] = _max_committed_delta_id(index_dir)
+    _atomic_write_json(os.path.join(index_dir, "stats.json"), stats)
     return {"refresh_wall_s": round(time.time() - t0, 3), "stats": stats}
 
 
 # ---------------------------------------------------------------------------
 # document removal (check_for_removed_articles analog)
 # ---------------------------------------------------------------------------
-
-def load_deleted(index_dir: str) -> set[int]:
-    p = os.path.join(index_dir, "deleted.parquet")
-    if not os.path.exists(p):
-        return set()
-    return set(int(x) for x in pq.read_table(p)["doc_id"].to_pylist())
-
-
-def save_deleted(index_dir: str, ids: set[int]) -> None:
-    pq.write_table(
-        pa.table({"doc_id": pa.array(sorted(ids), pa.int64())}),
-        os.path.join(index_dir, "deleted.parquet"),
-    )
-
 
 def delete_urls(
     index_dir: str,
@@ -654,24 +781,29 @@ def delete_urls(
 
     old = _docs_light(index_dir)
     tokenized = load_tokenized(index_dir)
-    deleted = load_deleted(index_dir)
+    latest_warc = dict(zip(old["doc_id"].astype(int), old["warc_us"].astype(int)))
+    del_records = load_deleted(index_dir)
+    already = effective_deleted(latest_warc, del_records)
     url_ids = set(
         old.loc[old["url"].isin(set(urls)), "doc_id"].astype(int)
     )
-    new_deleted = url_ids - deleted
+    new_deleted = url_ids - already
     metrics["n_deleted"] = len(new_deleted)
     if not new_deleted:
         metrics["refreshed"] = False
         return metrics
-    deleted |= new_deleted
-    save_deleted(index_dir, deleted)
+    # the delete record IS the user action — persist it first (atomic);
+    # everything downstream (losers, resurrection) derives from it
+    for d in new_deleted:
+        del_records[d] = latest_warc[d]
+    save_deleted(index_dir, del_records)
+    deleted = already | new_deleted
 
     # dedup recompute over surviving docs (winner = min doc_id)
     live = old[~old["doc_id"].isin(deleted)]
     winners = live.groupby("text_hash")["doc_id"].min()
     winner_ids = set(winners.astype(int))
     losers = set(live["doc_id"].astype(int)) - winner_ids
-    save_losers(index_dir, losers)
 
     # resurrected winners that were never tokenized
     live_versions = set(zip(live["doc_id"].astype(int), live["warc_us"].astype(int)))
@@ -681,7 +813,7 @@ def delete_urls(
     }
     metrics["n_resurrected"] = len(need)
     if need:
-        k = _next_delta_id(index_dir, "postings")
+        k = _next_delta_id(index_dir)
         postings_delta_dir = os.path.join(
             stage_dir(index_dir, "postings"), f"delta-{k}"
         )

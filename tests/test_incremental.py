@@ -378,3 +378,99 @@ def test_delete_urls_with_resurrection(base_pages, ratings, tmp_path_factory):
     # idempotent re-delete
     m2 = delete_urls(idx, [winner_url], tokenize_concurrency=2)
     assert m2["n_deleted"] == 0 and m2["refreshed"] is False
+
+
+def test_delete_then_updates_no_delta_collision(base_pages, ratings, tmp_path_factory):
+    """Regression: delete_urls writes a postings delta with no docs twin;
+    the next update_index must allocate a FRESH delta id (unified counter)
+    instead of reusing the resurrection delta's dir and clobbering its
+    _tokenized.meta.  Sequence delete -> update -> no-change update must
+    end rank-identical with n_tokenized == 0 on the final pass."""
+    import os
+
+    import pyarrow as pa
+
+    from myaku_ray.pipelines.update import delete_urls
+
+    idx = str(tmp_path_factory.mktemp("idx_del_upd"))
+    build_index(base_pages, idx, blog_ratings=ratings, tokenize_concurrency=2)
+
+    docs = pq.read_table(
+        f"{idx}/docs", columns=["doc_id", "url", "text_hash"]
+    ).to_pandas()
+    groups = docs.groupby("text_hash")["doc_id"].agg(["count", "min"])
+    dup = groups[groups["count"] > 1]
+    winner_id = int(dup["min"].iloc[0])
+    winner_url = docs.loc[docs["doc_id"] == winner_id, "url"].iloc[0]
+
+    m0 = delete_urls(idx, [winner_url], tokenize_concurrency=2)
+    assert m0["n_resurrected"] >= 1  # postings delta exists, no docs delta
+
+    batch = gen_update_batch(N_BASE, n_new=20)
+    upd = tmp_path_factory.mktemp("pages_del_upd")
+    write_update_parquet(str(upd), batch)
+    m1 = update_index(str(upd), idx, blog_ratings=ratings,
+                      tokenize_concurrency=2)
+    assert m1["refreshed"]
+    # unified counter: update's delta dirs must not collide with delete's
+    deltas = sorted(
+        os.path.basename(d)
+        for d in __import__("glob").glob(os.path.join(idx, "postings", "delta-*"))
+    )
+    assert len(deltas) == len(set(deltas)) == 2
+
+    m2 = update_index(str(upd), idx, blog_ratings=ratings,
+                      tokenize_concurrency=2)
+    assert m2["n_tokenized"] == 0, "resurrected doc was re-tokenized (collision)"
+    assert m2["refreshed"] is False
+
+    # parity vs oracle over (base + batch) minus the deleted url
+    union = tmp_path_factory.mktemp("union_del_upd") / "union.parquet"
+    write_union_parquet(str(union), base_pages, batch)
+    full = pq.read_table(str(union))
+    mask = pa.array([u != winner_url for u in full["url"].to_pylist()], pa.bool_())
+    reduced = tmp_path_factory.mktemp("pages_del_upd_red") / "reduced.parquet"
+    pq.write_table(full.filter(mask), str(reduced))
+    _assert_parity(idx, str(reduced), ratings)
+
+
+def test_crashed_recrawl_keeps_old_version(base_pages, ratings, tmp_path_factory):
+    """Regression: an update that crashes after extracting a re-crawl but
+    before tokenizing must NOT tombstone the old version's postings on the
+    next refresh — supersede is derived from COMMITTED doc files only, so
+    the partial delta's newer warc is invisible until its postings exist."""
+    import os
+
+    import pyarrow.parquet as pq2
+
+    from myaku_ray.pipelines.update import refresh_index
+    from myaku_ray.stages.extract import make_extract_fn
+
+    idx = str(tmp_path_factory.mktemp("idx_crash_recrawl"))
+    build_index(base_pages, idx, blog_ratings=ratings, tokenize_concurrency=2)
+
+    batch = gen_update_batch(N_BASE, n_new=0, recrawl_indices=[7, 13])
+    upd = tmp_path_factory.mktemp("pages_crash_recrawl")
+    write_update_parquet(str(upd), batch)
+
+    # simulate the crash: extracted docs delta exists WITHOUT _DELTA_DONE
+    fake_delta = os.path.join(idx, "docs", "delta-1")
+    os.makedirs(fake_delta)
+    ext = make_extract_fn(ratings)
+    pages_t = pq.read_table(str(upd))
+    pq2.write_table(
+        ext(pages_t.select(["url", "warc_ts", "html", "lang"])),
+        os.path.join(fake_delta, "partial.parquet"),
+    )
+
+    # a refresh right now (e.g. a rescore) must keep the OLD versions live
+    refresh_index(idx)
+    _assert_parity(idx, base_pages, ratings)
+
+    # re-running the update completes the re-crawl normally
+    m = update_index(str(upd), idx, blog_ratings=ratings,
+                     tokenize_concurrency=2)
+    assert m["refreshed"] and m["n_recrawled"] == 2
+    union = tmp_path_factory.mktemp("union_crash_recrawl") / "union.parquet"
+    write_union_parquet(str(union), base_pages, batch)
+    _assert_parity(idx, str(union), ratings)
