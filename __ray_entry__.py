@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_docs": dedup.simhash_docs,
+        "simhash_pairs": dedup.simhash_pairs,
         # Myaku pages pipeline (HTML extraction -> lemma index -> ranked
         # search); strong oracle lives in tests/ — rows-only here
         "pages_extract_stats": fulltext.pages_extract_stats,
@@ -95,10 +96,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": ann.ANN_COSINE_TOPK_SQL,
         "near_dup_embeddings": ann.NEAR_DUP_EMBEDDINGS_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
+        "simhash_docs": dedup.SIMHASH_DOCS_SQL,
+        "simhash_pairs": dedup.SIMHASH_PAIRS_SQL,
         "lang_id_ngram": textops.LANG_ID_NGRAM_SQL,
         "curate_documents": textops.CURATE_DOCUMENTS_SQL,
         "media_meta_stats": media.MEDIA_META_STATS_SQL,
-        # minhash_lsh_pairs / simhash_docs / doc_fingerprints /
+        # minhash_lsh_pairs / doc_fingerprints /
         # pages_extract_stats / pages_search_topk / ivf_cosine_topk /
         # media_features / media_frame_sample: not SQL-expressible
         # (hash signatures, HTML extraction, lemma tokenization,

@@ -16,6 +16,8 @@ between numpy and DuckDB cannot flip any comparison.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -147,6 +149,7 @@ IVF_N_CLUSTERS = 16
 IVF_NPROBE = 4
 IVF_TRAIN_SAMPLE = 2048
 IVF_KMEANS_ITERS = 5
+IVF_LAYOUT_ROOT = "/tmp/myaku_ray_ivf"
 
 
 def _unit(X: np.ndarray) -> np.ndarray:
@@ -172,6 +175,100 @@ def _train_centroids(X: np.ndarray, n_clusters: int, iters: int) -> np.ndarray:
     return C
 
 
+def _strided_training_sample(src: str, target: int) -> np.ndarray:
+    """Evenly-strided training rows read via ROW-GROUP pruning: only row
+    groups containing a sampled global index are decoded, so the training
+    read touches ~target rows of I/O regardless of corpus size (vs the
+    former ``head(target)`` which was a non-random prefix AND forced a
+    sequential front read)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True)) \
+        if os.path.isdir(src) else [src]
+    total = sum(pq.read_metadata(f).num_rows for f in files)
+    stride = max(total // max(target, 1), 1)
+    want = set(range(0, total, stride))
+    parts: list[np.ndarray] = []
+    offset = 0
+    for f in files:
+        pf = pq.ParquetFile(f)
+        for rg in range(pf.metadata.num_row_groups):
+            n = pf.metadata.row_group(rg).num_rows
+            local = [i - offset for i in range(offset, offset + n) if i in want]
+            if local:
+                t = pf.read_row_group(rg, columns=["embedding"])
+                parts.append(_matrix(t["embedding"].take(local)))
+            offset += n
+    return np.concatenate(parts, axis=0)
+
+
+def build_ivf_layout(
+    sf_dir: str,
+    layout_dir: str | None = None,
+    n_clusters: int = IVF_N_CLUSTERS,
+) -> str:
+    """Materialize the cell-partitioned embeddings layout ONCE: train
+    centroids on a strided sample, assign every vector map-side, write
+    hive-partitioned parquet (``cell=<c>/``).  Idempotent via a _SUCCESS
+    marker keyed on the source row count, so repeated queries reuse it —
+    this is the index build an IVF deployment amortizes over all queries.
+
+    The ``cell`` partition value is also kept as a ``cell_id`` data
+    column, because hive partition columns are stripped from the files
+    and explicit per-cell dir reads skip partition inference."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir}/embeddings.parquet"
+    files = sorted(_glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True)) \
+        if os.path.isdir(src) else [src]
+    total = sum(pq.read_metadata(f).num_rows for f in files)
+    key = f"{os.path.abspath(sf_dir).strip('/').replace('/', '_')}-{total}-{n_clusters}"
+    layout_dir = layout_dir or os.path.join(IVF_LAYOUT_ROOT, key)
+    marker = os.path.join(layout_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return layout_dir
+
+    import shutil
+
+    shutil.rmtree(layout_dir, ignore_errors=True)
+    X_train = _strided_training_sample(src, IVF_TRAIN_SAMPLE)
+    C = _train_centroids(X_train, n_clusters, IVF_KMEANS_ITERS)
+    c_ref = ray.put(C)
+
+    def assign_cell(batch: pa.Table) -> pa.Table:
+        C_l = ray.get(c_ref)
+        X = _matrix(batch["embedding"])
+        cell = (_unit(X) @ C_l.T).argmax(axis=1).astype(np.int32)
+        batch = batch.append_column("cell_id", pa.array(cell, pa.int32()))
+        return batch.append_column("cell", pa.array(cell, pa.int32()))
+
+    rd.read_parquet(src).map_batches(
+        assign_cell, batch_format="pyarrow"
+    ).write_parquet(layout_dir, partition_cols=["cell"])
+    np.save(os.path.join(layout_dir, "centroids.npy"), C)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return layout_dir
+
+
+def ivf_probed_paths(
+    layout_dir: str, probe_cells: set[int]
+) -> tuple[list[str], int]:
+    """(cell dirs to read, total cell dirs) — the pruning evidence."""
+    import glob as _glob
+
+    all_dirs = sorted(_glob.glob(os.path.join(layout_dir, "cell=*")))
+    probed = [
+        d for d in all_dirs
+        if int(os.path.basename(d).split("=")[1]) in probe_cells
+    ]
+    return probed, len(all_dirs)
+
+
 def ivf_cosine_topk(
     sf_dir: str,
     k: int = TOPK,
@@ -182,17 +279,15 @@ def ivf_cosine_topk(
     ``ann_cosine_topk``; approximate — verified by a recall test, not a
     SQL oracle).
 
-    Scale path vs the brute-force scan: centroids are trained once on a
-    driver-side sample and broadcast; every batch assigns its vectors to
-    coarse cells map-side; each query only scans vectors whose cell is
-    among its ``nprobe`` closest centroids — at 10^12 vectors the probed
-    fraction (nprobe/n_clusters) is the whole cost model, and cells map
-    onto hash-partitioned parquet so a probe is a pruned read."""
+    Scale path vs the brute-force scan: the cell-partitioned layout from
+    ``build_ivf_layout`` is built once and amortized; each query set reads
+    ONLY the union of its ``nprobe`` nearest cells' partition dirs —
+    untouched cells never leave storage, so at 10^12 vectors the probed
+    fraction (~nprobe/n_clusters) bounds I/O as well as compute."""
     import pyarrow.dataset as pads
 
-    head = pads.dataset(f"{sf_dir}/embeddings.parquet").head(IVF_TRAIN_SAMPLE)
-    X_train = _matrix(head["embedding"])
-    C = _train_centroids(X_train, n_clusters, IVF_KMEANS_ITERS)
+    layout_dir = build_ivf_layout(sf_dir, n_clusters=n_clusters)
+    C = np.load(os.path.join(layout_dir, "centroids.npy"))
     cnorm = np.sqrt((C * C).sum(axis=1))
 
     qtbl = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
@@ -205,18 +300,24 @@ def ivf_cosine_topk(
     qsims = (Q @ C.T) / (qnorm[:, None] * cnorm[None, :])
     probe = np.argsort(-qsims, axis=1)[:, :nprobe]
     probe_sets = [frozenset(int(c) for c in row) for row in probe]
-    bcast = ray.put((qids, Q, qnorm, C, probe_sets))
+    bcast = ray.put((qids, Q, qnorm, probe_sets))
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    union_cells = set().union(*probe_sets)
+    probed_dirs, _n_cells = ivf_probed_paths(layout_dir, union_cells)
+    import glob as _glob
+
+    probed_files = sorted(
+        f for d in probed_dirs
+        for f in _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
     )
+    ds = rd.read_parquet(probed_files, columns=["vec_id", "embedding", "cell_id"])
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        qids_l, Q_l, qnorm_l, C_l, probes = ray.get(bcast)
+        qids_l, Q_l, qnorm_l, probes = ray.get(bcast)
         X = _matrix(batch["embedding"])
         ids = np.asarray(batch["vec_id"].to_pylist())
+        cell = batch["cell_id"].to_numpy(zero_copy_only=False)
         xnorm = np.sqrt((X * X).sum(axis=1))
-        cell = (_unit(X) @ C_l.T).argmax(axis=1)
         sims = (Q_l @ X.T) / (qnorm_l[:, None] * xnorm[None, :])
         sims_r = np.round(sims, 6)
         rows = {"query_vec_id": [], "neighbor_vec_id": [], "sim_r": []}

@@ -1,17 +1,28 @@
 """Near-duplicate detection family over ``documents``: MinHash+LSH,
 SimHash, n-gram Jaccard.
 
-All hashing is deterministic (blake2b-derived, never Python ``hash()``).
+All hashing is deterministic (blake2b/md5-derived, never Python
+``hash()``).
 
 Scale shapes:
 - MinHash: per-batch signature computation (vectorized over permutations),
   explode to (band, bucket) rows, ``groupby`` bucket -> candidate pairs,
-  exact-Jaccard verification on the candidates only.
-- SimHash: per-doc 64-bit signature via tf-weighted bit voting; bucket by
-  the 4 x 16-bit sub-bands (pigeonhole: hamming<=3 pairs share a band).
-- n-gram Jaccard: word-3-gram shingle sets, pairwise within ``source``
-  blocks (bounded quadratic inside blocks) — SQL-checkable in DuckDB via
-  list_intersect on distinct shingle lists.
+  then DISTRIBUTED exact-Jaccard verification: shingle sets are extracted
+  by a second predicate-pushdown pass over candidate endpoints only and
+  shuffled by pair id to a ``groupby(pair)`` verify stage — the driver
+  holds only (doc_id_a, doc_id_b) id pairs (result-sized), never texts or
+  shingle sets.
+- SimHash: per-doc 63-bit signature via tf-weighted bit voting over
+  md5-derived token hashes (md5 so the DuckDB oracle can recompute the
+  signature exactly); pair stage buckets by the 4 sub-bands
+  (16/16/16/15 bits — pigeonhole: hamming<=3 pairs agree on >=1 band) and
+  verifies hamming in-group, so it is EXACT for the <=3 radius while only
+  ever comparing within buckets.
+- n-gram Jaccard: word-3-gram shingle sets; within each ``source`` block
+  candidate pairs come from a shingle inverted index (co-occurrence
+  counting — cost O(sum_s df_s^2) pair increments instead of the block
+  quadratic; identical output because jaccard>=t requires intersection
+  >= 1).  SQL-checkable in DuckDB via list_intersect.
 """
 
 from __future__ import annotations
@@ -23,6 +34,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 
 N_PERM = 64
@@ -31,6 +43,9 @@ LSH_ROWS = N_PERM // LSH_BANDS
 JACCARD_THRESHOLD = 0.5
 NGRAM = 3
 NGRAM_JACCARD_THRESHOLD = 0.12
+SIMHASH_BITS = 63       # fits signed int64 on both numpy and DuckDB sides
+SIMHASH_HAMMING_MAX = 3
+SIMHASH_BAND_STARTS = (0, 16, 32, 48)  # 16/16/16/15-bit bands
 
 _MERSENNE = (1 << 61) - 1
 
@@ -82,7 +97,16 @@ def minhash_signature(text: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def minhash_lsh_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
-    """MinHash+LSH candidate generation -> exact-Jaccard verified pairs."""
+    """MinHash+LSH candidate generation -> exact-Jaccard verified pairs.
+
+    Verification is a distributed stage: candidate endpoints are re-read
+    with predicate pushdown, each doc's shingle-hash set is serialized
+    once per pair it participates in, and a ``groupby(pair)`` computes the
+    exact Jaccard where the two sets meet.  Driver state is bounded by
+    the candidate PAIR IDS (16 bytes each — the same order as the final
+    result), never by texts or shingle sets; at extreme dup-cluster skew
+    the per-doc fan-out (cluster_size - 1 copies of its shingle set)
+    would switch to a cluster-local verify inside the bucket groups."""
     a, b = _perm_params()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
@@ -120,91 +144,290 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
         .map_groups(candidates, batch_format="pandas")
     ).to_pandas()
     cand = cand.drop_duplicates().reset_index(drop=True)
+    empty = pd.DataFrame(
+        {"doc_id_a": pd.Series(dtype=np.int64),
+         "doc_id_b": pd.Series(dtype=np.int64),
+         "jaccard": pd.Series(dtype=np.float64)}
+    )
     if len(cand) == 0:
-        return pd.DataFrame(
-            {"doc_id_a": pd.Series(dtype=np.int64),
-             "doc_id_b": pd.Series(dtype=np.int64),
-             "jaccard": pd.Series(dtype=np.float64)}
-        )
+        return empty
 
-    # exact verification on the (small) candidate set — bounded driver work
+    # ---- distributed exact verification --------------------------------
+    # doc -> the pairs it participates in (ids only; broadcast once)
+    doc_pairs: dict[int, list[tuple[int, int]]] = {}
+    for x, y in zip(cand["doc_id_a"].astype(int), cand["doc_id_b"].astype(int)):
+        doc_pairs.setdefault(x, []).append((x, y))
+        doc_pairs.setdefault(y, []).append((x, y))
+    routing_ref = ray.put(doc_pairs)
+
     import pyarrow.dataset as pads
 
-    need = sorted(set(cand["doc_id_a"]) | set(cand["doc_id_b"]))
-    tbl = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+    need = sorted(doc_pairs)
+    endpoint_tbl = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
         columns=["doc_id", "text"], filter=pads.field("doc_id").isin(need)
     )
-    shingles = {
-        did.as_py(): set(_shingle_hashes(t.as_py()).tolist())
-        for did, t in zip(tbl["doc_id"], tbl["text"])
-    }
-    out = {"doc_id_a": [], "doc_id_b": [], "jaccard": []}
-    for x, y in zip(cand["doc_id_a"], cand["doc_id_b"]):
-        sa, sb = shingles[int(x)], shingles[int(y)]
-        inter = len(sa & sb)
-        union = len(sa | sb)
-        j = inter / union if union else 0.0
-        if j >= threshold:
-            out["doc_id_a"].append(int(x))
-            out["doc_id_b"].append(int(y))
-            out["jaccard"].append(j)
-    return pd.DataFrame(out)
+    endpoints = rd.from_arrow(endpoint_tbl)
 
-
-def simhash_docs(sf_dir: str):
-    """64-bit SimHash per doc (tf-weighted bit voting over token hashes)."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-
-    def sh(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        ids, sigs = [], []
+    def emit_shingles(batch: pa.Table) -> pa.Table:
+        routing = ray.get(routing_ref)
+        pa_, pb_, did_, blob_ = [], [], [], []
         for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            votes = np.zeros(64, dtype=np.int64)
-            for tok, tf in Counter(text.split(" ")).items():
-                h = struct.unpack(
-                    "<Q", hashlib.blake2b(tok.encode(), digest_size=8).digest()
-                )[0]
-                bits = np.unpackbits(
-                    np.frombuffer(struct.pack("<Q", h), dtype=np.uint8)
-                ).astype(np.int64)
-                votes += (2 * bits - 1) * tf
-            sig = int("".join("1" if v > 0 else "0" for v in votes), 2)
-            ids.append(did)
-            sigs.append(sig & 0x7FFF_FFFF_FFFF_FFFF)
+            sh = _shingle_hashes(text).tobytes()
+            for (x, y) in routing.get(int(did), ()):
+                pa_.append(x)
+                pb_.append(y)
+                did_.append(int(did))
+                blob_.append(sh)
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "simhash": pa.array(sigs, pa.int64()),
+                "doc_id_a": pa.array(pa_, pa.int64()),
+                "doc_id_b": pa.array(pb_, pa.int64()),
+                "doc_id": pa.array(did_, pa.int64()),
+                "shingles": pa.array(blob_, pa.binary()),
             }
         )
 
-    return ds.map_batches(sh, batch_format="pyarrow")
+    def verify_pair(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) != 2:
+            return pd.DataFrame(
+                {"doc_id_a": [], "doc_id_b": [], "jaccard": []}
+            ).astype({"doc_id_a": np.int64, "doc_id_b": np.int64,
+                      "jaccard": np.float64})
+        sa = set(np.frombuffer(g["shingles"].iloc[0], dtype=np.uint64).tolist())
+        sb = set(np.frombuffer(g["shingles"].iloc[1], dtype=np.uint64).tolist())
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        j = inter / union if union else 0.0
+        if j < threshold:
+            return pd.DataFrame(
+                {"doc_id_a": [], "doc_id_b": [], "jaccard": []}
+            ).astype({"doc_id_a": np.int64, "doc_id_b": np.int64,
+                      "jaccard": np.float64})
+        return pd.DataFrame(
+            {
+                "doc_id_a": [int(g["doc_id_a"].iloc[0])],
+                "doc_id_b": [int(g["doc_id_b"].iloc[0])],
+                "jaccard": [j],
+            }
+        )
+
+    verified = (
+        endpoints.map_batches(emit_shingles, batch_format="pyarrow")
+        .groupby(["doc_id_a", "doc_id_b"])
+        .map_groups(verify_pair, batch_format="pandas")
+    ).to_pandas()
+    if len(verified) == 0:
+        return empty
+    return verified.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# SimHash — oracle-replicable signatures + exact hamming<=3 pair stage
+# ---------------------------------------------------------------------------
+
+_BIT_IDX = np.arange(SIMHASH_BITS, dtype=np.uint64)
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+    axis=1
+).astype(np.int64)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount for uint64 arrays (numpy<2 has no bit_count)."""
+    shape = x.shape
+    return _POP8[np.ascontiguousarray(x).view(np.uint8)].reshape(
+        *shape, 8
+    ).sum(axis=-1)
+
+
+def _token_hash_bits(tokens: list[str]) -> np.ndarray:
+    """(len(tokens), 63) sign matrix in {-1,+1} from md5 token hashes.
+
+    md5 (not blake2b) so DuckDB can recompute the identical signature:
+    the hash is the first 16 hex chars of md5 = the top 8 digest bytes,
+    ('0x' || substr(md5(tok),1,16))::UBIGINT in SQL."""
+    hs = np.array(
+        [int(hashlib.md5(t.encode()).hexdigest()[:16], 16) for t in tokens],
+        dtype=np.uint64,
+    )
+    bits = (hs[:, None] >> _BIT_IDX[None, :]) & np.uint64(1)
+    return (2 * bits.astype(np.int64) - 1)
+
+
+def _simhash_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc 63-bit SimHash: tf-weighted bit voting, vectorized over the
+    batch's UNIQUE tokens (each token hashed once per batch)."""
+    from collections import Counter
+
+    texts = batch["text"].to_pylist()
+    counters = [Counter(t.split(" ")) for t in texts]
+    vocab = sorted(set().union(*counters)) if counters else []
+    tok_idx = {t: i for i, t in enumerate(vocab)}
+    signs = _token_hash_bits(vocab) if vocab else np.zeros((0, SIMHASH_BITS), np.int64)
+    weights = np.uint64(1) << _BIT_IDX
+    sigs = []
+    for c in counters:
+        idx = np.fromiter((tok_idx[t] for t in c), dtype=np.int64, count=len(c))
+        tf = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+        votes = tf @ signs[idx]
+        sigs.append(int(weights[votes > 0].sum()))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "simhash": pa.array(sigs, pa.int64()),
+        }
+    )
+
+
+def simhash_docs(sf_dir: str):
+    """63-bit SimHash per doc (tf-weighted bit voting over md5 token
+    hashes) — exactly reproducible by the DuckDB oracle."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(_simhash_batch, batch_format="pyarrow")
+
+
+def simhash_pairs(sf_dir: str, hamming_max: int = SIMHASH_HAMMING_MAX):
+    """All doc pairs with simhash hamming distance <= hamming_max.
+
+    Banded and EXACT: signatures split into 4 bands (16/16/16/15 bits);
+    <=3 differing bits can touch at most 3 bands, so every qualifying
+    pair agrees exactly on >=1 band (pigeonhole) and is found by a
+    ``groupby(band, key)`` — only in-bucket pairs are ever compared, the
+    all-pairs quadratic never runs."""
+    sigs = simhash_docs(sf_dir)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        sig = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        bands_, keys_, dids_, sigs_ = [], [], [], []
+        for bi, start in enumerate(SIMHASH_BAND_STARTS):
+            width = (
+                SIMHASH_BITS - start
+                if bi == len(SIMHASH_BAND_STARTS) - 1
+                else SIMHASH_BAND_STARTS[bi + 1] - start
+            )
+            key = (sig >> np.uint64(start)) & np.uint64((1 << width) - 1)
+            bands_.append(np.full(len(ids), bi, dtype=np.int32))
+            keys_.append(key.astype(np.int64))
+            dids_.append(ids)
+            sigs_.append(sig.astype(np.int64))
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(bands_), pa.int32()),
+                "key": pa.array(np.concatenate(keys_), pa.int64()),
+                "doc_id": pa.array(np.concatenate(dids_), pa.int64()),
+                "simhash": pa.array(np.concatenate(sigs_), pa.int64()),
+            }
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        sig = g["simhash"].to_numpy().astype(np.uint64)[order]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"doc_id_a": [], "doc_id_b": [], "hamming": []}
+            ).astype(np.int64)
+        ham = _popcount64(sig[:, None] ^ sig[None, :])
+        iu = np.triu_indices(n, k=1)
+        ok = ham[iu] <= hamming_max
+        return pd.DataFrame(
+            {
+                "doc_id_a": ids[iu[0][ok]].astype(np.int64),
+                "doc_id_b": ids[iu[1][ok]].astype(np.int64),
+                "hamming": ham[iu][ok].astype(np.int64),
+            }
+        )
+
+    out = (
+        sigs.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    ).to_pandas()
+    # a pair can agree on several bands — one row per pair
+    out = out.drop_duplicates(["doc_id_a", "doc_id_b"])
+    return out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+
+
+_SIMHASH_SIG_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, tok
+), th AS (
+  SELECT doc_id, tf, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM tf
+), votes AS (
+  SELECT doc_id, bb.b AS bit,
+         sum(tf * (2 * ((h >> bb.b) & 1)::BIGINT - 1)) AS vote
+  FROM th, (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS b) bb
+  GROUP BY doc_id, bb.b
+), sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+           AS simhash
+  FROM votes GROUP BY doc_id
+)
+"""
+
+SIMHASH_DOCS_SQL = _SIMHASH_SIG_CTE + """
+SELECT doc_id, simhash FROM sig
+"""
+
+SIMHASH_PAIRS_SQL = _SIMHASH_SIG_CTE + f"""
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
+"""
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = NGRAM_JACCARD_THRESHOLD):
-    """Word-3-gram Jaccard pairs within source blocks (SQL-checkable)."""
+    """Word-3-gram Jaccard pairs within source blocks (SQL-checkable).
+
+    In-group cost model: a shingle inverted index generates co-occurrence
+    counts — O(sum over shingles of df^2) pair increments via one
+    vectorized bincount, instead of the former O(n^2) set intersections
+    (pairs sharing no shingle now cost nothing).  The exact-preserving
+    J <= min/max size filter prunes jaccard computes.  A pathological
+    block-hot shingle (df ~ block size) still costs df^2; the scale
+    valve is routing through MinHash-LSH candidates first."""
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
 
     def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
         docs = sorted(zip(g["doc_id"].astype(int), g["text"]))
-        sets = [(did, _shingles(text)) for did, text in docs]
+        sets = [(did, frozenset(_shingle_hashes(text).tolist())) for did, text in docs]
+        n = len(sets)
+        sizes = np.fromiter((len(s) for _, s in sets), dtype=np.int64, count=n)
+        # inverted index: shingle -> doc indices; co-occurrence counting
+        inv: dict[int, list[int]] = {}
+        for i, (_, s) in enumerate(sets):
+            for h in s:
+                inv.setdefault(h, []).append(i)
+        pair_keys: list[np.ndarray] = []
+        for members in inv.values():
+            m = len(members)
+            if m < 2:
+                continue
+            arr = np.asarray(members, dtype=np.int64)
+            iu = np.triu_indices(m, k=1)
+            pair_keys.append(arr[iu[0]] * n + arr[iu[1]])
         out = {"doc_id_a": [], "doc_id_b": [], "jaccard_r": []}
-        for i in range(len(sets)):
-            da, sa = sets[i]
-            for j in range(i + 1, len(sets)):
-                db, sb = sets[j]
-                inter = len(sa & sb)
-                if inter == 0:
-                    continue
-                union = len(sa) + len(sb) - inter
-                jac = round(inter / union, 6)
-                if jac >= threshold:
-                    out["doc_id_a"].append(da)
-                    out["doc_id_b"].append(db)
-                    out["jaccard_r"].append(jac)
+        if pair_keys:
+            keys = np.concatenate(pair_keys)
+            uniq, inter = np.unique(keys, return_counts=True)
+            ia = uniq // n
+            ib = uniq % n
+            la = sizes[ia]
+            lb = sizes[ib]
+            jac = np.round(inter / (la + lb - inter), 6)
+            ok = jac >= threshold
+            for i, j, v in zip(ia[ok], ib[ok], jac[ok]):
+                out["doc_id_a"].append(sets[i][0])
+                out["doc_id_b"].append(sets[j][0])
+                out["jaccard_r"].append(float(v))
         return pd.DataFrame(out)
 
     res = ds.groupby("source").map_groups(pairs_of_group, batch_format="pandas")

@@ -117,3 +117,63 @@ def test_lang_id_matches_duckdb(ray_session):
     got = got[sorted(got.columns)]
     want = want[sorted(want.columns)].astype(got.dtypes.to_dict())
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_ivf_layout_prunes_read(ray_session, clustered_embeddings):
+    """The IVF query must read ONLY probed cell partitions: probed dirs
+    are a strict subset of the layout's cell dirs, and the layout
+    partitions the corpus exactly (no row lost or duplicated)."""
+    import glob
+    import os
+
+    from myaku_ray.functions import ann
+
+    layout = ann.build_ivf_layout(clustered_embeddings)
+    C = np.load(os.path.join(layout, "centroids.npy"))
+    import pyarrow.dataset as pads
+
+    qtbl = pads.dataset(f"{clustered_embeddings}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < ann.N_QUERIES,
+    )
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qtbl["embedding"].to_pylist()])
+    cnorm = np.sqrt((C * C).sum(axis=1))
+    qnorm = np.sqrt((Q * Q).sum(axis=1))
+    qsims = (Q @ C.T) / (qnorm[:, None] * cnorm[None, :])
+    probe = np.argsort(-qsims, axis=1)[:, : ann.IVF_NPROBE]
+    one_query = set(int(c) for c in probe[0])
+
+    probed, n_cells = ann.ivf_probed_paths(layout, one_query)
+    assert 0 < len(probed) <= ann.IVF_NPROBE < n_cells, (len(probed), n_cells)
+
+    # layout partitions the corpus exactly
+    total = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(layout, "**", "*.parquet"), recursive=True)
+    )
+    assert total == 500
+
+
+def test_ivf_training_sample_is_strided(tmp_path):
+    """Training rows come from evenly-spaced global offsets via row-group
+    pruning — not a head() prefix."""
+    from myaku_ray.functions.ann import _strided_training_sample
+
+    # 2 files x 400 rows, 4 row groups each; vectors encode their global row
+    d = tmp_path / "emb"
+    d.mkdir()
+    for f in range(2):
+        idx = np.arange(f * 400, (f + 1) * 400)
+        t = pa.table(
+            {
+                "vec_id": pa.array(idx, pa.int64()),
+                "embedding": pa.array(
+                    [[float(i), 1.0] for i in idx], pa.list_(pa.float32())
+                ),
+            }
+        )
+        pq.write_table(t, str(d / f"part-{f}.parquet"), row_group_size=100)
+
+    X = _strided_training_sample(str(d), target=16)
+    got = sorted(int(v) for v in X[:, 0])
+    assert got == list(range(0, 800, 50))  # stride = 800/16, spans BOTH files
