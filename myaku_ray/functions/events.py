@@ -118,8 +118,19 @@ def top_users_by_value(sf_dir: str, k: int = 20):
             Count(alias_name="n_events"),
         )
     )
-    pdf = agg.to_pandas().sort_values(
-        ["total_value_milli", "user_id"], ascending=[False, True]
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        """Partial top-k per block — the driver reduce sees <= k rows per
+        block instead of every user (ann.py-style partial top-k)."""
+        tot = batch["total_value_milli"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((uid, -tot))[:k]
+        return batch.take(pa.array(np.sort(sel)))
+
+    pdf = (
+        agg.map_batches(block_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["total_value_milli", "user_id"], ascending=[False, True])
     )
     return pdf.head(k).reset_index(drop=True)
 

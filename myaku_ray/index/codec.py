@@ -225,6 +225,20 @@ class PostingIterator:
     def block_max(self) -> float:
         return float(self._blk_max)
 
+    def block_info(self, target: int) -> tuple[float, int] | None:
+        """(block max_score, block last_docid) of the block that holds the
+        first posting >= target — HEADER walk only, no body decode, no
+        state change.  None when the list has nothing >= target.  This is
+        the shallow-advance peek block-max WAND prunes with."""
+        bi = self._block_idx
+        headers = self._headers
+        while bi < self._n_blocks and headers[bi][3] < target:
+            bi += 1
+        if bi >= self._n_blocks:
+            return None
+        h = headers[bi]
+        return float(h[4]), int(h[3])
+
     def next(self) -> None:
         self._i += 1
         if self._i >= len(self._blk_ids):
@@ -392,6 +406,13 @@ class ArrayPostings:
         self._i += i
         if self._i >= self.n:
             self.exhausted = True
+
+    def block_info(self, target: int) -> tuple[float, int] | None:
+        """Whole list acts as one block (arrays are already decoded, there
+        is nothing to skip) — bound is the list max, boundary its last id."""
+        if self.exhausted or int(self.ids[-1]) < target:
+            return None
+        return self.max_score, int(self.ids[-1])
 
     def topk_arrays(self, k: int) -> list[tuple[int, float, int]]:
         """Vectorized single-term top-k with exact (score, warc, doc) order."""

@@ -82,6 +82,19 @@ class MergedIterator:
         self._iters = live
         self.exhausted = not live
 
+    def block_info(self, target: int) -> tuple[float, int] | None:
+        """Sub-lists are disjoint doc strides, so a doc gets at most ONE
+        contribution: bound = max of the sub-blocks' maxes; the safe skip
+        boundary is the tightest (min) sub-block last."""
+        infos = [
+            info
+            for it in self._iters
+            if (info := it.block_info(target)) is not None
+        ]
+        if not infos:
+            return None
+        return max(m for m, _ in infos), min(l for _, l in infos)
+
 
 def make_term_iterator(rows: list):
     """Choose the query-path representation for one term's sub-list blobs:

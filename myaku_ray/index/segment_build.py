@@ -207,34 +207,51 @@ def encode_segments(
 # raw Ray tasks over the partition directories — the documented
 # last-resort case (a partitioning assumption the layout guarantees).
 
+def _sorted_lookup(mapping: dict) -> tuple[np.ndarray, np.ndarray]:
+    """dict[int,int] -> parallel (sorted keys, values) arrays."""
+    keys = np.fromiter(mapping.keys(), dtype=np.int64, count=len(mapping))
+    vals = np.fromiter(mapping.values(), dtype=np.int64, count=len(mapping))
+    order = np.argsort(keys)
+    return keys[order], vals[order]
+
+
+def _lookup(
+    keys_sorted: np.ndarray, vals_sorted: np.ndarray, queries: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized dict lookup: (hit mask, value-or-garbage per query)."""
+    pos = np.searchsorted(keys_sorted, queries)
+    pos_c = np.minimum(pos, len(keys_sorted) - 1)
+    hit = keys_sorted[pos_c] == queries
+    return hit, vals_sorted[pos_c]
+
+
 def apply_drop(
     t: pa.Table,
     losers: frozenset,
     supersede: dict,
     overrides: dict,
 ) -> pa.Table:
-    """Tombstone filter + quality overrides (refresh/rescore semantics)."""
+    """Tombstone filter + quality overrides (refresh/rescore semantics).
+    Fully vectorized: sorted-array membership / searchsorted lookups, no
+    per-row Python."""
     ids = t["doc_id"].to_numpy(zero_copy_only=False)
     if losers or supersede:
-        warcs = t["warc_us"].to_numpy(zero_copy_only=False)
-        mask = np.fromiter(
-            (
-                (int(i) not in losers)
-                and (int(i) not in supersede or int(w) >= supersede[int(i)])
-                for i, w in zip(ids, warcs)
-            ),
-            dtype=bool,
-            count=len(ids),
-        )
+        mask = np.ones(len(ids), dtype=bool)
+        if losers:
+            loser_arr = np.fromiter(losers, dtype=np.int64, count=len(losers))
+            loser_arr.sort()
+            mask &= ~np.isin(ids, loser_arr)
+        if supersede:
+            warcs = t["warc_us"].to_numpy(zero_copy_only=False)
+            sk, sv = _sorted_lookup(supersede)
+            hit, min_warc = _lookup(sk, sv, ids)
+            mask &= ~(hit & (warcs.astype(np.int64) < min_warc))
         t = t.filter(pa.array(mask))
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
     if overrides:
-        qs = t["quality"].to_numpy(zero_copy_only=False)
-        new_q = np.fromiter(
-            (overrides.get(int(i), int(q)) for i, q in zip(ids, qs)),
-            dtype=np.int32,
-            count=len(ids),
-        )
+        qs = t["quality"].to_numpy(zero_copy_only=False).astype(np.int32)
+        ok_, ov = _lookup(*_sorted_lookup(overrides), ids)
+        new_q = np.where(ok_, ov.astype(np.int32), qs)
         t = t.set_column(
             t.schema.get_field_index("quality"), "quality",
             pa.array(new_q, pa.int32()),

@@ -1,10 +1,14 @@
-"""Document-at-a-time WAND top-k over merged posting iterators.
+"""Document-at-a-time block-max WAND top-k over merged posting iterators.
 
 Shared by the pages-corpus Searcher and the documents-table TextSearcher.
-Pruning is strict-< against the heap minimum so score ties are evaluated
-and resolved by the (score, warc_us, doc_id) DESC tie-break — required for
-rank-identity with serial oracles (ArticleRankKey order,
-myaku/datatypes.py:134-148).
+Pivot selection uses whole-list max scores; at an aligned pivot the bound
+is refined with the per-block maxima from the codec's block headers
+(``block_info`` — header walk, no body decode) and, when the refined
+bound cannot reach the heap minimum, the cursors jump past the tightest
+block boundary (shallow advance).  Pruning is strict-< against the heap
+minimum so score ties are evaluated and resolved by the
+(score, warc_us, doc_id) DESC tie-break — required for rank-identity with
+serial oracles (ArticleRankKey order, myaku/datatypes.py:134-148).
 
 Score accumulation over a doc's matching terms runs in sorted-term order
 (deterministic float64 summation, identical to the oracles).
@@ -65,6 +69,39 @@ def wand_topk(term_iters: dict, k: int) -> list[tuple[int, float, int]]:
             break
         pivot_doc = live[pivot][1].doc_id()
         if live[0][1].doc_id() == pivot_doc:
+            # Block-max refinement (BMW shallow advance): per-block upper
+            # bounds at pivot_doc, read from block HEADERS only.  Prune
+            # strictly-below theta so score ties still evaluate (the
+            # (score, warc, doc) tie-break needs them for rank-identity).
+            if theta != float("-inf"):
+                # every list at pivot_doc contributes (lists past the
+                # pivot can be tied on doc_id) — bound over that prefix
+                edge = pivot
+                while (
+                    edge + 1 < len(live)
+                    and live[edge + 1][1].doc_id() == pivot_doc
+                ):
+                    edge += 1
+                ub_blk = 0.0
+                boundaries = []
+                for _, it in live[: edge + 1]:
+                    info = it.block_info(pivot_doc)
+                    if info is None:
+                        continue
+                    bm, blast = info
+                    ub_blk += bm
+                    boundaries.append(blast)
+                if ub_blk < theta:
+                    # no doc in [pivot_doc, d2-1] can reach the heap min:
+                    # the per-list block bounds hold through min(boundary),
+                    # capped before the first list beyond the aligned set
+                    d2 = (min(boundaries) + 1) if boundaries else pivot_doc + 1
+                    if edge + 1 < len(live):
+                        d2 = min(d2, live[edge + 1][1].doc_id())
+                    d2 = max(d2, pivot_doc + 1)
+                    for i in range(edge + 1):
+                        live[i][1].seek(d2)
+                    continue
             contribs = []
             warc = 0
             for t, it in live:

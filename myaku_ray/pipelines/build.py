@@ -197,7 +197,8 @@ def build_index(
 
     loser_tbl = _pq.read_table(dedup_dir, columns=["doc_id"])
     loser_ids = frozenset(int(x) for x in loser_tbl["doc_id"].to_pylist())
-    losers_ref = ray.put(loser_ids)
+    loser_arr = np.sort(loser_tbl["doc_id"].to_numpy(zero_copy_only=False))
+    losers_ref = ray.put(loser_arr)
 
     n_doc_count = _parquet_rows(docs_dir)
     if salt_buckets is None:
@@ -215,12 +216,11 @@ def build_index(
         )
 
         def drop_losers(batch: pa.Table) -> pa.Table:
-            losers_set = ray.get(losers_ref)
-            if not losers_set:
+            larr = ray.get(losers_ref)  # sorted loser doc_ids
+            if len(larr) == 0:
                 return batch
             ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-            mask = np.array([i not in losers_set for i in ids], dtype=bool)
-            return batch.filter(pa.array(mask))
+            return batch.filter(pa.array(~np.isin(ids, larr)))
 
         winners = docs.map_batches(drop_losers, batch_format="pyarrow")
         if tokenize_concurrency is None:

@@ -78,6 +78,7 @@ from ray.data.aggregate import Sum
 
 from myaku_ray.corpus import FIXED_NOW
 from myaku_ray.index.segment_build import (
+    apply_drop,
     bucket_file_map,
     df_from_buckets,
     encode_segments,
@@ -637,33 +638,9 @@ def refresh_index(index_dir: str, *, recompute_df: bool = True) -> dict:
     def drop_dead(batch: pa.Table) -> pa.Table:
         """Filter tombstoned rows; apply rescored quality overrides."""
         loser_set, sup, ov = ray.get(drop_ref)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        if loser_set or sup:
-            warcs = batch["warc_us"].to_numpy(zero_copy_only=False)
-            mask = np.fromiter(
-                (
-                    (int(i) not in loser_set)
-                    and (int(i) not in sup or int(w) >= sup[int(i)])
-                    for i, w in zip(ids, warcs)
-                ),
-                dtype=bool,
-                count=len(ids),
-            )
-            batch = batch.filter(pa.array(mask))
-            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        if ov and "quality" in batch.column_names:
-            qs = batch["quality"].to_numpy(zero_copy_only=False)
-            new_q = np.fromiter(
-                (ov.get(int(i), int(q)) for i, q in zip(ids, qs)),
-                dtype=np.int32,
-                count=len(ids),
-            )
-            batch = batch.set_column(
-                batch.schema.get_field_index("quality"),
-                "quality",
-                pa.array(new_q, pa.int32()),
-            )
-        return batch
+        if "quality" not in batch.column_names:
+            ov = {}
+        return apply_drop(batch, loser_set, sup, ov)
 
     postings_dir = stage_dir(index_dir, "postings")
     df_dir = stage_dir(index_dir, "df")
