@@ -59,9 +59,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": dedup.simhash_docs,
         "simhash_pairs": dedup.simhash_pairs,
         # Myaku pages pipeline (HTML extraction -> lemma index -> ranked
-        # search); strong oracle lives in tests/ — rows-only here
+        # search); driver-oracled via stored goldens computed by the
+        # SERIAL oracle (tools/gen_pages_golden.py) — the pages corpus is
+        # a fixed deterministic fixture, so expected outputs are constants
         "pages_extract_stats": fulltext.pages_extract_stats,
         "pages_search_topk": fulltext.pages_search_topk,
+        # full FLI payload with lexical interpretations (list<struct>
+        # columns; not SQL-expressible — pytest golden tests hold the gate)
+        "pages_fli_interps": fulltext.pages_fli_interps,
         # language ID (profile scoring)
         "lang_id_ngram": textops.lang_id_ngram,
         # composed training-data curation (dedup + lang + quality gates)
@@ -77,7 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from myaku_ray.functions import (
-        ann, dedup, events, fulltext, media, relational, textops,
+        ann, dedup, events, fulltext, media, pages_golden, relational, textops,
     )
 
     return {
@@ -101,7 +106,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_ngram": textops.LANG_ID_NGRAM_SQL,
         "curate_documents": textops.CURATE_DOCUMENTS_SQL,
         "media_meta_stats": media.MEDIA_META_STATS_SQL,
-        # minhash_lsh_pairs / doc_fingerprints /
+        "pages_extract_stats": pages_golden.PAGES_EXTRACT_STATS_SQL,
+        "pages_search_topk": pages_golden.PAGES_SEARCH_TOPK_SQL,
+        # minhash_lsh_pairs / doc_fingerprints / pages_fli_interps /
         # pages_extract_stats / pages_search_topk / ivf_cosine_topk /
         # media_features / media_frame_sample: not SQL-expressible
         # (hash signatures, HTML extraction, lemma tokenization,

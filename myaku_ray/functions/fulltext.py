@@ -119,6 +119,39 @@ def pages_extract_stats(sf_dir: str):
     )
 
 
+def pages_fli_interps(sf_dir: str):
+    """Full FoundJpnLexicalItem payload over the page corpus: positions,
+    possible_interps and interp_position_map as typed list<struct>
+    columns (FliStage actor pool; myaku/datatypes.py:307-425 analog).
+    Returns the FLI rows for terms with >1 interpretation plus every
+    meta-phrase item — the payload slice the reference's golden e2e
+    test asserts field-by-field."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from myaku_ray.corpus import gen_blogs_table
+    from myaku_ray.stages.extract import make_extract_fn
+    from myaku_ray.stages.tokenize import FliStage
+
+    blogs = gen_blogs_table()
+    ratings = dict(zip(blogs["blog_url"], blogs["rating"]))
+    pages = rd.read_parquet(_pages_dir(), columns=["url", "warc_ts", "html", "lang"])
+    docs = pages.map_batches(
+        make_extract_fn(ratings), batch_format="pyarrow", batch_size=256
+    ).select_columns(["doc_id", "text"])
+
+    def interesting(batch: pa.Table) -> pa.Table:
+        multi = pc.greater(pc.list_value_length(batch["possible_interps"]), 1)
+        phrase = pc.equal(batch["pos"], "連語")
+        return batch.filter(pc.or_(multi, phrase))
+
+    return (
+        docs.map_batches(FliStage, batch_format="pyarrow",
+                         batch_size=128, concurrency=(1, 4))
+        .map_batches(interesting, batch_format="pyarrow")
+    )
+
+
 def pages_search_topk(sf_dir: str, k: int = 10):
     """Full Myaku pipeline: build the pages index, run the reference query
     set, return ranked (query, rank, doc_id, score, url) rows."""
@@ -139,6 +172,8 @@ def pages_search_topk(sf_dir: str, k: int = 10):
             rows["query"].append(q)
             rows["rank"].append(rank)
             rows["doc_id"].append(r.doc_id)
-            rows["score"].append(r.score)
+            # round-5 like the parity tests: engine and serial oracle sum
+            # f32 contributions in f64 and can differ by 1 ulp
+            rows["score"].append(round(r.score, 5))
             rows["url"].append(r.url)
     return pd.DataFrame(rows)

@@ -193,14 +193,59 @@ def build_phrases() -> list[tuple[str, ...]]:
     return sorted(phrases)
 
 
+# Conjugated-form names by suffix, per verb-ending class (aligned with
+# _VERB_CONJ's suffix lists) and for adjectives — the MecabLexicalItemInterp
+# (conjugated_type, conjugated_form) analog (myaku/datatypes.py:329-342).
+_VERB_FORM_NAMES = {
+    "る": ("基本形", "過去形", "て形", "否定形", "丁寧形", "丁寧過去形"),
+    "く": ("基本形", "過去形", "て形", "否定形", "丁寧形"),
+    "す": ("基本形", "過去形", "て形", "否定形", "丁寧形"),
+    "む": ("基本形", "過去形", "て形", "否定形", "丁寧形"),
+    "う": ("基本形", "過去形", "て形", "否定形", "丁寧形"),
+}
+_ADJ_SUFFIX_FORMS = {"い": "基本形", "かった": "過去形", "くない": "否定形"}
+
+
+def _conj_of(e: "LexEntry", surface: str) -> tuple[str | None, str | None]:
+    """(conjugated_type, conjugated_form) of one surface variant, derived
+    from the suffix so dropped-collision surfaces cannot misalign names."""
+    if e.pos == "動詞":
+        end = e.base_form[-1]
+        stem = e.base_form[:-1]
+        suffix = surface[len(stem):]
+        names = _VERB_FORM_NAMES[end]
+        try:
+            form = names[_VERB_CONJ[end].index(suffix)]
+        except ValueError:
+            form = None
+        return f"{end}活用", form
+    if e.pos == "形容詞":
+        stem = e.base_form[:-1]
+        return "形容詞活用", _ADJ_SUFFIX_FORMS.get(surface[len(stem):])
+    return None, None
+
+
 @lru_cache(maxsize=1)
-def surface_map() -> dict[str, tuple[str, str, str]]:
-    """surface -> (base_form, reading, pos) for every surface variant."""
-    m: dict[str, tuple[str, str, str]] = {}
+def surface_map() -> dict[str, tuple[str, str, str, str | None, str | None]]:
+    """surface -> (base_form, reading, pos, conj_type, conj_form) for every
+    surface variant."""
+    m: dict[str, tuple[str, str, str, str | None, str | None]] = {}
     for e in build_lexicon():
         for s in e.surfaces:
-            m.setdefault(s, (normalize_char_width(e.base_form), e.reading, e.pos))
+            ct, cf = _conj_of(e, s)
+            m.setdefault(
+                s, (normalize_char_width(e.base_form), e.reading, e.pos, ct, cf)
+            )
     return m
+
+
+@lru_cache(maxsize=1)
+def phrase_entry_ids() -> dict[tuple[str, ...], str]:
+    """phrase tuple -> deterministic JMdict-style entry sequence id (the
+    jmdict_interp_entry_id analog, myaku/japanese_analysis.py:355-366)."""
+    return {
+        p: str(1_000_000 + i) for i, p in enumerate(build_phrases())
+    }
 
 
 @lru_cache(maxsize=1)

@@ -90,3 +90,97 @@ class TokenizeStage:
 
             out = add_salt_bucket(out, self._salt_buckets, self._encode_buckets)
         return out
+
+
+# ---------------------------------------------------------------------------
+# Full FLI payload stage (positions + lexical interpretations)
+# ---------------------------------------------------------------------------
+
+INTERP_TYPE = pa.struct(
+    [
+        ("interp_sources", pa.list_(pa.string())),
+        ("parts_of_speech", pa.list_(pa.string())),
+        ("conjugated_type", pa.string()),
+        ("conjugated_form", pa.string()),
+        ("jmdict_interp_entry_id", pa.string()),
+    ]
+)
+POSITION_TYPE = pa.struct([("index", pa.int32()), ("len", pa.int32())])
+FLI_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("term", pa.string()),
+        ("tf", pa.int32()),
+        ("reading", pa.string()),
+        ("pos", pa.string()),
+        ("found_positions", pa.list_(POSITION_TYPE)),
+        ("possible_interps", pa.list_(INTERP_TYPE)),
+        # interp_position_map flattened to rows aligned with
+        # possible_interps: entry i holds interp i's own positions, or
+        # null when that interp covers every found position (exactly
+        # convert_interp_pos_map_to_doc's sparse-document layout,
+        # myaku/datastore/document_convert.py:156-171)
+        ("interp_position_map", pa.list_(pa.list_(POSITION_TYPE))),
+    ]
+)
+
+
+def _pos_list(positions) -> list[dict]:
+    return [{"index": int(s), "len": int(l)} for s, l in positions]
+
+
+class FliStage:
+    """docs -> full FoundJpnLexicalItem rows: positions, possible_interps
+    and the interp_position_map payload (myaku/datatypes.py:307-425) as
+    typed Arrow list<struct> columns.  Same actor-pool shape as
+    TokenizeStage (dictionary built once per actor); used when the
+    consumer needs the lexical interpretation payload, not just BM25
+    posting stats."""
+
+    def __init__(self) -> None:
+        self._tok = Tokenizer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in FLI_SCHEMA.names}
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for item in self._tok.find_lexical_items(text):
+                rows["doc_id"].append(int(did))
+                rows["term"].append(item["term"])
+                rows["tf"].append(item["tf"])
+                rows["reading"].append(item["reading"])
+                rows["pos"].append(item["pos"])
+                rows["found_positions"].append(_pos_list(item["positions"]))
+                rows["possible_interps"].append(
+                    [
+                        {
+                            "interp_sources": it["interp_sources"],
+                            "parts_of_speech": (
+                                it["mecab_interp"]["parts_of_speech"]
+                                if it["mecab_interp"]
+                                else None
+                            ),
+                            "conjugated_type": (
+                                it["mecab_interp"]["conjugated_type"]
+                                if it["mecab_interp"]
+                                else None
+                            ),
+                            "conjugated_form": (
+                                it["mecab_interp"]["conjugated_form"]
+                                if it["mecab_interp"]
+                                else None
+                            ),
+                            "jmdict_interp_entry_id": it["jmdict_interp_entry_id"],
+                        }
+                        for it in item["possible_interps"]
+                    ]
+                )
+                pm = item["interp_position_map"]
+                rows["interp_position_map"].append(
+                    [
+                        _pos_list(pm[str(i)]) if pm and str(i) in pm else None
+                        for i in range(len(item["possible_interps"]))
+                    ]
+                )
+        return pa.Table.from_pydict(rows, schema=FLI_SCHEMA)

@@ -27,7 +27,12 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-from myaku_ray.lexicon import build_phrases, max_surface_len, surface_map
+from myaku_ray.lexicon import (
+    build_phrases,
+    max_surface_len,
+    phrase_entry_ids,
+    surface_map,
+)
 from myaku_ray.normalize import normalize_char_width
 
 _SYMBOL_POS = "記号"
@@ -53,6 +58,8 @@ class Token(NamedTuple):
     pos: str
     start: int     # char offset in full text
     length: int    # char length of the surface
+    conj_type: str | None = None   # MecabLexicalItemInterp.conjugated_type
+    conj_form: str | None = None   # MecabLexicalItemInterp.conjugated_form
 
 
 class Tokenizer:
@@ -62,6 +69,7 @@ class Tokenizer:
         self._surfaces = surface_map()
         self._max_len = max_surface_len()
         self._phrases = set(build_phrases())
+        self._phrase_ids = phrase_entry_ids()
         # candidate match lengths per first char, longest first — the
         # longest-match scan only probes lengths that exist for that
         # first char instead of every length down from the global max
@@ -100,8 +108,8 @@ class Tokenizer:
                         hit = (cand, ent, ln)
                         break
             if hit is not None:
-                cand, (base, reading, pos), ln = hit
-                tokens.append(Token(cand, base, reading, pos, i, ln))
+                cand, (base, reading, pos, ct, cf), ln = hit
+                tokens.append(Token(cand, base, reading, pos, i, ln, ct, cf))
                 i += ln
                 continue
             # Unknown word. Latin/digit chars (either width) group into one
@@ -130,47 +138,92 @@ class Tokenizer:
         """Tokenize + meta-phrase pass + per-doc combine.
 
         Returns one posting dict per distinct base_form in the document:
-        ``{"term", "positions": [(start, len), ...], "tf", "reading", "pos"}``
-        with positions in ascending start order (the reference unions
-        positions as a set then the golden docs show them sorted).
+        ``{"term", "positions": [(start, len), ...], "tf", "reading",
+        "pos", "possible_interps", "interp_position_map"}`` with positions
+        in ascending start order (the reference unions positions as a set
+        then the golden docs show them sorted).
+
+        Interp semantics mirror reduce_found_lexical_items
+        (myaku/datatypes.py:428-505): ``possible_interps`` holds the
+        distinct interpretations (first-seen order) — a MeCab-analog
+        interp per distinct (POS, conj_type, conj_form) the base form was
+        found under, or a JMdict-analog interp for meta phrases —
+        and ``interp_position_map`` maps the INDEX of each interp whose
+        position set differs from the union to its own sorted positions
+        (None when every interp covers all positions), exactly the
+        convert_interp_pos_map_to_doc layout
+        (myaku/datastore/document_convert.py:156-171).
         """
         tokens = self.tokenize(text)
-        found: dict[str, dict] = {}
+        # base_form -> {interp_key: position set}; dicts keep first-seen order
+        found: dict[str, dict[tuple, set]] = {}
+        meta: dict[str, tuple[str, str]] = {}  # base -> (reading, pos)
 
-        def emit(base: str, reading: str, pos: str, start: int, length: int) -> None:
-            f = found.get(base)
-            if f is None:
-                found[base] = {
-                    "term": base,
-                    "positions": {(start, length)},
-                    "reading": reading,
-                    "pos": pos,
-                }
-            else:
-                f["positions"].add((start, length))
+        def emit(
+            base: str, reading: str, pos: str, start: int, length: int,
+            interp: tuple,
+        ) -> None:
+            found.setdefault(base, {}).setdefault(interp, set()).add(
+                (start, length)
+            )
+            meta.setdefault(base, (reading, pos))
 
         prev = None
         for tok in tokens:
             if tok.pos != _SYMBOL_POS:
-                emit(tok.base_form, tok.reading, tok.pos, tok.start, tok.length)
+                interp = (("MECAB",), (tok.pos,), tok.conj_type, tok.conj_form, None)
+                emit(tok.base_form, tok.reading, tok.pos, tok.start,
+                     tok.length, interp)
             # meta 2-gram phrase lookup over adjacent base forms
             if prev is not None and (prev.base_form, tok.base_form) in self._phrases:
                 start = prev.start
                 length = tok.start + tok.length - prev.start
-                emit(prev.base_form + tok.base_form, "", "連語", start, length)
+                jid = self._phrase_ids[(prev.base_form, tok.base_form)]
+                interp = (("JMDICT_MECAB_DECOMP",), None, None, None, jid)
+                emit(prev.base_form + tok.base_form, "", "連語", start,
+                     length, interp)
             prev = tok
 
+        def interp_dict(key: tuple) -> dict:
+            sources, poses, ct, cf, jid = key
+            return {
+                "interp_sources": list(sources),
+                "mecab_interp": (
+                    {
+                        "parts_of_speech": list(poses),
+                        "conjugated_type": ct,
+                        "conjugated_form": cf,
+                    }
+                    if poses is not None
+                    else None
+                ),
+                "jmdict_interp_entry_id": jid,
+            }
+
         out = []
-        for f in sorted(found):
-            item = found[f]
-            positions = sorted(item["positions"])
+        for base in sorted(found):
+            interp_map = found[base]
+            union: set = set()
+            for ps in interp_map.values():
+                union.update(ps)
+            positions = sorted(union)
+            pos_map = {
+                str(i): sorted(ps)
+                for i, ps in enumerate(interp_map.values())
+                if ps != union
+            }
+            reading, pos = meta[base]
             out.append(
                 {
-                    "term": item["term"],
+                    "term": base,
                     "positions": positions,
                     "tf": len(positions),
-                    "reading": item["reading"],
-                    "pos": item["pos"],
+                    "reading": reading,
+                    "pos": pos,
+                    "possible_interps": [
+                        interp_dict(k) for k in interp_map
+                    ],
+                    "interp_position_map": pos_map or None,
                 }
             )
         return out
