@@ -107,7 +107,11 @@ def build_first_page_cache(index_dir: str, k: int = FIRST_PAGE_K) -> dict:
 
 def load_first_page(index_dir: str) -> tuple[dict, int] | None:
     """term -> [(doc_id, score, warc_us) in rank order], or None if absent
-    or stale (segments rebuilt since the cache was materialized)."""
+    or stale (segments rebuilt since the cache was materialized or last
+    patched).  Patch files (``zpatch-*.parquet``) override the base rows
+    for their terms, applied in patch order."""
+    import glob as _glob
+
     out_dir = os.path.join(index_dir, "first_page")
     meta_path = os.path.join(out_dir, "_meta.json")
     if not os.path.exists(meta_path):
@@ -116,16 +120,139 @@ def load_first_page(index_dir: str) -> tuple[dict, int] | None:
         meta = json.load(f)
     if meta.get("segments_success_mtime") != _segments_success_mtime(index_dir):
         return None
-    t = pq.read_table(out_dir)
+    files = sorted(
+        f
+        for f in _glob.glob(os.path.join(out_dir, "*.parquet"))
+        if not os.path.basename(f).startswith("_")
+    )
+    base = [f for f in files if not os.path.basename(f).startswith("zpatch-")]
+    patches = [f for f in files if os.path.basename(f).startswith("zpatch-")]
     cache: dict = {}
-    for term, rank, d, s, w in zip(
-        t["term"].to_pylist(),
-        t["rank"].to_pylist(),
-        t["doc_id"].to_pylist(),
-        t["score"].to_pylist(),
-        t["warc_us"].to_pylist(),
-    ):
-        cache.setdefault(term, []).append((rank, d, float(s), w))
-    for term in cache:
-        cache[term] = [(d, s, w) for _, d, s, w in sorted(cache[term])]
+    for fset in ([base] + [[p] for p in patches]):
+        if not fset:
+            continue
+        t = pq.read_table(fset)
+        rows: dict = {}
+        for term, rank, d, s, w in zip(
+            t["term"].to_pylist(),
+            t["rank"].to_pylist(),
+            t["doc_id"].to_pylist(),
+            t["score"].to_pylist(),
+            t["warc_us"].to_pylist(),
+        ):
+            rows.setdefault(term, []).append((rank, d, float(s), w))
+        for term, lst in rows.items():  # later files override per term
+            cache[term] = [(d, s, w) for _, d, s, w in sorted(lst)]
     return cache, int(meta["k"])
+
+
+# ---------------------------------------------------------------------------
+# Incremental maintenance (the reference's per-term recache decisions)
+# ---------------------------------------------------------------------------
+
+def touched_terms_of_docs(index_dir: str, doc_ids) -> set[str]:
+    """Terms of the given docs' CURRENT texts (the terms whose first page
+    a quality-only change can affect).  Bounded: predicate-pushdown read
+    of just those docs + per-doc tokenization."""
+    import pyarrow.dataset as pads
+
+    from myaku_ray.tokenizer import get_tokenizer
+
+    ids = sorted(int(d) for d in doc_ids)
+    if not ids:
+        return set()
+    tbl = pads.dataset(
+        stage_dir(index_dir, "docs"), format="parquet",
+        partitioning="hive",
+    ).to_table(columns=["text"], filter=pads.field("doc_id").isin(ids))
+    tok = get_tokenizer()
+    terms: set[str] = set()
+    for text in tbl["text"].to_pylist():
+        terms.update(tok.find_term_tfs(text))
+    return terms
+
+
+def patch_first_page_cache(
+    index_dir: str, touched_doc_ids, k: int | None = None
+) -> dict:
+    """Incrementally patch the cache after a QUALITY-ONLY change (rescore):
+    recompute only terms whose posting lists the touched docs appear in;
+    every other term's rows are untouched on disk.
+
+    This is the reference's per-term maintenance decision flow
+    (myaku/datastore/cache.py:201-312) collapsed to two outcomes: a term
+    with no touched doc is UNNECESSARY (skip), any other term is exactly
+    recomputed from its (already re-encoded) segment rows — which covers
+    both the in-place-reorder and RECACHE_REQUIRED outcomes.  Safe ONLY
+    for quality-only changes: term membership and global df/avgdl are
+    unchanged, so untouched terms' scores cannot move.  Structural
+    updates (new/removed docs) change global stats — callers rebuild."""
+    import glob as _glob
+
+    import pyarrow.dataset as pads
+
+    t0 = time.time()
+    out_dir = os.path.join(index_dir, "first_page")
+    meta_path = os.path.join(out_dir, "_meta.json")
+    if not os.path.exists(meta_path):
+        return {"patched_terms": 0, "reason": "no_cache"}
+    with open(meta_path) as f:
+        meta = json.load(f)
+    k = k or int(meta["k"])
+
+    terms = touched_terms_of_docs(index_dir, touched_doc_ids)
+    if not terms:
+        meta["segments_success_mtime"] = _segments_success_mtime(index_dir)
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+        return {"patched_terms": 0}
+
+    # exact per-term recompute from the refreshed segments: term-sorted
+    # 512-row row groups make the isin filter a row-group-pruned read
+    seg = pads.dataset(
+        stage_dir(index_dir, "segments"), format="parquet", partitioning="hive"
+    )
+    tbl = seg.to_table(
+        columns=["term", "max_score", "blob"],
+        filter=pads.field("term").isin(sorted(terms)),
+    )
+    rows_t, rows_r, rows_d, rows_s, rows_w = [], [], [], [], []
+    by_term: dict[str, list] = {}
+    for term, ms, blob in zip(
+        tbl["term"].to_pylist(), tbl["max_score"].to_pylist(),
+        tbl["blob"].to_pylist(),
+    ):
+        by_term.setdefault(term, []).append((blob, float(ms)))
+    for term, blobs in by_term.items():
+        cands = []
+        for blob, ms in blobs:
+            cands.extend(ArrayPostings([blob], ms).topk_arrays(k))
+        cands.sort(key=lambda c: (c[1], c[2], c[0]), reverse=True)
+        for rank, (d, s, w) in enumerate(cands[:k]):
+            rows_t.append(term)
+            rows_r.append(rank)
+            rows_d.append(d)
+            rows_s.append(s)
+            rows_w.append(w)
+
+    n_prev = len(_glob.glob(os.path.join(out_dir, "zpatch-*.parquet")))
+    patch_path = os.path.join(out_dir, f"zpatch-{n_prev + 1:05d}.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "term": pa.array(rows_t, pa.string()),
+                "rank": pa.array(np.asarray(rows_r, dtype=np.int32)),
+                "doc_id": pa.array(rows_d, pa.int64()),
+                "score": pa.array(np.asarray(rows_s, dtype=np.float32)),
+                "warc_us": pa.array(np.asarray(rows_w, dtype=np.uint64)),
+            }
+        ),
+        patch_path,
+    )
+    meta["segments_success_mtime"] = _segments_success_mtime(index_dir)
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return {
+        "patched_terms": len(by_term),
+        "first_page_patch_wall_s": round(time.time() - t0, 3),
+    }

@@ -155,6 +155,16 @@ def rescore_index(
         )
         save_quality_overrides(index_dir, merged)
         metrics.update(refresh_index(index_dir, recompute_df=False))
+        # quality-only change: the first-page cache (if built) is patched
+        # incrementally — only the rescored docs' terms are recomputed
+        # (the reference's per-term recache decision, cache.py:201-312)
+        from myaku_ray.pipelines.first_page import patch_first_page_cache
+
+        fp = patch_first_page_cache(
+            index_dir, [int(d) for d in changed["doc_id"]]
+        )
+        if fp.get("patched_terms"):
+            metrics["first_page_patched_terms"] = fp["patched_terms"]
     with open(stats_path) as f:
         stats = json.load(f)
     stats["fixed_now_us"] = int(now.timestamp() * 1_000_000)
