@@ -45,6 +45,9 @@ def _ray_init(num_cpus: int) -> None:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # bench prints ONE JSON line; worker-process log relays (e.g. the
+        # schema-dedup "Failed to hash the schemas" warnings) stay out
+        log_to_driver=False,
     )
     from ray.data import DataContext
 
@@ -53,6 +56,9 @@ def _ray_init(num_cpus: int) -> None:
     ctx.execution_options.verbose_progress = False
     import logging
 
+    # ERROR on the whole ray tree: the "Failed to hash the schemas" lines
+    # the schema-dedup helper logs at WARNING otherwise spam the tail
+    logging.getLogger("ray").setLevel(logging.ERROR)
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
 
@@ -148,6 +154,7 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "ivf_cosine_topk": ann.ivf_cosine_topk,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_docs": dedup.simhash_docs,
+        "simhash_pairs": dedup.simhash_pairs,
         "lang_id_ngram": textops.lang_id_ngram,
         "media_meta_stats": media.media_meta_stats,
         "media_features": media.media_features,
@@ -167,6 +174,7 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
 
 
 def run_once() -> dict:
+    global CORPUS_DIR, BENCH_PAGES  # swapped for the 400k sub-run below
     build_only = os.environ.get("MYAKU_BENCH_BUILD_ONLY") == "1"
     _ray_init(NUM_CPUS)
     pages = ensure_corpus()
@@ -180,6 +188,29 @@ def run_once() -> dict:
         build["first_page_s"] = round(time.time() - t0, 3)
     queries = bench_queries(build["index_dir"]) if not build_only else {}
     doc_timings = bench_doc_pipelines(SF_DIR) if not build_only else {}
+
+    # 400k-page build IN the bench record (not just BASELINE.md prose) so
+    # round-over-round comparison is mechanical; skip via MYAKU_BENCH_400K=0
+    xl = {}
+    xl_pages = int(os.environ.get("MYAKU_BENCH_400K_PAGES", "400000"))
+    if (
+        not build_only
+        and os.environ.get("MYAKU_BENCH_400K", "1") != "0"
+        and xl_pages != BENCH_PAGES
+    ):
+        prev_pages, prev_dir = BENCH_PAGES, CORPUS_DIR
+        BENCH_PAGES, CORPUS_DIR = xl_pages, f"/tmp/myaku_bench/pages_{xl_pages}"
+        try:
+            xl_corpus = ensure_corpus()
+            warm_page_cache(xl_corpus)
+            b = bench_build(xl_corpus, NUM_CPUS)
+            xl = {
+                "build_400k_s": b["build_s"],
+                "build_400k_docs_per_s": b["docs_per_s"],
+                "n_docs_400k": b["n_docs"],
+            }
+        finally:
+            BENCH_PAGES, CORPUS_DIR = prev_pages, prev_dir
     import ray
 
     ray.shutdown()
@@ -189,6 +220,7 @@ def run_once() -> dict:
         "unit": "sec",
         "queries": {
             "index_build": build["build_s"],
+            **({"index_build_400k": xl["build_400k_s"]} if xl else {}),
             **doc_timings,
         },
         "sf": SF_DIR,
@@ -196,6 +228,7 @@ def run_once() -> dict:
         "bench_pages": BENCH_PAGES,
         "n_docs": build["n_docs"],
         "build_docs_per_s": build["docs_per_s"],
+        **xl,
         **({"first_page_s": build["first_page_s"]} if "first_page_s" in build else {}),
         **queries,
     }
