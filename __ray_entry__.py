@@ -97,6 +97,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": textops.DOC_QUALITY_SQL,
         "dedup_exact": textops.DEDUP_EXACT_SQL,
         "lang_source_profile": textops.LANG_SOURCE_PROFILE_SQL,
+        "doc_fingerprints": textops.DOC_FINGERPRINTS_SQL,
         "bm25_topk_docs": fulltext.bm25_topk_sql(),
         "ann_cosine_topk": ann.ANN_COSINE_TOPK_SQL,
         "near_dup_embeddings": ann.NEAR_DUP_EMBEDDINGS_SQL,
@@ -108,7 +109,7 @@ def oracle_sql() -> dict[str, str]:
         "media_meta_stats": media.MEDIA_META_STATS_SQL,
         "pages_extract_stats": pages_golden.PAGES_EXTRACT_STATS_SQL,
         "pages_search_topk": pages_golden.PAGES_SEARCH_TOPK_SQL,
-        # minhash_lsh_pairs / doc_fingerprints / pages_fli_interps /
+        # minhash_lsh_pairs / pages_fli_interps /
         # pages_extract_stats / pages_search_topk / ivf_cosine_topk /
         # media_features / media_frame_sample: not SQL-expressible
         # (hash signatures, HTML extraction, lemma tokenization,

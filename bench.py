@@ -264,6 +264,42 @@ def _spin(n: int) -> int:
     return x
 
 
+def _membw_task(_arg) -> float:
+    import numpy as np
+
+    a = np.ones(32_000_000, dtype=np.float64)  # 256 MB working set
+    t0 = time.time()
+    passes = 6
+    for _ in range(passes):
+        a *= 1.000001  # read + write every byte in place
+    return passes * 2 * a.nbytes / (time.time() - t0) / 1e9
+
+
+def _hw_membw_scaling(n_lo: int, n_hi: int) -> dict:
+    """Memory-BANDWIDTH probe: aggregate GB/s with N vs 4N workers.
+
+    The pure-CPU spin probe scales ~linearly on this host while streaming
+    memory saturates (~19 GB/s shared): Arrow/parquet pipelines are
+    bandwidth-heavy, so THIS ceiling — not CPU — bounds their measured
+    scaling.  Published so pipeline efficiency can be read against it."""
+    import multiprocessing as mp
+
+    def measure(nproc: int) -> float:
+        with mp.Pool(nproc) as p:
+            t0 = time.time()
+            r = p.map(_membw_task, range(nproc * 2))
+            wall = time.time() - t0
+        total_bytes = len(r) * 6 * 2 * 32_000_000 * 8
+        return total_bytes / wall / 1e9
+
+    lo, hi = measure(n_lo), measure(n_hi)
+    return {
+        "hw_membw_gbps_lo": round(lo, 1),
+        "hw_membw_gbps_hi": round(hi, 1),
+        "hw_membw_efficiency": round((hi / lo) / (n_hi / n_lo), 3),
+    }
+
+
 def run_scaling() -> dict:
     """Same job at two parallelism levels (N and 4N CPUs) in fresh
     processes — the sandbox substitute for N- vs 4N-node clusters.
@@ -307,6 +343,7 @@ def run_scaling() -> dict:
         (hi["build_docs_per_s"] / lo["build_docs_per_s"]) / (n_hi / n_lo)
     )
     hw = _hw_compute_scaling(n_lo, n_hi)
+    membw = _hw_membw_scaling(n_lo, n_hi)
     return {
         "metric": f"scaling: index build docs/s at num_cpus={n_lo} vs {n_hi}",
         "n_lo": n_lo,
@@ -316,12 +353,15 @@ def run_scaling() -> dict:
         f"build_s_{n_lo}": lo["value"],
         f"build_s_{n_hi}": hi["value"],
         "scaling_efficiency": round(eff, 3),
-        # efficiency normalized by what the shared host itself could scale
-        # in the same window — the oversubscription-corrected number
+        # efficiency normalized by what the shared host itself can scale
+        # in the same window: CPU probe (linear here) and the memory-
+        # bandwidth probe (the binding ceiling for Arrow pipelines)
         "efficiency_vs_host": round(eff / hw["hw_compute_efficiency"], 3),
+        "efficiency_vs_membw": round(eff / membw["hw_membw_efficiency"], 3),
         "bench_pages": lo["bench_pages"],
         "n_docs": lo["n_docs"],
         **hw,
+        **membw,
     }
 
 

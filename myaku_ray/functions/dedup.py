@@ -111,23 +111,40 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def bands(batch: pa.Table) -> pa.Table:
-        rows = {"band": [], "bucket": [], "doc_id": []}
-        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            sig = minhash_signature(text, a, b)
-            for band in range(LSH_BANDS):
-                chunk = sig[band * LSH_ROWS : (band + 1) * LSH_ROWS]
-                bucket = struct.unpack(
-                    "<Q",
-                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(),
-                )[0] & 0x7FFF_FFFF_FFFF_FFFF
-                rows["band"].append(band)
-                rows["bucket"].append(bucket)
-                rows["doc_id"].append(did)
+        """(band, bucket, doc_id) rows, one per doc x band.
+
+        Bucket keys are a vectorized polynomial mix of the band's minhash
+        values (not a per-chunk blake2b): any deterministic function of
+        the band values works — a rare mix collision only ADDS candidate
+        pairs, which exact verification then rejects, so the output is
+        unchanged while the stage is pure numpy after the signatures."""
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        if not texts:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int32()),
+                    "bucket": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        sigs = np.stack([minhash_signature(t, a, b) for t in texts])
+        # (n_docs, LSH_BANDS, LSH_ROWS) -> polynomial mix over the rows axis
+        chunks = sigs.reshape(len(texts), LSH_BANDS, LSH_ROWS)
+        mix = np.zeros((len(texts), LSH_BANDS), dtype=np.uint64)
+        P = np.uint64(0x9E3779B97F4A7C15)
+        for r in range(LSH_ROWS):
+            mix = mix * P + chunks[:, :, r]
+            mix ^= mix >> np.uint64(29)
+        bucket = (mix & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
+        band = np.broadcast_to(
+            np.arange(LSH_BANDS, dtype=np.int32), bucket.shape
+        )
         return pa.table(
             {
-                "band": pa.array(rows["band"], pa.int32()),
-                "bucket": pa.array(rows["bucket"], pa.int64()),
-                "doc_id": pa.array(rows["doc_id"], pa.int64()),
+                "band": pa.array(band.ravel(), pa.int32()),
+                "bucket": pa.array(bucket.ravel(), pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, LSH_BANDS), pa.int64()),
             }
         )
 

@@ -25,17 +25,24 @@ def doc_token_stats(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def stats(batch: pa.Table) -> pa.Table:
-        ids, n_tok, n_dis = [], [], []
-        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            toks = text.split(" ")
-            ids.append(did)
-            n_tok.append(len(toks))
-            n_dis.append(len(set(toks)))
+        """Fully vectorized: split_pattern + list_value_length for counts;
+        distinct-per-doc via dictionary codes + one np.unique over
+        (doc, code) keys — no Python loop over rows."""
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        n_tok = pc.list_value_length(toks).cast(pa.int64())
+        enc = pc.list_flatten(toks).dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        vocab = len(enc.dictionary)
+        uniq = np.unique(parents.astype(np.int64) * vocab + codes)
+        n_dis = np.bincount(uniq // vocab, minlength=batch.num_rows)
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "n_tokens": pa.array(n_tok, pa.int64()),
-                "n_distinct": pa.array(n_dis, pa.int64()),
+                "doc_id": batch["doc_id"],
+                "n_tokens": n_tok,
+                "n_distinct": pa.array(n_dis.astype(np.int64)),
             }
         )
 
@@ -88,23 +95,28 @@ def doc_quality(sf_dir: str):
     stop = set(STOPWORDS)
 
     def q(batch: pa.Table) -> pa.Table:
-        ids, n_tok, n_stop, ratio, mean_len = [], [], [], [], []
-        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            toks = text.split(" ")
-            ns = sum(t in stop for t in toks)
-            total_len = sum(len(t) for t in toks)
-            ids.append(did)
-            n_tok.append(len(toks))
-            n_stop.append(ns)
-            ratio.append(ns / len(toks))
-            mean_len.append(total_len / len(toks))
+        """Vectorized signals: per-token is_in / utf8_length on the
+        flattened token array, segment-summed per doc with bincount."""
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        is_stop = pc.is_in(flat, value_set=pa.array(sorted(stop))).to_numpy(
+            zero_copy_only=False
+        )
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        n_stop = np.bincount(parents, weights=is_stop, minlength=n).astype(np.int64)
+        total_len = np.bincount(parents, weights=tok_len, minlength=n)
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "n_tokens": pa.array(n_tok, pa.int64()),
-                "n_stopwords": pa.array(n_stop, pa.int64()),
-                "stopword_ratio": pa.array(ratio, pa.float64()),
-                "mean_token_len": pa.array(mean_len, pa.float64()),
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok),
+                "n_stopwords": pa.array(n_stop),
+                "stopword_ratio": pa.array(n_stop / n_tok, pa.float64()),
+                "mean_token_len": pa.array(total_len / n_tok, pa.float64()),
             }
         )
 
@@ -170,26 +182,34 @@ FROM documents GROUP BY lang, source
 
 
 def doc_fingerprints(sf_dir: str):
-    """64-bit rolling/content fingerprints per doc (blake2b of normalized
-    token stream) — the exact-dup / shard-routing key at scale.  Not
-    SQL-expressible (driver records rows-only check)."""
+    """63-bit content fingerprint per doc — the exact-dup / shard-routing
+    key at scale.  md5-derived (top 8 digest bytes, sign bit cleared) so
+    the DuckDB oracle recomputes it exactly:
+    ('0x'||substr(md5(text),1,16))::UBIGINT."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fp(batch: pa.Table) -> pa.Table:
-        ids, fps = [], []
-        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            norm = " ".join(text.split(" "))
-            d = hashlib.blake2b(norm.encode(), digest_size=8).digest()
-            ids.append(did)
-            fps.append(int.from_bytes(d, "big") & 0x7FFF_FFFF_FFFF_FFFF)
+        fps = [
+            int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+            & 0x7FFF_FFFF_FFFF_FFFF
+            for t in batch["text"].to_pylist()
+        ]
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
+                "doc_id": batch["doc_id"],
                 "fingerprint": pa.array(fps, pa.int64()),
             }
         )
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+DOC_FINGERPRINTS_SQL = """
+SELECT doc_id,
+  CAST(('0x' || substr(md5(text), 1, 16))::UBIGINT
+       & 9223372036854775807::UBIGINT AS BIGINT) AS fingerprint
+FROM documents
+"""
 
 
 # Marker-token profiles for n-gram-profile language ID.  The synthetic
@@ -209,20 +229,29 @@ def lang_id_ngram(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def lid(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        scores = {
-            lang: [sum(t.count(m) for m in marks) for t in texts]
-            for lang, marks in LANG_PROFILES.items()
+        """Vectorized: count_substring kernel per marker; argmax keeps
+        the FIRST max == alphabetical tie-break."""
+        import pyarrow.compute as pc
+
+        texts = batch["text"].combine_chunks()
+        langs = sorted(LANG_PROFILES)
+        score_mat = np.stack(
+            [
+                sum(
+                    pc.count_substring(texts, m).to_numpy(zero_copy_only=False)
+                    for m in LANG_PROFILES[lang]
+                ).astype(np.int64)
+                for lang in langs
+            ],
+            axis=1,
+        )
+        preds = np.asarray(langs, dtype=object)[score_mat.argmax(axis=1)]
+        cols = {
+            "doc_id": batch["doc_id"],
+            "lang_pred": pa.array(preds.tolist(), pa.string()),
         }
-        langs = sorted(LANG_PROFILES)  # alphabetical tie-break (first max)
-        preds = []
-        for i in range(len(texts)):
-            best = max(langs, key=lambda l: (scores[l][i], ))
-            # max() keeps the FIRST max in iteration order == alphabetical
-            preds.append(best)
-        cols = {"doc_id": batch["doc_id"], "lang_pred": pa.array(preds, pa.string())}
-        for lang in langs:
-            cols[f"score_{lang}"] = pa.array(scores[lang], pa.int64())
+        for i, lang in enumerate(langs):
+            cols[f"score_{lang}"] = pa.array(score_mat[:, i], pa.int64())
         return pa.table(cols)
 
     return ds.map_batches(lid, batch_format="pyarrow")
@@ -273,32 +302,33 @@ def curate_documents(sf_dir: str):
     stop = set(STOPWORDS)
 
     def signals(batch: pa.Table) -> pa.Table:
-        ids, hs, langs, srcs, keep_q, n_toks = [], [], [], [], [], []
-        for did, text, lang, src in zip(
-            batch["doc_id"].to_pylist(),
-            batch["text"].to_pylist(),
-            batch["lang"].to_pylist(),
-            batch["source"].to_pylist(),
-        ):
-            toks = text.split(" ")
-            ns = sum(t in stop for t in toks)
-            ids.append(did)
-            hs.append(hashlib.sha256(text.encode()).hexdigest())
-            langs.append(lang)
-            srcs.append(src)
-            n_toks.append(len(toks))
-            keep_q.append(
-                len(toks) >= CURATE_MIN_TOKENS
-                and ns / len(toks) <= CURATE_MAX_STOPWORD_RATIO
-            )
+        """Token stats vectorized (split_pattern + bincount); only the
+        content hash stays per-row (hashing is inherently per-doc)."""
+        import pyarrow.compute as pc
+
+        texts = batch["text"].combine_chunks()
+        toks = pc.split_pattern(texts, " ")
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        is_stop = pc.is_in(flat, value_set=pa.array(sorted(stop))).to_numpy(
+            zero_copy_only=False
+        )
+        n_stop = np.bincount(parents, weights=is_stop, minlength=batch.num_rows)
+        keep_q = (n_tok >= CURATE_MIN_TOKENS) & (
+            n_stop / n_tok <= CURATE_MAX_STOPWORD_RATIO
+        )
+        hs = [
+            hashlib.sha256(t.encode()).hexdigest() for t in texts.to_pylist()
+        ]
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
+                "doc_id": batch["doc_id"],
                 "h": pa.array(hs, pa.string()),
-                "lang": pa.array(langs, pa.string()),
-                "source": pa.array(srcs, pa.string()),
-                "n_tokens": pa.array(n_toks, pa.int64()),
-                "keep_q": pa.array(keep_q, pa.bool_()),
+                "lang": batch["lang"],
+                "source": batch["source"],
+                "n_tokens": pa.array(n_tok),
+                "keep_q": pa.array(keep_q),
             }
         )
 

@@ -386,6 +386,29 @@ def effective_overrides(
     }
 
 
+def _make_keep_need(need: set[tuple[int, int]]):
+    """Vectorized (doc_id, warc_us)-version filter for the tokenize read.
+
+    ``need`` holds the latest live version per doc (one warc per doc_id),
+    so it collapses to a sorted id->warc lookup: searchsorted + equality,
+    no per-row Python."""
+    ids_arr = np.fromiter((d for d, _ in sorted(need)), dtype=np.int64,
+                          count=len(need))
+    warc_arr = np.fromiter((w for _, w in sorted(need)), dtype=np.int64,
+                           count=len(need))
+
+    def keep_need(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        warcs = batch["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.minimum(
+            np.searchsorted(ids_arr, ids), len(ids_arr) - 1
+        )
+        mask = (ids_arr[pos] == ids) & (warc_arr[pos] == warcs)
+        return batch.filter(pa.array(mask))
+
+    return keep_need
+
+
 # ---------------------------------------------------------------------------
 # update
 # ---------------------------------------------------------------------------
@@ -525,28 +548,13 @@ def update_index(
     metrics["n_tokenized"] = len(need)
 
     if need:
-        need_ids_ref = ray.put({d for d, _ in need})
         docs_all = rd.read_parquet(
             stage_dir(index_dir, "docs"),
             columns=["doc_id", "text", "quality_score", "warc_ts"],
         )
-
-        def keep_need(batch: pa.Table) -> pa.Table:
-            need_ids = ray.get(need_ids_ref)
-            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-            warcs = batch["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            mask = np.array(
-                [
-                    (int(i) in need_ids) and ((int(i), int(w)) in need)
-                    for i, w in zip(ids, warcs)
-                ],
-                dtype=bool,
-            )
-            return batch.filter(pa.array(mask))
-
-        # `need` (small set of (doc_id, warc) pairs) rides into the task
-        # closure; need_ids via object store for the common-path check
-        to_tok = docs_all.map_batches(keep_need, batch_format="pyarrow")
+        to_tok = docs_all.map_batches(
+            _make_keep_need(need), batch_format="pyarrow"
+        )
         postings_delta_dir = os.path.join(
             stage_dir(index_dir, "postings"), f"delta-{k}"
         )
@@ -794,28 +802,16 @@ def delete_urls(
         postings_delta_dir = os.path.join(
             stage_dir(index_dir, "postings"), f"delta-{k}"
         )
-        need_ids_ref = ray.put({d for d, _ in need})
         docs_all = rd.read_parquet(
             stage_dir(index_dir, "docs"),
             columns=["doc_id", "text", "quality_score", "warc_ts"],
         )
 
-        def keep_need(batch: pa.Table) -> pa.Table:
-            need_ids = ray.get(need_ids_ref)
-            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-            warcs = batch["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            mask = np.array(
-                [
-                    (int(i) in need_ids) and ((int(i), int(w)) in need)
-                    for i, w in zip(ids, warcs)
-                ],
-                dtype=bool,
-            )
-            return batch.filter(pa.array(mask))
-
         with open(os.path.join(index_dir, "stats.json")) as f:
             _stats = json.load(f)
-        docs_all.map_batches(keep_need, batch_format="pyarrow").map_batches(
+        docs_all.map_batches(
+            _make_keep_need(need), batch_format="pyarrow"
+        ).map_batches(
             TokenizeStage,
             batch_format="pyarrow",
             batch_size=tokenize_batch_size,
