@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_per_region": relational.customers_per_region,
         # event-stream shapes (windows, sessions)
         "events_hourly": events.events_hourly,
+        "events_hopping_3h": events.events_hopping_3h,
         "user_sessions": events.user_sessions,
         "top_users_by_value": events.top_users_by_value,
         # text analysis over documents
@@ -53,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search / embeddings
         "ann_cosine_topk": ann.ann_cosine_topk,
         "near_dup_embeddings": ann.near_dup_embeddings,
+        "near_dup_embeddings_lsh": ann.near_dup_embeddings_lsh,
         # near-dup family
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -90,6 +92,7 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_by_revenue": relational.TOP_ORDERS_SQL,
         "customers_per_region": relational.CUSTOMERS_PER_REGION_SQL,
         "events_hourly": events.EVENTS_HOURLY_SQL,
+        "events_hopping_3h": events.EVENTS_HOPPING_SQL,
         "user_sessions": events.USER_SESSIONS_SQL,
         "top_users_by_value": events.TOP_USERS_SQL,
         "doc_token_stats": textops.DOC_TOKEN_STATS_SQL,

@@ -141,6 +141,110 @@ WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """
 
 
+NEAR_DUP_LSH_PLANES = 36
+NEAR_DUP_LSH_BANDS = 6   # 6 bands x 6 bits
+NEAR_DUP_LSH_THRESHOLD = 0.85
+# Recall model: P(plane agrees) = 1 - theta/pi; a pair at cos 0.9 agrees
+# on a 6-bit band with p ~ 0.40, so >=1 of 6 bands matches with ~0.95.
+# Low-threshold pairs (cos ~ 0.4) are NOT recalled reliably — this is the
+# scale path for true near-duplicates, hence the higher default threshold
+# than the exact label-blocked variant.
+
+
+def near_dup_embeddings_lsh(
+    sf_dir: str, threshold: float = NEAR_DUP_LSH_THRESHOLD
+):
+    """Embedding near-dup pairs via random-hyperplane LSH — the scale
+    path beside the label-blocked exact variant: candidate pairs only
+    ever form INSIDE an (band, 8-bit sign-key) bucket, so no O(block^2)
+    over a hot label; in-bucket verification is the exact rounded-cosine
+    rule, so precision is exact and only recall is approximate (pairs
+    differing in >=1 bit of every band are missed — banding makes that
+    exponentially unlikely for high-cosine pairs).
+
+    Deterministic hyperplanes (seeded RNG, broadcast once); embeddings
+    ride through the groupby (64 floats/row — the payload IS the join
+    key's data, same as MinHash shingles)."""
+    rng = np.random.default_rng(0xA5A5)
+    # planes drawn once on the driver; dim read from the table schema
+    import pyarrow.dataset as pads
+
+    head = pads.dataset(f"{sf_dir}/embeddings.parquet").head(1)
+    dim = len(head["embedding"][0].as_py())
+    planes = rng.standard_normal((dim, NEAR_DUP_LSH_PLANES))
+    planes_ref = ray.put(planes)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    bits_per_band = NEAR_DUP_LSH_PLANES // NEAR_DUP_LSH_BANDS
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        P = ray.get(planes_ref)
+        X = _matrix(batch["embedding"])
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        signs = (X @ P) > 0  # (n, PLANES)
+        weights = (1 << np.arange(bits_per_band)).astype(np.int64)
+        out_band, out_key, out_id, out_emb = [], [], [], []
+        emb_col = batch["embedding"]
+        for b in range(NEAR_DUP_LSH_BANDS):
+            chunk = signs[:, b * bits_per_band : (b + 1) * bits_per_band]
+            keys = chunk.astype(np.int64) @ weights
+            out_band.append(np.full(len(ids), b, dtype=np.int32))
+            out_key.append(keys)
+            out_id.append(ids)
+            out_emb.append(emb_col)
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(out_band), pa.int32()),
+                "key": pa.array(np.concatenate(out_key), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "embedding": pa.concat_arrays(
+                    [c.combine_chunks() for c in out_emb]
+                ),
+            }
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"vec_id_a": pd.Series(dtype=np.int64),
+                 "vec_id_b": pd.Series(dtype=np.int64),
+                 "sim_r": pd.Series(dtype=np.float64)}
+            )
+        ids = g["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in g["embedding"].iloc[order]]
+        )
+        norm = np.sqrt((X * X).sum(axis=1))
+        sims = np.round((X @ X.T) / (norm[:, None] * norm[None, :]), 6)
+        iu = np.triu_indices(len(ids), k=1)
+        ok = sims[iu] >= threshold
+        return pd.DataFrame(
+            {
+                "vec_id_a": ids[iu[0][ok]].astype(np.int64),
+                "vec_id_b": ids[iu[1][ok]].astype(np.int64),
+                "sim_r": sims[iu][ok],
+            }
+        )
+
+    out = (
+        ds.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    ).to_pandas()
+    if len(out) == 0:  # all-empty groups can drop the column schema
+        return pd.DataFrame(
+            {"vec_id_a": pd.Series(dtype=np.int64),
+             "vec_id_b": pd.Series(dtype=np.int64),
+             "sim_r": pd.Series(dtype=np.float64)}
+        )
+    out = out.drop_duplicates(["vec_id_a", "vec_id_b"])
+    return out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) approximate nearest neighbor — the scale path
 # ---------------------------------------------------------------------------

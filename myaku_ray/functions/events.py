@@ -98,6 +98,57 @@ FROM ordered GROUP BY user_id
 """.format(gap_us=SESSION_GAP_US)
 
 
+HOP_WINDOW_HOURS = 3
+
+
+def events_hopping_3h(sf_dir: str):
+    """Hopping windows: 3-hour windows advancing by 1 hour — every event
+    lands in the 3 windows covering it.  Expressed as a map-side window
+    expansion (each event emits one row per covering window, vectorized
+    with np.repeat/tile) followed by the same groupby as the tumbling
+    case; at scale the expansion factor is the window/hop ratio, flat and
+    predictable, with no ordering requirement."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    w = HOP_WINDOW_HOURS
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = ts_us // HOUR_US
+        vm = _millis(batch["value"].to_numpy(zero_copy_only=False))
+        offs = np.arange(w, dtype=np.int64)
+        # event in hour h belongs to windows starting h-w+1 .. h
+        starts = np.repeat(hour, w) - np.tile(offs, len(hour))
+        et_idx = np.repeat(np.arange(len(hour)), w)
+        return pa.table(
+            {
+                "event_type": batch["event_type"].take(pa.array(et_idx)),
+                "window_start_hour": pa.array(starts),
+                "value_milli": pa.array(np.repeat(vm, w)),
+            }
+        )
+
+    return (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby(["event_type", "window_start_hour"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_milli", alias_name="sum_value_milli"),
+        )
+    )
+
+
+EVENTS_HOPPING_SQL = f"""
+SELECT event_type,
+  epoch_us(ts) // 3600000000 - o.off AS window_start_hour,
+  count(*) AS n_events,
+  CAST(sum(CAST(floor(value*1000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_milli
+FROM events, (SELECT unnest(generate_series(0, {HOP_WINDOW_HOURS - 1})) AS off) o
+GROUP BY event_type, window_start_hour
+"""
+
+
 def top_users_by_value(sf_dir: str, k: int = 20):
     """Top-k users by Σ value (millis); deterministic (sum DESC, user) order."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])

@@ -75,3 +75,52 @@ def test_popcount64():
     assert _popcount64(x).tolist() == [0, 1, 2, 64, 1]
     m = np.array([[5, 9], [0, 7]], dtype=np.uint64)
     assert _popcount64(m).tolist() == [[2, 2], [0, 3]]
+
+
+def test_near_dup_lsh_precision_exact_recall_high(ray_session, tmp_path_factory):
+    """LSH-bucketed near-dup: every emitted pair satisfies the exact
+    rounded-cosine rule (precision 1.0); recall vs a global brute-force
+    scan is high on clustered data (banding catches high-cosine pairs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from myaku_ray.functions.ann import near_dup_embeddings_lsh
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((8, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = [centers[i % 8] + 0.05 * rng.standard_normal(32) for i in range(200)]
+    X = np.stack(rows)
+    d = tmp_path_factory.mktemp("lsh_emb")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(200), pa.int64()),
+                "embedding": pa.array([r.tolist() for r in X], pa.list_(pa.float32())),
+                "label": pa.array((np.arange(200) % 8).astype(np.int32)),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+
+    thr = 0.9
+    got = near_dup_embeddings_lsh(str(d), threshold=thr)
+    got_pairs = set(zip(got["vec_id_a"], got["vec_id_b"]))
+
+    Xq = np.stack([np.asarray(r, dtype=np.float64) for r in
+                   pq.read_table(str(d / "embeddings.parquet"))["embedding"].to_pylist()])
+    norm = np.sqrt((Xq * Xq).sum(axis=1))
+    sims = np.round((Xq @ Xq.T) / (norm[:, None] * norm[None, :]), 6)
+    iu = np.triu_indices(200, k=1)
+    want_pairs = {
+        (int(a), int(b))
+        for a, b, s in zip(iu[0], iu[1], sims[iu])
+        if s >= thr
+    }
+    assert want_pairs, "fixture produced no near-dup pairs"
+    # precision exact
+    for a, b in got_pairs:
+        assert sims[a, b] >= thr, (a, b, sims[a, b])
+    # recall high
+    recall = len(got_pairs & want_pairs) / len(want_pairs)
+    assert recall >= 0.8, recall
