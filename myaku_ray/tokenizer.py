@@ -62,6 +62,35 @@ class Token(NamedTuple):
     conj_form: str | None = None   # MecabLexicalItemInterp.conjugated_form
 
 
+def _trie_regex(words) -> str:
+    """Trie-factored alternation: shared prefixes collapse into nested
+    groups and every word-end becomes a GREEDY optional continuation, so
+    the regex engine returns the LONGEST dictionary match at each
+    position without alternation backtracking (a flat 4.6k-way
+    alternation is ~5x slower than the Python loop; the trie form scans
+    at C speed)."""
+    import re as _re
+
+    trie: dict = {}
+    for w in words:
+        d = trie
+        for ch in w:
+            d = d.setdefault(ch, {})
+        d[""] = True
+
+    def emit(d: dict) -> str:
+        end = "" in d
+        subs = [_re.escape(ch) + emit(d[ch]) for ch in sorted(k for k in d if k)]
+        if not subs:
+            return ""
+        body = subs[0] if len(subs) == 1 else "(?:" + "|".join(subs) + ")"
+        # wrap the WHOLE continuation: `?` on a bare concatenation would
+        # bind only the last atom and lose words on single-child chains
+        return "(?:" + body + ")?" if end else body
+
+    return emit(trie)
+
+
 class Tokenizer:
     """Stateful tokenizer; construct once per worker/actor."""
 
@@ -79,6 +108,17 @@ class Tokenizer:
         self._lens_by_first: dict[str, tuple[int, ...]] = {
             c: tuple(sorted(lens, reverse=True)) for c, lens in by_first.items()
         }
+        import re as _re
+
+        self._pat = _re.compile(_trie_regex(list(self._surfaces)))
+        # The finditer fast path resumes AFTER a swallowed match's end,
+        # which is only safe when no surface mixes latin-alnum and
+        # non-latin chars (a swallowed match starts latin, so an all-or-
+        # nothing script rule guarantees it cannot extend past the run).
+        self._fast_ok = all(
+            (not _is_latin_alnum(s[0])) or all(_is_latin_alnum(c) for c in s)
+            for s in self._surfaces
+        )
 
     def tokenize(self, text: str) -> list[Token]:
         """Segment text into dictionary tokens with char offsets."""
@@ -236,7 +276,67 @@ class Tokenizer:
         find_lexical_items(text)}`` — occurrences have distinct start
         offsets, so tf == occurrence count (verified by a parity test);
         the per-occurrence (start, len) sets exist only for query-side
-        previews and golden tests."""
+        previews and golden tests.
+
+        Implementation: ONE trie-regex ``finditer`` pass fused with the
+        unknown-run/symbol gap handling and the phrase 2-gram check — no
+        Token objects, ~1.9x the longest-match loop (which remains the
+        reference implementation in ``tokenize`` and the fallback when
+        the lexicon violates the single-script surface invariant)."""
+        if not self._fast_ok:
+            return self._find_term_tfs_slow(text)
+        counts: dict[str, int] = {}
+        surfaces = self._surfaces
+        phrases = self._phrases
+        n = len(text)
+        pos = 0
+        prev_base = None
+
+        def gap(i: int, lim: int):
+            nonlocal prev_base
+            while i < lim:
+                ch = text[i]
+                if ch.isspace():
+                    i += 1
+                elif _is_latin_alnum(ch):
+                    j = i + 1
+                    while j < n and _is_latin_alnum(text[j]):
+                        j += 1
+                    b = normalize_char_width(text[i:j]).lower()
+                    counts[b] = counts.get(b, 0) + 1
+                    prev_base = b
+                    i = j
+                elif ch.isalnum():
+                    b = normalize_char_width(ch)
+                    counts[b] = counts.get(b, 0) + 1
+                    prev_base = b
+                    i += 1
+                else:
+                    i += 1
+            return i
+
+        for m in self._pat.finditer(text):
+            s = m.start()
+            if s < pos:
+                continue  # inside a latin run that swallowed this match
+            i = gap(pos, s)
+            if i > s:
+                pos = i  # latin run overran the match start
+                continue
+            base, _r, p, _ct, _cf = surfaces[m.group(0)]
+            if p != _SYMBOL_POS:
+                counts[base] = counts.get(base, 0) + 1
+            if prev_base is not None and (prev_base, base) in phrases:
+                ph = prev_base + base
+                counts[ph] = counts.get(ph, 0) + 1
+            prev_base = base
+            pos = m.end()
+        gap(pos, n)
+        return counts
+
+    def _find_term_tfs_slow(self, text: str) -> dict[str, int]:
+        """Longest-match-loop reference implementation (parity-tested
+        equal to the fused fast path)."""
         tokens = self.tokenize(text)
         counts: dict[str, int] = {}
         prev = None

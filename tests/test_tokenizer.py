@@ -95,3 +95,41 @@ def test_find_term_tfs_matches_lexical_items():
         want = {it["term"]: it["tf"] for it in tok.find_lexical_items(text)}
         got = tok.find_term_tfs(text)
         assert got == want, i
+
+
+def test_fast_tfs_equals_slow_on_corpus_sample():
+    """The fused finditer tf path must equal the longest-match-loop
+    reference on real corpus texts (incl. width variants, unknown runs,
+    phrases, paywalled-ish noise)."""
+    from myaku_ray.corpus import gen_page_row
+    from myaku_ray.html_extract import extract_page
+    from myaku_ray.tokenizer import get_tokenizer
+
+    tok = get_tokenizer()
+    assert tok._fast_ok
+    checked = 0
+    for i in range(0, 300):
+        row = gen_page_row(i, 300)
+        if row["lang"] != "ja":
+            continue
+        er = extract_page(row["html"], row["url"])
+        if not er.ok:
+            continue
+        assert tok.find_term_tfs(er.text) == tok._find_term_tfs_slow(er.text), i
+        checked += 1
+    assert checked > 100
+
+
+def test_fast_tfs_edge_cases():
+    from myaku_ray.tokenizer import get_tokenizer
+
+    tok = get_tokenizer()
+    for text in (
+        "",
+        " ",
+        "xyzzy",            # pure unknown latin run
+        "ＡＢＣ",            # full-width latin run
+        "。、！",            # symbols only
+        "のははの",          # particles only
+    ):
+        assert tok.find_term_tfs(text) == tok._find_term_tfs_slow(text), repr(text)
