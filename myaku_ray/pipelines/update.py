@@ -614,6 +614,141 @@ def update_index(
 # refresh (recompute df/stats/segments from accumulated postings)
 # ---------------------------------------------------------------------------
 
+# Above this many committed doc versions, the refresh-state derivation
+# (latest-per-doc, supersede, dedup losers) runs as Dataset groupbys over
+# the 3 checkpoint columns instead of a driver-side pandas pass.  The
+# RESULT structures stay driver-sized either way: supersede ~ re-crawled
+# docs, deleted/overrides ~ user actions, losers ~ dup rate x corpus (the
+# loser broadcast's own scale valve is the hash-bucketed anti-join noted
+# in pipelines/build.py).
+REFRESH_DERIVE_DRIVER_LIMIT = 5_000_000
+
+
+def _derive_refresh_state(index_dir: str) -> tuple[dict, set, set, dict, int]:
+    """(supersede, losers, effective deleted, effective overrides, n_docs)
+    derived from committed doc files — driver pandas under the limit,
+    Dataset groupbys above it (identical outputs, tested)."""
+    files = _committed_doc_files(index_dir)
+    total = sum(pq.read_metadata(f).num_rows for f in files) if files else 0
+    del_records = load_deleted(index_dir)
+    ov_records = load_quality_overrides(index_dir)
+
+    if total <= REFRESH_DERIVE_DRIVER_LIMIT:
+        versions = _docs_versions(index_dir)
+        supersede = derive_supersede(versions)
+        latest = versions.sort_values(["doc_id", "warc_us"]).drop_duplicates(
+            "doc_id", keep="last"
+        )
+        latest_warc = dict(
+            zip(latest["doc_id"].astype(int), latest["warc_us"].astype(int))
+        )
+        deleted = effective_deleted(latest_warc, del_records)
+        live = latest[~latest["doc_id"].isin(deleted)]
+        winners = live.groupby("text_hash")["doc_id"].min()
+        losers = set(live["doc_id"].astype(int)) - set(winners.astype(int))
+        overrides = effective_overrides(latest_warc, ov_records)
+        return supersede, losers, deleted, overrides, int(len(live)) - len(losers)
+
+    # ---- distributed derivation ----------------------------------------
+    # Only 3 checkpoint-sized columns ever leave storage; the payload
+    # (text/html) is never read.  One groupby(doc_id) computes latest
+    # version + recrawl flag; a second groupby(text_hash) over the live
+    # latest rows computes dedup losers.
+    ds = rd.read_parquet(files, columns=["doc_id", "text_hash", "warc_ts"])
+
+    def latest_in_group(g: pa.Table) -> pa.Table:
+        w = g["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        i = int(w.argmax())
+        return pa.table(
+            {
+                "doc_id": pa.array([int(g["doc_id"][i].as_py())], pa.int64()),
+                "text_hash": pa.array([g["text_hash"][i].as_py()], pa.string()),
+                "warc_us": pa.array([int(w.max())], pa.int64()),
+                "n_versions": pa.array([len(w)], pa.int32()),
+            }
+        )
+
+    latest_ds = ds.groupby("doc_id").map_groups(
+        latest_in_group, batch_format="pyarrow"
+    ).materialize()
+
+    def _collect(dset, cols: list[str]) -> pa.Table:
+        """Driver-collect a SMALL result dataset as one Arrow table.
+        Ray can pass empty blocks through a map_batches untouched, so the
+        collected blocks are projected to ``cols`` before concat."""
+        tabs = [ray.get(r) for r in dset.to_arrow_refs()]
+        return pa.concat_tables([t.select(cols) for t in tabs])
+
+    # supersede = re-crawled docs only (small): collect where n_versions>1
+    def recrawled_only(batch: pa.Table) -> pa.Table:
+        nv = batch["n_versions"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(nv > 1))
+
+    sup_t = _collect(
+        latest_ds.map_batches(recrawled_only, batch_format="pyarrow"),
+        ["doc_id", "warc_us"],
+    )
+    supersede = dict(
+        zip(
+            (int(x) for x in sup_t["doc_id"].to_pylist()),
+            (int(x) for x in sup_t["warc_us"].to_pylist()),
+        )
+    )
+
+    # effective deleted / overrides need latest warc for THOSE ids only
+    check_ids = sorted(set(del_records) | set(ov_records))
+    if check_ids:
+        ids_arr = np.asarray(check_ids, dtype=np.int64)
+
+        def pick(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(np.isin(ids, ids_arr)))
+
+        small = _collect(
+            latest_ds.map_batches(pick, batch_format="pyarrow"),
+            ["doc_id", "warc_us"],
+        )
+        latest_warc_small = dict(
+            zip(
+                (int(x) for x in small["doc_id"].to_pylist()),
+                (int(x) for x in small["warc_us"].to_pylist()),
+            )
+        )
+    else:
+        latest_warc_small = {}
+    deleted = effective_deleted(latest_warc_small, del_records)
+    overrides = effective_overrides(latest_warc_small, ov_records)
+
+    # dedup losers over live latest rows (winner = min doc_id per hash)
+    del_arr = np.asarray(sorted(deleted), dtype=np.int64)
+
+    def drop_deleted(batch: pa.Table) -> pa.Table:
+        if len(del_arr) == 0:
+            return batch
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(~np.isin(ids, del_arr)))
+
+    def losers_of_group(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        if len(ids) <= 1:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        keep = ids.min()
+        return pa.table(
+            {"doc_id": pa.array(sorted(int(x) for x in ids if x != keep), pa.int64())}
+        )
+
+    live_ds = latest_ds.map_batches(drop_deleted, batch_format="pyarrow")
+    n_live = live_ds.count()
+    loser_t = _collect(
+        live_ds.select_columns(["doc_id", "text_hash"])
+        .groupby("text_hash")
+        .map_groups(losers_of_group, batch_format="pyarrow"),
+        ["doc_id"],
+    )
+    losers = set(int(x) for x in loser_t["doc_id"].to_pylist())
+    return supersede, losers, deleted, overrides, int(n_live) - len(losers)
+
+
 def refresh_index(index_dir: str, *, recompute_df: bool = True) -> dict:
     """Recompute df / corpus stats / segments from committed state.
 
@@ -627,18 +762,10 @@ def refresh_index(index_dir: str, *, recompute_df: bool = True) -> dict:
     num_segments = prev_stats["num_segments"]
     salt_buckets = prev_stats["salt_buckets"]
 
-    versions = _docs_versions(index_dir)
-    supersede = derive_supersede(versions)
-    latest = versions.sort_values(["doc_id", "warc_us"]).drop_duplicates(
-        "doc_id", keep="last"
+    supersede, losers, deleted, overrides, n_docs_derived = (
+        _derive_refresh_state(index_dir)
     )
-    latest_warc = dict(zip(latest["doc_id"].astype(int), latest["warc_us"].astype(int)))
-    deleted = effective_deleted(latest_warc, load_deleted(index_dir))
-    live = latest[~latest["doc_id"].isin(deleted)]
-    winners = live.groupby("text_hash")["doc_id"].min()
-    losers = set(live["doc_id"].astype(int)) - set(winners.astype(int))
     save_losers(index_dir, losers)
-    overrides = effective_overrides(latest_warc, load_quality_overrides(index_dir))
 
     drop_losers = losers | deleted
     drop_ref = ray.put((frozenset(drop_losers), supersede, overrides))
@@ -687,7 +814,7 @@ def refresh_index(index_dir: str, *, recompute_df: bool = True) -> dict:
                 .write_parquet(df_dir)
             )
 
-    n_docs = int(len(live)) - len(losers)
+    n_docs = n_docs_derived
     df_pdf = pq.read_table(df_dir).to_pandas()
     total_tokens = int(df_pdf["ctf"].sum())
     avgdl = total_tokens / max(n_docs, 1)

@@ -474,3 +474,51 @@ def test_crashed_recrawl_keeps_old_version(base_pages, ratings, tmp_path_factory
     union = tmp_path_factory.mktemp("union_crash_recrawl") / "union.parquet"
     write_union_parquet(str(union), base_pages, batch)
     _assert_parity(idx, str(union), ratings)
+
+
+def test_distributed_refresh_derivation_matches_driver(base_pages, ratings, tmp_path_factory):
+    """Forcing the Dataset-groupby derivation path (the 10^12-doc scale
+    switch) must produce the identical drop state and rank-identical
+    results as the driver pandas path — after a delete AND a re-crawl
+    update, so supersede / effective-deleted / losers are all non-trivial."""
+    import pyarrow as pa
+
+    import myaku_ray.pipelines.update as upd
+
+    idx = str(tmp_path_factory.mktemp("idx_dist_derive"))
+    build_index(base_pages, idx, blog_ratings=ratings, tokenize_concurrency=2)
+
+    docs = pq.read_table(f"{idx}/docs", columns=["doc_id", "url", "text_hash"]).to_pandas()
+    groups = docs.groupby("text_hash")["doc_id"].agg(["count", "min"])
+    dup = groups[groups["count"] > 1]
+    winner_url = docs.loc[docs["doc_id"] == int(dup["min"].iloc[0]), "url"].iloc[0]
+    upd.delete_urls(idx, [winner_url], tokenize_concurrency=2)
+
+    batch = gen_update_batch(N_BASE, n_new=15, recrawl_indices=[7])
+    upd_dir = tmp_path_factory.mktemp("pages_dist_derive")
+    write_update_parquet(str(upd_dir), batch)
+    upd.update_index(str(upd_dir), idx, blog_ratings=ratings, tokenize_concurrency=2)
+
+    driver_state = upd._derive_refresh_state(idx)
+    old_limit = upd.REFRESH_DERIVE_DRIVER_LIMIT
+    upd.REFRESH_DERIVE_DRIVER_LIMIT = 0
+    try:
+        dist_state = upd._derive_refresh_state(idx)
+        assert dist_state[0] == driver_state[0], "supersede"
+        assert dist_state[1] == driver_state[1], "losers"
+        assert dist_state[2] == driver_state[2], "deleted"
+        assert dist_state[3] == driver_state[3], "overrides"
+        assert dist_state[4] == driver_state[4], "n_docs"
+
+        # a full refresh through the distributed path stays rank-identical
+        upd.refresh_index(idx)
+    finally:
+        upd.REFRESH_DERIVE_DRIVER_LIMIT = old_limit
+
+    union = tmp_path_factory.mktemp("union_dist_derive") / "union.parquet"
+    write_union_parquet(str(union), base_pages, batch)
+    full = pq.read_table(str(union))
+    mask = pa.array([u != winner_url for u in full["url"].to_pylist()], pa.bool_())
+    reduced = tmp_path_factory.mktemp("red_dist_derive") / "reduced.parquet"
+    pq.write_table(full.filter(mask), str(reduced))
+    _assert_parity(idx, str(reduced), ratings)
