@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": relational.q1_pricing_summary,
         "top_orders_by_revenue": relational.top_orders_by_revenue,
         "customers_per_region": relational.customers_per_region,
+        "revenue_by_priority_bucketed": relational.revenue_by_priority_bucketed,
         # event-stream shapes (windows, sessions)
         "events_hourly": events.events_hourly,
         "events_hopping_3h": events.events_hopping_3h,
@@ -91,6 +92,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": relational.Q1_SQL,
         "top_orders_by_revenue": relational.TOP_ORDERS_SQL,
         "customers_per_region": relational.CUSTOMERS_PER_REGION_SQL,
+        "revenue_by_priority_bucketed": relational.REVENUE_BY_PRIORITY_SQL,
         "events_hourly": events.EVENTS_HOURLY_SQL,
         "events_hopping_3h": events.EVENTS_HOPPING_SQL,
         "user_sessions": events.USER_SESSIONS_SQL,

@@ -192,3 +192,118 @@ JOIN nation n ON n.n_nationkey = c.c_nationkey
 JOIN region r ON r.r_regionkey = n.n_regionkey
 GROUP BY r.r_name
 """
+
+
+# ---------------------------------------------------------------------------
+# Fact x fact hash-bucket co-partitioned join (the 100-TB join plan)
+# ---------------------------------------------------------------------------
+
+JOIN_BUCKETS = 16
+
+
+def revenue_by_priority_bucketed(sf_dir: str):
+    """lineitem ⋈ orders where NEITHER side is broadcastable — the
+    documented scale plan implemented for real: both tables are written
+    ONCE hive-partitioned by ``orderkey % B`` (the write IS the
+    exchange, exactly like the postings layout), then one Ray task per
+    bucket joins its two co-located slices and pre-aggregates; the
+    driver merges B vocabulary-sized partials.  No row ever moves
+    through a groupby/sort all-to-all, and the bucketed layouts are
+    reusable/resumable artifacts.
+
+    Output: revenue + line counts per o_orderpriority (DuckDB-oracled).
+    """
+    import glob
+    import os
+    import shutil
+
+    key = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    root = f"/tmp/myaku_ray_join/{key}_{JOIN_BUCKETS}"
+    li_dir, od_dir = f"{root}/lineitem", f"{root}/orders"
+    marker = f"{root}/_SUCCESS"
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+
+        def li_prep(batch: pa.Table) -> pa.Table:
+            keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "l_orderkey": batch["l_orderkey"],
+                    "revenue_cents": pa.array(_cents(price * (1.0 - disc))),
+                    "bucket": pa.array((keys % JOIN_BUCKETS).astype(np.int32)),
+                }
+            )
+
+        def od_prep(batch: pa.Table) -> pa.Table:
+            keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "o_orderkey": batch["o_orderkey"],
+                    "o_orderpriority": batch["o_orderpriority"],
+                    "bucket": pa.array((keys % JOIN_BUCKETS).astype(np.int32)),
+                }
+            )
+
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        ).map_batches(li_prep, batch_format="pyarrow").write_parquet(
+            li_dir, partition_cols=["bucket"]
+        )
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderpriority"],
+        ).map_batches(od_prep, batch_format="pyarrow").write_parquet(
+            od_dir, partition_cols=["bucket"]
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    @ray.remote
+    def join_bucket(li_files: list, od_files: list) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        li_t = pa.concat_tables([pq.read_table(f) for f in li_files]).to_pandas()
+        od_t = pa.concat_tables([pq.read_table(f) for f in od_files]).to_pandas()
+        j = li_t.merge(od_t, left_on="l_orderkey", right_on="o_orderkey")
+        g = j.groupby("o_orderpriority", as_index=False).agg(
+            sum_revenue_cents=("revenue_cents", "sum"),
+            n_lineitems=("revenue_cents", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def files_of(d: str) -> dict[int, list]:
+        out: dict[int, list] = {}
+        for f in glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True):
+            for part in f.split(os.sep):
+                if part.startswith("bucket="):
+                    out.setdefault(int(part.split("=")[1]), []).append(f)
+        return out
+
+    li_map, od_map = files_of(li_dir), files_of(od_dir)
+    parts = ray.get(
+        [
+            join_bucket.remote(li_map[b], od_map.get(b, []))
+            for b in sorted(li_map)
+            if od_map.get(b)
+        ]
+    )
+    merged = pa.concat_tables(parts).to_pandas()
+    out = merged.groupby("o_orderpriority", as_index=False).agg(
+        sum_revenue_cents=("sum_revenue_cents", "sum"),
+        n_lineitems=("n_lineitems", "sum"),
+    )
+    out["sum_revenue_cents"] = out["sum_revenue_cents"].astype(np.int64)
+    out["n_lineitems"] = out["n_lineitems"].astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+REVENUE_BY_PRIORITY_SQL = """
+SELECT o.o_orderpriority,
+  CAST(sum(CAST(floor(l.l_extendedprice*(1.0::DOUBLE - l.l_discount)*100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_revenue_cents,
+  count(*) AS n_lineitems
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""
