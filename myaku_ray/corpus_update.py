@@ -98,8 +98,7 @@ def write_union_parquet(out_path: str, base_dir: str, *batches: pa.Table) -> str
     all_t = pa.concat_tables(
         [p.select(PAGE_SCHEMA.names).cast(PAGE_SCHEMA) for p in parts]
     )
-    import pandas as pd
-
+    
     df = all_t.to_pandas()
     df = (
         df.sort_values(["url", "warc_ts"])

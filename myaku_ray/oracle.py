@@ -16,7 +16,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-import numpy as np
 import pyarrow.parquet as pq
 
 from myaku_ray.corpus import FIXED_NOW, MAX_ARTICLE_LEN, blog_url_of, order_nums_of
