@@ -522,3 +522,86 @@ def test_distributed_refresh_derivation_matches_driver(base_pages, ratings, tmp_
     reduced = tmp_path_factory.mktemp("red_dist_derive") / "reduced.parquet"
     pq.write_table(full.filter(mask), str(reduced))
     _assert_parity(idx, str(reduced), ratings)
+
+
+def test_interleaved_ops_full_parity(base_pages, ratings, tmp_path_factory):
+    """Six-step interleaving of every incremental operation — update,
+    delete, rescore, resurrect-by-recrawl, no-change — asserting
+    rank-identity against a from-scratch serial oracle over the expected
+    live corpus at the current clock AFTER EVERY STEP."""
+    from datetime import timedelta
+
+    import pyarrow as pa
+
+    from myaku_ray.corpus import FIXED_NOW
+    from myaku_ray.pipelines.rescore import rescore_index
+    from myaku_ray.pipelines.update import delete_urls
+
+    idx = str(tmp_path_factory.mktemp("idx_interleaved"))
+    build_index(base_pages, idx, blog_ratings=ratings, tokenize_concurrency=2)
+    tmp = tmp_path_factory.mktemp("interleaved")
+
+    def check(corpus_path, clock, label):
+        s = Searcher(idx)
+        oi = build_oracle_index(corpus_path, blog_ratings=ratings, fixed_now=clock)
+        assert s.stats["n_docs"] == oi.n_docs, (label, s.stats["n_docs"], oi.n_docs)
+        for q in reference_query_set():
+            got = [(r.doc_id, round(r.score, 5)) for r in s.search(q, k=10)]
+            want = [(d, round(sc, 5)) for d, sc, *_ in oracle_topk(oi, q, k=10)]
+            assert got == want, (label, q)
+
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.oracle import build_oracle_index, oracle_topk, reference_query_set
+
+    clock = FIXED_NOW
+    check(base_pages, clock, "step0-build")
+
+    # step 1: update with new docs + a recrawl
+    batch_a = gen_update_batch(N_BASE, n_new=20, recrawl_indices=[3])
+    upd_a = tmp / "upd_a"
+    upd_a.mkdir()
+    write_update_parquet(str(upd_a), batch_a)
+    update_index(str(upd_a), idx, blog_ratings=ratings, tokenize_concurrency=2)
+    union1 = str(tmp / "union1.parquet")
+    write_union_parquet(union1, base_pages, batch_a)
+    check(union1, clock, "step1-update")
+
+    # step 2: delete a dup-winner url
+    docs = pq.read_table(f"{idx}/docs", columns=["doc_id", "url", "text_hash"]).to_pandas()
+    g = docs.groupby("text_hash")["doc_id"].agg(["count", "min"])
+    dup = g[g["count"] > 1]
+    del_url = docs.loc[docs["doc_id"] == int(dup["min"].iloc[0]), "url"].iloc[0]
+    delete_urls(idx, [del_url], tokenize_concurrency=2)
+
+    def minus_url(src, dst, url):
+        full = pq.read_table(src)
+        mask = pa.array([u != url for u in full["url"].to_pylist()], pa.bool_())
+        pq.write_table(full.filter(mask), dst)
+
+    reduced2 = str(tmp / "union2.parquet")
+    minus_url(union1, reduced2, del_url)
+    check(reduced2, clock, "step2-delete")
+
+    # step 3: rescore at a later clock
+    clock = FIXED_NOW + timedelta(days=150)
+    m = rescore_index(idx, now=clock, blog_ratings=ratings)
+    assert m["n_rescored"] > 0
+    check(reduced2, clock, "step3-rescore")
+
+    # step 4: update that RESURRECTS the deleted url via a newer recrawl
+    del_idx = _index_of_url(del_url)
+    batch_b = gen_update_batch(N_BASE, n_new=8, recrawl_indices=[del_idx, 11])
+    upd_b = tmp / "upd_b"
+    upd_b.mkdir()
+    write_update_parquet(str(upd_b), batch_b)
+    update_index(str(upd_b), idx, blog_ratings=ratings, fixed_now=clock,
+                 tokenize_concurrency=2)
+    union3 = str(tmp / "union3.parquet")
+    write_union_parquet(union3, union1, batch_b)  # del_url's NEW version live
+    check(union3, clock, "step4-resurrect-recrawl")
+
+    # step 5: re-present the same batch — nothing changes
+    m5 = update_index(str(upd_b), idx, blog_ratings=ratings, fixed_now=clock,
+                      tokenize_concurrency=2)
+    assert m5["n_fresh_docs"] == 0 and m5["refreshed"] is False
+    check(union3, clock, "step5-nochange")
