@@ -76,14 +76,46 @@ def _shingles(text: str) -> set:
     }
 
 
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_SHINGLE_MIX_P = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
+
+
+def _token_hash(tok: str) -> int:
+    """md5-derived 64-bit token hash, cached per process (zipf tokens
+    repeat massively; the cache turns per-shingle hashing into a few
+    dict hits + numpy)."""
+    h = _TOKEN_HASH_CACHE.get(tok)
+    if h is None:
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+        if len(_TOKEN_HASH_CACHE) > 2_000_000:
+            _TOKEN_HASH_CACHE.clear()
+        _TOKEN_HASH_CACHE[tok] = h
+    return h
+
+
 def _shingle_hashes(text: str) -> np.ndarray:
-    shingles = sorted(_shingles(text))
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = struct.unpack(
-            "<Q", hashlib.blake2b(s.encode(), digest_size=8).digest()
-        )[0]
-    return out
+    """Distinct 64-bit hashes of the word-3-gram shingles, computed as a
+    vectorized polynomial mix over cached per-TOKEN hashes (one numpy
+    pass per doc instead of one digest per shingle).  Set semantics
+    (sizes, intersections — hence every Jaccard) match the string
+    shingles up to 64-bit collisions; MinHash signatures and LSH bands
+    build on these values directly."""
+    toks = text.split(" ")
+    n = len(toks)
+    hi = max(n - NGRAM + 1, 1)
+    T = np.fromiter(
+        (_token_hash(t) for t in toks), dtype=np.uint64, count=n
+    )
+    if n < hi + NGRAM - 1:  # short doc: pad with hash('') like the oracle
+        T = np.concatenate(
+            [T, np.full(hi + NGRAM - 1 - n, _token_hash(""), dtype=np.uint64)]
+        )
+    mixed = (
+        T[:hi] * (_SHINGLE_MIX_P * _SHINGLE_MIX_P)
+        + T[1 : hi + 1] * _SHINGLE_MIX_P
+        + T[2 : hi + 2]
+    )
+    return np.unique(mixed)
 
 
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
