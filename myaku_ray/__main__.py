@@ -84,6 +84,10 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("n_pages", type=int)
     g.add_argument("--cpus", type=int, default=None)
 
+    c = sub.add_parser("compact")
+    c.add_argument("index_dir")
+    c.add_argument("--cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "build":
@@ -113,6 +117,12 @@ def main(argv: list[str] | None = None) -> int:
         from myaku_ray.pipelines.first_page import build_first_page_cache
 
         print(json.dumps(build_first_page_cache(args.index_dir)))
+    elif args.cmd == "compact":
+        _init_ray(args.cpus)
+        from myaku_ray.pipelines.update import compact_index
+
+        m = compact_index(args.index_dir)
+        print(json.dumps({k: v for k, v in m.items() if k != "stats"}))
     elif args.cmd == "search":
         from myaku_ray.index.searcher import Searcher
 

@@ -428,6 +428,7 @@ def update_index(
     metrics: dict = {}
 
     _clean_partial_deltas(index_dir)
+    _finish_compaction(index_dir)  # recover a crashed compaction swap
     old = _docs_light(index_dir)
     # derives from root doc files + completed-delta shards only, so the
     # delta this update is about to write cannot appear as tokenized
@@ -827,6 +828,11 @@ def refresh_index(index_dir: str, *, recompute_df: bool = True) -> dict:
         "salt_buckets": salt_buckets,
         "encode_buckets": prev_stats.get("encode_buckets", 64),
         "fixed_now_us": prev_stats["fixed_now_us"],
+        **(
+            {"compacted_tomb_sig": prev_stats["compacted_tomb_sig"]}
+            if "compacted_tomb_sig" in prev_stats
+            else {}
+        ),
     }
     _atomic_write_json(os.path.join(index_dir, "stats.json"), stats)
     mark_complete(index_dir, "df", rows=len(df_pdf), refreshed=True)
@@ -868,6 +874,187 @@ def refresh_index(index_dir: str, *, recompute_df: bool = True) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# compaction (fold deltas + superseded versions into the base layout)
+# ---------------------------------------------------------------------------
+
+_COMPACT_STAGES = ("docs", "postings", "dedup")
+
+
+def _compact_marker(index_dir: str) -> str:
+    return os.path.join(index_dir, "compact_swap.json")
+
+
+def _finish_compaction(index_dir: str) -> bool:
+    """Complete (or re-complete) a directory swap a crashed compaction
+    left behind.  Idempotent across every crash point: the marker is
+    written only after ALL ``<stage>.compact`` dirs are fully built, so
+    recovery just redoes the swap sequence per stage."""
+    marker = _compact_marker(index_dir)
+    if not os.path.exists(marker):
+        return False
+    for stage in _COMPACT_STAGES:
+        live = stage_dir(index_dir, stage)
+        new = live + ".compact"
+        old = live + ".old"
+        if os.path.isdir(new):
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.isdir(live):
+                os.rename(live, old)
+            os.rename(new, live)
+        shutil.rmtree(old, ignore_errors=True)
+    os.remove(marker)
+    return True
+
+
+def compact_index(index_dir: str) -> dict:
+    """Fold committed update/delete deltas into the base layout — the
+    periodic compaction the delta design amortizes against at 10^12 docs
+    (docstring of this module; SURVEY.md §2.10).
+
+    After compaction:
+    - ``docs/`` holds exactly one (the latest committed) version per
+      doc_id as root-level files — including dedup losers and deleted
+      docs, whose rows ARE the re-crawl watermark (the same page version
+      re-presented later must still be skipped);
+    - ``postings/bucket=N/`` holds one merged file per bucket with
+      superseded versions and loser/deleted tombstones physically
+      removed (supersede bakes in: the derivation over the new docs is
+      empty by construction);
+    - ``dedup/`` holds the CURRENT loser set (so load_tokenized's
+      root-minus-losers rule stays exact);
+    - rescore overrides and delete records are NOT baked: overrides stay
+      derived-valid against the kept latest versions (baking them would
+      desync docs.quality_score from the posting column and break the
+      rescore no-change detection), delete records keep their watermark
+      role.
+
+    Swap protocol: every ``<stage>.compact`` dir is fully written, then
+    a marker commits the swap; _finish_compaction() redoes a crashed
+    swap at the next update/compact entry.  A refresh runs after the
+    swap so segments/df/stats always describe the new layout."""
+    t0 = time.time()
+    _clean_partial_deltas(index_dir)
+    _finish_compaction(index_dir)
+
+    has_deltas = any(
+        glob.glob(os.path.join(stage_dir(index_dir, st), "delta-*"))
+        for st in ("docs", "postings")
+    )
+    supersede, losers, deleted, _overrides, _n = _derive_refresh_state(index_dir)
+    # Deleted docs keep their records (re-crawl watermark) forever, so a
+    # signature of the folded tombstone set makes compaction idempotent:
+    # re-fold only when deltas/supersede exist or the deleted set changed
+    # since the last compaction.
+    import hashlib as _hashlib
+
+    tomb_sig = _hashlib.blake2b(
+        np.asarray(sorted(deleted), dtype=np.int64).tobytes(), digest_size=8
+    ).hexdigest()
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        _stats_now = json.load(f)
+    if (
+        not has_deltas
+        and not supersede
+        and _stats_now.get("compacted_tomb_sig") == tomb_sig
+    ):
+        return {"compacted": False, "reason": "nothing to fold"}
+
+    docs_dir = stage_dir(index_dir, "docs")
+    postings_dir = stage_dir(index_dir, "postings")
+    dedup_dir = stage_dir(index_dir, "dedup")
+    for d in (docs_dir, postings_dir, dedup_dir):
+        shutil.rmtree(d + ".compact", ignore_errors=True)
+
+    # ---- docs: drop superseded OLD versions (stream, no shuffle) -------
+    files = _committed_doc_files(index_dir)
+    if supersede:
+        sup_lookup = ray.put(_sorted_lookup_pair(supersede))
+
+        def drop_old_versions(batch: pa.Table) -> pa.Table:
+            sk, sv = ray.get(sup_lookup)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            warcs = batch["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(sk, ids), len(sk) - 1)
+            hit = sk[pos] == ids
+            return batch.filter(pa.array(~(hit & (warcs < sv[pos]))))
+
+        rd.read_parquet(files).map_batches(
+            drop_old_versions, batch_format="pyarrow"
+        ).write_parquet(docs_dir + ".compact")
+    else:
+        rd.read_parquet(files).write_parquet(docs_dir + ".compact")
+    with open(os.path.join(docs_dir + ".compact", "_SUCCESS"), "w") as f:
+        f.write("{}")
+
+    # ---- postings: one merged tombstone-free file per bucket -----------
+    buckets = bucket_file_map([postings_dir])
+    if not buckets:
+        raise RuntimeError(
+            "compact_index requires the bucket-partitioned postings layout"
+        )
+    drop_ref = ray.put((frozenset(losers | deleted), supersede, {}))
+
+    @ray.remote
+    def compact_bucket(bucket: int, bfiles: list, drop, out_root: str) -> int:
+        import pyarrow.parquet as _pq
+
+        from myaku_ray.index.segment_build import POSTING_COLS, apply_drop
+
+        t = pa.concat_tables(
+            [_pq.read_table(f, columns=POSTING_COLS) for f in bfiles]
+        )
+        loser_set, sup, ov = drop
+        t = apply_drop(t, loser_set, sup, ov)
+        d = os.path.join(out_root, f"bucket={bucket}")
+        os.makedirs(d, exist_ok=True)
+        _pq.write_table(t, os.path.join(d, "compacted-00000.parquet"),
+                        compression="lz4")
+        return t.num_rows
+
+    ray.get(
+        [
+            compact_bucket.remote(b, bfiles, drop_ref, postings_dir + ".compact")
+            for b, bfiles in sorted(buckets.items())
+        ]
+    )
+    with open(os.path.join(postings_dir + ".compact", "_SUCCESS"), "w") as f:
+        f.write("{}")
+
+    # ---- dedup: current loser set --------------------------------------
+    os.makedirs(dedup_dir + ".compact", exist_ok=True)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(sorted(losers), pa.int64())}),
+        os.path.join(dedup_dir + ".compact", "losers.parquet"),
+    )
+    with open(os.path.join(dedup_dir + ".compact", "_SUCCESS"), "w") as f:
+        f.write("{}")
+
+    # ---- commit the swap ------------------------------------------------
+    _atomic_write_json(_compact_marker(index_dir), {"stages": _COMPACT_STAGES})
+    _finish_compaction(index_dir)
+
+    append_lineage(
+        index_dir, stage="compact", n_losers=len(losers),
+        n_superseded=len(supersede), wall_s=round(time.time() - t0, 3),
+    )
+    metrics = {"compacted": True, "n_superseded_folded": len(supersede)}
+    metrics.update(refresh_index(index_dir))
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        _stats = json.load(f)
+    _stats["compacted_tomb_sig"] = tomb_sig
+    _atomic_write_json(os.path.join(index_dir, "stats.json"), _stats)
+    metrics["compact_wall_s"] = round(time.time() - t0, 3)
+    return metrics
+
+
+def _sorted_lookup_pair(mapping: dict) -> tuple[np.ndarray, np.ndarray]:
+    keys = np.fromiter(mapping.keys(), dtype=np.int64, count=len(mapping))
+    vals = np.fromiter(mapping.values(), dtype=np.int64, count=len(mapping))
+    order = np.argsort(keys)
+    return keys[order], vals[order]
+
+
+# ---------------------------------------------------------------------------
 # document removal (check_for_removed_articles analog)
 # ---------------------------------------------------------------------------
 
@@ -890,6 +1077,7 @@ def delete_urls(
     t0 = time.time()
     metrics: dict = {}
     _clean_partial_deltas(index_dir)
+    _finish_compaction(index_dir)
 
     old = _docs_light(index_dir)
     tokenized = load_tokenized(index_dir)

@@ -605,3 +605,132 @@ def test_interleaved_ops_full_parity(base_pages, ratings, tmp_path_factory):
                       tokenize_concurrency=2)
     assert m5["n_fresh_docs"] == 0 and m5["refreshed"] is False
     check(union3, clock, "step5-nochange")
+
+
+def test_compaction_folds_deltas_and_stays_rank_identical(
+    base_pages, ratings, tmp_path_factory
+):
+    """compact_index folds committed deltas + tombstones into the base
+    layout: no delta dirs remain, superseded versions are physically
+    gone, rank-identity holds, and every later incremental op — anti-join
+    watermark for the deleted url, resurrect-by-recrawl, no-change — still
+    behaves exactly as before compaction."""
+    import glob as _glob
+    import os
+
+    import pyarrow as pa
+
+    from myaku_ray.pipelines.update import compact_index, delete_urls
+
+    idx = str(tmp_path_factory.mktemp("idx_compact"))
+    build_index(base_pages, idx, blog_ratings=ratings, tokenize_concurrency=2)
+
+    batch_a = gen_update_batch(N_BASE, n_new=20, recrawl_indices=[3])
+    upd_a = tmp_path_factory.mktemp("pages_compact_a")
+    write_update_parquet(str(upd_a), batch_a)
+    update_index(str(upd_a), idx, blog_ratings=ratings, tokenize_concurrency=2)
+
+    docs = pq.read_table(f"{idx}/docs", columns=["doc_id", "url", "text_hash"]).to_pandas()
+    g = docs.groupby("text_hash")["doc_id"].agg(["count", "min"])
+    dup = g[g["count"] > 1]
+    del_url = docs.loc[docs["doc_id"] == int(dup["min"].iloc[0]), "url"].iloc[0]
+    del_warc_row = pq.read_table(f"{idx}/docs", columns=["url", "warc_ts"]).to_pandas()
+    delete_urls(idx, [del_url], tokenize_concurrency=2)
+
+    m = compact_index(idx)
+    assert m["compacted"]
+    # layout: no deltas anywhere, docs are root-only, one file per bucket
+    for st in ("docs", "postings"):
+        assert not _glob.glob(os.path.join(idx, st, "delta-*")), st
+    # superseded old version physically gone: exactly one row per doc_id
+    d2 = pq.read_table(f"{idx}/docs", columns=["doc_id"]).to_pandas()
+    assert d2["doc_id"].is_unique
+
+    union = tmp_path_factory.mktemp("u_compact") / "u.parquet"
+    write_union_parquet(str(union), base_pages, batch_a)
+    full = pq.read_table(str(union))
+    mask = pa.array([u != del_url for u in full["url"].to_pylist()], pa.bool_())
+    reduced = tmp_path_factory.mktemp("r_compact") / "r.parquet"
+    pq.write_table(full.filter(mask), str(reduced))
+    _assert_parity(idx, str(reduced), ratings)
+
+    # idempotent
+    m2 = compact_index(idx)
+    assert m2["compacted"] is False
+
+    # the deleted url's SAME version re-presented is still skipped (its
+    # docs row survived compaction as the watermark)
+    same_version = full.filter(
+        pa.array([u == del_url for u in full["url"].to_pylist()], pa.bool_())
+    )
+    upd_same = tmp_path_factory.mktemp("pages_compact_same")
+    write_update_parquet(str(upd_same), same_version.select(
+        ["url", "warc_ts", "html", "text", "lang"]
+    ))
+    ms = update_index(str(upd_same), idx, blog_ratings=ratings,
+                      tokenize_concurrency=2)
+    assert ms["n_fresh_docs"] == 0 and ms["refreshed"] is False
+    _assert_parity(idx, str(reduced), ratings)
+
+    # post-compaction update + resurrection by newer recrawl still works
+    del_idx = _index_of_url(del_url)
+    batch_b = gen_update_batch(N_BASE, n_new=10, recrawl_indices=[del_idx])
+    upd_b = tmp_path_factory.mktemp("pages_compact_b")
+    write_update_parquet(str(upd_b), batch_b)
+    update_index(str(upd_b), idx, blog_ratings=ratings, tokenize_concurrency=2)
+    union2 = tmp_path_factory.mktemp("u2_compact") / "u2.parquet"
+    write_union_parquet(str(union2), str(union), batch_b)
+    _assert_parity(idx, str(union2), ratings)
+
+
+def test_crashed_compaction_swap_recovers(base_pages, ratings, tmp_path_factory):
+    """A compaction that crashes BEFORE the swap completes must be
+    finished by the next update entry (marker-driven recovery), ending
+    rank-identical."""
+    import os
+    import shutil
+
+    import myaku_ray.pipelines.update as upd
+
+    idx = str(tmp_path_factory.mktemp("idx_compact_crash"))
+    build_index(base_pages, idx, blog_ratings=ratings, tokenize_concurrency=2)
+    batch = gen_update_batch(N_BASE, n_new=10)
+    d = tmp_path_factory.mktemp("pages_cc")
+    write_update_parquet(str(d), batch)
+    update_index(str(d), idx, blog_ratings=ratings, tokenize_concurrency=2)
+
+    # simulate the crash: run compaction but stop right after the marker
+    # lands (all .compact dirs are complete, swap not yet performed)
+    orig = upd._finish_compaction
+    calls = {"n": 0}
+
+    def crashing_finish(index_dir):
+        # let the pre-compaction recovery call through; crash on the
+        # post-marker swap call
+        calls["n"] += 1
+        if calls["n"] >= 2 and os.path.exists(upd._compact_marker(index_dir)):
+            raise RuntimeError("simulated crash mid-swap")
+        return orig(index_dir)
+
+    upd._finish_compaction = crashing_finish
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="simulated crash"):
+            upd.compact_index(idx)
+    finally:
+        upd._finish_compaction = orig
+
+    assert os.path.exists(upd._compact_marker(idx))
+    assert os.path.isdir(os.path.join(idx, "docs.compact"))
+
+    # next update recovers the swap and proceeds normally
+    m = update_index(str(d), idx, blog_ratings=ratings, tokenize_concurrency=2)
+    assert not os.path.exists(upd._compact_marker(idx))
+    assert not os.path.isdir(os.path.join(idx, "docs.compact"))
+
+    # refresh state after recovery must be consistent and rank-identical
+    upd.refresh_index(idx)
+    union = tmp_path_factory.mktemp("u_cc") / "u.parquet"
+    write_union_parquet(str(union), base_pages, batch)
+    _assert_parity(idx, str(union), ratings)
