@@ -25,8 +25,10 @@ Reproduces the reference's semantics on a built index directory:
   BM25 scores depend on global df/N/avgdl, so exact score parity with a
   full rebuild REQUIRES re-encoding segments; the encode is a cheap
   columnar shuffle compared to tokenization.  At 10^12-doc scale one
-  would amortize this with score-frozen delta generations + periodic
-  compaction; the refresh here IS that compaction step.
+  amortizes this with score-frozen delta generations + periodic
+  compaction; ``compact_index`` below IS that compaction — it folds
+  accumulated deltas, superseded versions and tombstones back into the
+  base layout with a crash-recoverable directory swap.
 
 Crash-consistency model (every root state value is either a user-action
 record written atomically at its own action time, or DERIVED from the
