@@ -588,6 +588,14 @@ def test_interleaved_ops_full_parity(base_pages, ratings, tmp_path_factory):
     assert m["n_rescored"] > 0
     check(reduced2, clock, "step3-rescore")
 
+    # step 3b: COMPACT mid-sequence — overrides must survive (not baked),
+    # the deleted watermark must survive, rank-identity must hold
+    from myaku_ray.pipelines.update import compact_index
+
+    mc = compact_index(idx)
+    assert mc["compacted"]
+    check(reduced2, clock, "step3b-compact")
+
     # step 4: update that RESURRECTS the deleted url via a newer recrawl
     del_idx = _index_of_url(del_url)
     batch_b = gen_update_batch(N_BASE, n_new=8, recrawl_indices=[del_idx, 11])
@@ -605,6 +613,15 @@ def test_interleaved_ops_full_parity(base_pages, ratings, tmp_path_factory):
                       tokenize_concurrency=2)
     assert m5["n_fresh_docs"] == 0 and m5["refreshed"] is False
     check(union3, clock, "step5-nochange")
+
+    # step 6: final compact folds the resurrection delta; still identical
+    mc2 = compact_index(idx)
+    assert mc2["compacted"]
+    check(union3, clock, "step6-compact")
+    m7 = update_index(str(upd_b), idx, blog_ratings=ratings, fixed_now=clock,
+                      tokenize_concurrency=2)
+    assert m7["refreshed"] is False
+    check(union3, clock, "step7-nochange-after-compact")
 
 
 def test_compaction_folds_deltas_and_stays_rank_identical(
