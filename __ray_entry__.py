@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": textops.dedup_exact,
         "lang_source_profile": textops.lang_source_profile,
         "doc_fingerprints": textops.doc_fingerprints,
+        "top_docs_per_source": textops.top_docs_per_source,
+        "source_length_quantiles": textops.source_length_quantiles,
         # full-text index + BM25 top-k (the engine core)
         "bm25_topk_docs": fulltext.bm25_topk_docs,
         # similarity search / embeddings
@@ -103,6 +105,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": textops.DEDUP_EXACT_SQL,
         "lang_source_profile": textops.LANG_SOURCE_PROFILE_SQL,
         "doc_fingerprints": textops.DOC_FINGERPRINTS_SQL,
+        "top_docs_per_source": textops.TOP_DOCS_PER_SOURCE_SQL,
+        "source_length_quantiles": textops.SOURCE_LENGTH_QUANTILES_SQL,
         "bm25_topk_docs": fulltext.bm25_topk_sql(),
         "ann_cosine_topk": ann.ANN_COSINE_TOPK_SQL,
         "near_dup_embeddings": ann.NEAR_DUP_EMBEDDINGS_SQL,
@@ -114,9 +118,9 @@ def oracle_sql() -> dict[str, str]:
         "media_meta_stats": media.MEDIA_META_STATS_SQL,
         "pages_extract_stats": pages_golden.PAGES_EXTRACT_STATS_SQL,
         "pages_search_topk": pages_golden.PAGES_SEARCH_TOPK_SQL,
-        # minhash_lsh_pairs / pages_fli_interps /
-        # pages_extract_stats / pages_search_topk / ivf_cosine_topk /
-        # media_features / media_frame_sample: not SQL-expressible
-        # (hash signatures, HTML extraction, lemma tokenization,
-        # approximate ANN, stubbed media decode)
+        # minhash_lsh_pairs / near_dup_embeddings_lsh / pages_fli_interps
+        # / ivf_cosine_topk / media_features / media_frame_sample: not
+        # SQL-expressible (LSH banding, lexical interp payload,
+        # approximate ANN, stubbed media decode) — each holds a pytest
+        # gate instead
     }

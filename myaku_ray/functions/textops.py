@@ -368,3 +368,77 @@ WHERE doc_id = winner AND lang = 'en'
   AND n_tokens >= {CURATE_MIN_TOKENS} AND sw_ratio <= {CURATE_MAX_STOPWORD_RATIO}
 GROUP BY source
 """
+
+
+def top_docs_per_source(sf_dir: str, k: int = 3):
+    """Grouped top-k: the k longest docs per source (n_chars DESC,
+    doc_id ASC tie-break) — the per-group ranked-selection shape, done
+    as a per-group partial top-k (no global sort)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+
+    def topk_of_group(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        nc = g["n_chars"].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((ids, -nc))[:k]
+        out = g.take(pa.array(np.sort(sel)))
+        order = np.lexsort(
+            (
+                out["doc_id"].to_numpy(zero_copy_only=False),
+                -out["n_chars"].to_numpy(zero_copy_only=False),
+            )
+        )
+        out = out.take(pa.array(order))
+        return out.append_column(
+            "rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int64))
+        )
+
+    return ds.groupby("source").map_groups(topk_of_group, batch_format="pyarrow")
+
+
+TOP_DOCS_PER_SOURCE_SQL = """
+SELECT doc_id, source, n_chars,
+  CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+       AS BIGINT) AS rank
+FROM documents
+QUALIFY rank <= 3
+"""
+
+
+def source_length_quantiles(sf_dir: str):
+    """Exact per-source n_chars quantiles (p50/p90, discrete lower
+    method == DuckDB quantile_disc) + count."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+
+    def q_of_group(g: pa.Table) -> pa.Table:
+        nc = np.sort(g["n_chars"].to_numpy(zero_copy_only=False))
+        n = len(nc)
+
+        def qd(p: float) -> int:
+            # quantile_disc: value at ceil(p*n)-th row (1-based), i.e.
+            # index ceil(p*n)-1 of the sorted array
+            import math
+
+            return int(nc[max(math.ceil(p * n) - 1, 0)])
+
+        return pa.table(
+            {
+                "source": pa.array([g["source"][0].as_py()], pa.string()),
+                "n_docs": pa.array([n], pa.int64()),
+                "p50_chars": pa.array([qd(0.5)], pa.int64()),
+                "p90_chars": pa.array([qd(0.9)], pa.int64()),
+            }
+        )
+
+    return ds.groupby("source").map_groups(q_of_group, batch_format="pyarrow")
+
+
+SOURCE_LENGTH_QUANTILES_SQL = """
+SELECT source, count(*) AS n_docs,
+  CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50_chars,
+  CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90_chars
+FROM documents GROUP BY source
+"""
