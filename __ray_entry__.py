@@ -43,6 +43,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_3h": events.events_hopping_3h,
         "user_sessions": events.user_sessions,
         "top_users_by_value": events.top_users_by_value,
+        # non-equi joins Ray Data lacks natively (composed per SURVEY §2.4
+        # note: one groupby shuffle + sorted merge / broadcast + searchsorted)
+        "events_asof_join": events.events_asof_join,
+        "events_range_join": events.events_range_join,
         # text analysis over documents
         "doc_token_stats": textops.doc_token_stats,
         "term_doc_freq": textops.term_doc_freq,
@@ -52,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": textops.doc_fingerprints,
         "top_docs_per_source": textops.top_docs_per_source,
         "source_length_quantiles": textops.source_length_quantiles,
+        "doc_bpe_tokens": textops.doc_bpe_tokens,
         # full-text index + BM25 top-k (the engine core)
         "bm25_topk_docs": fulltext.bm25_topk_docs,
         # similarity search / embeddings
@@ -78,6 +83,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_documents": textops.curate_documents,
         # IVF approximate ANN (recall-tested vs brute force, not SQL)
         "ivf_cosine_topk": ann.ivf_cosine_topk,
+        # distributed full-corpus Lloyd's k-means (iterative — pytest gate:
+        # determinism, monotone inertia, cluster recovery)
+        "kmeans_embeddings": ann.kmeans_embeddings,
         # multimodal binary-column stages (decode stubbed, plumbing real)
         "media_meta_stats": media.media_meta_stats,
         "media_features": media.media_features,
@@ -99,6 +107,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hopping_3h": events.EVENTS_HOPPING_SQL,
         "user_sessions": events.USER_SESSIONS_SQL,
         "top_users_by_value": events.TOP_USERS_SQL,
+        "events_asof_join": events.EVENTS_ASOF_SQL,
+        "events_range_join": events.EVENTS_RANGE_JOIN_SQL,
         "doc_token_stats": textops.DOC_TOKEN_STATS_SQL,
         "term_doc_freq": textops.TERM_DOC_FREQ_SQL,
         "doc_quality": textops.DOC_QUALITY_SQL,
@@ -107,6 +117,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": textops.DOC_FINGERPRINTS_SQL,
         "top_docs_per_source": textops.TOP_DOCS_PER_SOURCE_SQL,
         "source_length_quantiles": textops.SOURCE_LENGTH_QUANTILES_SQL,
+        "doc_bpe_tokens": textops.DOC_BPE_TOKENS_SQL,
         "bm25_topk_docs": fulltext.bm25_topk_sql(),
         "ann_cosine_topk": ann.ANN_COSINE_TOPK_SQL,
         "near_dup_embeddings": ann.NEAR_DUP_EMBEDDINGS_SQL,
@@ -119,8 +130,8 @@ def oracle_sql() -> dict[str, str]:
         "pages_extract_stats": pages_golden.PAGES_EXTRACT_STATS_SQL,
         "pages_search_topk": pages_golden.PAGES_SEARCH_TOPK_SQL,
         # minhash_lsh_pairs / near_dup_embeddings_lsh / pages_fli_interps
-        # / ivf_cosine_topk / media_features / media_frame_sample: not
-        # SQL-expressible (LSH banding, lexical interp payload,
-        # approximate ANN, stubbed media decode) — each holds a pytest
-        # gate instead
+        # / ivf_cosine_topk / kmeans_embeddings / media_features /
+        # media_frame_sample: not SQL-expressible (LSH banding, lexical
+        # interp payload, approximate ANN, iterative clustering, stubbed
+        # media decode) — each holds a pytest gate instead
     }

@@ -452,3 +452,112 @@ def ivf_cosine_topk(
     out = cands.groupby("query_vec_id").head(k).reset_index(drop=True)
     out["rank"] = out.groupby("query_vec_id").cumcount()
     return out[["query_vec_id", "rank", "neighbor_vec_id", "sim_r"]]
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (full-corpus Lloyd's) — embedding clustering as a
+# first-class training-data op (corpus bucketing / diversity sampling /
+# IVF-index training at the 100 TB scale where a driver-side sample is
+# not enough).  Unlike ``_train_centroids`` (sample-trained, driver-side),
+# every iteration here is ONE streaming Dataset pass: the k x d centroid
+# matrix broadcasts once per iteration via ``ray.put``, each batch emits
+# k partial (count, sum) rows (np.bincount / add.at — vectorized), and
+# the driver reduces k*num_blocks tiny rows.  No full materialization;
+# the payload crosses the cluster zero times.
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 8
+
+
+def kmeans_fit(
+    sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> tuple[np.ndarray, list[float]]:
+    """Lloyd's k-means over ``embeddings``; returns (centroids float64
+    [k, d], per-iteration inertia history).  Deterministic: seeds are
+    evenly-strided rows (row-group-pruned read), partial sums are exact
+    float64 and reduced in block-index order."""
+    src = f"{sf_dir}/embeddings.parquet"
+    seeds = _strided_training_sample(src, k)[:k].astype(np.float64)
+    if len(seeds) < k:
+        raise ValueError(f"corpus smaller than k={k}")
+    ds = rd.read_parquet(src, columns=["embedding"])
+    C = seeds
+    history: list[float] = []
+    for _ in range(iters):
+        c_ref = ray.put(C)
+
+        def partial(batch: pa.Table, _ref=c_ref, _k=k) -> pa.Table:
+            Cl = ray.get(_ref)
+            X = _matrix(batch["embedding"])
+            # argmin_c |x-c|^2 == argmax_c (x.c - |c|^2/2)
+            scores = X @ Cl.T - 0.5 * (Cl * Cl).sum(axis=1)[None, :]
+            assign = scores.argmax(axis=1)
+            d2 = (X * X).sum(axis=1) - 2.0 * scores[np.arange(len(X)), assign]
+            sums = np.zeros((_k, X.shape[1]))
+            np.add.at(sums, assign, X)
+            return pa.table(
+                {
+                    "cluster_id": pa.array(np.arange(_k, dtype=np.int64)),
+                    "n": pa.array(np.bincount(assign, minlength=_k).astype(np.int64)),
+                    "inertia": pa.array(
+                        np.bincount(assign, weights=d2, minlength=_k)
+                    ),
+                    "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        # Block arrival order is not deterministic and float addition is
+        # not associative: impose a canonical partial order (cluster, n,
+        # inertia) before reducing so re-runs are bit-identical.
+        parts = parts.sort_values(["cluster_id", "n", "inertia"]).reset_index(
+            drop=True
+        )
+        n = np.zeros(k, dtype=np.int64)
+        s = np.zeros((k, C.shape[1]))
+        inertia = 0.0
+        for cid, cnt, ine, vs in zip(
+            parts["cluster_id"], parts["n"], parts["inertia"], parts["vsum"]
+        ):
+            n[cid] += cnt
+            inertia += ine
+            s[cid] += np.asarray(vs)
+        nz = n > 0
+        C = C.copy()
+        C[nz] = s[nz] / n[nz, None]
+        history.append(float(inertia))
+    return C, history
+
+
+def kmeans_embeddings(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+    """Cluster summary after distributed Lloyd's: per-cluster size and
+    mean squared distance (6-decimal-rounded).  The assignment pass is
+    the same broadcast + vectorized-argmin map as training."""
+    C, _ = kmeans_fit(sf_dir, k=k, iters=iters)
+    c_ref = ray.put(C)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        Cl = ray.get(c_ref)
+        X = _matrix(batch["embedding"])
+        scores = X @ Cl.T - 0.5 * (Cl * Cl).sum(axis=1)[None, :]
+        assign = scores.argmax(axis=1)
+        d2 = (X * X).sum(axis=1) - 2.0 * scores[np.arange(len(X)), assign]
+        return pa.table(
+            {
+                "cluster_id": pa.array(assign.astype(np.int64)),
+                "d2": pa.array(d2),
+            }
+        )
+
+    pdf = ds.map_batches(summarize, batch_format="pyarrow").to_pandas()
+    out = (
+        pdf.groupby("cluster_id")
+        .agg(size=("d2", "size"), sum_d2=("d2", "sum"))
+        .reset_index()
+    )
+    out["mean_d2_r"] = (out["sum_d2"] / out["size"]).round(6)
+    return out[["cluster_id", "size", "mean_d2_r"]].sort_values(
+        "cluster_id"
+    ).reset_index(drop=True)

@@ -194,3 +194,174 @@ FROM events GROUP BY user_id
 ORDER BY total_value_milli DESC, user_id
 LIMIT 20
 """
+
+
+def events_asof_join(sf_dir: str):
+    """As-of join: each ``click`` matched to the user's latest ``purchase``
+    with purchase.ts <= click.ts (inner — clicks before any purchase drop).
+
+    Ray Data has no as-of join operator; the scalable composition is ONE
+    shuffle on the join key (``groupby(user_id)``) + a sorted merge inside
+    ``map_groups``: per user the right side is ts-sorted once and every
+    left row resolves by binary search (``np.searchsorted``) — O((L+R)
+    log R) per user, no quadratic pairing, and the payload crosses the
+    exchange exactly once.  Right-side rows are deduplicated per (user,
+    ts) keeping the max event_id, so the match is total-ordered and
+    engine-independent (DuckDB's ASOF JOIN picks an arbitrary same-ts row
+    otherwise).  Hot-user skew is bounded by the per-user dedup; a 100 TB
+    deployment would additionally range-partition time so one user-epoch
+    never exceeds a block.
+    """
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ty = batch["event_type"].to_pandas()
+        keep = (ty == "click") | (ty == "purchase")
+        t = batch.filter(pa.array(keep.to_numpy()))
+        ts_us = t["ts"].cast(pa.int64())
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": ts_us,
+                "is_click": pa.array(
+                    (t["event_type"].to_pandas() == "click").to_numpy()
+                ),
+                "value_milli": pa.array(
+                    _millis(t["value"].to_numpy(zero_copy_only=False))
+                ),
+            }
+        )
+
+    def asof_of_user(g: pd.DataFrame) -> pd.DataFrame:
+        right = g[~g["is_click"]]
+        left = g[g["is_click"]]
+        if right.empty or left.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype=np.int64),
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "click_ts_us": pd.Series([], dtype=np.int64),
+                    "purchase_event_id": pd.Series([], dtype=np.int64),
+                    "purchase_value_milli": pd.Series([], dtype=np.int64),
+                    "lag_us": pd.Series([], dtype=np.int64),
+                }
+            )
+        # dedup right per ts: keep max event_id (deterministic winner)
+        right = (
+            right.sort_values(["ts_us", "event_id"])
+            .groupby("ts_us", as_index=False)
+            .last()
+        )
+        rts = right["ts_us"].to_numpy()
+        lts = left["ts_us"].to_numpy()
+        idx = np.searchsorted(rts, lts, side="right") - 1
+        ok = idx >= 0
+        idx = idx[ok]
+        lf = left[ok]
+        return pd.DataFrame(
+            {
+                "event_id": lf["event_id"].to_numpy(),
+                "user_id": lf["user_id"].to_numpy(),
+                "click_ts_us": lf["ts_us"].to_numpy(),
+                "purchase_event_id": right["event_id"].to_numpy()[idx],
+                "purchase_value_milli": right["value_milli"].to_numpy()[idx],
+                "lag_us": lf["ts_us"].to_numpy() - rts[idx],
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(asof_of_user, batch_format="pandas")
+    )
+
+
+EVENTS_ASOF_SQL = """
+WITH purchases AS (
+  SELECT user_id, ts,
+    max(event_id) AS purchase_event_id,
+    CAST(arg_max(CAST(floor(value*1000.0 + 0.5) AS BIGINT), event_id) AS BIGINT)
+      AS purchase_value_milli
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+), clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id,
+  epoch_us(c.ts) AS click_ts_us,
+  p.purchase_event_id, p.purchase_value_milli,
+  epoch_us(c.ts) - epoch_us(p.ts) AS lag_us
+FROM clicks c ASOF JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+RANGE_N_WINDOWS = 12
+RANGE_STRIDE_H = 56
+RANGE_LEN_H = 36
+RANGE_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+
+
+def events_range_join(sf_dir: str):
+    """Range (interval) join: events against a small table of
+    non-overlapping promo windows — count + Σ value per window.
+
+    The interval table is tiny, so the scalable plan is a BROADCAST range
+    join: window bounds ship to every map task once (closure/``ray.put``,
+    never per batch) and each batch resolves membership with one
+    ``np.searchsorted`` against the sorted starts — no all-to-all, no
+    per-row Python.  Aggregation is map-side partial (np.bincount per
+    batch) + a windows-sized final groupby.  This is the composition Ray
+    Data lacks natively (no non-equi joins) and mirrors what a calendar /
+    SLA-window join does in a production event pipeline."""
+    starts = RANGE_EPOCH_US + np.arange(RANGE_N_WINDOWS, dtype=np.int64) * (
+        RANGE_STRIDE_H * HOUR_US
+    )
+    ends = starts + RANGE_LEN_H * HOUR_US
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = _millis(batch["value"].to_numpy(zero_copy_only=False))
+        idx = np.searchsorted(starts, ts_us, side="right") - 1
+        ok = (idx >= 0) & (ts_us < ends[np.clip(idx, 0, None)])
+        wi = idx[ok]
+        n = np.bincount(wi, minlength=RANGE_N_WINDOWS)
+        s = np.bincount(wi, weights=v[ok].astype(np.float64), minlength=RANGE_N_WINDOWS)
+        keep = n > 0
+        return pa.table(
+            {
+                "window_id": pa.array(np.flatnonzero(keep).astype(np.int64)),
+                "n_partial": pa.array(n[keep].astype(np.int64)),
+                "sum_partial": pa.array(s[keep].astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("window_id")
+        .aggregate(
+            Sum("n_partial", alias_name="n_events"),
+            Sum("sum_partial", alias_name="sum_value_milli"),
+        )
+    )
+    return agg
+
+
+EVENTS_RANGE_JOIN_SQL = f"""
+WITH w AS (
+  SELECT CAST(k AS BIGINT) AS window_id,
+    TIMESTAMP '2024-01-01 00:00:00' + k * {RANGE_STRIDE_H} * INTERVAL 1 HOUR AS w_start,
+    TIMESTAMP '2024-01-01 00:00:00' + (k * {RANGE_STRIDE_H} + {RANGE_LEN_H}) * INTERVAL 1 HOUR AS w_end
+  FROM range({RANGE_N_WINDOWS}) t(k)
+)
+SELECT w.window_id, count(*) AS n_events,
+  CAST(sum(CAST(floor(e.value*1000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_milli
+FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY w.window_id
+"""

@@ -442,3 +442,66 @@ SELECT source, count(*) AS n_docs,
   CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90_chars
 FROM documents GROUP BY source
 """
+
+
+# GPT-2-style pre-tokenizer shape, simplified to the RE2-portable core:
+# letter runs, 1-3 digit chunks (BPE tokenizers split long numbers), and
+# non-alnum punctuation runs.  Both sides of the oracle pair execute this
+# EXACT pattern on RE2 (Arrow's count_substring_regex and DuckDB's
+# regexp_extract_all are both RE2), so counts are engine-identical.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+"
+
+
+def doc_bpe_tokens(sf_dir: str):
+    """Per-doc BPE-ish token counts (the budget estimator a training-data
+    pipeline runs before tokenizing 100 TB for real): whitespace-word
+    count plus a GPT-2-pre-tokenizer-shaped regex count, fully vectorized
+    — one RE2 pass per batch via ``pyarrow.compute``, no Python loop.
+
+    Counts run over the headered form ``source || ': ' || text`` (a web
+    corpus carries provenance headers into the token budget); the header's
+    digits/punctuation also keep the two counts from being degenerate on
+    the all-lowercase synthetic text."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+    def counts(batch: pa.Table) -> pa.Table:
+        txt = pc.binary_join_element_wise(
+            batch["source"].combine_chunks().cast(pa.string()),
+            batch["text"].combine_chunks(),
+            ": ",
+        )
+        n_bpe = pc.count_substring_regex(txt, BPE_TOKEN_PATTERN).cast(pa.int64())
+        n_ws = pc.list_value_length(pc.split_pattern(txt, " ")).cast(pa.int64())
+        n_chars = pc.utf8_length(txt).cast(pa.int64())
+        bpe_np = n_bpe.to_numpy(zero_copy_only=False).astype(np.float64)
+        ws_np = n_ws.to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bpe_tokens": n_bpe,
+                "n_ws_tokens": n_ws,
+                "n_chars": n_chars,
+                # double division of exact ints: bit-identical across engines
+                "bpe_per_word": pa.array(bpe_np / ws_np),
+            }
+        )
+
+    return ds.map_batches(counts, batch_format="pyarrow")
+
+
+DOC_BPE_TOKENS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source || ': ' || text AS txt FROM documents
+)
+SELECT doc_id,
+  CAST(length(regexp_extract_all(txt, '{BPE_TOKEN_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+  CAST(length(string_split(txt, ' ')) AS BIGINT) AS n_ws_tokens,
+  CAST(length(txt) AS BIGINT) AS n_chars,
+  CAST(length(regexp_extract_all(txt, '{BPE_TOKEN_PATTERN}')) AS DOUBLE)
+    / CAST(length(string_split(txt, ' ')) AS DOUBLE) AS bpe_per_word
+FROM t
+"""
