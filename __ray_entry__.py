@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_source": textops.top_docs_per_source,
         "source_length_quantiles": textops.source_length_quantiles,
         "doc_bpe_tokens": textops.doc_bpe_tokens,
+        "tfidf_top_terms": textops.tfidf_top_terms,
+        "sample_documents": textops.sample_documents,
         # full-text index + BM25 top-k (the engine core)
         "bm25_topk_docs": fulltext.bm25_topk_docs,
         # similarity search / embeddings
@@ -118,6 +120,8 @@ def oracle_sql() -> dict[str, str]:
         "top_docs_per_source": textops.TOP_DOCS_PER_SOURCE_SQL,
         "source_length_quantiles": textops.SOURCE_LENGTH_QUANTILES_SQL,
         "doc_bpe_tokens": textops.DOC_BPE_TOKENS_SQL,
+        "tfidf_top_terms": textops.TFIDF_TOP_TERMS_SQL,
+        "sample_documents": textops.SAMPLE_DOCUMENTS_SQL,
         "bm25_topk_docs": fulltext.bm25_topk_sql(),
         "ann_cosine_topk": ann.ANN_COSINE_TOPK_SQL,
         "near_dup_embeddings": ann.NEAR_DUP_EMBEDDINGS_SQL,

@@ -9,10 +9,12 @@ double divisions of exact integers — bit-identical across engines.
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
@@ -504,4 +506,109 @@ SELECT doc_id,
   CAST(length(regexp_extract_all(txt, '{BPE_TOKEN_PATTERN}')) AS DOUBLE)
     / CAST(length(string_split(txt, ' ')) AS DOUBLE) AS bpe_per_word
 FROM t
+"""
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 5):
+    """Per-doc top-k terms by tf-idf — the keyword extractor of a
+    training-data pipeline (topic tagging / near-dup explanations).
+
+    Two streaming passes, one broadcast, no per-doc shuffle: pass 1 is
+    the df aggregate (vocabulary-sized result — the classic "small side"
+    — shipped to every map task once via ``ray.put``); pass 2 scores
+    each doc locally and emits only its top k rows, so the output is
+    k*N rows and nothing else ever materializes.  Scores are rounded to
+    6 decimals and ranked with (score DESC, term ASC) so the ordering is
+    engine-exact vs the SQL window-function oracle."""
+    from collections import Counter
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    df_pdf = term_doc_freq(sf_dir).to_pandas()
+    df_ref = ray.put(dict(zip(df_pdf["term"], df_pdf["df"].astype(np.int64))))
+
+    def topk(batch: pa.Table) -> pa.Table:
+        df_map = ray.get(df_ref)
+        out_doc, out_rank, out_term, out_score = [], [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            scored = sorted(
+                (
+                    (-round(tf * math.log(n_docs / df_map[t]), 6), t)
+                    for t, tf in Counter(text.split(" ")).items()
+                ),
+            )[:k]
+            for r, (neg, t) in enumerate(scored, start=1):
+                out_doc.append(doc_id)
+                out_rank.append(r)
+                out_term.append(t)
+                out_score.append(-neg)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "rank": pa.array(out_rank, pa.int64()),
+                "term": pa.array(out_term, pa.string()),
+                "tfidf_r": pa.array(out_score, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(topk, batch_format="pyarrow")
+
+
+TFIDF_TOP_TERMS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tfc AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), dfc AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+), n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tfc.doc_id, tfc.term,
+    round(tfc.tf * ln(CAST(n.n AS DOUBLE) / CAST(dfc.df AS DOUBLE)), 6)
+      AS tfidf_r
+  FROM tfc JOIN dfc USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tfidf_r,
+    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_r DESC, term)
+      AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf_r
+FROM ranked WHERE rank <= 5
+"""
+
+
+SAMPLE_PCT = 10
+
+
+def sample_documents(sf_dir: str, pct: int = SAMPLE_PCT):
+    """Deterministic ~pct% document sample — the repeatable eval/holdout
+    carve-out every training-data pipeline needs.  The sample key is
+    md5(doc_id) (content-independent, so near-dup docs don't co-select),
+    a pure per-row filter: streams, shuffles nothing, and re-runs —
+    including partial re-runs after a resume — always pick the same
+    rows.  md5 keeps the DuckDB oracle bit-exact."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "lang", "n_chars"],
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        keep = [
+            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 < pct
+            for i in ids
+        ]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+SAMPLE_DOCUMENTS_SQL = f"""
+SELECT doc_id, source, lang, n_chars FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
+      < {SAMPLE_PCT}
 """

@@ -131,3 +131,29 @@ def test_kmeans_recovers_planted_clusters(ray_session, tmp_path):
     out = kmeans_embeddings(sf, k=10, iters=10)
     assert sorted(out["cluster_id"]) == list(range(10))
     assert out["size"].sum() == len(X)
+
+
+def test_tfidf_top_terms_match_duckdb(ray_session):
+    from myaku_ray.functions.textops import TFIDF_TOP_TERMS_SQL, tfidf_top_terms
+
+    got = _assert_matches_sql(
+        tfidf_top_terms(SF), TFIDF_TOP_TERMS_SQL, SF, ["doc_id", "rank"]
+    )
+    # within one doc, scores are non-increasing with rank
+    assert (
+        got.sort_values(["doc_id", "rank"])
+        .groupby("doc_id")["tfidf_r"]
+        .apply(lambda s: (s.diff().dropna() <= 1e-12).all())
+        .all()
+    )
+
+
+def test_sample_documents_deterministic_and_matches_duckdb(ray_session):
+    from myaku_ray.functions.textops import SAMPLE_DOCUMENTS_SQL, sample_documents
+
+    got = _assert_matches_sql(
+        sample_documents(SF), SAMPLE_DOCUMENTS_SQL, SF, ["doc_id"]
+    )
+    again = sample_documents(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(got.sort_index(axis=1)["doc_id"]) == list(again["doc_id"])
+    assert 0 < len(got)
