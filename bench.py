@@ -158,6 +158,9 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "lang_id_ngram": textops.lang_id_ngram,
         "media_meta_stats": media.media_meta_stats,
         "media_features": media.media_features,
+        "events_asof_join": events.events_asof_join,
+        "tfidf_top_terms": textops.tfidf_top_terms,
+        "kmeans_embeddings": ann.kmeans_embeddings,
     }
     import pandas as pd
     import pyarrow as pa
