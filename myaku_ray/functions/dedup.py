@@ -78,6 +78,11 @@ def _shingles(text: str) -> set:
 
 _TOKEN_HASH_CACHE: dict[str, int] = {}
 _SHINGLE_MIX_P = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
+# P^2 mod 2^64, precomputed in exact Python ints: identical to the uint64
+# wraparound product but without tripping numpy's overflow warning
+_SHINGLE_MIX_P2 = np.uint64(
+    (int(_SHINGLE_MIX_P) * int(_SHINGLE_MIX_P)) % (1 << 64)
+)
 
 
 def _token_hash(tok: str) -> int:
@@ -111,7 +116,7 @@ def _shingle_hashes(text: str) -> np.ndarray:
             [T, np.full(hi + NGRAM - 1 - n, _token_hash(""), dtype=np.uint64)]
         )
     mixed = (
-        T[:hi] * (_SHINGLE_MIX_P * _SHINGLE_MIX_P)
+        T[:hi] * _SHINGLE_MIX_P2
         + T[1 : hi + 1] * _SHINGLE_MIX_P
         + T[2 : hi + 2]
     )

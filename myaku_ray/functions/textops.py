@@ -58,20 +58,38 @@ FROM documents
 """
 
 
+def _doc_term_tfs(batch: pa.Table):
+    """Vectorized per-batch (doc, term, tf) triples: split -> flatten ->
+    dictionary-encode, then ONE np.unique over composite (doc, code) keys
+    — no Python loop over rows or tokens.  Returns (doc_idx, term_codes,
+    tfs, dictionary): doc_idx indexes into the batch, term_codes into the
+    dictionary."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = max(len(enc.dictionary), 1)
+    uniq, tfs = np.unique(parents * vocab + codes, return_counts=True)
+    return uniq // vocab, uniq % vocab, tfs.astype(np.int64), enc.dictionary
+
+
 def term_doc_freq(sf_dir: str):
     """Corpus term statistics: df (docs containing) + total tf."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    from collections import Counter
-
     def explode(batch: pa.Table) -> pa.Table:
-        terms, tfs = [], []
-        for text in batch["text"].to_pylist():
-            for t, c in Counter(text.split(" ")).items():
-                terms.append(t)
-                tfs.append(c)
+        if batch.num_rows == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "tf": pa.array([], pa.int64())}
+            )
+        _, codes, tfs, dictionary = _doc_term_tfs(batch)
         return pa.table(
-            {"term": pa.array(terms, pa.string()), "tf": pa.array(tfs, pa.int64())}
+            {"term": dictionary.take(pa.array(codes)), "tf": pa.array(tfs)}
         )
 
     return (
@@ -520,8 +538,6 @@ def tfidf_top_terms(sf_dir: str, k: int = 5):
     k*N rows and nothing else ever materializes.  Scores are rounded to
     6 decimals and ranked with (score DESC, term ASC) so the ordering is
     engine-exact vs the SQL window-function oracle."""
-    from collections import Counter
-
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     n_docs = ds.count()
 
@@ -529,28 +545,44 @@ def tfidf_top_terms(sf_dir: str, k: int = 5):
     df_ref = ray.put(dict(zip(df_pdf["term"], df_pdf["df"].astype(np.int64))))
 
     def topk(batch: pa.Table) -> pa.Table:
+        """Fully vectorized: (doc, term, tf) triples via dictionary
+        encoding, scores in one numpy expression, per-doc top-k via a
+        single lexsort + segment-rank — the only Python loop is over the
+        batch-local VOCABULARY (df lookup + term sort ranks), not rows.
+        Rounding is half-to-even at 1e-6 exactly like ``round``/DuckDB
+        on these magnitudes (tie cases are measure-zero log products)."""
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tfidf_r": pa.array([], pa.float64()),
+                }
+            )
         df_map = ray.get(df_ref)
-        out_doc, out_rank, out_term, out_score = [], [], [], []
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            scored = sorted(
-                (
-                    (-round(tf * math.log(n_docs / df_map[t]), 6), t)
-                    for t, tf in Counter(text.split(" ")).items()
-                ),
-            )[:k]
-            for r, (neg, t) in enumerate(scored, start=1):
-                out_doc.append(doc_id)
-                out_rank.append(r)
-                out_term.append(t)
-                out_score.append(-neg)
+        doc_idx, codes, tfs, dictionary = _doc_term_tfs(batch)
+        vocab_terms = dictionary.to_pylist()
+        df_of_code = np.array([df_map[t] for t in vocab_terms], dtype=np.float64)
+        # rank of each dictionary code in ascending term order (tie-break)
+        term_rank = np.empty(len(vocab_terms), dtype=np.int64)
+        term_rank[np.argsort(np.array(vocab_terms, dtype=object))] = np.arange(
+            len(vocab_terms)
+        )
+        score = np.round(tfs * np.log(n_docs / df_of_code[codes]), 6)
+        order = np.lexsort((term_rank[codes], -score, doc_idx))
+        d_sorted = doc_idx[order]
+        starts = np.r_[0, np.flatnonzero(np.diff(d_sorted)) + 1]
+        seg_start = np.repeat(starts, np.diff(np.r_[starts, len(d_sorted)]))
+        rank = np.arange(len(d_sorted)) - seg_start + 1
+        keep = order[rank <= k]
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "rank": pa.array(out_rank, pa.int64()),
-                "term": pa.array(out_term, pa.string()),
-                "tfidf_r": pa.array(out_score, pa.float64()),
+                "doc_id": pa.array(doc_ids[doc_idx[keep]], pa.int64()),
+                "rank": pa.array(rank[rank <= k], pa.int64()),
+                "term": dictionary.take(pa.array(codes[keep])),
+                "tfidf_r": pa.array(score[keep], pa.float64()),
             }
         )
 
