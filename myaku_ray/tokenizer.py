@@ -119,6 +119,17 @@ class Tokenizer:
             (not _is_latin_alnum(s[0])) or all(_is_latin_alnum(c) for c in s)
             for s in self._surfaces
         )
+        # One all-consuming token pattern for the findall tf kernel:
+        # trie surfaces first (exact-position dictionary match wins, as
+        # in the finditer path), then maximal latin-alnum runs (which
+        # therefore swallow dictionary matches STARTING INSIDE them —
+        # the same precedence the finditer path implements via its
+        # `s < pos` skip), then single word chars (unknown CJK etc.).
+        # The latin class is exactly the _is_latin_alnum set.
+        _latin_cls = "0-9A-Za-z０-９Ａ-Ｚａ-ｚ"
+        self._combined = _re.compile(
+            f"(?:{_trie_regex(list(self._surfaces))})|[{_latin_cls}]+|[^\\W_]"
+        )
 
     def tokenize(self, text: str) -> list[Token]:
         """Segment text into dictionary tokens with char offsets."""
@@ -278,60 +289,55 @@ class Tokenizer:
         the per-occurrence (start, len) sets exist only for query-side
         previews and golden tests.
 
-        Implementation: ONE trie-regex ``finditer`` pass fused with the
-        unknown-run/symbol gap handling and the phrase 2-gram check — no
-        Token objects, ~1.9x the longest-match loop (which remains the
-        reference implementation in ``tokenize`` and the fallback when
-        the lexicon violates the single-script surface invariant)."""
+        Implementation: ONE all-consuming ``findall`` pass (trie surfaces
+        | latin runs | single word chars — see ``_combined`` in
+        ``__init__`` for the precedence argument), then all per-token
+        Python work collapses to the DISTINCT surfaces via ``Counter``
+        and the phrase 2-gram check to distinct ADJACENT surface pairs
+        via ``Counter(zip(toks, toks[1:]))`` — the sequential scan runs
+        entirely in C, and Zipf token distributions make the distinct
+        sets much smaller than the streams.  ~1.8x the longest-match
+        loop, ~1.1x the previous fused-finditer pass (the regex scan is
+        now the floor: ~85% of kernel time is inside ``findall``)
+        (the longest-match loop remains the reference implementation in ``tokenize`` and
+        the fallback when the lexicon violates the single-script surface
+        invariant, or when the regex word-char class disagrees with
+        ``str.isalnum`` on some exotic matched char)."""
         if not self._fast_ok:
             return self._find_term_tfs_slow(text)
+        from collections import Counter
+
+        toks = self._combined.findall(text)
         counts: dict[str, int] = {}
         surfaces = self._surfaces
+        base_map: dict[str, str] = {}
+        for s_, cnt in Counter(toks).items():
+            e = surfaces.get(s_)
+            if e is not None:
+                base, _r, p, _ct, _cf = e
+                base_map[s_] = base
+                if p != _SYMBOL_POS:
+                    counts[base] = counts.get(base, 0) + cnt
+            elif _is_latin_alnum(s_[0]):
+                b = normalize_char_width(s_).lower()
+                base_map[s_] = b
+                counts[b] = counts.get(b, 0) + cnt
+            elif s_.isalnum():
+                b = normalize_char_width(s_)
+                base_map[s_] = b
+                counts[b] = counts.get(b, 0) + cnt
+            else:
+                # regex \w matched a char str.isalnum rejects: the token
+                # sequence no longer mirrors the reference scan — defer
+                # to the longest-match loop for this (exotic) document
+                return self._find_term_tfs_slow(text)
         phrases = self._phrases
-        n = len(text)
-        pos = 0
-        prev_base = None
-
-        def gap(i: int, lim: int):
-            nonlocal prev_base
-            while i < lim:
-                ch = text[i]
-                if ch.isspace():
-                    i += 1
-                elif _is_latin_alnum(ch):
-                    j = i + 1
-                    while j < n and _is_latin_alnum(text[j]):
-                        j += 1
-                    b = normalize_char_width(text[i:j]).lower()
-                    counts[b] = counts.get(b, 0) + 1
-                    prev_base = b
-                    i = j
-                elif ch.isalnum():
-                    b = normalize_char_width(ch)
-                    counts[b] = counts.get(b, 0) + 1
-                    prev_base = b
-                    i += 1
-                else:
-                    i += 1
-            return i
-
-        for m in self._pat.finditer(text):
-            s = m.start()
-            if s < pos:
-                continue  # inside a latin run that swallowed this match
-            i = gap(pos, s)
-            if i > s:
-                pos = i  # latin run overran the match start
-                continue
-            base, _r, p, _ct, _cf = surfaces[m.group(0)]
-            if p != _SYMBOL_POS:
-                counts[base] = counts.get(base, 0) + 1
-            if prev_base is not None and (prev_base, base) in phrases:
-                ph = prev_base + base
-                counts[ph] = counts.get(ph, 0) + 1
-            prev_base = base
-            pos = m.end()
-        gap(pos, n)
+        if phrases and len(toks) > 1:
+            for (sa, sb), cnt in Counter(zip(toks, toks[1:])).items():
+                key = (base_map[sa], base_map[sb])
+                if key in phrases:
+                    ph = key[0] + key[1]
+                    counts[ph] = counts.get(ph, 0) + cnt
         return counts
 
     def _find_term_tfs_slow(self, text: str) -> dict[str, int]:
