@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed full-corpus Lloyd's k-means (iterative — pytest gate:
         # determinism, monotone inertia, cluster recovery)
         "kmeans_embeddings": ann.kmeans_embeddings,
+        "kmeans_representatives": ann.kmeans_representatives,
         # multimodal binary-column stages (decode stubbed, plumbing real)
         "media_meta_stats": media.media_meta_stats,
         "media_features": media.media_features,

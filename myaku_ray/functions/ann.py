@@ -561,3 +561,60 @@ def kmeans_embeddings(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS)
     return out[["cluster_id", "size", "mean_d2_r"]].sort_values(
         "cluster_id"
     ).reset_index(drop=True)
+
+
+KMEANS_REPS = 5
+
+
+def kmeans_representatives(
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    r: int = KMEANS_REPS,
+):
+    """Per-cluster most-central vectors — the diversity-sampling /
+    corpus-bucketing selection a curation pipeline runs after k-means
+    (one exemplar set per topic bucket).
+
+    Same broadcast-assignment map as the fit, then per-BATCH partial
+    top-r per cluster (lexsort) so the final ``groupby(cluster)`` shuffle
+    sees at most r rows per (batch, cluster) instead of the corpus;
+    ranking is (rounded d2 ASC, vec_id ASC) — fully deterministic."""
+    C, _ = kmeans_fit(sf_dir, k=k, iters=iters)
+    c_ref = ray.put(C)
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        Cl = ray.get(c_ref)
+        X = _matrix(batch["embedding"])
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        scores = X @ Cl.T - 0.5 * (Cl * Cl).sum(axis=1)[None, :]
+        assign = scores.argmax(axis=1)
+        d2 = np.round(
+            (X * X).sum(axis=1) - 2.0 * scores[np.arange(len(X)), assign], 6
+        )
+        order = np.lexsort((ids, d2, assign))
+        a_sorted = assign[order]
+        starts = np.r_[0, np.flatnonzero(np.diff(a_sorted)) + 1]
+        seg = np.repeat(starts, np.diff(np.r_[starts, len(a_sorted)]))
+        keep = order[np.arange(len(a_sorted)) - seg < r]
+        return pa.table(
+            {
+                "cluster_id": pa.array(assign[keep].astype(np.int64)),
+                "vec_id": pa.array(ids[keep]),
+                "d2_r": pa.array(d2[keep], pa.float64()),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["d2_r", "vec_id"]).head(r).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["cluster_id", "rank", "vec_id", "d2_r"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -157,3 +157,52 @@ def test_sample_documents_deterministic_and_matches_duckdb(ray_session):
     again = sample_documents(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert list(got.sort_index(axis=1)["doc_id"]) == list(again["doc_id"])
     assert 0 < len(got)
+
+
+def test_kmeans_representatives_pure_and_central(ray_session, tmp_path):
+    """Representatives of planted clusters carry the cluster's label and
+    are ranked by ascending (rounded) squared distance."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from myaku_ray.functions.ann import kmeans_representatives
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((5, 16)) * 4.0
+    X = np.concatenate(
+        [centers[i] + 0.05 * rng.standard_normal((40, 16)) for i in range(5)]
+    )
+    labels = np.repeat(np.arange(5), 40)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(X)), pa.int64()),
+                "embedding": pa.array(
+                    [r.tolist() for r in X], pa.list_(pa.float32())
+                ),
+                "label": pa.array(labels.astype(np.int32)),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    reps = (
+        kmeans_representatives(str(tmp_path), k=5, iters=5, r=3)
+        .to_pandas()
+        .sort_values(["cluster_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(reps) == 15
+    # label purity: all representatives of one cluster share a label
+    lab = dict(zip(range(len(X)), labels))
+    assert (
+        reps.groupby("cluster_id")["vec_id"]
+        .agg(lambda s: len({lab[v] for v in s}))
+        .eq(1)
+        .all()
+    )
+    # rank order is ascending distance within each cluster
+    assert (
+        reps.groupby("cluster_id")["d2_r"]
+        .apply(lambda s: (s.diff().dropna() >= -1e-12).all())
+        .all()
+    )
