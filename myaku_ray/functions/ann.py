@@ -31,7 +31,26 @@ NEAR_DUP_THRESHOLD = 0.4
 
 
 def _matrix(batch_col) -> np.ndarray:
-    return np.stack([np.asarray(v, dtype=np.float64) for v in batch_col.to_pylist()])
+    """(n, dim) float64 matrix from a list<float> column — zero-copy-ish:
+    one ``list_flatten`` + reshape when the lists are equal-length (the
+    embedding-column invariant), falling back to the per-row path only
+    for ragged input."""
+    import pyarrow.compute as pc
+
+    arr = (
+        batch_col.combine_chunks()
+        if isinstance(batch_col, pa.ChunkedArray)
+        else batch_col
+    )
+    n = len(arr)
+    if n:
+        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+        if arr.null_count == 0 and lens.min() == lens.max():
+            flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False)
+            return flat.astype(np.float64).reshape(n, -1)
+    return np.stack(
+        [np.asarray(v, dtype=np.float64) for v in arr.to_pylist()]
+    )
 
 
 def ann_cosine_topk(sf_dir: str, k: int = TOPK):
@@ -41,7 +60,7 @@ def ann_cosine_topk(sf_dir: str, k: int = TOPK):
     qtbl = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
         columns=["vec_id", "embedding"], filter=pads.field("vec_id") < N_QUERIES
     )
-    qids = np.asarray(qtbl["vec_id"].to_pylist())
+    qids = qtbl["vec_id"].to_numpy(zero_copy_only=False)
     Q = _matrix(qtbl["embedding"])
     qnorm = np.sqrt((Q * Q).sum(axis=1))
     q_ref = ray.put((qids, Q, qnorm))
@@ -51,7 +70,7 @@ def ann_cosine_topk(sf_dir: str, k: int = TOPK):
     def partial_topk(batch: pa.Table) -> pa.Table:
         qids_l, Q_l, qnorm_l = ray.get(q_ref)
         X = _matrix(batch["embedding"])
-        ids = np.asarray(batch["vec_id"].to_pylist())
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         xnorm = np.sqrt((X * X).sum(axis=1))
         sims = (Q_l @ X.T) / (qnorm_l[:, None] * xnorm[None, :])
         sims_r = np.round(sims, 6)
@@ -182,7 +201,7 @@ def near_dup_embeddings_lsh(
     def band_rows(batch: pa.Table) -> pa.Table:
         P = ray.get(planes_ref)
         X = _matrix(batch["embedding"])
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         signs = (X @ P) > 0  # (n, PLANES)
         weights = (1 << np.arange(bits_per_band)).astype(np.int64)
         out_band, out_key, out_id, out_emb = [], [], [], []
@@ -397,7 +416,7 @@ def ivf_cosine_topk(
     qtbl = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
         columns=["vec_id", "embedding"], filter=pads.field("vec_id") < N_QUERIES
     )
-    qids = np.asarray(qtbl["vec_id"].to_pylist())
+    qids = qtbl["vec_id"].to_numpy(zero_copy_only=False)
     Q = _matrix(qtbl["embedding"])
     qnorm = np.sqrt((Q * Q).sum(axis=1))
     # nprobe nearest cells per query, by cosine to centroids
@@ -419,7 +438,7 @@ def ivf_cosine_topk(
     def partial_topk(batch: pa.Table) -> pa.Table:
         qids_l, Q_l, qnorm_l, probes = ray.get(bcast)
         X = _matrix(batch["embedding"])
-        ids = np.asarray(batch["vec_id"].to_pylist())
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         cell = batch["cell_id"].to_numpy(zero_copy_only=False)
         xnorm = np.sqrt((X * X).sum(axis=1))
         sims = (Q_l @ X.T) / (qnorm_l[:, None] * xnorm[None, :])
@@ -589,7 +608,7 @@ def kmeans_representatives(
     def partial(batch: pa.Table) -> pa.Table:
         Cl = ray.get(c_ref)
         X = _matrix(batch["embedding"])
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         scores = X @ Cl.T - 0.5 * (Cl * Cl).sum(axis=1)[None, :]
         assign = scores.argmax(axis=1)
         d2 = np.round(

@@ -218,18 +218,17 @@ def events_asof_join(sf_dir: str):
     )
 
     def prep(batch: pa.Table) -> pa.Table:
-        ty = batch["event_type"].to_pandas()
-        keep = (ty == "click") | (ty == "purchase")
-        t = batch.filter(pa.array(keep.to_numpy()))
-        ts_us = t["ts"].cast(pa.int64())
+        import pyarrow.compute as pc
+
+        ty = batch["event_type"]
+        is_click = pc.equal(ty, "click")
+        t = batch.filter(pc.or_(is_click, pc.equal(ty, "purchase")))
         return pa.table(
             {
                 "event_id": t["event_id"],
                 "user_id": t["user_id"],
-                "ts_us": ts_us,
-                "is_click": pa.array(
-                    (t["event_type"].to_pandas() == "click").to_numpy()
-                ),
+                "ts_us": t["ts"].cast(pa.int64()),
+                "is_click": pc.equal(t["event_type"], "click"),
                 "value_milli": pa.array(
                     _millis(t["value"].to_numpy(zero_copy_only=False))
                 ),
