@@ -149,9 +149,11 @@ def media_meta_stats(sf_dir: str):
     media = ds.map_batches(_as_media, batch_format="pyarrow")
 
     def add_len(batch: pa.Table) -> pa.Table:
-        n = pa.array(
-            [len(p) for p in batch["payload"].to_pylist()], pa.int64()
-        )
+        import pyarrow.compute as pc
+
+        # binary_length reads list offsets only — the payload bytes never
+        # materialize into Python (they can be the dominant column size)
+        n = pc.binary_length(batch["payload"].combine_chunks()).cast(pa.int64())
         return pa.table(
             {"media_type": batch["media_type"], "n_bytes": n}
         )
