@@ -317,16 +317,65 @@ class Searcher:
 
     # -- hydration (J1-analog: bounded doc_id-filtered read) --------------
 
+    def _read_docs_by_id(self, ids: list[int]):
+        """Point-lookup read of doc rows by id — the forward-index analog
+        of the reference's ``articles`` B-tree fetch (index_search.py
+        J1).  doc_ids are url hashes, so row-group min/max stats cannot
+        prune an unsorted layout; instead read each file's doc_id COLUMN
+        (8 bytes/row — trivial) and decode only the row groups that
+        actually contain a wanted id.  With the build's ~few-hundred-row
+        groups this touches ~k groups instead of the whole corpus' text
+        column (the dominant bytes), turning cold hydration from a
+        full scan into a bounded read."""
+        import glob as _glob
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        want = np.unique(np.asarray(ids, dtype=np.int64))
+        cols = ["doc_id", "url", "title", "text", "warc_ts"]
+
+        def scan_file(f: str):
+            pf = pq.ParquetFile(f)
+            idcol = pf.read(columns=["doc_id"])["doc_id"].to_numpy(
+                zero_copy_only=False
+            )
+            hit = np.isin(idcol, want)
+            if not hit.any():
+                return []
+            out, off = [], 0
+            for g in range(pf.metadata.num_row_groups):
+                n = pf.metadata.row_group(g).num_rows
+                seg = hit[off : off + n]
+                if seg.any():
+                    t = pf.read_row_group(g, columns=cols)
+                    out.append(t.filter(pa.array(seg)))
+                off += n
+            return out
+
+        files = sorted(
+            _glob.glob(
+                os.path.join(self._docs_root, "**", "*.parquet"), recursive=True
+            )
+        )
+        # parquet decode releases the GIL — thread the per-file id scans
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, max(len(files), 1))) as ex:
+            parts = [t for out in ex.map(scan_file, files) for t in out]
+        if not parts:
+            import pyarrow.dataset as pds
+
+            return pds.dataset(self._docs_root, format="parquet").head(
+                0, columns=cols
+            )
+        return pa.concat_tables(parts)
+
     def hydrate(self, results: list[SearchResult], query_str: str) -> list[SearchResult]:
         if not results:
             return results
-        import pyarrow.dataset as pds
-
-        ids = [r.doc_id for r in results]
-        docs = pds.dataset(self._docs_root, format="parquet").to_table(
-            columns=["doc_id", "url", "title", "text", "warc_ts"],
-            filter=pds.field("doc_id").isin(ids),
-        )
+        docs = self._read_docs_by_id([r.doc_id for r in results])
         # re-crawled docs appear once per version — latest warc_ts wins
         by_id: dict = {}
         best_warc: dict = {}
