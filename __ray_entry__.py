@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_tokens": textops.doc_bpe_tokens,
         "tfidf_top_terms": textops.tfidf_top_terms,
         "sample_documents": textops.sample_documents,
+        # certified heavy-hitters sketch; output exact, so SQL-oracled
+        "top_terms_heavy_hitters": textops.top_terms_heavy_hitters,
         # full-text index + BM25 top-k (the engine core)
         "bm25_topk_docs": fulltext.bm25_topk_docs,
         # similarity search / embeddings
@@ -123,6 +125,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bpe_tokens": textops.DOC_BPE_TOKENS_SQL,
         "tfidf_top_terms": textops.TFIDF_TOP_TERMS_SQL,
         "sample_documents": textops.SAMPLE_DOCUMENTS_SQL,
+        "top_terms_heavy_hitters": textops.TOP_TERMS_HH_SQL,
         "bm25_topk_docs": fulltext.bm25_topk_sql(),
         "ann_cosine_topk": ann.ANN_COSINE_TOPK_SQL,
         "near_dup_embeddings": ann.NEAR_DUP_EMBEDDINGS_SQL,

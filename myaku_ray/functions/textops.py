@@ -12,6 +12,7 @@ import hashlib
 import math
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -643,4 +644,132 @@ SAMPLE_DOCUMENTS_SQL = f"""
 SELECT doc_id, source, lang, n_chars FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
       < {SAMPLE_PCT}
+"""
+
+
+HH_TOPK = 10
+HH_CAPACITY = 4096  # per-batch candidate budget (the 1/C frequency bar)
+
+
+def top_terms_heavy_hitters(sf_dir: str, k: int = HH_TOPK, cap: int = HH_CAPACITY):
+    """Exact corpus top-k terms by total tf via a certified heavy-hitters
+    sketch — the scale path for "top-k frequent terms" when the full
+    ``groupby(term)`` exchange is the bottleneck (streaming-top-k
+    literature's two-pass design).
+
+    Pass 1 keeps, per batch, only terms with tf >= ceil(batch_tokens/cap)
+    (a term with global frequency > 1/cap MUST clear that bar in at least
+    one batch), plus each batch's bar as the upper bound on anything it
+    dropped.  Pass 2 exactly recounts ONLY the candidate union (broadcast
+    set, map-side filter, vocabulary-sized groupby).  A certificate then
+    checks that no non-candidate could beat rank k (sum of per-batch
+    bars < k-th candidate count); if the corpus is so flat the bound
+    fails, fall back to the exact full aggregate — output is therefore
+    EXACT in all cases (and DuckDB-oracled), the sketch only bounds the
+    shuffle size."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    _EMPTY = pa.table(
+        {
+            "term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "bar": pa.array([], pa.int64()),
+            "is_summary": pa.array([], pa.bool_()),
+        }
+    )
+
+    def batch_candidates(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY
+        _, codes, tfs, dictionary = _doc_term_tfs(batch)
+        # batch-level term totals
+        vocab = max(len(dictionary), 1)
+        tot = np.zeros(vocab, dtype=np.int64)
+        np.add.at(tot, codes, tfs)
+        n_tokens = int(tfs.sum())
+        bar = max(-(-n_tokens // cap), 1)  # ceil(n_tokens / cap)
+        keep = np.flatnonzero(tot >= bar)
+        # one summary row per batch carries its bar, so the driver can
+        # form the exact certificate bound even for batches that emitted
+        # zero candidates
+        terms = dictionary.take(pa.array(keep)).to_pylist() + [""]
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(np.append(tot[keep], 0)),
+                "bar": pa.array(
+                    np.full(len(keep) + 1, bar, dtype=np.int64)
+                ),
+                "is_summary": pa.array(
+                    [False] * len(keep) + [True]
+                ),
+            }
+        )
+
+    parts = ds.map_batches(batch_candidates, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {"term": pd.Series(dtype=object), "total_tf": pd.Series(dtype=np.int64)}
+        )
+    # a non-candidate was under the bar in EVERY batch, so its true
+    # count is < sum of per-batch bars — the certificate bound
+    bound = int(parts.loc[parts["is_summary"], "bar"].sum())
+    cand = set(parts.loc[~parts["is_summary"], "term"])
+
+    def _exact_fallback() -> pd.DataFrame:
+        full = (
+            term_doc_freq(sf_dir)
+            .to_pandas()[["term", "total_tf"]]
+            .sort_values(["total_tf", "term"], ascending=[False, True])
+            .reset_index(drop=True)
+        )
+        return full.head(k).reset_index(drop=True)
+
+    if not cand:
+        # the bar was so high no candidate cleared it anywhere — nothing
+        # to certify, run the exact aggregate
+        return _exact_fallback()
+    cand_ref = ray.put(cand)
+
+    def exact_counts(batch: pa.Table) -> pa.Table:
+        cs = ray.get(cand_ref)
+        if batch.num_rows == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "tf": pa.array([], pa.int64())}
+            )
+        _, codes, tfs, dictionary = _doc_term_tfs(batch)
+        vocab = max(len(dictionary), 1)
+        tot = np.zeros(vocab, dtype=np.int64)
+        np.add.at(tot, codes, tfs)
+        mask = np.array([t in cs for t in dictionary.to_pylist()], dtype=bool)
+        keep = np.flatnonzero(mask & (tot > 0))
+        return pa.table(
+            {"term": dictionary.take(pa.array(keep)), "tf": pa.array(tot[keep])}
+        )
+
+    agg = (
+        ds.map_batches(exact_counts, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("tf", alias_name="total_tf"))
+        .to_pandas()
+        .sort_values(["total_tf", "term"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    top = agg.head(k).reset_index(drop=True)
+    # certificate: the bound must not reach rank k's count (and if fewer
+    # than k candidates survived, the tail is uncertified by definition)
+    if len(top) < k or bound >= int(top["total_tf"].iloc[-1]):
+        # flat corpus: the sketch cannot certify — exact full aggregate
+        return _exact_fallback()
+    return top[["term", "total_tf"]]
+
+
+TOP_TERMS_HH_SQL = f"""
+WITH tf AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT term, count(*) AS total_tf
+FROM tf GROUP BY term
+ORDER BY total_tf DESC, term
+LIMIT {HH_TOPK}
 """

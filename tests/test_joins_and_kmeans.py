@@ -206,3 +206,22 @@ def test_kmeans_representatives_pure_and_central(ray_session, tmp_path):
         .apply(lambda s: (s.diff().dropna() >= -1e-12).all())
         .all()
     )
+
+
+def test_heavy_hitters_matches_duckdb_all_paths(ray_session):
+    """Certified path, no-candidate fallback (cap=2) and failed-certificate
+    fallback (cap=40) must all return the exact DuckDB top-k."""
+    from myaku_ray.functions.textops import (
+        TOP_TERMS_HH_SQL,
+        top_terms_heavy_hitters,
+    )
+
+    con = _duckdb_con(SF)
+    want = con.sql(TOP_TERMS_HH_SQL).df()
+    for cap in (4096, 40, 2):
+        got = top_terms_heavy_hitters(SF, cap=cap)
+        got = got[sorted(got.columns)].reset_index(drop=True)
+        w = want[sorted(want.columns)].reset_index(drop=True).astype(
+            got.dtypes.to_dict()
+        )
+        pd.testing.assert_frame_equal(got, w)
