@@ -81,6 +81,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full FLI payload with lexical interpretations (list<struct>
         # columns; not SQL-expressible — pytest golden tests hold the gate)
         "pages_fli_interps": fulltext.pages_fli_interps,
+        # oracle-checkable digest of that payload (stored golden computed
+        # by the serial tokenizer over the fixed pages corpus)
+        "pages_fli_interp_profile": fulltext.pages_fli_interp_profile,
         # language ID (profile scoring)
         "lang_id_ngram": textops.lang_id_ngram,
         # composed training-data curation (dedup + lang + quality gates)
@@ -137,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         "media_meta_stats": media.MEDIA_META_STATS_SQL,
         "pages_extract_stats": pages_golden.PAGES_EXTRACT_STATS_SQL,
         "pages_search_topk": pages_golden.PAGES_SEARCH_TOPK_SQL,
+        "pages_fli_interp_profile": pages_golden.PAGES_FLI_INTERP_PROFILE_SQL,
         # minhash_lsh_pairs / near_dup_embeddings_lsh / pages_fli_interps
         # / ivf_cosine_topk / kmeans_embeddings / media_features /
         # media_frame_sample: not SQL-expressible (LSH banding, lexical

@@ -177,3 +177,80 @@ def pages_search_topk(sf_dir: str, k: int = 10):
             rows["score"].append(round(r.score, 5))
             rows["url"].append(r.url)
     return pd.DataFrame(rows)
+
+
+def pages_fli_interp_profile(sf_dir: str):
+    """Compact aggregate over the FLI interpretation payload: count of
+    interpretation structs per (term pos, interp POS chain, conjugation
+    type/form, sources) — the oracle-checkable digest of
+    ``pages_fli_interps``'s nested list<struct> columns (any change to
+    interp emission shifts these counts).  The flatten runs over the
+    FILTERED payload slice (result-sized, not corpus-sized); the heavy
+    stage is the same FliStage actor pool."""
+    ds = pages_fli_interps(sf_dir)
+
+    def profile(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        terms: dict = {}
+        tfsum: Counter = Counter()
+        for term_pos, term, tf, interps in zip(
+            batch["pos"].to_pylist(),
+            batch["term"].to_pylist(),
+            batch["tf"].to_pylist(),
+            batch["possible_interps"].to_pylist(),
+        ):
+            for it in interps:
+                key = (
+                    term_pos,
+                    "/".join(it["parts_of_speech"] or []),
+                    it["conjugated_type"] or "",
+                    it["conjugated_form"] or "",
+                    "+".join(it["interp_sources"] or []),
+                )
+                c[key] += 1
+                tfsum[key] += int(tf)
+                terms.setdefault(key, set()).add(term)
+        ks = sorted(c)
+        return pa.table(
+            {
+                "term_pos": pa.array([k[0] for k in ks], pa.string()),
+                "interp_pos": pa.array([k[1] for k in ks], pa.string()),
+                "conj_type": pa.array([k[2] for k in ks], pa.string()),
+                "conj_form": pa.array([k[3] for k in ks], pa.string()),
+                "sources": pa.array([k[4] for k in ks], pa.string()),
+                "n": pa.array([c[k] for k in ks], pa.int64()),
+                "sum_tf": pa.array([tfsum[k] for k in ks], pa.int64()),
+                # distinct terms can't partial-aggregate as a count —
+                # ship the per-batch term SETS and merge in map_groups
+                "term_set": pa.array(
+                    [sorted(terms[k]) for k in ks], pa.list_(pa.string())
+                ),
+            }
+        )
+
+    def merge(g) -> "pd.DataFrame":
+        import pandas as _pd
+
+        uniq = set()
+        for ts in g["term_set"]:
+            uniq.update(ts)
+        return _pd.DataFrame(
+            {
+                "term_pos": [g["term_pos"].iloc[0]],
+                "interp_pos": [g["interp_pos"].iloc[0]],
+                "conj_type": [g["conj_type"].iloc[0]],
+                "conj_form": [g["conj_form"].iloc[0]],
+                "sources": [g["sources"].iloc[0]],
+                "n": [int(g["n"].sum())],
+                "sum_tf": [int(g["sum_tf"].sum())],
+                "n_terms": [len(uniq)],
+            }
+        )
+
+    return (
+        ds.map_batches(profile, batch_format="pyarrow")
+        .groupby(["term_pos", "interp_pos", "conj_type", "conj_form", "sources"])
+        .map_groups(merge, batch_format="pandas")
+    )

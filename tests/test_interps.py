@@ -143,3 +143,25 @@ def test_fli_stage_arrow_schema(ray_session):
     # doc 2: single occurrence -> one interp, null map entry
     rows2 = {r["term"]: r for r in out if r["doc_id"] == 2}
     assert rows2[verb.base_form]["interp_position_map"][0] is None
+
+
+def test_interp_profile_matches_stored_golden(ray_session):
+    """The distributed FLI interp-payload digest equals the stored golden
+    computed by the serial tokenizer (tools/gen_pages_golden.py)."""
+    import duckdb
+    import pandas as pd
+
+    from myaku_ray.functions.fulltext import pages_fli_interp_profile
+    from myaku_ray.functions.pages_golden import PAGES_FLI_INTERP_PROFILE_SQL
+
+    got = pages_fli_interp_profile("/root/testdata/sf0.001").to_pandas()
+    want = duckdb.sql(PAGES_FLI_INTERP_PROFILE_SQL).df()
+    key = ["term_pos", "interp_pos", "conj_type", "conj_form", "sources"]
+    got = got[sorted(got.columns)].sort_values(key).reset_index(drop=True)
+    want = (
+        want[sorted(want.columns)]
+        .sort_values(key)
+        .reset_index(drop=True)
+        .astype(got.dtypes.to_dict())
+    )
+    pd.testing.assert_frame_equal(got, want)

@@ -88,6 +88,46 @@ def main() -> None:
         + "\n) AS golden(query, rank, doc_id, score, url)"
     )
 
+    # ---- FLI interp profile golden (serial tokenizer pass) -------------
+    # Mirrors fulltext.pages_fli_interp_profile: same "interesting" filter
+    # (multi-interp or meta-phrase) and the same struct shaping FliStage
+    # emits (stages/tokenize.py FLI_SCHEMA).
+    from collections import Counter
+
+    from myaku_ray.tokenizer import get_tokenizer
+
+    tok = get_tokenizer()
+    prof: Counter = Counter()
+    prof_tf: Counter = Counter()
+    prof_terms: dict = {}
+    for text in docs_t["text"].to_pylist():
+        for item in tok.find_lexical_items(text):
+            if not (len(item["possible_interps"]) > 1 or item["pos"] == "連語"):
+                continue
+            for it in item["possible_interps"]:
+                mi = it["mecab_interp"]
+                key = (
+                    item["pos"],
+                    "/".join((mi["parts_of_speech"] if mi else None) or []),
+                    (mi["conjugated_type"] if mi else None) or "",
+                    (mi["conjugated_form"] if mi else None) or "",
+                    "+".join(it["interp_sources"] or []),
+                )
+                prof[key] += 1
+                prof_tf[key] += int(item["tf"])
+                prof_terms.setdefault(key, set()).add(item["term"])
+    prof_rows = ",\n  ".join(
+        f"('{k[0]}', '{k[1]}', '{k[2]}', '{k[3]}', '{k[4]}', {n}::BIGINT, "
+        f"{prof_tf[k]}::BIGINT, {len(prof_terms[k])}::BIGINT)"
+        for k, n in sorted(prof.items())
+    )
+    prof_sql = (
+        "SELECT * FROM (VALUES\n  "
+        + prof_rows
+        + "\n) AS golden(term_pos, interp_pos, conj_type, conj_form, sources,"
+        " n, sum_tf, n_terms)"
+    )
+
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "myaku_ray", "functions", "pages_golden.py",
@@ -99,9 +139,13 @@ def main() -> None:
             f"fixed {PAGES_N}-page corpus as literal VALUES tables).  Do not\n"
             'edit by hand; regenerate via the tool."""\n\n'
             f"PAGES_EXTRACT_STATS_SQL = '''\n{stats_sql}\n'''\n\n"
-            f"PAGES_SEARCH_TOPK_SQL = '''\n{search_sql}\n'''\n"
+            f"PAGES_SEARCH_TOPK_SQL = '''\n{search_sql}\n'''\n\n"
+            f"PAGES_FLI_INTERP_PROFILE_SQL = '''\n{prof_sql}\n'''\n"
         )
-    print(f"wrote {out}: {len(stats)} stats rows, {len(rows)} search rows")
+    print(
+        f"wrote {out}: {len(stats)} stats rows, {len(rows)} search rows, "
+        f"{len(prof)} interp-profile rows"
+    )
 
 
 if __name__ == "__main__":
