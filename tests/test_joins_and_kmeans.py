@@ -225,3 +225,46 @@ def test_heavy_hitters_matches_duckdb_all_paths(ray_session):
             got.dtypes.to_dict()
         )
         pd.testing.assert_frame_equal(got, w)
+
+
+def test_asof_join_hot_key_skew(ray_session, tmp_path):
+    """One user owning every event (worst-case join-key skew) still
+    produces the exact DuckDB ASOF JOIN result."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from myaku_ray.functions.events import EVENTS_ASOF_SQL, events_asof_join
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    ts = np.sort(rng.integers(0, 10**9, n)) + 1_700_000_000_000_000
+    types = np.where(rng.random(n) < 0.3, "purchase", "click")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+                "event_type": pa.array(types.tolist(), pa.string()),
+                "value": pa.array(rng.random(n) * 100),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = events_asof_join(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.sql(EVENTS_ASOF_SQL).df()
+    got = got[sorted(got.columns)].sort_values("event_id").reset_index(drop=True)
+    want = (
+        want[sorted(want.columns)]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+        .astype(got.dtypes.to_dict())
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 1000
