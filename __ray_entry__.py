@@ -88,6 +88,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_ngram": textops.lang_id_ngram,
         # composed training-data curation (dedup + lang + quality gates)
         "curate_documents": textops.curate_documents,
+        # same gates, materialized: hive-partitioned survivor write with
+        # an idempotency marker; manifest derived from the written files
+        "curate_export": textops.curate_export,
         # IVF approximate ANN (recall-tested vs brute force, not SQL)
         "ivf_cosine_topk": ann.ivf_cosine_topk,
         # distributed full-corpus Lloyd's k-means (iterative — pytest gate:
@@ -137,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": dedup.SIMHASH_PAIRS_SQL,
         "lang_id_ngram": textops.LANG_ID_NGRAM_SQL,
         "curate_documents": textops.CURATE_DOCUMENTS_SQL,
+        "curate_export": textops.CURATE_EXPORT_SQL,
         "media_meta_stats": media.MEDIA_META_STATS_SQL,
         "pages_extract_stats": pages_golden.PAGES_EXTRACT_STATS_SQL,
         "pages_search_topk": pages_golden.PAGES_SEARCH_TOPK_SQL,

@@ -773,3 +773,124 @@ FROM tf GROUP BY term
 ORDER BY total_tf DESC, term
 LIMIT {HH_TOPK}
 """
+
+
+CURATE_EXPORT_DIR = "/tmp/myaku_ray_curated"
+
+
+def curate_export(sf_dir: str, out_dir: str | None = None):
+    """Materialize the curated corpus: the same dedup + lang + quality
+    gates as ``curate_documents``, but writing the SURVIVOR ROWS to
+    hive-partitioned parquet (``source=<s>/``) — the "write the cleaned
+    training set" step, with the properties the 100 TB run needs:
+    partitioned output (a failed run resumes per partition), an
+    idempotency marker keyed on the input row count (re-runs skip the
+    write entirely), and a manifest derived FROM THE WRITTEN FILES (so
+    the checkable output proves the sink, not just the plan).  The
+    manifest (source, n_docs, sum_tokens) is DuckDB-oracled."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    out_dir = out_dir or CURATE_EXPORT_DIR
+    src = f"{sf_dir}/documents.parquet"
+    n_input = sum(
+        _pq.read_metadata(f).num_rows
+        for f in (
+            sorted(_glob.glob(_os.path.join(src, "**", "*.parquet"), recursive=True))
+            if _os.path.isdir(src)
+            else [src]
+        )
+    )
+    marker = _os.path.join(out_dir, "_SUCCESS")
+    want_sig = {"src": src, "n_input": n_input}
+    have = None
+    if _os.path.exists(marker):
+        try:
+            have = _json.loads(open(marker).read())
+        except Exception:
+            have = None
+    if have != want_sig:
+        import shutil as _shutil
+
+        _shutil.rmtree(out_dir, ignore_errors=True)
+        ds = rd.read_parquet(src, columns=["doc_id", "text", "lang", "source"])
+        stop = set(STOPWORDS)
+
+        def signals(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            texts = batch["text"].combine_chunks()
+            toks = pc.split_pattern(texts, " ")
+            n_tok = pc.list_value_length(toks).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            flat = pc.list_flatten(toks)
+            parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+            is_stop = pc.is_in(
+                flat, value_set=pa.array(sorted(stop))
+            ).to_numpy(zero_copy_only=False)
+            n_stop = np.bincount(parents, weights=is_stop, minlength=batch.num_rows)
+            keep_q = (n_tok >= CURATE_MIN_TOKENS) & (
+                n_stop / n_tok <= CURATE_MAX_STOPWORD_RATIO
+            )
+            hs = [
+                hashlib.sha256(t.encode()).hexdigest()
+                for t in texts.to_pylist()
+            ]
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "text": batch["text"],
+                    "h": pa.array(hs, pa.string()),
+                    "lang": batch["lang"],
+                    "source": batch["source"],
+                    "n_tokens": pa.array(n_tok),
+                    "keep_q": pa.array(keep_q),
+                }
+            )
+
+        def winners_of_group(g: pa.Table) -> pa.Table:
+            ids = g["doc_id"].to_numpy(zero_copy_only=False)
+            return g.filter(pa.array(ids == int(ids.min())))
+
+        survivors = (
+            ds.map_batches(signals, batch_format="pyarrow")
+            .groupby("h")
+            .map_groups(winners_of_group, batch_format="pyarrow")
+            .filter(lambda r: r["lang"] == "en" and r["keep_q"])
+            .select_columns(["doc_id", "text", "source", "n_tokens"])
+        )
+        survivors.write_parquet(out_dir, partition_cols=["source"])
+        with open(marker, "w") as f:
+            f.write(_json.dumps(want_sig))
+
+    # manifest FROM the written files — proves the sink contents
+    manifest = (
+        rd.read_parquet(out_dir)
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_tokens", alias_name="sum_tokens"),
+        )
+    )
+    return manifest
+
+
+CURATE_EXPORT_SQL = f"""
+WITH sig AS (
+  SELECT doc_id, text, lang, source,
+    len(string_split(text, ' ')) AS n_tokens,
+    CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+         AS DOUBLE) / len(string_split(text, ' ')) AS sw_ratio,
+    min(doc_id) OVER (PARTITION BY text) AS winner
+  FROM documents
+)
+SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM sig
+WHERE doc_id = winner AND lang = 'en'
+  AND n_tokens >= {CURATE_MIN_TOKENS} AND sw_ratio <= {CURATE_MAX_STOPWORD_RATIO}
+GROUP BY source
+"""

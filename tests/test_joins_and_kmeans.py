@@ -268,3 +268,22 @@ def test_asof_join_hot_key_skew(ray_session, tmp_path):
     )
     pd.testing.assert_frame_equal(got, want)
     assert len(got) > 1000
+
+
+def test_curate_export_writes_partitioned_and_is_idempotent(
+    ray_session, tmp_path
+):
+    import os
+
+    from myaku_ray.functions.textops import CURATE_EXPORT_SQL, curate_export
+
+    out = str(tmp_path / "curated")
+    got = _assert_matches_sql(
+        curate_export(SF, out_dir=out), CURATE_EXPORT_SQL, SF, ["source"]
+    )
+    assert got["n_docs"].sum() > 0
+    parts = [d for d in os.listdir(out) if d.startswith("source=")]
+    assert len(parts) == len(got)
+    t1 = os.path.getmtime(os.path.join(out, "_SUCCESS"))
+    curate_export(SF, out_dir=out)
+    assert os.path.getmtime(os.path.join(out, "_SUCCESS")) == t1
