@@ -785,8 +785,11 @@ def curate_export(sf_dir: str, out_dir: str | None = None):
     training set" step, with the properties the 100 TB run needs:
     partitioned output (a failed run resumes per partition), an
     idempotency marker keyed on the input row count (re-runs skip the
-    write entirely), and a manifest derived FROM THE WRITTEN FILES (so
-    the checkable output proves the sink, not just the plan).  The
+    write entirely), a manifest derived FROM THE WRITTEN FILES (so the
+    checkable output proves the sink, not just the plan), and a
+    TWO-PHASE dedup so the text payload never crosses a shuffle: phase 1
+    exchanges only (sha256, doc_id) and broadcasts the loser ids, phase
+    2 streams text read -> map-side gates -> partitioned sink.  The
     manifest (source, n_docs, sum_tokens) is DuckDB-oracled."""
     import glob as _glob
     import json as _json
@@ -816,12 +819,63 @@ def curate_export(sf_dir: str, out_dir: str | None = None):
         import shutil as _shutil
 
         _shutil.rmtree(out_dir, ignore_errors=True)
+        # phase 1 — dedup losers with a HASH-ONLY shuffle: only
+        # (sha256, doc_id) crosses the exchange, never the text payload,
+        # and the driver holds just the LOSER ids (duplicate mass, small
+        # unless the corpus is mostly copies) — the same
+        # payload-never-moves design as the flagship build's dedup stage
+        ds_h = rd.read_parquet(src, columns=["doc_id", "text"])
+
+        def hash_rows(batch: pa.Table) -> pa.Table:
+            hs = [
+                hashlib.sha256(t.encode()).hexdigest()
+                for t in batch["text"].to_pylist()
+            ]
+            return pa.table(
+                {"doc_id": batch["doc_id"], "h": pa.array(hs, pa.string())}
+            )
+
+        def losers_of_group(g: pa.Table) -> pa.Table:
+            ids = g["doc_id"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"doc_id": pa.array(np.sort(ids[ids != ids.min()]))}
+            )
+
+        loser_tbl = (
+            ds_h.map_batches(hash_rows, batch_format="pyarrow")
+            .groupby("h")
+            .map_groups(losers_of_group, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        import ray as _ray
+
+        losers = np.sort(
+            np.concatenate(
+                [
+                    t["doc_id"].to_numpy(zero_copy_only=False)
+                    for t in _ray.get(loser_tbl)
+                    if t.num_rows
+                ]
+                or [np.empty(0, dtype=np.int64)]
+            )
+        )
+        losers_ref = _ray.put(losers)
+
+        # phase 2 — map-side gates + write: drop losers via broadcast
+        # np.isin, apply lang/quality gates, write partitioned; the text
+        # column streams straight from the read to the sink
         ds = rd.read_parquet(src, columns=["doc_id", "text", "lang", "source"])
         stop = set(STOPWORDS)
 
-        def signals(batch: pa.Table) -> pa.Table:
+        def gate(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
+            larr = _ray.get(losers_ref)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            keep = ~np.isin(ids, larr)
+            keep &= (
+                pc.equal(batch["lang"], "en").to_numpy(zero_copy_only=False)
+            )
             texts = batch["text"].combine_chunks()
             toks = pc.split_pattern(texts, " ")
             n_tok = pc.list_value_length(toks).to_numpy(
@@ -833,37 +887,22 @@ def curate_export(sf_dir: str, out_dir: str | None = None):
                 flat, value_set=pa.array(sorted(stop))
             ).to_numpy(zero_copy_only=False)
             n_stop = np.bincount(parents, weights=is_stop, minlength=batch.num_rows)
-            keep_q = (n_tok >= CURATE_MIN_TOKENS) & (
+            keep &= (n_tok >= CURATE_MIN_TOKENS) & (
                 n_stop / n_tok <= CURATE_MAX_STOPWORD_RATIO
             )
-            hs = [
-                hashlib.sha256(t.encode()).hexdigest()
-                for t in texts.to_pylist()
-            ]
-            return pa.table(
+            out = pa.table(
                 {
                     "doc_id": batch["doc_id"],
                     "text": batch["text"],
-                    "h": pa.array(hs, pa.string()),
-                    "lang": batch["lang"],
                     "source": batch["source"],
                     "n_tokens": pa.array(n_tok),
-                    "keep_q": pa.array(keep_q),
                 }
             )
+            return out.filter(pa.array(keep))
 
-        def winners_of_group(g: pa.Table) -> pa.Table:
-            ids = g["doc_id"].to_numpy(zero_copy_only=False)
-            return g.filter(pa.array(ids == int(ids.min())))
-
-        survivors = (
-            ds.map_batches(signals, batch_format="pyarrow")
-            .groupby("h")
-            .map_groups(winners_of_group, batch_format="pyarrow")
-            .filter(lambda r: r["lang"] == "en" and r["keep_q"])
-            .select_columns(["doc_id", "text", "source", "n_tokens"])
+        ds.map_batches(gate, batch_format="pyarrow").write_parquet(
+            out_dir, partition_cols=["source"]
         )
-        survivors.write_parquet(out_dir, partition_cols=["source"])
         with open(marker, "w") as f:
             f.write(_json.dumps(want_sig))
 
