@@ -47,6 +47,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # note: one groupby shuffle + sorted merge / broadcast + searchsorted)
         "events_asof_join": events.events_asof_join,
         "events_range_join": events.events_range_join,
+        # mergeable-sketch cardinality: HLL register state is exact
+        # integer math, so even the sketch is hash-match oracled
+        "hll_event_registers": events.hll_event_registers,
         # text analysis over documents
         "doc_token_stats": textops.doc_token_stats,
         "term_doc_freq": textops.term_doc_freq,
@@ -120,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
         "top_users_by_value": events.TOP_USERS_SQL,
         "events_asof_join": events.EVENTS_ASOF_SQL,
         "events_range_join": events.EVENTS_RANGE_JOIN_SQL,
+        "hll_event_registers": events.HLL_EVENT_REGISTERS_SQL,
         "doc_token_stats": textops.DOC_TOKEN_STATS_SQL,
         "term_doc_freq": textops.TERM_DOC_FREQ_SQL,
         "doc_quality": textops.DOC_QUALITY_SQL,
@@ -146,8 +150,10 @@ def oracle_sql() -> dict[str, str]:
         "pages_search_topk": pages_golden.PAGES_SEARCH_TOPK_SQL,
         "pages_fli_interp_profile": pages_golden.PAGES_FLI_INTERP_PROFILE_SQL,
         # minhash_lsh_pairs / near_dup_embeddings_lsh / pages_fli_interps
-        # / ivf_cosine_topk / kmeans_embeddings / media_features /
-        # media_frame_sample: not SQL-expressible (LSH banding, lexical
-        # interp payload, approximate ANN, iterative clustering, stubbed
-        # media decode) — each holds a pytest gate instead
+        # / ivf_cosine_topk / kmeans_embeddings / kmeans_representatives
+        # / media_features / media_frame_sample: not SQL-expressible (LSH
+        # banding, nested interp payload, approximate ANN, iterative
+        # clustering, stubbed media decode) — each holds a pytest gate
+        # instead; the interp payload additionally has the oracled
+        # pages_fli_interp_profile digest above
     }

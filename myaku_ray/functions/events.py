@@ -364,3 +364,132 @@ SELECT w.window_id, count(*) AS n_events,
 FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
 GROUP BY w.window_id
 """
+
+
+HLL_P = 12                      # 4096 registers
+HLL_M = 1 << HLL_P
+_HLL_REST_BITS = 64 - HLL_P
+_HLL_REST_MASK = (1 << _HLL_REST_BITS) - 1
+
+
+def hll_event_registers(sf_dir: str):
+    """HyperLogLog register state for count-distinct(event_id) — the
+    streaming cardinality sketch, with a twist that makes the SKETCH
+    ITSELF exactly checkable: hashing is md5-derived and the register
+    rank uses pure integer ops (``int.bit_length`` == DuckDB
+    ``length(bin(x))``), so the DuckDB oracle recomputes the identical
+    register state and the driver hash-matches it.
+
+    Distributed shape: each batch folds its rows into a 4096-register
+    partial (np.maximum.at), partials merge by elementwise max — the
+    classic mergeable-sketch reduction; what crosses the cluster is
+    O(m) registers per batch, never rows.  Output = the (rank ->
+    register count) histogram, integers only.  The cardinality estimate
+    derived from this histogram is pytest-gated within the sketch's
+    theoretical error (~1.04/sqrt(m) ~ 1.6%)."""
+    import hashlib
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        regs = np.zeros(HLL_M, dtype=np.int64)
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        hs = np.fromiter(
+            (
+                int(hashlib.md5(str(int(i)).encode()).hexdigest()[:16], 16)
+                for i in ids
+            ),
+            dtype=np.uint64,
+            count=len(ids),
+        )
+        reg = (hs >> np.uint64(_HLL_REST_BITS)).astype(np.int64)
+        rest = hs & np.uint64(_HLL_REST_MASK)
+        # rank = 53 - bit_length(rest); rest==0 -> 53 (all-zero suffix)
+        bl = np.zeros(len(rest), dtype=np.int64)
+        nz = rest != 0
+        bl[nz] = np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64) + 1
+        # exact fixup: floor(log2) on doubles can be off by one at 2^k
+        # boundaries — verify with integer shifts (branch-free, vectorized)
+        too_hi = nz & ((rest >> np.clip(bl - 1, 0, None).astype(np.uint64)) == 0)
+        bl[too_hi] -= 1
+        too_lo = nz & ((rest >> bl.astype(np.uint64)) != 0)
+        bl[too_lo] += 1
+        rank = np.where(nz, _HLL_REST_BITS + 1 - bl, _HLL_REST_BITS + 1)
+        np.maximum.at(regs, reg, rank)
+        keep = np.flatnonzero(regs > 0)
+        return pa.table(
+            {
+                "reg": pa.array(keep),
+                "rank": pa.array(regs[keep]),
+            }
+        )
+
+    from ray.data.aggregate import Max as _Max
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("reg")
+        .aggregate(_Max("rank", alias_name="rank"))
+    )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        r = batch["rank"].to_numpy(zero_copy_only=False)
+        ranks, counts = np.unique(r, return_counts=True)
+        return pa.table(
+            {
+                "rank": pa.array(ranks.astype(np.int64)),
+                "n_regs": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (
+        merged.map_batches(hist, batch_format="pyarrow")
+        .groupby("rank")
+        .aggregate(_Sum("n_regs", alias_name="n_regs"))
+    )
+
+
+HLL_EVENT_REGISTERS_SQL = f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))::UBIGINT
+    AS hash
+  FROM events
+), ranked AS (
+  SELECT CAST(hash >> {_HLL_REST_BITS} AS BIGINT) AS reg,
+    CASE WHEN (hash & {_HLL_REST_MASK}::UBIGINT) = 0 THEN {_HLL_REST_BITS + 1}
+         ELSE {_HLL_REST_BITS + 1}
+              - length(bin(hash & {_HLL_REST_MASK}::UBIGINT))
+    END AS rank
+  FROM h
+), regs AS (
+  SELECT reg, max(rank) AS rank FROM ranked GROUP BY reg
+)
+SELECT CAST(rank AS BIGINT) AS rank, count(*) AS n_regs
+FROM regs GROUP BY rank
+"""
+
+
+def hll_estimate(histogram) -> float:
+    """Cardinality estimate from the (rank, n_regs) histogram — raw HLL
+    harmonic mean with the standard small-range linear-counting branch."""
+    import pandas as _pd
+
+    if not isinstance(histogram, _pd.DataFrame):
+        histogram = histogram.to_pandas()
+    m = HLL_M
+    n_seen = int(histogram["n_regs"].sum())
+    n_zero = m - n_seen
+    s = float(n_zero)  # 2^-0 for empty registers
+    for rank, n in sorted(
+        zip(histogram["rank"].astype(int), histogram["n_regs"].astype(int))
+    ):
+        s += n * 2.0 ** (-rank)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / s
+    if est <= 2.5 * m and n_zero > 0:
+        import math as _math
+
+        est = m * _math.log(m / n_zero)
+    return est

@@ -287,3 +287,19 @@ def test_curate_export_writes_partitioned_and_is_idempotent(
     t1 = os.path.getmtime(os.path.join(out, "_SUCCESS"))
     curate_export(SF, out_dir=out)
     assert os.path.getmtime(os.path.join(out, "_SUCCESS")) == t1
+
+
+def test_hll_registers_match_duckdb_and_estimate_is_tight(ray_session):
+    from myaku_ray.functions.events import (
+        HLL_EVENT_REGISTERS_SQL,
+        hll_estimate,
+        hll_event_registers,
+    )
+
+    got = _assert_matches_sql(
+        hll_event_registers(SF), HLL_EVENT_REGISTERS_SQL, SF, ["rank"]
+    )
+    con = _duckdb_con(SF)
+    exact = con.sql("SELECT count(DISTINCT event_id) FROM events").fetchone()[0]
+    est = hll_estimate(got.rename(columns=str))
+    assert abs(est - exact) / exact < 0.05  # ~3x the 1.6% sketch sigma
