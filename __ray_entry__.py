@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_documents": textops.sample_documents,
         # certified heavy-hitters sketch; output exact, so SQL-oracled
         "top_terms_heavy_hitters": textops.top_terms_heavy_hitters,
+        # count-min sketch; integer cell math, so the matrix is oracled
+        "cms_term_counts": textops.cms_term_counts,
         # full-text index + BM25 top-k (the engine core)
         "bm25_topk_docs": fulltext.bm25_topk_docs,
         # similarity search / embeddings
@@ -136,6 +138,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": textops.TFIDF_TOP_TERMS_SQL,
         "sample_documents": textops.SAMPLE_DOCUMENTS_SQL,
         "top_terms_heavy_hitters": textops.TOP_TERMS_HH_SQL,
+        "cms_term_counts": textops.CMS_TERM_COUNTS_SQL,
         "bm25_topk_docs": fulltext.bm25_topk_sql(),
         "ann_cosine_topk": ann.ANN_COSINE_TOPK_SQL,
         "near_dup_embeddings": ann.NEAR_DUP_EMBEDDINGS_SQL,

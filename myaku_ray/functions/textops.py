@@ -933,3 +933,99 @@ WHERE doc_id = winner AND lang = 'en'
   AND n_tokens >= {CURATE_MIN_TOKENS} AND sw_ratio <= {CURATE_MAX_STOPWORD_RATIO}
 GROUP BY source
 """
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_term_counts(sf_dir: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH):
+    """Count-Min sketch of corpus term frequencies — the mergeable
+    frequency sketch (point-query upper bounds over unbounded vocab in
+    O(d*w) memory), built so the SKETCH ITSELF is exactly checkable:
+    cell hashing is md5-derived integer math, so the DuckDB oracle
+    recomputes the identical (row, col, count) matrix and the driver
+    hash-matches it.
+
+    Distributed shape: per-batch partial matrices (np.add.at over the
+    vectorized (doc, term, tf) triples), merged by cell-wise SUM — what
+    crosses the cluster is O(d*w) cells per batch, never term rows.
+    The standard CMS guarantees (estimate >= truth; error <= e*N/w with
+    prob 1-e^-d) are pytest-gated against exact counts."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "row_id": pa.array([], pa.int64()),
+                    "col_id": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        _, codes, tfs, dictionary = _doc_term_tfs(batch)
+        vocab = len(dictionary)
+        # per-term totals within the batch (the add.at input)
+        tot = np.zeros(vocab, dtype=np.int64)
+        np.add.at(tot, codes, tfs)
+        terms = dictionary.to_pylist()
+        rows_out, cols_out, ns_out = [], [], []
+        for j in range(depth):
+            cols = np.fromiter(
+                (
+                    int(hashlib.md5(f"{j}:{t}".encode()).hexdigest()[:8], 16)
+                    % width
+                    for t in terms
+                ),
+                dtype=np.int64,
+                count=vocab,
+            )
+            mat = np.zeros(width, dtype=np.int64)
+            np.add.at(mat, cols, tot)
+            keep = np.flatnonzero(mat > 0)
+            rows_out.append(np.full(len(keep), j, dtype=np.int64))
+            cols_out.append(keep)
+            ns_out.append(mat[keep])
+        return pa.table(
+            {
+                "row_id": pa.array(np.concatenate(rows_out)),
+                "col_id": pa.array(np.concatenate(cols_out)),
+                "n": pa.array(np.concatenate(ns_out)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["row_id", "col_id"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+CMS_TERM_COUNTS_SQL = f"""
+WITH tf AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+), cells AS (
+  SELECT CAST(j AS BIGINT) AS row_id,
+    CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || term), 1, 8))::UBIGINT
+         % {CMS_WIDTH} AS BIGINT) AS col_id
+  FROM tf, range({CMS_DEPTH}) t(j)
+)
+SELECT row_id, col_id, count(*) AS n
+FROM cells GROUP BY row_id, col_id
+"""
+
+
+def cms_point_query(cells, term: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> int:
+    """CMS estimate for one term: min over rows of its cell counts."""
+    import pandas as _pd
+
+    if not isinstance(cells, _pd.DataFrame):
+        cells = cells.to_pandas()
+    lut = {(int(r), int(c)): int(n) for r, c, n in
+           zip(cells["row_id"], cells["col_id"], cells["n"])}
+    est = None
+    for j in range(depth):
+        col = int(hashlib.md5(f"{j}:{term}".encode()).hexdigest()[:8], 16) % width
+        v = lut.get((j, col), 0)
+        est = v if est is None else min(est, v)
+    return int(est or 0)

@@ -303,3 +303,26 @@ def test_hll_registers_match_duckdb_and_estimate_is_tight(ray_session):
     exact = con.sql("SELECT count(DISTINCT event_id) FROM events").fetchone()[0]
     est = hll_estimate(got.rename(columns=str))
     assert abs(est - exact) / exact < 0.05  # ~3x the 1.6% sketch sigma
+
+
+def test_cms_matrix_matches_duckdb_and_bounds_hold(ray_session):
+    from myaku_ray.functions.textops import (
+        CMS_TERM_COUNTS_SQL,
+        CMS_WIDTH,
+        cms_point_query,
+        cms_term_counts,
+    )
+
+    got = _assert_matches_sql(
+        cms_term_counts(SF), CMS_TERM_COUNTS_SQL, SF, ["row_id", "col_id"]
+    )
+    con = _duckdb_con(SF)
+    exact = con.sql(
+        "SELECT term, count(*) c FROM (SELECT unnest(string_split(text,' ')) "
+        "term FROM documents) GROUP BY term"
+    ).df()
+    N = int(exact["c"].sum())
+    for t, c in zip(exact["term"], exact["c"]):
+        est = cms_point_query(got, t)
+        assert est >= c                       # CMS never underestimates
+        assert est <= c + 2.718 * N / CMS_WIDTH  # eps*N w.h.p.
