@@ -167,6 +167,9 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "events_asof_join": events.events_asof_join,
         "tfidf_top_terms": textops.tfidf_top_terms,
         "kmeans_embeddings": ann.kmeans_embeddings,
+        "top_terms_heavy_hitters": textops.top_terms_heavy_hitters,
+        "hll_event_registers": events.hll_event_registers,
+        "cms_term_counts": textops.cms_term_counts,
     }
     import pandas as pd
     import pyarrow as pa
