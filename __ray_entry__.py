@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_heavy_hitters": textops.top_terms_heavy_hitters,
         # count-min sketch; integer cell math, so the matrix is oracled
         "cms_term_counts": textops.cms_term_counts,
+        # unigram-LM perplexity quality filter (corpus model broadcast)
+        "doc_unigram_logppl": textops.doc_unigram_logppl,
         # full-text index + BM25 top-k (the engine core)
         "bm25_topk_docs": fulltext.bm25_topk_docs,
         # similarity search / embeddings
@@ -139,6 +141,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents": textops.SAMPLE_DOCUMENTS_SQL,
         "top_terms_heavy_hitters": textops.TOP_TERMS_HH_SQL,
         "cms_term_counts": textops.CMS_TERM_COUNTS_SQL,
+        "doc_unigram_logppl": textops.DOC_UNIGRAM_LOGPPL_SQL,
         "bm25_topk_docs": fulltext.bm25_topk_sql(),
         "ann_cosine_topk": ann.ANN_COSINE_TOPK_SQL,
         "near_dup_embeddings": ann.NEAR_DUP_EMBEDDINGS_SQL,

@@ -1029,3 +1029,64 @@ def cms_point_query(cells, term: str, depth: int = CMS_DEPTH, width: int = CMS_W
         v = lut.get((j, col), 0)
         est = v if est is None else min(est, v)
     return int(est or 0)
+
+
+def doc_unigram_logppl(sf_dir: str):
+    """Per-doc unigram-LM negative mean log-likelihood (log-perplexity)
+    — the classic corpus-LM quality filter (docs far from the corpus
+    distribution score high).  Two streaming passes: the unigram model
+    (term -> total tf) aggregates once and broadcasts (vocabulary-sized
+    small side via ``ray.put``); scoring is fully vectorized — per-batch
+    (doc, term, tf) triples, one ``np.log`` over the probability array,
+    per-doc segment sums via ``bincount``.  Rounded to 6 decimals so
+    summation-order float noise (~1e-13 relative) cannot flip the
+    DuckDB comparison."""
+    tdf = term_doc_freq(sf_dir).to_pandas()
+    total = int(tdf["total_tf"].sum())
+    p_ref = ray.put(
+        dict(zip(tdf["term"], tdf["total_tf"].astype(np.int64)))
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "logppl_r": pa.array([], pa.float64()),
+                }
+            )
+        tf_map = ray.get(p_ref)
+        doc_idx, codes, tfs, dictionary = _doc_term_tfs(batch)
+        logp = np.log(
+            np.array(
+                [tf_map[t] for t in dictionary.to_pylist()], dtype=np.float64
+            )
+            / total
+        )
+        contrib = tfs * logp[codes]
+        n = batch.num_rows
+        ll = np.bincount(doc_idx, weights=contrib, minlength=n)
+        n_tok = np.bincount(doc_idx, weights=tfs, minlength=n)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "logppl_r": pa.array(np.round(-ll / n_tok, 6)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+DOC_UNIGRAM_LOGPPL_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tot AS (
+  SELECT term, count(*) AS c FROM tok GROUP BY term
+), n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM tok)
+SELECT tok.doc_id,
+  round(-sum(ln(CAST(tot.c AS DOUBLE) / n.nn)) / count(*), 6) AS logppl_r
+FROM tok JOIN tot USING (term) CROSS JOIN n
+GROUP BY tok.doc_id
+"""

@@ -326,3 +326,15 @@ def test_cms_matrix_matches_duckdb_and_bounds_hold(ray_session):
         est = cms_point_query(got, t)
         assert est >= c                       # CMS never underestimates
         assert est <= c + 2.718 * N / CMS_WIDTH  # eps*N w.h.p.
+
+
+def test_unigram_logppl_matches_duckdb(ray_session):
+    from myaku_ray.functions.textops import (
+        DOC_UNIGRAM_LOGPPL_SQL,
+        doc_unigram_logppl,
+    )
+
+    got = _assert_matches_sql(
+        doc_unigram_logppl(SF), DOC_UNIGRAM_LOGPPL_SQL, SF, ["doc_id"]
+    )
+    assert (got["logppl_r"] > 0).all()
