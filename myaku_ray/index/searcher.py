@@ -336,17 +336,36 @@ class Searcher:
         want = np.unique(np.asarray(ids, dtype=np.int64))
         cols = ["doc_id", "url", "title", "text", "warc_ts"]
 
+        cache = getattr(self, "_docs_id_cache", None)
+        if cache is None:
+            cache = self._docs_id_cache = {}
+
         def scan_file(f: str):
-            pf = pq.ParquetFile(f)
-            idcol = pf.read(columns=["doc_id"])["doc_id"].to_numpy(
-                zero_copy_only=False
-            )
+            key = (f, os.path.getmtime(f))
+            cached = cache.get(key)
+            if cached is None:
+                # ids + row-group sizes cached per (file, mtime): warm
+                # hydrations open ONLY files that contain a wanted id;
+                # index updates (new/rewritten files) invalidate naturally
+                pf = pq.ParquetFile(f)
+                idcol = pf.read(columns=["doc_id"])["doc_id"].to_numpy(
+                    zero_copy_only=False
+                )
+                rg_sizes = [
+                    pf.metadata.row_group(g).num_rows
+                    for g in range(pf.metadata.num_row_groups)
+                ]
+                cached = cache[key] = (idcol, rg_sizes)
+            else:
+                pf = None
+            idcol, rg_sizes = cached
             hit = np.isin(idcol, want)
             if not hit.any():
                 return []
+            if pf is None:
+                pf = pq.ParquetFile(f)
             out, off = [], 0
-            for g in range(pf.metadata.num_row_groups):
-                n = pf.metadata.row_group(g).num_rows
+            for g, n in enumerate(rg_sizes):
                 seg = hit[off : off + n]
                 if seg.any():
                     t = pf.read_row_group(g, columns=cols)
