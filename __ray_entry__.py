@@ -46,6 +46,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # non-equi joins Ray Data lacks natively (composed per SURVEY §2.4
         # note: one groupby shuffle + sorted merge / broadcast + searchsorted)
         "events_asof_join": events.events_asof_join,
+        # the same join with the hot-user skew valve: shuffle key is
+        # (user, 24h-epoch) + carry-in boundary rows; identical output
+        "events_asof_join_partitioned": events.events_asof_join_partitioned,
         "events_range_join": events.events_range_join,
         # mergeable-sketch cardinality: HLL register state is exact
         # integer math, so even the sketch is hash-match oracled
@@ -126,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
         "user_sessions": events.USER_SESSIONS_SQL,
         "top_users_by_value": events.TOP_USERS_SQL,
         "events_asof_join": events.EVENTS_ASOF_SQL,
+        "events_asof_join_partitioned": events.EVENTS_ASOF_SQL,
         "events_range_join": events.EVENTS_RANGE_JOIN_SQL,
         "hll_event_registers": events.HLL_EVENT_REGISTERS_SQL,
         "doc_token_stats": textops.DOC_TOKEN_STATS_SQL,

@@ -16,6 +16,7 @@ between numpy and DuckDB cannot flip any comparison.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import numpy as np
@@ -46,8 +47,16 @@ def _matrix(batch_col) -> np.ndarray:
     if n:
         lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
         if arr.null_count == 0 and lens.min() == lens.max():
-            flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False)
-            return flat.astype(np.float64).reshape(n, -1)
+            flat = pc.list_flatten(arr)
+            # inner-element nulls would silently become NaN on the
+            # vectorized path; route them to the per-row path, which
+            # fails loudly instead of corrupting cosine/k-means math
+            if flat.null_count == 0:
+                return (
+                    flat.to_numpy(zero_copy_only=False)
+                    .astype(np.float64)
+                    .reshape(n, -1)
+                )
     return np.stack(
         [np.asarray(v, dtype=np.float64) for v in arr.to_pylist()]
     )
@@ -117,33 +126,120 @@ QUALIFY rank <= {TOPK}
 """
 
 
-def near_dup_embeddings(sf_dir: str, threshold: float = NEAR_DUP_THRESHOLD):
-    """Embedding near-dup pairs within label blocks (cos >= threshold)."""
-    ds = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
-    )
+NEAR_DUP_MAX_BLOCK = 4096
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        X = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
-        ids = g["vec_id"].to_numpy()
-        norm = np.sqrt((X * X).sum(axis=1))
-        sims = np.round((X @ X.T) / (norm[:, None] * norm[None, :]), 6)
-        iu = np.triu_indices(len(ids), k=1)
-        mask = sims[iu] >= threshold
-        a = ids[iu[0][mask]]
-        b = ids[iu[1][mask]]
-        lo = np.minimum(a, b)
-        hi = np.maximum(a, b)
+
+def near_dup_embeddings(
+    sf_dir: str,
+    threshold: float = NEAR_DUP_THRESHOLD,
+    max_block: int = NEAR_DUP_MAX_BLOCK,
+):
+    """Embedding near-dup pairs within label blocks (cos >= threshold) —
+    EXACT all-pairs semantics with BOUNDED per-task work.
+
+    A hot label used to land in one ``map_groups`` task doing O(block^2)
+    in one heap.  Now each label of n rows is tiled into
+    ``nc = ceil(n / max_block)`` chunks (``chunk = vec_id % nc``) and the
+    shuffle key becomes ``(label, tile_i, tile_j)``: a pair with chunks
+    (ca, cb) lands in exactly the (min, max) tile, so output is identical
+    (no dedup needed) while no task ever holds more than ~2*max_block
+    rows or computes more than max_block^2 dot products.  The quadratic
+    TOTAL cost is inherent to exact all-pairs (each row must meet every
+    chunk — rows replicate nc times); for corpora where that is too much,
+    ``near_dup_embeddings_lsh`` is the documented sub-quadratic path.
+    Labels are assumed low-cardinality (a class/bucket id), so the
+    per-label count table broadcasts via ``ray.put``.
+    """
+    from ray.data.aggregate import Count
+
+    src = f"{sf_dir}/embeddings.parquet"
+    counts = (
+        rd.read_parquet(src, columns=["label"])
+        .groupby("label")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    max_label = int(counts["label"].max()) if len(counts) else 0
+    nc_by_label = np.ones(max_label + 1, dtype=np.int64)
+    for lab, n in zip(counts["label"], counts["n"]):
+        nc_by_label[int(lab)] = max(-(-int(n) // max_block), 1)
+    nc_ref = ray.put(nc_by_label)
+
+    ds = rd.read_parquet(src, columns=["vec_id", "embedding", "label"])
+
+    def tile_rows(batch: pa.Table) -> pa.Table:
+        """Emit each row once per tile it participates in (nc copies)."""
+        lut = ray.get(nc_ref)
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = lut[labels]
+        chunk = ids % nc
+        idx = np.repeat(np.arange(len(ids)), nc)
+        j = np.arange(int(nc.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(nc) - nc, nc
+        )
+        ce = chunk[idx]
+        t = batch.take(pa.array(idx))
+        return pa.table(
+            {
+                "label": t["label"],
+                "tile_i": pa.array(np.minimum(ce, j)),
+                "tile_j": pa.array(np.maximum(ce, j)),
+                "chunk": pa.array(ce),
+                "vec_id": t["vec_id"],
+                "embedding": t["embedding"],
+            }
+        )
+
+    _EMPTY = {
+        "vec_id_a": pd.Series(dtype=np.int64),
+        "vec_id_b": pd.Series(dtype=np.int64),
+        "sim_r": pd.Series(dtype=np.float64),
+        "label": pd.Series(dtype=np.int64),
+    }
+
+    def pairs_of_tile(g: pd.DataFrame) -> pd.DataFrame:
+        ti = int(g["tile_i"].iloc[0])
+        tj = int(g["tile_j"].iloc[0])
+        lab = int(g["label"].iloc[0])
+        if ti == tj:
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
+            ids = g["vec_id"].to_numpy()
+            norm = np.sqrt((X * X).sum(axis=1))
+            sims = np.round((X @ X.T) / (norm[:, None] * norm[None, :]), 6)
+            iu = np.triu_indices(len(ids), k=1)
+            mask = sims[iu] >= threshold
+            a, b = ids[iu[0][mask]], ids[iu[1][mask]]
+            sv = sims[iu][mask]
+        else:
+            ga = g[g["chunk"] == ti]
+            gb = g[g["chunk"] == tj]
+            if ga.empty or gb.empty:
+                return pd.DataFrame(_EMPTY)
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in ga["embedding"]])
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in gb["embedding"]])
+            ia, ib = ga["vec_id"].to_numpy(), gb["vec_id"].to_numpy()
+            na = np.sqrt((A * A).sum(axis=1))
+            nb = np.sqrt((B * B).sum(axis=1))
+            sims = np.round((A @ B.T) / (na[:, None] * nb[None, :]), 6)
+            ri, ci = np.nonzero(sims >= threshold)
+            a, b, sv = ia[ri], ib[ci], sims[ri, ci]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame(
             {
                 "vec_id_a": lo.astype(np.int64),
                 "vec_id_b": hi.astype(np.int64),
-                "sim_r": sims[iu][mask],
-                "label": np.full(mask.sum(), int(g["label"].iloc[0]), dtype=np.int64),
+                "sim_r": sv,
+                "label": np.full(len(lo), lab, dtype=np.int64),
             }
         )
 
-    return ds.groupby("label").map_groups(pairs_of_group, batch_format="pandas")
+    return (
+        ds.map_batches(tile_rows, batch_format="pyarrow")
+        .groupby(["label", "tile_i", "tile_j"])
+        .map_groups(pairs_of_tile, batch_format="pandas")
+        .select_columns(["vec_id_a", "vec_id_b", "sim_r", "label"])
+    )
 
 
 NEAR_DUP_EMBEDDINGS_SQL = f"""
@@ -528,11 +624,18 @@ def kmeans_fit(
 
         parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
         # Block arrival order is not deterministic and float addition is
-        # not associative: impose a canonical partial order (cluster, n,
-        # inertia) before reducing so re-runs are bit-identical.
-        parts = parts.sort_values(["cluster_id", "n", "inertia"]).reset_index(
-            drop=True
-        )
+        # not associative: impose a canonical partial order before
+        # reducing so re-runs are bit-identical.  (cluster, n, inertia)
+        # can tie for identical blocks, so add a content-derived key
+        # (digest of the vsum payload bytes) and a stable sort — ties
+        # then denote bit-identical partials, for which order is moot.
+        parts["_vkey"] = [
+            hashlib.md5(np.asarray(v, dtype=np.float64).tobytes()).hexdigest()
+            for v in parts["vsum"]
+        ]
+        parts = parts.sort_values(
+            ["cluster_id", "n", "inertia", "_vkey"], kind="stable"
+        ).reset_index(drop=True)
         n = np.zeros(k, dtype=np.int64)
         s = np.zeros((k, C.shape[1]))
         inertia = 0.0

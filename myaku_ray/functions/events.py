@@ -279,6 +279,169 @@ def events_asof_join(sf_dir: str):
     )
 
 
+ASOF_EPOCH_HOURS = 24
+
+
+def events_asof_join_partitioned(sf_dir: str, epoch_hours: int = ASOF_EPOCH_HOURS):
+    """As-of join with the HOT-USER SKEW VALVE implemented for real: the
+    shuffle key is ``(user_id, epoch)`` (epoch = ts // epoch_hours), so a
+    user who is 50% of the corpus still lands in bounded per-epoch groups
+    instead of one giant ``map_groups`` task.
+
+    A click in epoch e may match a purchase from an EARLIER epoch; that
+    boundary state rides the same shuffle as the events, never a
+    broadcast: (1) per-(user, epoch) purchase maxima are pre-reduced
+    map-side (one row per batch per key), (2) a per-USER scan over those
+    epoch summaries (one row per epoch — bounded regardless of event
+    count, this is the non-skewed residue of the per-user pass) emits a
+    carry-in row per event-bearing epoch holding the latest purchase from
+    all earlier epochs, (3) carry rows union with the events and the
+    (user, epoch) groups resolve clicks by the same sorted searchsorted
+    merge.  Output is row-identical to ``events_asof_join`` (equality
+    pytest with a 50%-hot user + the same DuckDB oracle)."""
+    epoch_us = epoch_hours * HOUR_US
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ty = batch["event_type"]
+        is_click = pc.equal(ty, "click")
+        t = batch.filter(pc.or_(is_click, pc.equal(ty, "purchase")))
+        ts_us = t["ts"].cast(pa.int64())
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "epoch": pa.array(
+                    ts_us.to_numpy(zero_copy_only=False) // epoch_us
+                ),
+                "ts_us": ts_us,
+                "is_click": pc.equal(t["event_type"], "click"),
+                "value_milli": pa.array(
+                    _millis(t["value"].to_numpy(zero_copy_only=False))
+                ),
+            }
+        )
+
+    events = ds.map_batches(prep, batch_format="pyarrow")
+
+    # (1) map-side partial: latest purchase per (user, epoch) per batch,
+    # PLUS a row for every event-bearing (user, epoch) so the carry scan
+    # knows which epochs need a carry-in even if purchase-free.
+    def epoch_partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ep = batch["epoch"].to_numpy(zero_copy_only=False)
+        ts = batch["ts_us"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vm = batch["value_milli"].to_numpy(zero_copy_only=False)
+        isp = ~batch["is_click"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"user_id": uid, "epoch": ep, "ts_us": np.where(isp, ts, -1),
+             "event_id": np.where(isp, eid, -1),
+             "value_milli": np.where(isp, vm, 0)}
+        )
+        # the (ts, event_id)-max purchase per key; purchase-free keys keep
+        # the (-1, -1) sentinel
+        df = df.sort_values(["user_id", "epoch", "ts_us", "event_id"])
+        g = df.groupby(["user_id", "epoch"], as_index=False).last()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def epoch_merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"])
+        return g.tail(1).reset_index(drop=True)
+
+    summaries = (
+        events.map_batches(epoch_partial, batch_format="pyarrow")
+        .groupby(["user_id", "epoch"])
+        .map_groups(epoch_merge, batch_format="pandas")
+    )
+
+    # (2) per-user prefix scan over epoch summaries -> carry-in rows.
+    # Distinct epochs cannot share a ts, so the running max over ts alone
+    # identifies the latest earlier purchase; sentinel rows (ts = -1)
+    # never win.  Fully vectorized (exclusive prefix argmax).
+    def carry_of_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("epoch").reset_index(drop=True)
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        vm = g["value_milli"].to_numpy()
+        n = len(g)
+        am = np.maximum.accumulate(ts)
+        arg = np.maximum.accumulate(np.where(ts == am, np.arange(n), 0))
+        has = np.zeros(n, dtype=bool)
+        has[1:] = am[:-1] >= 0
+        src = np.zeros(n, dtype=np.int64)
+        src[1:] = arg[:-1]
+        keep = np.flatnonzero(has)
+        return pd.DataFrame(
+            {
+                "event_id": eid[src[keep]].astype(np.int64),
+                "user_id": np.full(
+                    len(keep), int(g["user_id"].iloc[0]), np.int64
+                ),
+                "epoch": g["epoch"].to_numpy()[keep].astype(np.int64),
+                "ts_us": ts[src[keep]].astype(np.int64),
+                "is_click": np.zeros(len(keep), dtype=bool),
+                "value_milli": vm[src[keep]].astype(np.int64),
+            }
+        )
+
+    carries = summaries.groupby("user_id").map_groups(
+        carry_of_user, batch_format="pandas"
+    ).map_batches(  # normalize to Arrow blocks so the union is homogeneous
+        lambda t: t, batch_format="pyarrow"
+    )
+
+    # (3) carry rows union with events; per-(user, epoch) sorted merge.
+    # Carry ts is strictly below the epoch's own timestamps, so it slots
+    # in as the left sentinel of the searchsorted right side.
+    def asof_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        right = g[~g["is_click"]]
+        left = g[g["is_click"]]
+        if right.empty or left.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype=np.int64),
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "click_ts_us": pd.Series([], dtype=np.int64),
+                    "purchase_event_id": pd.Series([], dtype=np.int64),
+                    "purchase_value_milli": pd.Series([], dtype=np.int64),
+                    "lag_us": pd.Series([], dtype=np.int64),
+                }
+            )
+        right = (
+            right.sort_values(["ts_us", "event_id"])
+            .groupby("ts_us", as_index=False)
+            .last()
+        )
+        rts = right["ts_us"].to_numpy()
+        lts = left["ts_us"].to_numpy()
+        idx = np.searchsorted(rts, lts, side="right") - 1
+        ok = idx >= 0
+        idx = idx[ok]
+        lf = left[ok]
+        return pd.DataFrame(
+            {
+                "event_id": lf["event_id"].to_numpy(),
+                "user_id": lf["user_id"].to_numpy(),
+                "click_ts_us": lf["ts_us"].to_numpy(),
+                "purchase_event_id": right["event_id"].to_numpy()[idx],
+                "purchase_value_milli": right["value_milli"].to_numpy()[idx],
+                "lag_us": lf["ts_us"].to_numpy() - rts[idx],
+            }
+        )
+
+    return (
+        events.union(carries)
+        .groupby(["user_id", "epoch"])
+        .map_groups(asof_of_group, batch_format="pandas")
+    )
+
+
 EVENTS_ASOF_SQL = """
 WITH purchases AS (
   SELECT user_id, ts,
@@ -387,21 +550,14 @@ def hll_event_registers(sf_dir: str):
     register count) histogram, integers only.  The cardinality estimate
     derived from this histogram is pytest-gated within the sketch's
     theoretical error (~1.04/sqrt(m) ~ 1.6%)."""
-    import hashlib
+    from myaku_ray.functions.hashkit import md5_u64
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
 
     def partial(batch: pa.Table) -> pa.Table:
         regs = np.zeros(HLL_M, dtype=np.int64)
         ids = batch["event_id"].to_numpy(zero_copy_only=False)
-        hs = np.fromiter(
-            (
-                int(hashlib.md5(str(int(i)).encode()).hexdigest()[:16], 16)
-                for i in ids
-            ),
-            dtype=np.uint64,
-            count=len(ids),
-        )
+        hs = md5_u64(ids)  # vectorized DuckDB kernel, oracle-bit-identical
         reg = (hs >> np.uint64(_HLL_REST_BITS)).astype(np.int64)
         rest = hs & np.uint64(_HLL_REST_MASK)
         # rank = 53 - bit_length(rest); rest==0 -> 53 (all-zero suffix)

@@ -108,10 +108,28 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10):
         .groupby("l_orderkey")
         .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
     )
-    top = rev.sort("revenue_cents", descending=True).limit(k * 3).to_pandas()
-    top = top.sort_values(
-        ["revenue_cents", "l_orderkey"], ascending=[False, True]
-    ).head(k)
+    # Tie-safe top-k: find the k-th revenue value, then pull EVERY order at or
+    # above it (the tie group is bounded by key cardinality at one revenue
+    # value, not by k), and only then apply the (revenue desc, orderkey asc)
+    # total order.  A fixed limit(k*c) could miss tied keys past the window.
+    head = rev.sort("revenue_cents", descending=True).limit(k).to_pandas()
+    if len(head) < k:
+        top = head.sort_values(
+            ["revenue_cents", "l_orderkey"], ascending=[False, True]
+        )
+    else:
+        kth = int(head["revenue_cents"].iloc[-1])
+        top = (
+            rev.map_batches(
+                lambda b: b.filter(
+                    pa.compute.greater_equal(b["revenue_cents"], kth)
+                ),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+            .sort_values(["revenue_cents", "l_orderkey"], ascending=[False, True])
+            .head(k)
+        )
 
     import pyarrow.dataset as pads
 
@@ -154,16 +172,22 @@ def customers_per_region(sf_dir: str):
     region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
     n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
     r2name = dict(zip(region["r_regionkey"], region["r_name"]))
-    lookup_ref = ray.put((n2r, r2name))
+    # Dense nationkey -> region-name array so the map stage is one
+    # vectorized take instead of a per-row dict chain.
+    name_by_nation = np.array(
+        [r2name[n2r[k]] if k in n2r else "" for k in range(max(n2r) + 1)],
+        dtype=object,
+    )
+    lookup_ref = ray.put(name_by_nation)
 
     cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"]
     )
 
     def tag(batch: pa.Table) -> pa.Table:
-        n2r_m, r2n_m = ray.get(lookup_ref)
-        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
-        names = [r2n_m[n2r_m[int(x)]] for x in nk]
+        lut = ray.get(lookup_ref)
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        names = lut[nk]
         bal = batch["c_acctbal"].to_numpy(zero_copy_only=False)
         return pa.table(
             {

@@ -630,11 +630,10 @@ def sample_documents(sf_dir: str, pct: int = SAMPLE_PCT):
     )
 
     def pick(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        keep = [
-            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 < pct
-            for i in ids
-        ]
+        from myaku_ray.functions.hashkit import md5_u64
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = (md5_u64(ids, hexchars=8) % 100) < pct
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(pick, batch_format="pyarrow")
@@ -799,16 +798,22 @@ def curate_export(sf_dir: str, out_dir: str | None = None):
 
     out_dir = out_dir or CURATE_EXPORT_DIR
     src = f"{sf_dir}/documents.parquet"
-    n_input = sum(
-        _pq.read_metadata(f).num_rows
-        for f in (
-            sorted(_glob.glob(_os.path.join(src, "**", "*.parquet"), recursive=True))
-            if _os.path.isdir(src)
-            else [src]
-        )
+    src_files = (
+        sorted(_glob.glob(_os.path.join(src, "**", "*.parquet"), recursive=True))
+        if _os.path.isdir(src)
+        else [src]
     )
+    n_input = sum(_pq.read_metadata(f).num_rows for f in src_files)
     marker = _os.path.join(out_dir, "_SUCCESS")
-    want_sig = {"src": src, "n_input": n_input}
+    # The signature must invalidate on CONTENT change, not just row count:
+    # a regenerated documents.parquet with the same cardinality would
+    # otherwise serve a stale export.  (size, mtime_ns) per file catches
+    # in-place rewrites without reading any data.
+    stat_sig = [
+        [_os.path.basename(f), _os.path.getsize(f), _os.stat(f).st_mtime_ns]
+        for f in src_files
+    ]
+    want_sig = {"src": src, "n_input": n_input, "files": stat_sig}
     have = None
     if _os.path.exists(marker):
         try:

@@ -124,3 +124,49 @@ def test_near_dup_lsh_precision_exact_recall_high(ray_session, tmp_path_factory)
     # recall high
     recall = len(got_pairs & want_pairs) / len(want_pairs)
     assert recall >= 0.8, recall
+
+
+def test_near_dup_tiled_equals_single_tile(ray_session, tmp_path_factory):
+    """The tiled exact all-pairs path (max_block small enough that hot
+    labels split into multiple chunk-pair tasks) emits exactly the same
+    pairs as the single-tile path."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from myaku_ray.functions.ann import near_dup_embeddings
+
+    d = tmp_path_factory.mktemp("nd_tiled")
+    rng = np.random.default_rng(7)
+    n, dim = 600, 16
+    base = rng.standard_normal((6, dim))
+    X = base[rng.integers(0, 6, n)] + 0.35 * rng.standard_normal((n, dim))
+    labels = np.zeros(n, dtype=np.int64)
+    labels[:100] = rng.integers(1, 3, 100)  # label 0 is hot (~500 rows)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(
+                    [row.astype(np.float32).tolist() for row in X],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array(labels),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+
+    def norm(res):
+        pdf = res.to_pandas()
+        return (
+            pdf.sort_values(["vec_id_a", "vec_id_b"])
+            .reset_index(drop=True)[["vec_id_a", "vec_id_b", "sim_r", "label"]]
+        )
+
+    single = norm(near_dup_embeddings(str(d), threshold=0.8, max_block=10_000))
+    tiled = norm(near_dup_embeddings(str(d), threshold=0.8, max_block=64))
+    assert len(single) > 20
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(tiled, single)

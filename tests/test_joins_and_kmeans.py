@@ -338,3 +338,137 @@ def test_unigram_logppl_matches_duckdb(ray_session):
         doc_unigram_logppl(SF), DOC_UNIGRAM_LOGPPL_SQL, SF, ["doc_id"]
     )
     assert (got["logppl_r"] > 0).all()
+
+
+def test_asof_join_partitioned_equals_unpartitioned_hot_user(
+    ray_session, tmp_path
+):
+    """The skew valve (time-epoch partitioned as-of join) is row-identical
+    to the single-group-per-user path on a corpus where one user owns 50%
+    of all events, including cross-epoch carry matches."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from myaku_ray.functions.events import (
+        EVENTS_ASOF_SQL,
+        events_asof_join,
+        events_asof_join_partitioned,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 6000
+    # one week of microsecond timestamps so the 24h epochs split for real
+    ts = np.sort(rng.integers(0, 7 * 86_400_000_000, n)) + 1_700_000_000_000_000
+    user = np.where(rng.random(n) < 0.5, 0, rng.integers(1, 40, n))
+    types = np.where(rng.random(n) < 0.25, "purchase", "click")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array(user.astype(np.int64)),
+                "event_type": pa.array(types.tolist(), pa.string()),
+                "value": pa.array(rng.random(n) * 100),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    base = (
+        events_asof_join(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    part = (
+        events_asof_join_partitioned(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        part[sorted(part.columns)], base[sorted(base.columns)]
+    )
+    # carry-in must actually fire: some match crosses an epoch boundary
+    assert (part["lag_us"] > 24 * 3_600_000_000).any()
+    # and the DuckDB oracle agrees end to end
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.sql(EVENTS_ASOF_SQL).df()
+    want = (
+        want[sorted(want.columns)]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+        .astype(part[sorted(part.columns)].dtypes.to_dict())
+    )
+    pd.testing.assert_frame_equal(part[sorted(part.columns)], want)
+
+
+def test_top_orders_tie_window(ray_session, tmp_path):
+    """>=3k orders tied exactly at the k-th revenue value: the kth-value
+    threshold + filter path must pick the lexicographically smallest
+    orderkeys, matching DuckDB."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from myaku_ray.functions.relational import (
+        TOP_ORDERS_SQL,
+        top_orders_by_revenue,
+    )
+
+    n_tied, n_top = 3500, 5
+    okeys = np.arange(1, n_tied + n_top + 1, dtype=np.int64)
+    # 5 clear winners, then 3500 orders all at exactly 50.00
+    price = np.concatenate(
+        [1000.0 + 10.0 * np.arange(n_top, 0, -1), np.full(n_tied, 50.0)]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(okeys),
+                "l_extendedprice": pa.array(price),
+                "l_discount": pa.array(np.zeros(len(okeys))),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(okeys),
+                "o_custkey": pa.array(np.ones(len(okeys), dtype=np.int64)),
+                "o_totalprice": pa.array(price),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1], pa.int64()),
+                "c_name": pa.array(["c1"], pa.string()),
+                "c_mktsegment": pa.array(["SEG"], pa.string()),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    got = top_orders_by_revenue(str(tmp_path))
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    want = con.sql(TOP_ORDERS_SQL).df()
+    got = got[sorted(got.columns)].reset_index(drop=True)
+    want = want[sorted(want.columns)].reset_index(drop=True).astype(
+        got.dtypes.to_dict()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # the boundary winners are the smallest keys of the tie group
+    assert got["l_orderkey"].tolist()[n_top:] == list(
+        range(n_top + 1, 11)
+    )

@@ -143,3 +143,23 @@ def test_asof_merge_matches_pandas_merge_asof(rows):
         zip(want["event_id"].astype(int), want["purchase_event_id"].astype(int))
     )
     assert got == want_map
+
+
+def test_md5_u64_duckdb_kernel_matches_hashlib():
+    """hashkit's DuckDB vectorized path and the hashlib fallback are
+    bit-equal for both hex widths (the HLL / sampler oracle contract)."""
+    import numpy as np
+
+    from myaku_ray.functions.hashkit import _hashlib_md5_u64, md5_u64
+
+    ids = np.concatenate(
+        [
+            np.arange(0, 50, dtype=np.int64),
+            np.array([2**31, 2**40 + 7, 999_999_937], dtype=np.int64),
+        ]
+    )
+    for hexchars in (8, 16):
+        a = md5_u64(ids, hexchars=hexchars)
+        b = _hashlib_md5_u64(ids, hexchars=hexchars)
+        assert a.dtype == np.uint64 and (a == b).all()
+    assert md5_u64(np.empty(0, dtype=np.int64)).shape == (0,)
