@@ -39,6 +39,12 @@ QUERY_REPEATS = 5
 def _ray_init(num_cpus: int) -> None:
     import ray
 
+    # Ray Data passes each actor pool's MapTransformer through the object
+    # store, so the DRIVER's core_worker logs a restart-safety ERROR for
+    # every actor-pool stage (ray#53727) — unconditional in this Ray
+    # version, nothing user code can change (verified with a trivial
+    # map_batches(C, concurrency=2)).  glog level must be set before init.
+    os.environ.setdefault("RAY_BACKEND_LOG_LEVEL", "fatal")
     ray.init(
         address="local",
         num_cpus=num_cpus,
@@ -312,68 +318,168 @@ def _hw_membw_scaling(n_lo: int, n_hi: int) -> dict:
     }
 
 
+def _single_build_run(ncpu: int, scaling_pages: str) -> dict:
+    """One fresh-process build at the given parallelism (no best-of)."""
+    env = dict(
+        os.environ,
+        RAY_GRAFT_CPUS=str(ncpu),
+        MYAKU_BENCH_BUILD_ONLY="1",
+        MYAKU_BENCH_PAGES=scaling_pages,
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
 def run_scaling() -> dict:
     """Same job at two parallelism levels (N and 4N CPUs) in fresh
     processes — the sandbox substitute for N- vs 4N-node clusters.
 
+    Protocol (self-contained, no curation): K repeats (default 5), each
+    repeat = one single-shot build at N and one at 4N with ALTERNATING
+    order across repeats (host drift then biases both directions
+    equally), followed by same-window CPU and memory-bandwidth probes.
+    The artifact carries EVERY run plus the medians; the official number
+    is the median, never a selected sample.
+
     Default N=4 (override with MYAKU_SCALING_N): the host gives ~linear
-    compute scaling up to ~16 workers and degrades beyond (see
-    hw_compute_efficiency in the output), so 4 vs 16 isolates the
-    PIPELINE's scaling from host oversubscription."""
+    compute scaling up to ~16 workers and degrades beyond (see the
+    per-repeat hw_compute_efficiency), so 4 vs 16 isolates the PIPELINE's
+    scaling from host oversubscription.  The membw probe matters because
+    Arrow pipelines are bandwidth-heavy and this host's shared ~19 GB/s
+    streaming ceiling — not CPU — is what stops them scaling."""
     n_lo = int(os.environ.get("MYAKU_SCALING_N", "4"))
     n_hi = 4 * n_lo
-    repeats = int(os.environ.get("MYAKU_SCALING_REPEATS", "2"))
+    repeats = int(os.environ.get("MYAKU_SCALING_REPEATS", "5"))
     # Larger corpus than the plain bench: parallel work must dominate the
     # fixed per-stage costs for the ratio to measure the pipeline.
     scaling_pages = os.environ.get(
         "MYAKU_BENCH_PAGES", os.environ.get("MYAKU_SCALING_PAGES", "400000")
     )
-    results = {}
-    for ncpu in (n_lo, n_hi):
-        env = dict(
-            os.environ,
-            RAY_GRAFT_CPUS=str(ncpu),
-            MYAKU_BENCH_BUILD_ONLY="1",
-            MYAKU_BENCH_PAGES=scaling_pages,
+    runs = []
+    for rep in range(repeats):
+        order = (n_lo, n_hi) if rep % 2 == 0 else (n_hi, n_lo)
+        res = {}
+        for ncpu in order:
+            res[ncpu] = _single_build_run(ncpu, scaling_pages)
+        hw = _hw_compute_scaling(n_lo, n_hi)
+        membw = _hw_membw_scaling(n_lo, n_hi)
+        raw = (
+            res[n_hi]["build_docs_per_s"] / res[n_lo]["build_docs_per_s"]
+        ) / (n_hi / n_lo)
+        runs.append(
+            {
+                "repeat": rep,
+                "order": list(order),
+                f"docs_per_s_{n_lo}": res[n_lo]["build_docs_per_s"],
+                f"docs_per_s_{n_hi}": res[n_hi]["build_docs_per_s"],
+                f"build_s_{n_lo}": res[n_lo]["value"],
+                f"build_s_{n_hi}": res[n_hi]["value"],
+                "raw_efficiency": round(raw, 3),
+                "efficiency_vs_host": round(
+                    raw / hw["hw_compute_efficiency"], 3
+                ),
+                "efficiency_vs_membw": round(
+                    raw / membw["hw_membw_efficiency"], 3
+                ),
+                **hw,
+                **membw,
+            }
         )
-        best = None
-        for _ in range(repeats):  # best-of-N: the host is shared and noisy
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env,
-                capture_output=True,
-                text=True,
-                check=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            r = json.loads(proc.stdout.strip().splitlines()[-1])
-            if best is None or r["build_docs_per_s"] > best["build_docs_per_s"]:
-                best = r
-        results[ncpu] = best
-    lo, hi = results[n_lo], results[n_hi]
-    eff = (lo["build_docs_per_s"] and hi["build_docs_per_s"]) and (
-        (hi["build_docs_per_s"] / lo["build_docs_per_s"]) / (n_hi / n_lo)
-    )
-    hw = _hw_compute_scaling(n_lo, n_hi)
-    membw = _hw_membw_scaling(n_lo, n_hi)
+        print(json.dumps({"progress": runs[-1]}), file=sys.stderr)
+
+    def med(key: str) -> float:
+        return round(statistics.median(r[key] for r in runs), 3)
+
+    first = runs[0]
     return {
-        "metric": f"scaling: index build docs/s at num_cpus={n_lo} vs {n_hi}",
+        "metric": (
+            f"scaling: index build docs/s at num_cpus={n_lo} vs {n_hi}, "
+            f"{repeats} alternating-order repeats, medians"
+        ),
         "n_lo": n_lo,
         "n_hi": n_hi,
-        f"docs_per_s_{n_lo}": lo["build_docs_per_s"],
-        f"docs_per_s_{n_hi}": hi["build_docs_per_s"],
-        f"build_s_{n_lo}": lo["value"],
-        f"build_s_{n_hi}": hi["value"],
-        "scaling_efficiency": round(eff, 3),
-        # efficiency normalized by what the shared host itself can scale
-        # in the same window: CPU probe (linear here) and the memory-
-        # bandwidth probe (the binding ceiling for Arrow pipelines)
-        "efficiency_vs_host": round(eff / hw["hw_compute_efficiency"], 3),
-        "efficiency_vs_membw": round(eff / membw["hw_membw_efficiency"], 3),
-        "bench_pages": lo["bench_pages"],
-        "n_docs": lo["n_docs"],
-        **hw,
-        **membw,
+        "repeats": repeats,
+        "bench_pages": int(scaling_pages),
+        "median_raw_efficiency": med("raw_efficiency"),
+        "median_efficiency_vs_host": med("efficiency_vs_host"),
+        "median_efficiency_vs_membw": med("efficiency_vs_membw"),
+        f"median_docs_per_s_{n_lo}": med(f"docs_per_s_{n_lo}"),
+        f"median_docs_per_s_{n_hi}": med(f"docs_per_s_{n_hi}"),
+        "median_hw_compute_efficiency": med("hw_compute_efficiency"),
+        "median_hw_membw_efficiency": med("hw_membw_efficiency"),
+        # back-compat keys (first repeat's values; medians are official)
+        "scaling_efficiency": med("raw_efficiency"),
+        f"docs_per_s_{n_lo}": first[f"docs_per_s_{n_lo}"],
+        f"docs_per_s_{n_hi}": first[f"docs_per_s_{n_hi}"],
+        "runs": runs,
+    }
+
+
+def run_kernel_ab() -> dict:
+    """Same-window A/B of the tokenizer tf kernel: the all-consuming
+    ``findall`` fast path vs the longest-match reference loop, measured
+    back-to-back in ONE process over the SAME extracted texts
+    (alternating passes, median per kernel) — so the kernel speedup
+    claim lives in a JSON artifact, not prose."""
+    import statistics as _st
+
+    _ray_init(NUM_CPUS)
+    n_pages = int(os.environ.get("MYAKU_AB_PAGES", "20000"))
+    corpus_dir = f"/tmp/myaku_bench/pages_{n_pages}"
+    from myaku_ray.corpus import write_pages_parquet
+
+    write_pages_parquet(corpus_dir, n_pages)
+    import ray
+
+    ray.shutdown()
+
+    import pyarrow.dataset as pads
+
+    texts = [
+        t
+        for t in pads.dataset(corpus_dir)
+        .to_table(columns=["text"])["text"]
+        .to_pylist()
+        if t
+    ]
+    from myaku_ray.tokenizer import get_tokenizer
+
+    tok = get_tokenizer()
+    tok.find_term_tfs(texts[0])  # warm: lexicon + regex compile
+
+    def time_pass(fn) -> float:
+        t0 = time.time()
+        for t in texts:
+            fn(t)
+        return time.time() - t0
+
+    passes = int(os.environ.get("MYAKU_AB_PASSES", "3"))
+    fast_times, slow_times = [], []
+    for _ in range(passes):  # alternate so host drift hits both equally
+        fast_times.append(time_pass(tok.find_term_tfs))
+        slow_times.append(time_pass(tok._find_term_tfs_slow))
+    n_chars = sum(len(t) for t in texts)
+    fast_s = _st.median(fast_times)
+    slow_s = _st.median(slow_times)
+    return {
+        "metric": "tokenizer tf-kernel A/B (same process, same texts)",
+        "n_docs": len(texts),
+        "n_chars": n_chars,
+        "passes": passes,
+        "kernel_fast_s": round(fast_s, 3),
+        "kernel_slow_s": round(slow_s, 3),
+        "fast_times_s": [round(x, 3) for x in fast_times],
+        "slow_times_s": [round(x, 3) for x in slow_times],
+        "speedup": round(slow_s / fast_s, 3),
+        "fast_mchars_per_s": round(n_chars / fast_s / 1e6, 2),
+        "slow_mchars_per_s": round(n_chars / slow_s / 1e6, 2),
     }
 
 
@@ -381,5 +487,7 @@ if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--kernel-ab" in sys.argv:
+        print(json.dumps(run_kernel_ab()))
     else:
         print(json.dumps(run_once()))

@@ -62,6 +62,10 @@ from myaku_ray.state.lineage import is_complete, mark_complete, stage_dir
 
 DEFAULT_NUM_SEGMENTS = 8
 DEFAULT_SALT_BUCKETS = 4
+# Postings rows per winner doc, used only to size the postings write's
+# min_rows_per_file bundling (measured ~300 on the synthetic corpus; an
+# over/under-estimate only shifts file counts, never correctness).
+TERMS_PER_DOC_EST = 300
 # Below this many docs, exact dedup runs as a driver-side pandas groupby
 # over (text_hash, doc_id) only; above it, the distributed groupby shuffle.
 DEDUP_DRIVER_LIMIT = 2_000_000
@@ -95,6 +99,27 @@ def _auto_encode_buckets(n_docs: int) -> int:
     return int(min(max(64, n_docs // 6000), 4096))
 
 
+# Per-worker-process cache of the sorted loser doc_id array, keyed by the
+# dedup stage dir.  Workers read the (small: losers only) parquet once per
+# process instead of receiving it through actor constructor args — an
+# ObjectRef in the ctor closure lands the args in the object store and Ray
+# logs a restart-safety error for every actor (ray#53727); a path string
+# keeps the serialized transform tiny and restart-safe, and the dedup dir
+# is on the same shared storage the whole index build already requires.
+_LOSER_CACHE: dict = {}
+
+
+def _loser_ids_for(dedup_dir: str) -> "np.ndarray":
+    arr = _LOSER_CACHE.get(dedup_dir)
+    if arr is None:
+        import pyarrow.parquet as _pq
+
+        tbl = _pq.read_table(dedup_dir, columns=["doc_id"])
+        arr = np.sort(tbl["doc_id"].to_numpy(zero_copy_only=False))
+        _LOSER_CACHE[dedup_dir] = arr
+    return arr
+
+
 def _clear_stage(index_dir: str, stage: str) -> None:
     """Remove partial output of an interrupted stage before re-running:
     write_parquet uses unique filenames and never deletes, so re-running
@@ -123,7 +148,6 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
     metrics: dict = {}
     blog_ratings = blog_ratings or {}
-    ratings_ref = ray.put(blog_ratings)
 
     # ---- stage 1: docs -------------------------------------------------
     docs_dir = stage_dir(index_dir, "docs")
@@ -133,8 +157,7 @@ def build_index(
         pages = rd.read_parquet(
             pages_path, columns=["url", "warc_ts", "html", "lang"]
         )
-        ratings = ray.get(ratings_ref)
-        extract_fn = make_extract_fn(ratings, fixed_now)
+        extract_fn = make_extract_fn(blog_ratings, fixed_now)
         docs = pages.map_batches(
             extract_fn, batch_format="pyarrow", batch_size=256
         )
@@ -195,10 +218,7 @@ def build_index(
 
     import pyarrow.parquet as _pq
 
-    loser_tbl = _pq.read_table(dedup_dir, columns=["doc_id"])
-    loser_ids = frozenset(int(x) for x in loser_tbl["doc_id"].to_pylist())
-    loser_arr = np.sort(loser_tbl["doc_id"].to_numpy(zero_copy_only=False))
-    losers_ref = ray.put(loser_arr)
+    n_losers = _pq.read_table(dedup_dir, columns=["doc_id"]).num_rows
 
     n_doc_count = _parquet_rows(docs_dir)
     if salt_buckets is None:
@@ -215,35 +235,61 @@ def build_index(
             docs_dir, columns=["doc_id", "text", "quality_score", "warc_ts"]
         )
 
+        _dedup_dir = dedup_dir
+        _have_losers = n_losers > 0
+
         def drop_losers(batch: pa.Table) -> pa.Table:
-            larr = ray.get(losers_ref)  # sorted loser doc_ids
-            if len(larr) == 0:
+            if not _have_losers:
                 return batch
+            larr = _loser_ids_for(_dedup_dir)  # sorted loser doc_ids
             ids = batch["doc_id"].to_numpy(zero_copy_only=False)
             return batch.filter(pa.array(~np.isin(ids, larr)))
 
         winners = docs.map_batches(drop_losers, batch_format="pyarrow")
+        avail = int(ray.cluster_resources().get("CPU", 8))
         if tokenize_concurrency is None:
             # default: FIXED pool sized to the cluster — autoscaling pools
             # ((1, N)) ramp too slowly for a stage this short, leaving most
             # CPUs idle; tokenizer init is ~60ms so full spin-up is cheap
-            avail = int(ray.cluster_resources().get("CPU", 8))
             tokenize_concurrency = max(avail - 2, 1)
+
+        # Close over the bucket params instead of fn_constructor_kwargs so
+        # the actor ctor carries no user args at all.  (Ray still logs the
+        # ray#53727 restart-safety error for EVERY Ray Data actor pool in
+        # this version — Ray Data itself ships the MapTransformer through
+        # the object store — so bench.py silences that known line at the
+        # glog level instead.)
+        _salt, _enc = salt_buckets, encode_buckets
+
+        class _PinnedTokenizeStage(TokenizeStage):
+            def __init__(self):
+                super().__init__(salt_buckets=_salt, encode_buckets=_enc)
+
         postings = winners.map_batches(
-            TokenizeStage,
+            _PinnedTokenizeStage,
             batch_format="pyarrow",
             batch_size=tokenize_batch_size,
             concurrency=tokenize_concurrency,
             num_cpus=1,
-            fn_constructor_kwargs={
-                "salt_buckets": salt_buckets,
-                "encode_buckets": encode_buckets,
-            },
         )
         # Hive-partition by encode bucket: the write IS the (term, salt)
         # shuffle — segment encode later reads one bucket dir per task.
+        # Files per bucket are BOUNDED at ~write_tasks regardless of corpus
+        # size: min_rows_per_file bundles map-output blocks into at most
+        # ~est_rows/min_rows write tasks, and each task writes one file per
+        # bucket it sees.  Without this, files = blocks x buckets grows
+        # linearly with the corpus and the 1M+ build goes superlinear on
+        # file creation (round-2 finding).
+        est_rows = max(
+            (n_doc_count - n_losers) * TERMS_PER_DOC_EST, 1
+        )
+        write_tasks = max(64, 2 * avail)
+        min_rows = max(est_rows // write_tasks, 50_000)
         postings.write_parquet(
-            postings_dir, partition_cols=["bucket"], compression="lz4"
+            postings_dir,
+            partition_cols=["bucket"],
+            compression="lz4",
+            min_rows_per_file=min_rows,
         )
         mark_complete(
             index_dir, "postings", rows=_parquet_rows(postings_dir),
@@ -284,7 +330,7 @@ def build_index(
 
         # n_docs = winners; doclen sum = sum of tf (every posting row carries
         # its doc's tf contribution exactly once)
-        n_docs = _parquet_rows(docs_dir) - len(loser_ids)
+        n_docs = _parquet_rows(docs_dir) - n_losers
         df_pdf = rd.read_parquet(df_dir).to_pandas()
         total_tokens = int(df_pdf["ctf"].sum())
         avgdl = total_tokens / max(n_docs, 1)
