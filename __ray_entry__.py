@@ -116,7 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from myaku_ray.functions import (
-        ann, dedup, events, fulltext, media, pages_golden, relational, textops,
+        ann, dedup, events, fulltext, media, op_goldens, pages_golden,
+        relational, textops,
     )
 
     return {
@@ -159,11 +160,19 @@ def oracle_sql() -> dict[str, str]:
         "pages_extract_stats": pages_golden.PAGES_EXTRACT_STATS_SQL,
         "pages_search_topk": pages_golden.PAGES_SEARCH_TOPK_SQL,
         "pages_fli_interp_profile": pages_golden.PAGES_FLI_INTERP_PROFILE_SQL,
-        # minhash_lsh_pairs / near_dup_embeddings_lsh / pages_fli_interps
-        # / ivf_cosine_topk / kmeans_embeddings / kmeans_representatives
-        # / media_features / media_frame_sample: not SQL-expressible (LSH
-        # banding, nested interp payload, approximate ANN, iterative
-        # clustering, stubbed media decode) — each holds a pytest gate
-        # instead; the interp payload additionally has the oracled
-        # pages_fli_interp_profile digest above
+        # Stored-golden oracles (tools/gen_op_goldens.py): these operators
+        # are not SQL-expressible directly (LSH banding, approximate ANN,
+        # iterative clustering, stubbed media decode, nested interp
+        # payload), but each is DETERMINISTIC — seeded RNG, Q20
+        # fixed-point reductions, fixed corpus — so its correct output at
+        # the driver's correctness inputs is a constant computed by an
+        # independent serial path and compared exactly.
+        "minhash_lsh_pairs": op_goldens.MINHASH_LSH_PAIRS_SQL,
+        "near_dup_embeddings_lsh": op_goldens.NEAR_DUP_EMBEDDINGS_LSH_SQL,
+        "ivf_cosine_topk": op_goldens.IVF_COSINE_TOPK_SQL,
+        "kmeans_embeddings": op_goldens.KMEANS_EMBEDDINGS_SQL,
+        "kmeans_representatives": op_goldens.KMEANS_REPRESENTATIVES_SQL,
+        "pages_fli_interps": op_goldens.PAGES_FLI_INTERPS_SQL,
+        "media_features": op_goldens.MEDIA_FEATURES_SQL,
+        "media_frame_sample": op_goldens.MEDIA_FRAME_SAMPLE_SQL,
     }

@@ -16,7 +16,6 @@ between numpy and DuckDB cannot flip any comparison.
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import numpy as np
@@ -583,15 +582,23 @@ def ivf_cosine_topk(
 
 KMEANS_K = 8
 KMEANS_ITERS = 8
+# Fixed-point (Q20) accumulation scale: per-value quantization error is
+# 2^-21, and int64 partial sums stay exact and ORDER-INDEPENDENT — the
+# reduction result cannot depend on Ray's block boundaries or arrival
+# order, so a run at any num_cpus is bit-identical (and equal to the
+# serial golden oracle).  Overflow bound: |x| ~ O(1) embeddings keep the
+# per-cluster sum under 2^20 * n; n up to ~10^12 rows fits int64.
+KMEANS_FP_SCALE = float(1 << 20)
 
 
 def kmeans_fit(
     sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
 ) -> tuple[np.ndarray, list[float]]:
     """Lloyd's k-means over ``embeddings``; returns (centroids float64
-    [k, d], per-iteration inertia history).  Deterministic: seeds are
-    evenly-strided rows (row-group-pruned read), partial sums are exact
-    float64 and reduced in block-index order."""
+    [k, d], per-iteration inertia history).  Deterministic independent of
+    blocking: seeds are evenly-strided rows (row-group-pruned read), and
+    partial (count, vec-sum, inertia) accumulators are Q20 fixed-point
+    int64, so the cross-block reduce is exact integer math."""
     src = f"{sf_dir}/embeddings.parquet"
     seeds = _strided_training_sample(src, k)[:k].astype(np.float64)
     if len(seeds) < k:
@@ -609,46 +616,41 @@ def kmeans_fit(
             scores = X @ Cl.T - 0.5 * (Cl * Cl).sum(axis=1)[None, :]
             assign = scores.argmax(axis=1)
             d2 = (X * X).sum(axis=1) - 2.0 * scores[np.arange(len(X)), assign]
-            sums = np.zeros((_k, X.shape[1]))
-            np.add.at(sums, assign, X)
+            # Q20 quantize BEFORE accumulating: int64 sums are exact, so
+            # partials reduce associatively (no canonical-order sort, no
+            # float drift across block boundaries).
+            Xq = np.round(X * KMEANS_FP_SCALE).astype(np.int64)
+            d2q = np.round(d2 * KMEANS_FP_SCALE).astype(np.int64)
+            sums = np.zeros((_k, X.shape[1]), dtype=np.int64)
+            np.add.at(sums, assign, Xq)
+            # bincount with integer weights goes through float64; batch
+            # partial sums stay < 2^53 so every value is still exact
+            ine_q = np.bincount(
+                assign, weights=d2q.astype(np.float64), minlength=_k
+            ).astype(np.int64)
             return pa.table(
                 {
                     "cluster_id": pa.array(np.arange(_k, dtype=np.int64)),
                     "n": pa.array(np.bincount(assign, minlength=_k).astype(np.int64)),
-                    "inertia": pa.array(
-                        np.bincount(assign, weights=d2, minlength=_k)
-                    ),
-                    "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                    "inertia_q": pa.array(ine_q, pa.int64()),
+                    "vsum_q": pa.array(list(sums), pa.list_(pa.int64())),
                 }
             )
 
         parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-        # Block arrival order is not deterministic and float addition is
-        # not associative: impose a canonical partial order before
-        # reducing so re-runs are bit-identical.  (cluster, n, inertia)
-        # can tie for identical blocks, so add a content-derived key
-        # (digest of the vsum payload bytes) and a stable sort — ties
-        # then denote bit-identical partials, for which order is moot.
-        parts["_vkey"] = [
-            hashlib.md5(np.asarray(v, dtype=np.float64).tobytes()).hexdigest()
-            for v in parts["vsum"]
-        ]
-        parts = parts.sort_values(
-            ["cluster_id", "n", "inertia", "_vkey"], kind="stable"
-        ).reset_index(drop=True)
         n = np.zeros(k, dtype=np.int64)
-        s = np.zeros((k, C.shape[1]))
-        inertia = 0.0
+        s = np.zeros((k, C.shape[1]), dtype=np.int64)
+        inertia_q = 0
         for cid, cnt, ine, vs in zip(
-            parts["cluster_id"], parts["n"], parts["inertia"], parts["vsum"]
+            parts["cluster_id"], parts["n"], parts["inertia_q"], parts["vsum_q"]
         ):
-            n[cid] += cnt
-            inertia += ine
-            s[cid] += np.asarray(vs)
+            n[cid] += int(cnt)
+            inertia_q += int(ine)
+            s[cid] += np.asarray(vs, dtype=np.int64)
         nz = n > 0
         C = C.copy()
-        C[nz] = s[nz] / n[nz, None]
-        history.append(float(inertia))
+        C[nz] = s[nz].astype(np.float64) / KMEANS_FP_SCALE / n[nz, None]
+        history.append(inertia_q / KMEANS_FP_SCALE)
     return C, history
 
 
@@ -666,20 +668,25 @@ def kmeans_embeddings(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS)
         scores = X @ Cl.T - 0.5 * (Cl * Cl).sum(axis=1)[None, :]
         assign = scores.argmax(axis=1)
         d2 = (X * X).sum(axis=1) - 2.0 * scores[np.arange(len(X)), assign]
+        # Q20 fixed-point like the fit: the d2 sum reduces in exact int64
+        # so the rounded mean is independent of blocking
+        d2q = np.round(d2 * KMEANS_FP_SCALE).astype(np.int64)
         return pa.table(
             {
                 "cluster_id": pa.array(assign.astype(np.int64)),
-                "d2": pa.array(d2),
+                "d2_q": pa.array(d2q, pa.int64()),
             }
         )
 
     pdf = ds.map_batches(summarize, batch_format="pyarrow").to_pandas()
     out = (
         pdf.groupby("cluster_id")
-        .agg(size=("d2", "size"), sum_d2=("d2", "sum"))
+        .agg(size=("d2_q", "size"), sum_d2_q=("d2_q", "sum"))
         .reset_index()
     )
-    out["mean_d2_r"] = (out["sum_d2"] / out["size"]).round(6)
+    out["mean_d2_r"] = (
+        out["sum_d2_q"] / KMEANS_FP_SCALE / out["size"]
+    ).round(6)
     return out[["cluster_id", "size", "mean_d2_r"]].sort_values(
         "cluster_id"
     ).reset_index(drop=True)

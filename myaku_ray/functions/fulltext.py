@@ -119,13 +119,37 @@ def pages_extract_stats(sf_dir: str):
     )
 
 
-def pages_fli_interps(sf_dir: str):
-    """Full FoundJpnLexicalItem payload over the page corpus: positions,
-    possible_interps and interp_position_map as typed list<struct>
-    columns (FliStage actor pool; myaku/datatypes.py:307-425 analog).
-    Returns the FLI rows for terms with >1 interpretation plus every
-    meta-phrase item — the payload slice the reference's golden e2e
-    test asserts field-by-field."""
+def canon_json(v) -> str:
+    """Canonical JSON for nested FLI payload values: sorted keys, no
+    whitespace, raw utf-8 — both the distributed query and the serial
+    golden generator serialize through this exact function, so equal
+    payloads give byte-equal strings."""
+    import json
+
+    return json.dumps(v, ensure_ascii=False, separators=(",", ":"),
+                      sort_keys=True)
+
+
+def fli_payload_json(batch: pa.Table) -> pa.Table:
+    """Serialize the three nested FLI columns to canonical JSON strings.
+
+    The typed list<struct> payload stays the engine-internal format
+    (FLI_SCHEMA; pytest goldens assert it field-by-field) — this is the
+    driver-facing projection, which must be value-hashable against a
+    DuckDB VALUES oracle, and nested struct literals are not reliably
+    hash-comparable across Arrow and DuckDB result paths."""
+    cols = {n: batch[n] for n in ("doc_id", "term", "tf", "reading", "pos")}
+    out = dict(cols)
+    for name in ("found_positions", "possible_interps", "interp_position_map"):
+        out[f"{name}_json"] = pa.array(
+            [canon_json(v) for v in batch[name].to_pylist()], pa.string()
+        )
+    return pa.table(out)
+
+
+def _pages_fli_typed(sf_dir: str):
+    """Typed (list<struct>) FLI payload slice — shared by the JSON
+    driver projection and the interp-profile digest."""
     import pyarrow.compute as pc
     import ray.data as rd
 
@@ -149,6 +173,19 @@ def pages_fli_interps(sf_dir: str):
         docs.map_batches(FliStage, batch_format="pyarrow",
                          batch_size=128, concurrency=(1, 4))
         .map_batches(interesting, batch_format="pyarrow")
+    )
+
+
+def pages_fli_interps(sf_dir: str):
+    """Full FoundJpnLexicalItem payload over the page corpus: positions,
+    possible_interps and interp_position_map (FliStage actor pool;
+    myaku/datatypes.py:307-425 analog), with the nested columns
+    canonically JSON-serialized for the driver's stored-golden compare.
+    Returns the FLI rows for terms with >1 interpretation plus every
+    meta-phrase item — the payload slice the reference's golden e2e test
+    asserts field-by-field."""
+    return _pages_fli_typed(sf_dir).map_batches(
+        fli_payload_json, batch_format="pyarrow"
     )
 
 
@@ -187,7 +224,7 @@ def pages_fli_interp_profile(sf_dir: str):
     interp emission shifts these counts).  The flatten runs over the
     FILTERED payload slice (result-sized, not corpus-sized); the heavy
     stage is the same FliStage actor pool."""
-    ds = pages_fli_interps(sf_dir)
+    ds = _pages_fli_typed(sf_dir)
 
     def profile(batch: pa.Table) -> pa.Table:
         from collections import Counter

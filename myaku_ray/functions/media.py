@@ -94,8 +94,13 @@ class MediaFeatureStage:
                     [row.tolist() for row in feats],
                     pa.list_(pa.float32(), FEATURE_DIM),
                 ),
+                # round-6 like every cross-engine float in this repo: the
+                # stored-golden oracle compares exact values, and rounding
+                # absorbs any last-ulp kernel-order difference
                 "feat_norm": pa.array(
-                    np.sqrt((feats.astype(np.float64) ** 2).sum(axis=1))
+                    np.round(
+                        np.sqrt((feats.astype(np.float64) ** 2).sum(axis=1)), 6
+                    )
                 ),
             }
         )
@@ -197,8 +202,41 @@ def media_features(sf_dir: str):
     )
 
 
+def hex_frames(batch: pa.Table) -> pa.Table:
+    """Driver-facing projection: frame bytes -> hex string.
+
+    The binary ``frame`` column stays the pipeline format (a sink would
+    write it as-is); the hex projection exists because the value-hash
+    compare path cannot canonicalize BLOB columns (pandas sort over
+    bytearray), and one hexlify over the concatenated fixed-width buffer
+    is vectorized."""
+    import binascii
+
+    arr = batch["frame"].combine_chunks()
+    if len(arr):
+        offsets = np.frombuffer(
+            arr.buffers()[1], dtype=np.int32, count=len(arr) + 1
+        )
+        hex_all = binascii.hexlify(arr.buffers()[2].to_pybytes()).decode()
+        out = [
+            hex_all[offsets[i] * 2 : offsets[i + 1] * 2]
+            for i in range(len(arr))
+        ]
+    else:
+        out = []
+    return pa.table(
+        {
+            "media_id": batch["media_id"],
+            "media_type": batch["media_type"],
+            "frame_index": batch["frame_index"],
+            "frame_hex": pa.array(out, pa.string()),
+        }
+    )
+
+
 def media_frame_sample(sf_dir: str):
-    """Frame sampling for video items (stubbed decode); rows-only check."""
+    """Frame sampling for video items (stubbed decode); stored-golden
+    driver check over the hex projection."""
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
@@ -209,4 +247,4 @@ def media_frame_sample(sf_dir: str):
         batch_size=MEDIA_BATCH_SIZE,
         concurrency=(1, 4),
         num_cpus=1,
-    )
+    ).map_batches(hex_frames, batch_format="pyarrow")

@@ -97,9 +97,11 @@ def test_media_frame_sample_only_videos(ray_session):
     assert (f["media_type"] == "video").all()
     per_item = f.groupby("media_id").size()
     assert (per_item == FRAMES_PER_VIDEO).all()
-    assert f["frame"].map(len).eq(16).all()
+    assert f["frame_hex"].map(len).eq(32).all()  # 16 bytes hexed
     # frames are distinct per index (stub digests include the index)
-    assert f.groupby("media_id")["frame"].nunique().eq(FRAMES_PER_VIDEO).all()
+    assert (
+        f.groupby("media_id")["frame_hex"].nunique().eq(FRAMES_PER_VIDEO).all()
+    )
 
 
 def test_lang_id_matches_duckdb(ray_session):
