@@ -122,6 +122,67 @@ class SearchResult:
     preview: str = ""
 
 
+class _SegmentFileIndex:
+    """Per-file term directory for targeted posting reads.
+
+    Caches the file's (tiny) term column plus row-group row offsets; a
+    term lookup is a binary search over the sorted term strings, mapped
+    to the row groups that contain the hits — ONLY those groups' blob
+    bytes are then read and decompressed.  This is the term-dictionary +
+    point-read serving layout: a cold query reads kilobytes (its own
+    sub-lists and their row-group neighbors) instead of the whole
+    segment's posting payload (tens of MB for the high-df segments — the
+    former cold-p95 tail).  Files whose terms are not sorted (none are
+    produced by this build, but stay safe) fall back to a vectorized
+    equality scan over the cached term column."""
+
+    __slots__ = ("pf", "terms", "rg_cum", "sorted")
+
+    def __init__(self, path: str):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        self.pf = pq.ParquetFile(path)
+        md = self.pf.metadata
+        sizes = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+        self.rg_cum = np.cumsum(np.asarray(sizes, dtype=np.int64))
+        tcol = self.pf.read(columns=["term"])["term"]
+        self.terms = np.asarray(tcol.to_pylist(), dtype=object)
+        self.sorted = bool((self.terms[1:] >= self.terms[:-1]).all()) \
+            if len(self.terms) > 1 else True
+
+    def term_rows(self, term: str) -> list[tuple[bytes, float]]:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        if self.sorted:
+            lo = int(np.searchsorted(self.terms, term, "left"))
+            hi = int(np.searchsorted(self.terms, term, "right"))
+            if hi == lo:
+                return []
+            rgs = range(
+                int(np.searchsorted(self.rg_cum, lo, "right")),
+                int(np.searchsorted(self.rg_cum, hi - 1, "right")) + 1,
+            )
+        else:
+            hits = np.flatnonzero(self.terms == term)
+            if len(hits) == 0:
+                return []
+            rgs = sorted(
+                set(
+                    int(np.searchsorted(self.rg_cum, h, "right"))
+                    for h in hits
+                )
+            )
+        out = []
+        for g in rgs:
+            t = self.pf.read_row_group(g, columns=["term", "blob", "max_score"])
+            t = t.filter(pc.equal(t["term"], term))
+            for blob, ms in zip(t["blob"], t["max_score"]):
+                out.append((blob.as_py(), float(ms.as_py())))
+        return out
+
+
 class Searcher:
     """Driver-side query engine over a built index directory."""
 
@@ -133,11 +194,12 @@ class Searcher:
         self._docs_root = os.path.join(index_dir, "docs")
         self._tok = get_tokenizer()
         self._seg_ds_cache: dict[int, pads.Dataset] = {}
-        # In-memory per-segment term dictionary: term -> [(blob, max_score)].
-        # Bounded by segment size; at production scale replace with a
-        # term-dictionary (offsets) file + mmap'd blob reads per term.
+        # Per-file term directories (term column + row-group offsets) for
+        # targeted posting reads — the term-dictionary serving layout.
+        # Keyed by path with mtime in the value (stale entries replaced,
+        # not leaked, across index updates).
         self._cache_segments = cache_segments
-        self._seg_terms: dict[int, dict] = {}
+        self._seg_files: dict[str, tuple[float, _SegmentFileIndex]] = {}
         # Decoded-array cache: term -> (ids, scores, warc, max_score).
         # Bounded by total cached postings; FIFO eviction.  Plays the role
         # of the reference's Redis hot-query caches (datastore/cache.py).
@@ -184,59 +246,32 @@ class Searcher:
             self._seg_ds_cache[seg] = ds
         return ds
 
-    # Full-segment term maps are loaded only for segments under this many
-    # bytes; larger segments use per-term parquet predicate pushdown (the
-    # production path would be a term-dictionary file + mmap'd blobs).
-    SEGMENT_MAP_MAX_BYTES = 48 * 1024 * 1024
-
-    def _segment_bytes(self, seg: int) -> int:
+    def _segment_file_indexes(self, seg: int) -> list["_SegmentFileIndex"]:
+        """Per-file term directories for one segment, cached by (path,
+        mtime) with stale entries replaced in place (an index update
+        rewrites files; the old entry must not leak for the process
+        lifetime)."""
         import glob as _glob
 
         path = os.path.join(self._seg_root, f"segment={seg}")
-        return sum(
-            os.path.getsize(f)
-            for f in _glob.glob(os.path.join(path, "*.parquet"))
-        )
-
-    def _segment_term_map(self, seg: int) -> dict | None:
-        m = self._seg_terms.get(seg)
-        if m is None:
-            ds = self._segment_dataset(seg)
-            if ds is None:
-                return None
-            if self._segment_bytes(seg) > self.SEGMENT_MAP_MAX_BYTES:
-                self._seg_terms[seg] = False  # too big: per-term reads
-                return None
-            tbl = ds.to_table(columns=["term", "blob", "max_score"])
-            m = {}
-            for t, blob, ms in zip(tbl["term"], tbl["blob"], tbl["max_score"]):
-                m.setdefault(t.as_py(), []).append(
-                    (blob.as_py(), float(ms.as_py()))
-                )
-            self._seg_terms[seg] = m
-        return m if m is not False else None
+        out = []
+        for f in sorted(_glob.glob(os.path.join(path, "*.parquet"))):
+            mtime = os.path.getmtime(f)
+            cached = self._seg_files.get(f)
+            if cached is None or cached[0] != mtime:
+                cached = (mtime, _SegmentFileIndex(f))
+                self._seg_files[f] = cached
+            out.append(cached[1])
+        return out
 
     def term_iterator(self, term: str):
         cached = self._term_arrays.get(term)
         if cached is not None:
             return ArrayPostings.from_arrays(*cached)
         seg = term_hash(term) % self.stats["num_segments"]
-        m = self._segment_term_map(seg) if self._cache_segments else None
-        if m is not None:
-            rows = m.get(term)
-        else:
-            # per-term predicate-pushdown read (big segment / no caching)
-            ds = self._segment_dataset(seg)
-            if ds is None:
-                return None
-            tbl = ds.to_table(
-                columns=["term", "blob", "max_score"],
-                filter=pads.field("term") == term,
-            )
-            rows = [
-                (blob.as_py(), float(ms.as_py()))
-                for blob, ms in zip(tbl["blob"], tbl["max_score"])
-            ]
+        rows = []
+        for fi in self._segment_file_indexes(seg):
+            rows.extend(fi.term_rows(term))
         if not rows:
             return None
         it = make_term_iterator(rows)

@@ -287,14 +287,44 @@ def _encode_bucket_task(
         sub = rows.filter(pa.array(segs == seg))
         d = os.path.join(seg_root, f"segment={int(seg)}")
         os.makedirs(d, exist_ok=True)
-        # small row groups: files are term-sorted, so per-term predicate
-        # pushdown at query time skips row groups by term min/max stats
-        pq.write_table(
+        _write_rg_bounded(
             sub.drop_columns(["segment"]),
             os.path.join(d, f"bucket-{bucket_id:05d}.parquet"),
-            row_group_size=512,
         )
     return rows.num_rows
+
+
+# Row-group bounds for segment files: the query path reads ONLY the row
+# groups containing the requested term (_SegmentFileIndex point reads),
+# so each group's blob payload bounds the innocent bytes a lookup drags
+# in.  Byte-bounded cutting keeps that true under df skew — one hot
+# term's multi-MB sub-list gets its own group instead of padding its
+# 511 neighbors' lookups.
+SEG_RG_MAX_ROWS = 128
+SEG_RG_MAX_BYTES = 256 * 1024
+
+
+def _write_rg_bounded(tbl: pa.Table, path: str) -> None:
+    """Write a term-sorted segment table with row groups cut at
+    SEG_RG_MAX_ROWS rows or SEG_RG_MAX_BYTES of blob payload, whichever
+    comes first (zero-copy slices into one ParquetWriter)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    lens = pc.binary_length(tbl["blob"].combine_chunks()).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    n = len(lens)
+    cum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens)])
+    with pq.ParquetWriter(path, tbl.schema) as w:
+        lo = 0
+        while lo < n:
+            hi = int(
+                np.searchsorted(cum, cum[lo] + SEG_RG_MAX_BYTES, "right")
+            ) - 1
+            hi = max(min(hi, lo + SEG_RG_MAX_ROWS), lo + 1)
+            w.write_table(tbl.slice(lo, hi - lo))
+            lo = hi
 
 
 def bucket_file_map(postings_roots: list) -> dict[int, list]:
