@@ -88,6 +88,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # a fixed deterministic fixture, so expected outputs are constants
         "pages_extract_stats": fulltext.pages_extract_stats,
         "pages_search_topk": fulltext.pages_search_topk,
+        # DEFINITE/POSSIBLE_ALT_FORMS query types (reserved but never
+        # implemented by the reference, datastore/__init__.py:26-68):
+        # alt-spelling group expansion with per-doc max-over-members
+        "pages_search_altforms": fulltext.pages_search_altforms,
         # full FLI payload with lexical interpretations (list<struct>
         # columns; not SQL-expressible — pytest golden tests hold the gate)
         "pages_fli_interps": fulltext.pages_fli_interps,
@@ -159,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         "media_meta_stats": media.MEDIA_META_STATS_SQL,
         "pages_extract_stats": pages_golden.PAGES_EXTRACT_STATS_SQL,
         "pages_search_topk": pages_golden.PAGES_SEARCH_TOPK_SQL,
+        "pages_search_altforms": pages_golden.PAGES_SEARCH_ALTFORMS_SQL,
         "pages_fli_interp_profile": pages_golden.PAGES_FLI_INTERP_PROFILE_SQL,
         # Stored-golden oracles (tools/gen_op_goldens.py): these operators
         # are not SQL-expressible directly (LSH banding, approximate ANN,

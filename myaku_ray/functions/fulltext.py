@@ -216,6 +216,40 @@ def pages_search_topk(sf_dir: str, k: int = 10):
     return pd.DataFrame(rows)
 
 
+def pages_search_altforms(sf_dir: str, k: int = 10):
+    """Alt-form search over the pages index: the QueryType semantics the
+    reference reserves but never implements (DEFINITE_ALT_FORMS /
+    POSSIBLE_ALT_FORMS, myaku/datastore/__init__.py:26-68) — each query
+    term expands to its alternate-spelling group; per-doc group score is
+    the max over member spellings.  Ranked rows for the fixed alt-form
+    query set under all three query types."""
+    from myaku_ray.corpus import gen_blogs_table
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.oracle import altform_query_set
+    from myaku_ray.pipelines.build import build_index
+
+    pages = _pages_dir()
+    idx = os.path.join(CACHE_ROOT, f"pagesindex_{PAGES_N}")
+    blogs = gen_blogs_table()
+    ratings = dict(zip(blogs["blog_url"], blogs["rating"]))
+    build_index(pages, idx, blog_ratings=ratings)
+    s = Searcher(idx)
+    rows = {
+        "query": [], "query_type": [], "rank": [], "doc_id": [],
+        "score": [], "url": [],
+    }
+    for q in altform_query_set():
+        for qt in ("exact", "definite", "possible"):
+            for rank, r in enumerate(s.search(q, k, query_type=qt), start=1):
+                rows["query"].append(q)
+                rows["query_type"].append(qt)
+                rows["rank"].append(rank)
+                rows["doc_id"].append(r.doc_id)
+                rows["score"].append(round(r.score, 5))
+                rows["url"].append(r.url)
+    return pd.DataFrame(rows)
+
+
 def pages_fli_interp_profile(sf_dir: str):
     """Compact aggregate over the FLI interpretation payload: count of
     interpretation structs per (term pos, interp POS chain, conjugation

@@ -96,6 +96,69 @@ class MergedIterator:
         return max(m for m, _ in infos), min(l for _, l in infos)
 
 
+class SynonymMaxIterator:
+    """Alternate-form group iterator: per-doc score = MAX over member
+    terms' contributions (a doc matching several alternate spellings is
+    ranked by its best-scoring form — the group-key analog of the
+    reference's reserved base_form_definite_group / base_form_possible_group
+    posting fields, myaku/datastore/database.py:164-174).  Members are
+    whole-term iterators over the SAME doc-id space, so doc ids can
+    collide across members (unlike MergedIterator's disjoint salt
+    buckets).  Used only when a member list is above DECODE_LIMIT; the
+    array-backed fast path merges vectorized in the Searcher."""
+
+    __slots__ = ("_iters", "max_score", "exhausted")
+
+    def __init__(self, iters: list):
+        self._iters = [it for it in iters if not it.exhausted]
+        self.max_score = max((it.max_score for it in iters), default=0.0)
+        self.exhausted = not self._iters
+
+    def doc_id(self) -> int:
+        return min(it.doc_id() for it in self._iters)
+
+    def _at_doc(self) -> list:
+        d = self.doc_id()
+        return [it for it in self._iters if it.doc_id() == d]
+
+    def score(self) -> float:
+        return max(it.score() for it in self._at_doc())
+
+    def warc_us(self) -> int:
+        return self._at_doc()[0].warc_us()
+
+    def next(self) -> None:
+        # advance every member positioned at the current doc
+        for it in self._at_doc():
+            it.next()
+        self._iters = [it for it in self._iters if not it.exhausted]
+        self.exhausted = not self._iters
+
+    def seek(self, target: int) -> None:
+        live = []
+        for it in self._iters:
+            it.seek(target)
+            if not it.exhausted:
+                live.append(it)
+        self._iters = live
+        self.exhausted = not live
+
+    def block_info(self, target: int) -> tuple[float, int] | None:
+        """Group contribution at any doc is a max over members, so the max
+        of member block maxima is a valid upper bound; the safe skip
+        boundary is the tightest member boundary.  Every live member must
+        report a block (else no bound can be claimed for its docs)."""
+        infos = []
+        for it in self._iters:
+            info = it.block_info(target)
+            if info is None:
+                return None
+            infos.append(info)
+        if not infos:
+            return None
+        return max(m for m, _ in infos), min(l for _, l in infos)
+
+
 def make_term_iterator(rows: list):
     """Choose the query-path representation for one term's sub-list blobs:
     array-backed (vectorized) under DECODE_LIMIT postings, streaming
@@ -288,6 +351,38 @@ class Searcher:
                 self._cached_postings += it.n
         return it
 
+    def _group_iterator(self, members: list[str]):
+        """One iterator for an alternate-form group: per-doc score = max
+        over member terms (see SynonymMaxIterator).  All-array members
+        merge vectorized (sort + maximum.reduceat) into one ArrayPostings
+        so the group rides the same fast path as a plain term; any
+        streaming member (above DECODE_LIMIT) falls back to the
+        WAND-compatible wrapper."""
+        its = [self.term_iterator(m) for m in members]
+        its = [it for it in its if it is not None]
+        if not its:
+            return None
+        if len(its) == 1:
+            return its[0]
+        if all(isinstance(it, ArrayPostings) for it in its):
+            import numpy as np
+
+            ids = np.concatenate([it.ids for it in its])
+            scores = np.concatenate([it.scores for it in its])
+            warc = np.concatenate([it.warc for it in its])
+            order = np.argsort(ids, kind="stable")
+            ids, scores, warc = ids[order], scores[order], warc[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], ids[1:] != ids[:-1]))
+            )
+            uids = ids[starts]
+            uscores = np.maximum.reduceat(scores, starts)
+            uwarc = warc[starts]  # same doc -> same warc across members
+            return ArrayPostings.from_arrays(
+                uids, uscores, uwarc, max(it.max_score for it in its)
+            )
+        return SynonymMaxIterator(its)
+
     def term_df(self, term: str) -> int:
         seg = term_hash(term) % self.stats["num_segments"]
         ds = self._segment_dataset(seg)
@@ -298,15 +393,17 @@ class Searcher:
 
     # -- WAND top-k -------------------------------------------------------
 
-    def topk(self, query_str: str, k: int = 10) -> list[SearchResult]:
-        memo_key = (query_str, k)
+    def topk(
+        self, query_str: str, k: int = 10, query_type: str = "exact"
+    ) -> list[SearchResult]:
+        memo_key = (query_str, k, query_type)
         cached = self._query_memo.get(memo_key)
         if cached is not None:
             return [
                 SearchResult(doc_id=d, score=s, warc_us=w)
                 for (d, s, w) in cached
             ]
-        out = self._topk_uncached(query_str, k)
+        out = self._topk_uncached(query_str, k, query_type)
         if len(self._query_memo) >= self._query_memo_cap:
             self._query_memo.pop(next(iter(self._query_memo)))
         self._query_memo[memo_key] = [
@@ -314,12 +411,21 @@ class Searcher:
         ]
         return out
 
-    def _topk_uncached(self, query_str: str, k: int) -> list[SearchResult]:
+    def _topk_uncached(
+        self, query_str: str, k: int, query_type: str = "exact"
+    ) -> list[SearchResult]:
+        from myaku_ray.lexicon import expand_alt_forms
+
         terms = self.analyze_query(query_str)
+        groups = {t: expand_alt_forms(t, query_type) for t in terms}
+        # First-page cache holds EXACT rankings; usable whenever every
+        # query term's expansion is the singleton {term} (terms outside
+        # any alt-form entry rank identically under all query types).
         if (
             self._first_page is not None
             and len(terms) == 1
             and k <= self._first_page_k
+            and groups[terms[0]] == [terms[0]]
         ):
             hits = self._first_page.get(terms[0], [])
             return [
@@ -328,7 +434,7 @@ class Searcher:
             ]
         iters: dict[str, MergedIterator] = {}
         for t in terms:
-            it = self.term_iterator(t)
+            it = self._group_iterator(groups[t])
             if it is not None:
                 iters[t] = it
         if not iters:
@@ -426,7 +532,12 @@ class Searcher:
             )
         return pa.concat_tables(parts)
 
-    def hydrate(self, results: list[SearchResult], query_str: str) -> list[SearchResult]:
+    def hydrate(
+        self,
+        results: list[SearchResult],
+        query_str: str,
+        query_type: str = "exact",
+    ) -> list[SearchResult]:
         if not results:
             return results
         docs = self._read_docs_by_id([r.doc_id for r in results])
@@ -441,7 +552,13 @@ class Searcher:
             if did not in by_id or wv > best_warc[did]:
                 by_id[did] = (u.as_py(), t.as_py(), x.as_py())
                 best_warc[did] = wv
-        terms = set(self.analyze_query(query_str))
+        from myaku_ray.lexicon import expand_alt_forms
+
+        terms = {
+            m
+            for t in self.analyze_query(query_str)
+            for m in expand_alt_forms(t, query_type)
+        }
         for r in results:
             url, title, text = by_id.get(r.doc_id, ("", "", ""))
             r.url, r.title = url, title
@@ -464,15 +581,25 @@ class Searcher:
         preview = " … ".join(s.text for s in samples)
         return [it["term"] for it in matched], preview
 
-    def search(self, query_str: str, k: int = 10) -> list[SearchResult]:
-        return self.hydrate(self.topk(query_str, k), query_str)
+    def search(
+        self, query_str: str, k: int = 10, query_type: str = "exact"
+    ) -> list[SearchResult]:
+        """query_type: 'exact' | 'definite' | 'possible' — the QueryType
+        enum (myaku/datastore/__init__.py:26-68); alt-form types also match
+        docs containing alternate spellings of the query's lexical items
+        (``matched_terms`` then reports which spellings matched)."""
+        return self.hydrate(
+            self.topk(query_str, k, query_type), query_str, query_type
+        )
 
     # -- pagination + counts (K2/A3 analogs) ------------------------------
 
     PAGE_SIZE = 10  # SEARCH_RESULTS_PAGE_SIZE, myaku/datastore/__init__.py:22
     MAX_QUERY_LEN = 120  # myakuweb-apiserver/search/views.py:37
 
-    def search_page(self, query_str: str, page: int = 1) -> list[SearchResult]:
+    def search_page(
+        self, query_str: str, page: int = 1, query_type: str = "exact"
+    ) -> list[SearchResult]:
         """Page N of ranked results: skip (page-1)*10, take 10 — the
         reference's cursor paginate (index_search.py:232-236) expressed
         over the bounded top-(page*10) heap."""
@@ -482,18 +609,26 @@ class Searcher:
             )
         if page < 1:
             raise ValueError("page must be >= 1")
-        hits = self.topk(query_str, page * self.PAGE_SIZE)
+        hits = self.topk(query_str, page * self.PAGE_SIZE, query_type)
         lo = (page - 1) * self.PAGE_SIZE
-        return self.hydrate(hits[lo : lo + self.PAGE_SIZE], query_str)
+        return self.hydrate(
+            hits[lo : lo + self.PAGE_SIZE], query_str, query_type
+        )
 
-    def count(self, query_str: str) -> int:
+    def count(self, query_str: str, query_type: str = "exact") -> int:
         """Total matching docs (docs containing >= 1 query term) — the
         reference's per-query article count (index_search.py:52-66)."""
         import numpy as np
 
-        terms = self.analyze_query(query_str)
+        from myaku_ray.lexicon import expand_alt_forms
+
+        terms = {
+            m
+            for t in self.analyze_query(query_str)
+            for m in expand_alt_forms(t, query_type)
+        }
         parts = []
-        for t in terms:
+        for t in sorted(terms):
             it = self.term_iterator(t)
             if it is None:
                 continue

@@ -251,3 +251,102 @@ def phrase_entry_ids() -> dict[tuple[str, ...], str]:
 @lru_cache(maxsize=1)
 def max_surface_len() -> int:
     return max(len(s) for s in surface_map())
+
+
+# ---------------------------------------------------------------------------
+# Alternate-form groups (DEFINITE_ALT_FORMS / POSSIBLE_ALT_FORMS)
+#
+# The reference reserves base_form_definite_group / base_form_possible_group
+# index fields and the DEFINITE_ALT_FORMS / POSSIBLE_ALT_FORMS QueryType
+# members but never implements the search (myaku/datastore/__init__.py:26-68,
+# database.py:164-174).  Here the groups are implemented end to end: a
+# synthetic JMdict-entry table layered ON TOP of the existing lexicon (the
+# corpus, segmentation and every existing golden are untouched — groups are
+# pure query-side metadata), where each "entry" is one lexical item with
+# several alternate spellings (base forms) — the 落ち込む/落ちこむ analog.
+# A base form shared by two entries is an AMBIGUOUS spelling (the かえる
+# case): a possible alternate form of the other spellings in each entry, but
+# a definite alternate form of none of them.
+#
+# Semantics (myaku/datastore/__init__.py docstring):
+#   exact(q)    = {q}
+#   possible(q) = {b : some entry contains both q and b}
+#   definite(q) = {b in possible(q) : EVERY entry containing b contains q}
+# ---------------------------------------------------------------------------
+
+_ALT_SEED = LEXICON_SEED + 2
+
+
+@lru_cache(maxsize=1)
+def alt_form_entries() -> list[tuple[str, ...]]:
+    """Synthetic JMdict entries: each a sorted tuple of alternate base-form
+    spellings of one lexical item.  ~200 noun entries (kanji spelling +
+    kana spelling) and ~40 verb entries (two base-form spellings); 50 of
+    the noun kana spellings are additionally inserted into a SECOND entry,
+    making them ambiguous (possible-but-not-definite alternates).  All
+    forms are normalized term keys.  Entry count is dictionary-sized
+    (JMdict-scale at worst) — broadcastable, never shuffled."""
+    rng = random.Random(_ALT_SEED)
+    lex = build_lexicon()
+
+    def _is_kanji(w: str) -> bool:
+        return all("一" <= c <= "鿿" for c in w)
+
+    def _is_hira(w: str) -> bool:
+        return all("぀" <= c <= "ゟ" for c in w)
+
+    kanji_nouns = [e.base_form for e in lex if e.pos == "名詞" and _is_kanji(e.base_form)]
+    hira_nouns = [e.base_form for e in lex if e.pos == "名詞" and _is_hira(e.base_form)]
+    verbs = [e.base_form for e in lex if e.pos == "動詞"]
+
+    n_noun_groups = 200
+    kanji_sel = rng.sample(kanji_nouns, n_noun_groups)
+    hira_sel = rng.sample(hira_nouns, n_noun_groups)
+    groups: list[set[str]] = [
+        {normalize_char_width(k), normalize_char_width(h)}
+        for k, h in zip(kanji_sel, hira_sel)
+    ]
+    # 50 ambiguous kana spellings: group a's kana also joins group b.
+    amb = rng.sample(range(n_noun_groups), 100)
+    for a, b in zip(amb[:50], amb[50:]):
+        groups[b].add(normalize_char_width(hira_sel[a]))
+
+    # 40 verb entries: two verb base forms as alternate spellings.
+    verb_sel = rng.sample(verbs, 80)
+    for i in range(0, 80, 2):
+        groups.append(
+            {normalize_char_width(verb_sel[i]), normalize_char_width(verb_sel[i + 1])}
+        )
+
+    return [tuple(sorted(g)) for g in groups]
+
+
+@lru_cache(maxsize=1)
+def _form_entry_map() -> dict[str, tuple[int, ...]]:
+    """base form -> ids of entries containing it (vocab-sized)."""
+    m: dict[str, list[int]] = {}
+    for gi, forms in enumerate(alt_form_entries()):
+        for f in forms:
+            m.setdefault(f, []).append(gi)
+    return {f: tuple(v) for f, v in m.items()}
+
+
+def expand_alt_forms(term: str, query_type: str = "exact") -> list[str]:
+    """Expand a normalized term key to its alternate-form member set under
+    a query type ('exact' | 'definite' | 'possible').  Sorted; always
+    contains ``term`` (EXACT matches are a subset of both alt types)."""
+    if query_type == "exact":
+        return [term]
+    if query_type not in ("definite", "possible"):
+        raise ValueError(f"unknown query_type: {query_type!r}")
+    fm = _form_entry_map()
+    ents = fm.get(term)
+    if not ents:
+        return [term]
+    q_ents = set(ents)
+    entries = alt_form_entries()
+    cands = {f for gi in ents for f in entries[gi]}
+    if query_type == "definite":
+        cands = {f for f in cands if set(fm[f]) <= q_ents}
+    cands.add(term)
+    return sorted(cands)

@@ -128,21 +128,36 @@ def analyze_query(query_str: str) -> list[str]:
     return out
 
 
-def oracle_topk(index: OracleIndex, query_str: str, k: int = 10):
-    """Exact serial top-k: (doc_id, score, warc_us) desc by rank key."""
+def oracle_topk(
+    index: OracleIndex, query_str: str, k: int = 10, query_type: str = "exact"
+):
+    """Exact serial top-k: (doc_id, score, warc_us) desc by rank key.
+
+    Alt-form query types (QueryType semantics,
+    myaku/datastore/__init__.py:26-68): each query term expands to its
+    definite/possible alternate-spelling group and a doc's contribution
+    for that group is the MAX over member-term contributions, keyed by
+    the original query term (same group keys and summation order as the
+    engine's group iterators)."""
+    from myaku_ray.lexicon import expand_alt_forms
+
     terms = analyze_query(query_str)
     per_doc: dict[int, dict[str, float]] = {}
     for t in terms:
-        pl = index.postings.get(t)
-        if not pl:
-            continue
-        dfv = index.df[t]
-        for doc_id, tf in pl:
-            meta = index.docs[doc_id]
-            contrib = posting_score(
-                tf, meta["doclen"], meta["quality"], dfv, index.n_docs, index.avgdl
-            )
-            per_doc.setdefault(doc_id, {})[t] = contrib
+        for m in expand_alt_forms(t, query_type):
+            pl = index.postings.get(m)
+            if not pl:
+                continue
+            dfv = index.df[m]
+            for doc_id, tf in pl:
+                meta = index.docs[doc_id]
+                contrib = posting_score(
+                    tf, meta["doclen"], meta["quality"], dfv, index.n_docs,
+                    index.avgdl,
+                )
+                cur = per_doc.setdefault(doc_id, {})
+                if t not in cur or contrib > cur[t]:
+                    cur[t] = contrib
     scored = []
     for doc_id, contribs in per_doc.items():
         score = 0.0
@@ -177,4 +192,46 @@ def reference_query_set() -> list[str]:
         a + b,                                 # set phrase (meta lexical item)
         nouns[2].base_form + "の" + nouns[7].base_form,  # multi-term
         "ぬりぬりぺぺぺ",                        # zero-hit
+    ]
+
+
+def altform_query_set() -> list[str]:
+    """Fixed queries exercising the alt-form group shapes: a clean
+    (unambiguous) entry member, an entry carrying an ambiguous kana
+    spelling (definite < possible), the ambiguous kana itself, a verb
+    group member queried via a CONJUGATED surface, a group-free term
+    (expansion = singleton under every query type), and a multi-term
+    query where one term has a group."""
+    from myaku_ray.lexicon import (
+        _form_entry_map, alt_form_entries, build_lexicon,
+    )
+
+    ents = alt_form_entries()
+    fm = _form_entry_map()
+    clean = next(
+        forms for forms in ents
+        if len(forms) == 2 and all(len(fm[f]) == 1 for f in forms)
+    )
+    dirty = next(
+        forms for forms in ents if any(len(fm[f]) > 1 for f in forms)
+    )
+    amb = next(f for f in dirty if len(fm[f]) > 1)
+    lex = build_lexicon()
+    by_base = {e.base_form: e for e in lex}
+    verb_pair = next(
+        forms for forms in ents
+        if all(by_base.get(f) and by_base[f].pos == "動詞" for f in forms)
+    )
+    conj = by_base[verb_pair[0]].surfaces[1]  # past-form surface
+    free = next(
+        e.base_form for e in lex
+        if e.pos == "名詞" and e.base_form not in fm
+    )
+    return [
+        clean[0],
+        next(f for f in dirty if f != amb),
+        amb,
+        conj,
+        free,
+        clean[1] + "の" + free,
     ]

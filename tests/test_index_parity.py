@@ -61,6 +61,50 @@ def test_rank_identity_topk(built):
         assert eng == ora, f"query {q!r}: engine {eng} != oracle {ora}"
 
 
+def test_rank_identity_altforms(built):
+    """DEFINITE/POSSIBLE_ALT_FORMS rank-identical to the serial oracle on
+    both the alt-form query set and the reference set (QueryType
+    semantics, myaku/datastore/__init__.py:26-68 — reserved but never
+    implemented by the reference; implemented here end to end)."""
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.oracle import altform_query_set
+
+    _, index_dir, _, oracle, _ = built
+    s = Searcher(index_dir)
+    for q in altform_query_set() + reference_query_set():
+        for qt in ("definite", "possible"):
+            eng = [(r.doc_id, r.score) for r in s.topk(q, 10, query_type=qt)]
+            ora = [
+                (d, sc)
+                for (d, sc, _) in oracle_topk(oracle, q, 10, query_type=qt)
+            ]
+            assert eng == ora, f"{qt} query {q!r}: {eng} != {ora}"
+
+
+def test_altform_counts_and_exact_default(built):
+    """exact == default everywhere; match counts grow monotonically
+    exact <= definite <= possible, strictly for the ambiguous-kana query."""
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.oracle import altform_query_set
+
+    _, index_dir, _, oracle, _ = built
+    s = Searcher(index_dir)
+    qs = altform_query_set()
+    for q in qs:
+        assert [(r.doc_id, r.score) for r in s.topk(q, 10)] == [
+            (r.doc_id, r.score) for r in s.topk(q, 10, query_type="exact")
+        ]
+        ce = s.count(q)
+        cd = s.count(q, query_type="definite")
+        cp = s.count(q, query_type="possible")
+        assert ce <= cd <= cp
+    # the entry-member query (qs[1]) sits in a group with an ambiguous
+    # kana: possible must see strictly more docs than definite
+    assert s.count(qs[1], query_type="possible") > s.count(
+        qs[1], query_type="definite"
+    )
+
+
 def test_segment_postings_match_oracle(built):
     """Full posting equality for a sample of terms (docids + tfs)."""
     from myaku_ray.index.codec import decode_all

@@ -88,6 +88,32 @@ def main() -> None:
         + "\n) AS golden(query, rank, doc_id, score, url)"
     )
 
+    # ---- alt-form search golden (serial ranker, all query types) --------
+    from myaku_ray.oracle import altform_query_set
+
+    alt_rows = []
+    for q in altform_query_set():
+        for qt in ("exact", "definite", "possible"):
+            for rank, (doc_id, score, _w) in enumerate(
+                oracle_topk(oi, q, k=10, query_type=qt), start=1
+            ):
+                alt_rows.append(
+                    (
+                        q, qt, rank, doc_id, round(float(score), 5),
+                        oi.docs[doc_id]["url"],
+                    )
+                )
+    alt_values = ",\n  ".join(
+        f"('{q}', '{qt}', {rank}::BIGINT, {doc_id}::BIGINT, "
+        f"{score!r}::DOUBLE, '{url}')"
+        for q, qt, rank, doc_id, score, url in alt_rows
+    )
+    alt_sql = (
+        "SELECT * FROM (VALUES\n  "
+        + alt_values
+        + "\n) AS golden(query, query_type, rank, doc_id, score, url)"
+    )
+
     # ---- FLI interp profile golden (serial tokenizer pass) -------------
     # Mirrors fulltext.pages_fli_interp_profile: same "interesting" filter
     # (multi-interp or meta-phrase) and the same struct shaping FliStage
@@ -140,11 +166,12 @@ def main() -> None:
             'edit by hand; regenerate via the tool."""\n\n'
             f"PAGES_EXTRACT_STATS_SQL = '''\n{stats_sql}\n'''\n\n"
             f"PAGES_SEARCH_TOPK_SQL = '''\n{search_sql}\n'''\n\n"
+            f"PAGES_SEARCH_ALTFORMS_SQL = '''\n{alt_sql}\n'''\n\n"
             f"PAGES_FLI_INTERP_PROFILE_SQL = '''\n{prof_sql}\n'''\n"
         )
     print(
         f"wrote {out}: {len(stats)} stats rows, {len(rows)} search rows, "
-        f"{len(prof)} interp-profile rows"
+        f"{len(alt_rows)} altform rows, {len(prof)} interp-profile rows"
     )
 
 
