@@ -144,6 +144,67 @@ def bench_queries(index_dir: str) -> dict:
     }
 
 
+def bench_search_qps(index_dir: str, num_cpus: int) -> dict:
+    """Distributed serving throughput: a fixed stream of DISTINCT queries
+    (so per-actor memo caches cannot answer them) through an actor pool
+    of Searchers — each actor loads the term dictionaries / first-page
+    cache once in __init__, the serving-tier scale-out path.  2/3
+    single-term (first-page/table served), 1/3 two-term WAND."""
+    import random
+
+    import ray.data as _rd
+
+    from myaku_ray.lexicon import build_lexicon
+
+    lex = [e.base_form for e in build_lexicon()]
+    rng = random.Random(7)
+    n_q = 3000
+    qs = []
+    for i in range(n_q):
+        if i % 3 == 2:
+            qs.append(rng.choice(lex) + "の" + rng.choice(lex))
+        else:
+            qs.append(rng.choice(lex))
+    pool = max(num_cpus - 2, 1)
+    ds = _rd.from_items(
+        [{"q": q} for q in qs], override_num_blocks=pool * 4
+    )
+    idx = index_dir
+
+    class SearchStage:
+        def __init__(self):
+            from myaku_ray.index.searcher import Searcher
+
+            self.s = Searcher(idx)
+
+        def __call__(self, batch):
+            import pyarrow as _pa
+
+            n_hits = [
+                len(self.s.topk(q, 10)) for q in batch["q"].to_pylist()
+            ]
+            return _pa.table({"n_hits": _pa.array(n_hits, _pa.int64())})
+
+    t0 = time.time()
+    served = (
+        ds.map_batches(
+            SearchStage,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=pool,
+            num_cpus=1,
+        )
+        .sum("n_hits")
+    )
+    wall = time.time() - t0
+    return {
+        "search_qps": round(n_q / wall, 1),
+        "search_qps_wall_s": round(wall, 3),
+        "search_qps_n": n_q,
+        "search_qps_hits": int(served),
+    }
+
+
 def bench_doc_pipelines(sf_dir: str) -> dict:
     from myaku_ray.functions import ann, dedup, events, fulltext, media, relational, textops
 
@@ -174,6 +235,7 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "tfidf_top_terms": textops.tfidf_top_terms,
         "kmeans_embeddings": ann.kmeans_embeddings,
         "top_terms_heavy_hitters": textops.top_terms_heavy_hitters,
+        "pack_training_chunks": textops.pack_training_chunks,
         "hll_event_registers": events.hll_event_registers,
         "cms_term_counts": textops.cms_term_counts,
     }
@@ -205,6 +267,8 @@ def run_once() -> dict:
         build_first_page_cache(build["index_dir"])
         build["first_page_s"] = round(time.time() - t0, 3)
     queries = bench_queries(build["index_dir"]) if not build_only else {}
+    if not build_only:
+        queries.update(bench_search_qps(build["index_dir"], NUM_CPUS))
     doc_timings = bench_doc_pipelines(SF_DIR) if not build_only else {}
 
     # 400k-page build IN the bench record (not just BASELINE.md prose) so
@@ -282,19 +346,32 @@ def _spin(n: int) -> int:
     return x
 
 
-def _membw_task(_arg) -> float:
+_MEMBW_ARR = None
+
+
+def _membw_init() -> None:
+    """Allocate + fault the working set ONCE per worker, OUTSIDE any
+    timed region — the probe must measure steady-state streaming
+    bandwidth, not page-supply (see _hw_coldpage_probe for that)."""
+    global _MEMBW_ARR
     import numpy as np
 
-    a = np.ones(32_000_000, dtype=np.float64)  # 256 MB working set
+    _MEMBW_ARR = np.ones(8_000_000, dtype=np.float64)  # 64 MB, faulted
+
+
+def _membw_task(_arg) -> float:
+    a = _MEMBW_ARR
     t0 = time.time()
-    passes = 6
+    passes = 24
     for _ in range(passes):
         a *= 1.000001  # read + write every byte in place
     return passes * 2 * a.nbytes / (time.time() - t0) / 1e9
 
 
 def _hw_membw_scaling(n_lo: int, n_hi: int) -> dict:
-    """Memory-BANDWIDTH probe: aggregate GB/s with N vs 4N workers.
+    """Memory-BANDWIDTH probe: aggregate GB/s with N vs 4N workers over
+    PRE-FAULTED per-worker arrays (a warmup map barriers all workers'
+    init before the timed map).
 
     The pure-CPU spin probe scales ~linearly on this host while streaming
     memory saturates (~19 GB/s shared): Arrow/parquet pipelines are
@@ -303,11 +380,12 @@ def _hw_membw_scaling(n_lo: int, n_hi: int) -> dict:
     import multiprocessing as mp
 
     def measure(nproc: int) -> float:
-        with mp.Pool(nproc) as p:
+        with mp.Pool(nproc, initializer=_membw_init) as p:
+            p.map(_membw_task, range(nproc))  # warmup + init barrier
             t0 = time.time()
             r = p.map(_membw_task, range(nproc * 2))
             wall = time.time() - t0
-        total_bytes = len(r) * 6 * 2 * 32_000_000 * 8
+        total_bytes = len(r) * 24 * 2 * 8_000_000 * 8
         return total_bytes / wall / 1e9
 
     lo, hi = measure(n_lo), measure(n_hi)
@@ -318,8 +396,55 @@ def _hw_membw_scaling(n_lo: int, n_hi: int) -> dict:
     }
 
 
+def _coldpage_child() -> None:
+    import numpy as np
+
+    np.ones(32_000_000, dtype=np.float64)
+
+
+def _hw_coldpage_probe(timeout_s: float = 60.0) -> dict:
+    """Cold-PAGE-SUPPLY probe: MB/s at which a fresh process can fault in
+    256 MB of never-touched anonymous memory.  On a healthy host this is
+    GB/s; this sandbox VM has windows where the hypervisor supplies fresh
+    pages at ~5 MB/s (measured 2026-08-17: np.ones(256 MB) = 40-75 s in a
+    new process while re-touch of the same pages runs at 18 GB/s) — in
+    such windows EVERY process start, Arrow buffer, and object-store
+    mapping stalls, depressing absolute walls and compressing measured
+    scaling ratios through no fault of the pipeline.  Subprocess-based so
+    the probe itself always faults genuinely fresh memory; timeout-capped
+    so a pathological window costs at most ``timeout_s``."""
+    code = (
+        "import numpy as np, time; t0=time.time();"
+        "a=np.ones(32_000_000, dtype=np.float64);"
+        "print((time.time()-t0))"
+    )
+    t0 = time.time()
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+        dt = float(proc.stdout.strip())
+    except subprocess.TimeoutExpired:
+        dt = timeout_s  # floor: rate is AT MOST 256/timeout
+    return {"hw_coldpage_mbps": round(256.0 / max(dt, 1e-9), 1)}
+
+
+def _quiesce() -> None:
+    """Flush dirty page cache and let the disk settle.  Each 400k build
+    leaves ~2 GB of buffered index writes; without this, the NEXT leg
+    (and the probes) run against the previous leg's writeback — measured
+    as 10x-degraded 'host windows' that are actually self-inflicted IO
+    shadows.  The sync wall is deliberately OUTSIDE every timed region."""
+    os.sync()
+    time.sleep(2)
+
+
 def _single_build_run(ncpu: int, scaling_pages: str) -> dict:
     """One fresh-process build at the given parallelism (no best-of)."""
+    _quiesce()
     env = dict(
         os.environ,
         RAY_GRAFT_CPUS=str(ncpu),
@@ -368,11 +493,28 @@ def run_scaling() -> dict:
         res = {}
         for ncpu in order:
             res[ncpu] = _single_build_run(ncpu, scaling_pages)
+        _quiesce()  # probes must not measure the last build's writeback
         hw = _hw_compute_scaling(n_lo, n_hi)
         membw = _hw_membw_scaling(n_lo, n_hi)
+        cold = _hw_coldpage_probe()
         raw = (
             res[n_hi]["build_docs_per_s"] / res[n_lo]["build_docs_per_s"]
         ) / (n_hi / n_lo)
+        # Pre-registered window qualifier — PIPELINE-INDEPENDENT, so it
+        # cannot cherry-pick good pipeline results: a repeat's window is
+        # clean iff the same-run HOST probes show (a) the shared host
+        # itself scaling computationally (spin probe >= 0.85 of linear
+        # 4x), (b) the steady-state bandwidth ceiling not collapsed by
+        # external tenants (aggregate at the high level >= 8 GB/s; its
+        # 4->16 RATIO is an inherent shared ceiling, deliberately not
+        # gated), and (c) fresh-page supply above 1 GB/s (pathological
+        # windows measured at 5-90 MB/s stall every allocation and
+        # compress scaling ratios).
+        window_ok = bool(
+            hw["hw_compute_efficiency"] >= 0.85
+            and membw["hw_membw_gbps_hi"] >= 8.0
+            and cold["hw_coldpage_mbps"] >= 1000.0
+        )
         runs.append(
             {
                 "repeat": rep,
@@ -388,14 +530,23 @@ def run_scaling() -> dict:
                 "efficiency_vs_membw": round(
                     raw / membw["hw_membw_efficiency"], 3
                 ),
+                "window_ok": window_ok,
                 **hw,
                 **membw,
+                **cold,
             }
         )
         print(json.dumps({"progress": runs[-1]}), file=sys.stderr)
 
     def med(key: str) -> float:
         return round(statistics.median(r[key] for r in runs), 3)
+
+    clean = [r for r in runs if r["window_ok"]]
+
+    def med_clean(key: str) -> float | None:
+        if not clean:
+            return None
+        return round(statistics.median(r[key] for r in clean), 3)
 
     first = runs[0]
     return {
@@ -410,6 +561,11 @@ def run_scaling() -> dict:
         "median_raw_efficiency": med("raw_efficiency"),
         "median_efficiency_vs_host": med("efficiency_vs_host"),
         "median_efficiency_vs_membw": med("efficiency_vs_membw"),
+        # medians over clean-window repeats only (see window_ok above; the
+        # qualifier reads ONLY host probes, never the pipeline result)
+        "n_clean_windows": len(clean),
+        "median_raw_efficiency_clean": med_clean("raw_efficiency"),
+        "median_efficiency_vs_host_clean": med_clean("efficiency_vs_host"),
         f"median_docs_per_s_{n_lo}": med(f"docs_per_s_{n_lo}"),
         f"median_docs_per_s_{n_hi}": med(f"docs_per_s_{n_hi}"),
         "median_hw_compute_efficiency": med("hw_compute_efficiency"),
@@ -485,7 +641,18 @@ def run_kernel_ab() -> dict:
 
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    if "--scaling" in sys.argv:
+    if "--probe" in sys.argv:
+        # ~30 s window-health check (same probes the scaling protocol
+        # runs per repeat) — cheap go/no-go before a 25-min protocol run
+        n_lo = int(os.environ.get("MYAKU_SCALING_N", "4"))
+        print(
+            json.dumps(
+                {**_hw_compute_scaling(n_lo, 4 * n_lo),
+                 **_hw_membw_scaling(n_lo, 4 * n_lo),
+                 **_hw_coldpage_probe()}
+            )
+        )
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--kernel-ab" in sys.argv:
         print(json.dumps(run_kernel_ab()))

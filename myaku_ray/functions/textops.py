@@ -528,6 +528,118 @@ FROM t
 """
 
 
+PACK_BUDGET = 2048      # tokens per training chunk
+PACK_BUCKETS = 64       # scan buckets (the distributed-prefix-sum grain)
+
+
+def pack_training_chunks(sf_dir: str, budget: int = PACK_BUDGET):
+    """Sequence packing: assign every doc (in global doc_id order) to a
+    fixed token-budget training chunk — the step that turns a curated
+    corpus into trainer-shaped fixed-length samples.  A doc's chunk is
+    ``chunk_id = start // budget`` where ``start`` is the EXCLUSIVE
+    cumulative token count before it; ``chunk_offset = start % budget``.
+
+    This is a distributed prefix-sum (classic three-phase scan), not a
+    driver loop:
+      1. one pass computes (doc_id, n_tokens, bucket) — bucket is an
+         ORDER-PRESERVING doc_id value range, so bucket i's ids all
+         precede bucket i+1's; the narrow projection (2 ints/doc) is
+         materialized once so the text column is read exactly once
+      2. per-bucket token sums (a B-row aggregate) are exclusive-scanned
+         on the driver — B = PACK_BUCKETS values, never the data
+      3. ``groupby(bucket).map_groups`` does the local sort + cumsum,
+         offset by its bucket's scanned start
+    Only (doc_id, n_tokens) rows cross the exchange; at 10^12 docs the
+    valve is raising PACK_BUCKETS (per-group work is corpus/B rows) and
+    quantile bucket boundaries if doc_ids cluster (hash/sequential ids
+    are near-uniform; the range split assumes that, documented here).
+    Token counts reuse doc_bpe_tokens' vectorized BPE-ish regex over the
+    headered text (one RE2 pass per batch)."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+    def counts(batch: pa.Table) -> pa.Table:
+        txt = pc.binary_join_element_wise(
+            batch["source"].combine_chunks().cast(pa.string()),
+            batch["text"].combine_chunks(),
+            ": ",
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pc.count_substring_regex(
+                    txt, BPE_TOKEN_PATTERN
+                ).cast(pa.int64()),
+            }
+        )
+
+    # narrow (16 B/doc) projection, read-once then consumed by both the
+    # min/max probe, the bucket-sum pass and the per-bucket scan
+    narrow = ds.map_batches(counts, batch_format="pyarrow").materialize()
+
+    mm = narrow.aggregate(Min("doc_id"), Max("doc_id"))
+    lo, hi = int(mm["min(doc_id)"]), int(mm["max(doc_id)"])
+    span = max(hi - lo + 1, 1)
+    # order-preserving bucket = high bits of (doc_id - lo): a SHIFT, not
+    # a multiply, so full-range int64 hash ids cannot overflow; yields at
+    # most PACK_BUCKETS buckets (possibly fewer for narrow spans)
+    shift = max(0, (span - 1).bit_length() - PACK_BUCKETS.bit_length() + 1)
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        b = (ids - lo) >> shift
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+    bucketed = narrow.map_batches(with_bucket, batch_format="pyarrow")
+
+    # phase 2: B-row bucket sums -> exclusive scan on the driver
+    sums = bucketed.groupby("bucket").aggregate(Sum("n_tokens")).to_pandas()
+    full = np.zeros(PACK_BUCKETS, dtype=np.int64)
+    full[sums["bucket"].to_numpy(np.int64)] = sums["sum(n_tokens)"].to_numpy(
+        np.int64
+    )
+    starts = np.cumsum(full) - full  # exclusive scan, empty buckets = 0-width
+    starts_ref = ray.put(starts)
+
+    # phase 3: local sort + cumsum per bucket, offset by the scan
+    def local_scan(group: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(starts_ref)
+        g = group.sort_values("doc_id")
+        n = g["n_tokens"].to_numpy(np.int64)
+        start = st[int(g["bucket"].iloc[0])] + np.cumsum(n) - n
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "n_tokens": n,
+                "chunk_id": start // budget,
+                "chunk_offset": start % budget,
+            }
+        )
+
+    return bucketed.groupby("bucket").map_groups(local_scan)
+
+
+PACK_TRAINING_CHUNKS_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(length(regexp_extract_all(source || ': ' || text,
+         '{BPE_TOKEN_PATTERN}')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+    SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS start
+  FROM t
+)
+SELECT doc_id, n_tokens,
+  CAST(start // {PACK_BUDGET} AS BIGINT) AS chunk_id,
+  CAST(start % {PACK_BUDGET} AS BIGINT) AS chunk_offset
+FROM c
+"""
+
+
 def tfidf_top_terms(sf_dir: str, k: int = 5):
     """Per-doc top-k terms by tf-idf — the keyword extractor of a
     training-data pipeline (topic tagging / near-dup explanations).

@@ -482,12 +482,14 @@ class Searcher:
             cache = self._docs_id_cache = {}
 
         def scan_file(f: str):
-            key = (f, os.path.getmtime(f))
-            cached = cache.get(key)
-            if cached is None:
-                # ids + row-group sizes cached per (file, mtime): warm
-                # hydrations open ONLY files that contain a wanted id;
-                # index updates (new/rewritten files) invalidate naturally
+            # ids + row-group sizes cached per path with mtime in the
+            # VALUE: a rewritten file replaces its entry in place instead
+            # of leaking the superseded mtime's arrays for the process
+            # lifetime; warm hydrations open ONLY files that contain a
+            # wanted id
+            mtime = os.path.getmtime(f)
+            cached = cache.get(f)
+            if cached is None or cached[0] != mtime:
                 pf = pq.ParquetFile(f)
                 idcol = pf.read(columns=["doc_id"])["doc_id"].to_numpy(
                     zero_copy_only=False
@@ -496,10 +498,10 @@ class Searcher:
                     pf.metadata.row_group(g).num_rows
                     for g in range(pf.metadata.num_row_groups)
                 ]
-                cached = cache[key] = (idcol, rg_sizes)
+                cached = cache[f] = (mtime, idcol, rg_sizes)
             else:
                 pf = None
-            idcol, rg_sizes = cached
+            _, idcol, rg_sizes = cached
             hit = np.isin(idcol, want)
             if not hit.any():
                 return []
@@ -519,6 +521,8 @@ class Searcher:
                 os.path.join(self._docs_root, "**", "*.parquet"), recursive=True
             )
         )
+        for stale in set(cache) - set(files):  # compacted-away files
+            del cache[stale]
         # parquet decode releases the GIL — thread the per-file id scans
         from concurrent.futures import ThreadPoolExecutor
 

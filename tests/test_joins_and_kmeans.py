@@ -71,6 +71,41 @@ def test_bpe_tokens_match_duckdb_and_diverge_from_ws(ray_session):
     assert (got["n_bpe_tokens"] > got["n_ws_tokens"]).all()
 
 
+def test_pack_training_chunks_matches_duckdb(ray_session):
+    from myaku_ray.functions.textops import (
+        PACK_BUDGET,
+        PACK_TRAINING_CHUNKS_SQL,
+        pack_training_chunks,
+    )
+
+    got = _assert_matches_sql(
+        pack_training_chunks(SF), PACK_TRAINING_CHUNKS_SQL, SF, ["doc_id"]
+    )
+    assert len(got) > 0
+    # scan invariants: chunk ids are non-decreasing in doc_id order, every
+    # offset is inside the budget, and offsets advance by exactly n_tokens
+    # within a chunk (the packing is gapless)
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    assert (g["chunk_id"].diff().fillna(0) >= 0).all()
+    assert g["chunk_offset"].between(0, PACK_BUDGET - 1).all()
+    start = g["chunk_id"] * PACK_BUDGET + g["chunk_offset"]
+    assert (start.diff().dropna() == g["n_tokens"][:-1].to_numpy()).all()
+    assert g["chunk_id"].nunique() > 1  # corpus actually spans chunks
+
+
+def test_pack_training_chunks_bucket_scan_is_order_preserving(ray_session):
+    """The range-bucket assignment must respect global doc_id order:
+    every doc in bucket i precedes every doc in bucket i+1 (the scan's
+    correctness precondition)."""
+    from myaku_ray.functions.textops import pack_training_chunks
+
+    got = pack_training_chunks(SF).to_pandas().sort_values("doc_id")
+    # recompute global starts serially and compare
+    start = got["chunk_id"].to_numpy() * 2048 + got["chunk_offset"].to_numpy()
+    serial = np.cumsum(got["n_tokens"].to_numpy()) - got["n_tokens"].to_numpy()
+    assert (start == serial).all()
+
+
 def test_kmeans_deterministic_and_monotone(ray_session):
     from myaku_ray.functions.ann import kmeans_fit
 
