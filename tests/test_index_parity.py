@@ -61,6 +61,26 @@ def test_rank_identity_topk(built):
         assert eng == ora, f"query {q!r}: engine {eng} != oracle {ora}"
 
 
+def test_postings_file_fanout_bounded(built):
+    """min_rows_per_file bundling must keep postings files per bucket dir
+    bounded by write TASKS (~est_rows/min_rows), never input blocks — the
+    unbounded blocks x buckets fan-out was the round-2 1M-build
+    superlinearity.  At this corpus size the bound is a handful of files
+    per bucket; per-block writes would produce tens."""
+    import glob as _glob
+
+    _, index_dir, _, _, _ = built
+    buckets = _glob.glob(os.path.join(index_dir, "postings", "bucket=*"))
+    assert buckets, "postings dir missing"
+    per_bucket = [
+        len(_glob.glob(os.path.join(b, "*.parquet"))) for b in buckets
+    ]
+    assert max(per_bucket) <= 4, (
+        f"postings fan-out unbounded: {max(per_bucket)} files in one "
+        f"bucket dir across {len(buckets)} buckets"
+    )
+
+
 def test_rank_identity_altforms(built):
     """DEFINITE/POSSIBLE_ALT_FORMS rank-identical to the serial oracle on
     both the alt-form query set and the reference set (QueryType
