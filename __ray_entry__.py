@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_tokens": textops.doc_bpe_tokens,
         # sequence packing via distributed prefix-sum (3-phase scan)
         "pack_training_chunks": textops.pack_training_chunks,
+        # benchmark-leakage gate (broadcast phrase set, vectorized contains)
+        "decontaminate_docs": textops.decontaminate_docs,
         "tfidf_top_terms": textops.tfidf_top_terms,
         "sample_documents": textops.sample_documents,
         # certified heavy-hitters sketch; output exact, so SQL-oracled
@@ -149,6 +151,7 @@ def oracle_sql() -> dict[str, str]:
         "source_length_quantiles": textops.SOURCE_LENGTH_QUANTILES_SQL,
         "doc_bpe_tokens": textops.DOC_BPE_TOKENS_SQL,
         "pack_training_chunks": textops.PACK_TRAINING_CHUNKS_SQL,
+        "decontaminate_docs": textops.DECONTAMINATE_DOCS_SQL,
         "tfidf_top_terms": textops.TFIDF_TOP_TERMS_SQL,
         "sample_documents": textops.SAMPLE_DOCUMENTS_SQL,
         "top_terms_heavy_hitters": textops.TOP_TERMS_HH_SQL,

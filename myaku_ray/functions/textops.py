@@ -528,6 +528,69 @@ FROM t
 """
 
 
+def decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination: flag training docs whose text contains
+    any benchmark phrase — the leakage gate every eval-aware training
+    pipeline runs before export.  The benchmark set here is the distinct
+    words of ``part.p_name`` (dictionary-sized small side, read once on
+    the driver and broadcast via ``ray.put``); per batch, one vectorized
+    ``pyarrow.compute.match_substring`` pass per phrase accumulates the
+    distinct-phrase hit count (exact LIKE/contains semantics — a trie
+    findall would miss overlapping phrases).  At 10^12 docs the phrase
+    loop (P kernel passes per batch) is the documented valve: compile the
+    set into one Aho-Corasick/RE2-set automaton per actor in __init__;
+    the broadcast and output shapes are unchanged."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    names = sorted(
+        {
+            w
+            for name in pq.read_table(
+                f"{sf_dir}/part.parquet", columns=["p_name"]
+            )["p_name"].to_pylist()
+            for w in name.split(" ")
+            if w
+        }
+    )
+    names_ref = ray.put(names)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        phrases = ray.get(names_ref)
+        txt = batch["text"].combine_chunks()
+        n = np.zeros(len(txt), dtype=np.int64)
+        for p in phrases:
+            n += pc.match_substring(txt, p).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_benchmark_hits": pa.array(n, pa.int64()),
+                "contaminated": pa.array(
+                    (n > 0).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+DECONTAMINATE_DOCS_SQL = """
+WITH bw AS (
+  SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w FROM part
+)
+SELECT d.doc_id,
+  CAST((SELECT COUNT(*) FROM bw WHERE bw.w != ''
+        AND contains(d.text, bw.w)) AS BIGINT) AS n_benchmark_hits,
+  CAST((SELECT COUNT(*) FROM bw WHERE bw.w != ''
+        AND contains(d.text, bw.w)) > 0 AS BIGINT) AS contaminated
+FROM documents d
+"""
+
+
 PACK_BUDGET = 2048      # tokens per training chunk
 PACK_BUCKETS = 64       # scan buckets (the distributed-prefix-sum grain)
 

@@ -93,6 +93,33 @@ def test_pack_training_chunks_matches_duckdb(ray_session):
     assert g["chunk_id"].nunique() > 1  # corpus actually spans chunks
 
 
+def test_decontaminate_docs_matches_duckdb(ray_session):
+    import duckdb
+
+    from myaku_ray.functions.textops import (
+        DECONTAMINATE_DOCS_SQL,
+        decontaminate_docs,
+    )
+
+    con = duckdb.connect()
+    for t in ("documents", "part"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    want = con.sql(DECONTAMINATE_DOCS_SQL).df()
+    got = decontaminate_docs(SF).to_pandas()
+    got = got[sorted(got.columns)].sort_values("doc_id").reset_index(drop=True)
+    want = (
+        want[sorted(want.columns)]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype(got.dtypes.to_dict())
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # the gate must actually fire on this corpus, and not on everything
+    assert 0 < got["contaminated"].sum() < len(got)
+
+
 def test_pack_training_chunks_bucket_scan_is_order_preserving(ray_session):
     """The range-bucket assignment must respect global doc_id order:
     every doc in bucket i precedes every doc in bucket i+1 (the scan's
