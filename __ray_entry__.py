@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_training_chunks": textops.pack_training_chunks,
         # benchmark-leakage gate (broadcast phrase set, vectorized contains)
         "decontaminate_docs": textops.decontaminate_docs,
+        # Bloom membership sketch, filter state hash-match oracled
+        "bloom_doc_filter": textops.bloom_doc_filter,
         "tfidf_top_terms": textops.tfidf_top_terms,
         "sample_documents": textops.sample_documents,
         # certified heavy-hitters sketch; output exact, so SQL-oracled
@@ -152,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bpe_tokens": textops.DOC_BPE_TOKENS_SQL,
         "pack_training_chunks": textops.PACK_TRAINING_CHUNKS_SQL,
         "decontaminate_docs": textops.DECONTAMINATE_DOCS_SQL,
+        "bloom_doc_filter": textops.BLOOM_DOC_FILTER_SQL,
         "tfidf_top_terms": textops.TFIDF_TOP_TERMS_SQL,
         "sample_documents": textops.SAMPLE_DOCUMENTS_SQL,
         "top_terms_heavy_hitters": textops.TOP_TERMS_HH_SQL,

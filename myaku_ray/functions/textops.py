@@ -1119,6 +1119,64 @@ CMS_DEPTH = 4
 CMS_WIDTH = 1024
 
 
+BLOOM_M = 16384   # filter bits
+BLOOM_K = 4       # hashes per key
+
+
+def bloom_doc_filter(sf_dir: str, m: int = BLOOM_M, k: int = BLOOM_K):
+    """Bloom-filter build over doc ids — the membership sketch a crawl /
+    dedup tier keeps for 'have we seen this key?' at 10^12 scale (URL
+    seen-sets, shard routing).  Map side: each batch sets its keys' k
+    bit positions in a LOCAL m-bit bitmap and emits the positions it
+    set (result-bounded: <= m rows per batch); merge is a distinct-union
+    — pure OR semantics, so the filter state is EXACTLY
+    order-independent and the driver holds only bit positions, never
+    keys.  Hashing is md5-derived (hashkit.md5_u64 over doc_id*k+i), so
+    the DuckDB oracle recomputes the IDENTICAL filter state bit for bit
+    — same oracle style as the HLL registers and CMS cells.  Output: the
+    sorted set-bit positions."""
+    from myaku_ray.functions.hashkit import md5_u64
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bits = np.zeros(m, dtype=bool)
+        for i in range(k):
+            bits[md5_u64(ids * k + i) % m] = True
+        return pa.table(
+            {"bit": pa.array(np.flatnonzero(bits).astype(np.int64))}
+        )
+
+    out = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    bits = np.unique(out["bit"].to_numpy(np.int64))
+    return pd.DataFrame({"bit": bits})
+
+
+def bloom_contains(bits: "np.ndarray", doc_id: int, m: int = BLOOM_M,
+                   k: int = BLOOM_K) -> bool:
+    """Membership probe against a built filter (sorted set-bit array):
+    true iff ALL k positions are set — no false negatives; false-positive
+    rate ~= (1 - e^(-k*n/m))^k."""
+    from myaku_ray.functions.hashkit import md5_u64
+
+    pos = md5_u64(np.asarray([doc_id * k + i for i in range(k)])) % m
+    idx = np.searchsorted(bits, pos.astype(np.int64))
+    idx = np.clip(idx, 0, len(bits) - 1)
+    return bool((bits[idx] == pos.astype(np.int64)).all())
+
+
+BLOOM_DOC_FILTER_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT CAST(
+    (('0x' || substr(md5(CAST(d.doc_id*{BLOOM_K}+t.i AS VARCHAR)), 1, 16))::UBIGINT
+     % {BLOOM_M}) AS BIGINT) AS bit
+  FROM documents d, range({BLOOM_K}) t(i)
+)
+SELECT bit FROM h ORDER BY bit
+"""
+
+
 def cms_term_counts(sf_dir: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH):
     """Count-Min sketch of corpus term frequencies — the mergeable
     frequency sketch (point-query upper bounds over unbounded vocab in

@@ -120,6 +120,41 @@ def test_decontaminate_docs_matches_duckdb(ray_session):
     assert 0 < got["contaminated"].sum() < len(got)
 
 
+def test_bloom_doc_filter_matches_duckdb_and_has_no_false_negatives(
+    ray_session,
+):
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from myaku_ray.functions.textops import (
+        BLOOM_DOC_FILTER_SQL,
+        BLOOM_K,
+        BLOOM_M,
+        bloom_contains,
+        bloom_doc_filter,
+    )
+
+    got = bloom_doc_filter(SF)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = con.sql(BLOOM_DOC_FILTER_SQL).df()
+    assert got["bit"].tolist() == want["bit"].tolist()  # state bit-identical
+
+    bits = got["bit"].to_numpy()
+    ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_pylist()
+    assert all(bloom_contains(bits, i) for i in ids)  # no false negatives
+    # false-positive rate near theory for absent keys
+    absent = [max(ids) + 1 + j for j in range(2000)]
+    fp = sum(bloom_contains(bits, j) for j in absent) / len(absent)
+    n = len(set(ids))
+    theory = (1 - np.exp(-BLOOM_K * n / BLOOM_M)) ** BLOOM_K
+    assert fp < 3 * theory + 0.02
+
+
 def test_pack_training_chunks_bucket_scan_is_order_preserving(ray_session):
     """The range-bucket assignment must respect global doc_id order:
     every doc in bucket i precedes every doc in bucket i+1 (the scan's
