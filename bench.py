@@ -432,7 +432,6 @@ def _hw_coldpage_probe(timeout_s: float = 60.0) -> dict:
         "a=np.ones(32_000_000, dtype=np.float64);"
         "print((time.time()-t0))"
     )
-    t0 = time.time()
     try:
         proc = subprocess.run(
             [sys.executable, "-c", code],
@@ -441,8 +440,11 @@ def _hw_coldpage_probe(timeout_s: float = 60.0) -> dict:
             timeout=timeout_s,
         )
         dt = float(proc.stdout.strip())
-    except subprocess.TimeoutExpired:
-        dt = timeout_s  # floor: rate is AT MOST 256/timeout
+    except (subprocess.TimeoutExpired, ValueError):
+        # timed out, OOM-killed, or no parseable output — record the
+        # floor (rate is AT MOST 256/timeout) instead of aborting a
+        # 20-minute protocol run on its own diagnostic
+        dt = timeout_s
     return {"hw_coldpage_mbps": round(256.0 / max(dt, 1e-9), 1)}
 
 

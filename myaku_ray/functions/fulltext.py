@@ -189,12 +189,12 @@ def pages_fli_interps(sf_dir: str):
     )
 
 
-def pages_search_topk(sf_dir: str, k: int = 10):
-    """Full Myaku pipeline: build the pages index, run the reference query
-    set, return ranked (query, rank, doc_id, score, url) rows."""
+def _pages_searcher():
+    """Build (or reuse) the fixed pages-corpus index and return a Searcher
+    over it — shared by every pages search query so the index location,
+    ratings plumbing and build arguments live in ONE place."""
     from myaku_ray.corpus import gen_blogs_table
     from myaku_ray.index.searcher import Searcher
-    from myaku_ray.oracle import reference_query_set
     from myaku_ray.pipelines.build import build_index
 
     pages = _pages_dir()
@@ -202,7 +202,15 @@ def pages_search_topk(sf_dir: str, k: int = 10):
     blogs = gen_blogs_table()
     ratings = dict(zip(blogs["blog_url"], blogs["rating"]))
     build_index(pages, idx, blog_ratings=ratings)
-    s = Searcher(idx)
+    return Searcher(idx)
+
+
+def pages_search_topk(sf_dir: str, k: int = 10):
+    """Full Myaku pipeline: build the pages index, run the reference query
+    set, return ranked (query, rank, doc_id, score, url) rows."""
+    from myaku_ray.oracle import reference_query_set
+
+    s = _pages_searcher()
     rows = {"query": [], "rank": [], "doc_id": [], "score": [], "url": []}
     for q in reference_query_set():
         for rank, r in enumerate(s.search(q, k), start=1):
@@ -223,17 +231,9 @@ def pages_search_altforms(sf_dir: str, k: int = 10):
     term expands to its alternate-spelling group; per-doc group score is
     the max over member spellings.  Ranked rows for the fixed alt-form
     query set under all three query types."""
-    from myaku_ray.corpus import gen_blogs_table
-    from myaku_ray.index.searcher import Searcher
     from myaku_ray.oracle import altform_query_set
-    from myaku_ray.pipelines.build import build_index
 
-    pages = _pages_dir()
-    idx = os.path.join(CACHE_ROOT, f"pagesindex_{PAGES_N}")
-    blogs = gen_blogs_table()
-    ratings = dict(zip(blogs["blog_url"], blogs["rating"]))
-    build_index(pages, idx, blog_ratings=ratings)
-    s = Searcher(idx)
+    s = _pages_searcher()
     rows = {
         "query": [], "query_type": [], "rank": [], "doc_id": [],
         "score": [], "url": [],

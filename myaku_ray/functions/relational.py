@@ -103,10 +103,15 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10):
         g = df.groupby("l_orderkey", as_index=False)["revenue_cents"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    # materialized: the aggregate is consumed twice below (top-k window,
+    # then the tie filter) — without this the lineitem scan + shuffle
+    # would re-execute for the second pass.  Result is order-cardinality
+    # (2 ints/order), bounded.
     rev = (
         li.map_batches(partial, batch_format="pyarrow")
         .groupby("l_orderkey")
         .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .materialize()
     )
     # Tie-safe top-k: find the k-th revenue value, then pull EVERY order at or
     # above it (the tie group is bounded by key cardinality at one revenue

@@ -1160,6 +1160,8 @@ def bloom_contains(bits: "np.ndarray", doc_id: int, m: int = BLOOM_M,
     rate ~= (1 - e^(-k*n/m))^k."""
     from myaku_ray.functions.hashkit import md5_u64
 
+    if len(bits) == 0:
+        return False
     pos = md5_u64(np.asarray([doc_id * k + i for i in range(k)])) % m
     idx = np.searchsorted(bits, pos.astype(np.int64))
     idx = np.clip(idx, 0, len(bits) - 1)

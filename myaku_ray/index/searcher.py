@@ -317,14 +317,25 @@ class Searcher:
         import glob as _glob
 
         path = os.path.join(self._seg_root, f"segment={seg}")
+        files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
         out = []
-        for f in sorted(_glob.glob(os.path.join(path, "*.parquet"))):
+        for f in files:
             mtime = os.path.getmtime(f)
             cached = self._seg_files.get(f)
             if cached is None or cached[0] != mtime:
                 cached = (mtime, _SegmentFileIndex(f))
-                self._seg_files[f] = cached
+                if self._cache_segments:
+                    self._seg_files[f] = cached
             out.append(cached[1])
+        # drop entries for files compaction removed from THIS segment dir
+        # (same hazard as the docs-id cache: a long-lived serving process
+        # must not hold superseded term arrays + file handles forever)
+        prefix = path + os.sep
+        live = set(files)
+        for stale in [
+            p for p in self._seg_files if p.startswith(prefix) and p not in live
+        ]:
+            del self._seg_files[stale]
         return out
 
     def term_iterator(self, term: str):

@@ -100,24 +100,29 @@ def _auto_encode_buckets(n_docs: int) -> int:
 
 
 # Per-worker-process cache of the sorted loser doc_id array, keyed by the
-# dedup stage dir.  Workers read the (small: losers only) parquet once per
-# process instead of receiving it through actor constructor args — an
-# ObjectRef in the ctor closure lands the args in the object store and Ray
-# logs a restart-safety error for every actor (ray#53727); a path string
-# keeps the serialized transform tiny and restart-safe, and the dedup dir
-# is on the same shared storage the whole index build already requires.
+# dedup stage dir with the stage's _SUCCESS mtime in the VALUE.  Workers
+# read the (small: losers only) parquet once per process instead of
+# receiving it through actor constructor args — an ObjectRef in the ctor
+# closure lands the args in the object store and Ray logs a
+# restart-safety error for every actor (ray#53727); a path string keeps
+# the serialized transform tiny and restart-safe, and the dedup dir is on
+# the same shared storage the whole index build already requires.  The
+# mtime check means a long-lived worker cannot serve a previous build's
+# losers after the dedup stage is re-run at the same path.
 _LOSER_CACHE: dict = {}
 
 
 def _loser_ids_for(dedup_dir: str) -> "np.ndarray":
-    arr = _LOSER_CACHE.get(dedup_dir)
-    if arr is None:
+    marker = os.path.join(dedup_dir, "_SUCCESS")
+    mtime = os.path.getmtime(marker) if os.path.exists(marker) else -1.0
+    cached = _LOSER_CACHE.get(dedup_dir)
+    if cached is None or cached[0] != mtime:
         import pyarrow.parquet as _pq
 
         tbl = _pq.read_table(dedup_dir, columns=["doc_id"])
         arr = np.sort(tbl["doc_id"].to_numpy(zero_copy_only=False))
-        _LOSER_CACHE[dedup_dir] = arr
-    return arr
+        cached = _LOSER_CACHE[dedup_dir] = (mtime, arr)
+    return cached[1]
 
 
 def _clear_stage(index_dir: str, stage: str) -> None:
