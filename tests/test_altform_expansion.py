@@ -74,3 +74,34 @@ def test_unknown_query_type_raises():
 
     with pytest.raises(ValueError):
         expand_alt_forms("の", "fuzzy")
+
+
+def test_loser_cache_invalidates_on_dedup_rerun(tmp_path):
+    """A long-lived worker's loser cache must not serve a previous
+    build's loser set after the dedup stage is re-run at the same path
+    (keyed by the stage marker's mtime)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from myaku_ray.pipelines.build import _loser_ids_for
+
+    d = tmp_path / "dedup"
+    d.mkdir()
+
+    def write(ids):
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64())}),
+            str(d / "part.parquet"),
+        )
+        with open(d / "_SUCCESS", "w") as f:
+            f.write("ok")
+
+    write([3, 1, 2])
+    assert _loser_ids_for(str(d)).tolist() == [1, 2, 3]
+    time.sleep(0.01)
+    write([9, 7])
+    os.utime(d / "_SUCCESS")  # ensure a distinct mtime on coarse clocks
+    assert _loser_ids_for(str(d)).tolist() == [7, 9]
