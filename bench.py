@@ -487,8 +487,12 @@ def _prewarm_pages(max_bytes: int = 2 << 30, timeout_s: float = 30.0) -> dict:
 
 
 def _single_build_run(ncpu: int, scaling_pages: str) -> dict:
-    """One fresh-process build at the given parallelism (no best-of)."""
+    """One fresh-process build at the given parallelism (no best-of).
+    A cold-page probe runs immediately BEFORE the leg (the end-of-repeat
+    probes sample the window's end — a window that dies mid-repeat and
+    recovers by probe time would otherwise qualify falsely)."""
     _quiesce()
+    pre = _hw_coldpage_probe(timeout_s=30.0)
     _prewarm_pages()
     env = dict(
         os.environ,
@@ -504,7 +508,9 @@ def _single_build_run(ncpu: int, scaling_pages: str) -> dict:
         check=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
-    return json.loads(proc.stdout.strip().splitlines()[-1])
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    out["coldpage_mbps_pre"] = pre["hw_coldpage_mbps"]
+    return out
 
 
 def run_scaling() -> dict:
@@ -555,10 +561,17 @@ def run_scaling() -> dict:
         # gated), and (c) fresh-page supply above 1 GB/s (pathological
         # windows measured at 5-90 MB/s stall every allocation and
         # compress scaling ratios).
+        # page-supply must be healthy ENTERING each leg (pre-probes) and
+        # at repeat end — a window that collapses mid-repeat fails
+        cold_legs = min(
+            res[n_lo].get("coldpage_mbps_pre", 0.0),
+            res[n_hi].get("coldpage_mbps_pre", 0.0),
+        )
         window_ok = bool(
             hw["hw_compute_efficiency"] >= 0.85
             and membw["hw_membw_gbps_hi"] >= 8.0
             and cold["hw_coldpage_mbps"] >= 1000.0
+            and cold_legs >= 1000.0
         )
         runs.append(
             {
@@ -568,6 +581,12 @@ def run_scaling() -> dict:
                 f"docs_per_s_{n_hi}": res[n_hi]["build_docs_per_s"],
                 f"build_s_{n_lo}": res[n_lo]["value"],
                 f"build_s_{n_hi}": res[n_hi]["value"],
+                f"coldpage_mbps_pre_{n_lo}": res[n_lo].get(
+                    "coldpage_mbps_pre"
+                ),
+                f"coldpage_mbps_pre_{n_hi}": res[n_hi].get(
+                    "coldpage_mbps_pre"
+                ),
                 "raw_efficiency": round(raw, 3),
                 "efficiency_vs_host": round(
                     raw / hw["hw_compute_efficiency"], 3
