@@ -77,6 +77,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_term_counts": textops.cms_term_counts,
         # unigram-LM perplexity quality filter (corpus model broadcast)
         "doc_unigram_logppl": textops.doc_unigram_logppl,
+        # Gopher-style repetition quality signals (per-doc map, no shuffle)
+        "doc_repetition_stats": textops.doc_repetition_stats,
+        # source-balanced deterministic downsample (2-phase: group counts
+        # broadcast -> pure md5-threshold row filter)
+        "stratified_sample_by_source": textops.stratified_sample_by_source,
+        # collocation mining: distinct-term pair counts + PMI
+        "term_cooccurrence_pmi": textops.term_cooccurrence_pmi,
         # full-text index + BM25 top-k (the engine core)
         "bm25_topk_docs": fulltext.bm25_topk_docs,
         # similarity search / embeddings
@@ -88,6 +95,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_docs": dedup.simhash_docs,
         "simhash_pairs": dedup.simhash_pairs,
+        # exact repeated-token-window detection (Lee et al.-style span
+        # dedup); shuffle carries 24-byte (hash, doc, occ) rows only
+        "duplicate_spans": dedup.duplicate_spans,
+        # connected components over the near-dup pair graph via
+        # alternating star contraction (2 groupby shuffles per round,
+        # O(log n) rounds); oracle = recursive-CTE transitive closure
+        "dup_clusters": dedup.dup_clusters,
         # Myaku pages pipeline (HTML extraction -> lemma index -> ranked
         # search); driver-oracled via stored goldens computed by the
         # SERIAL oracle (tools/gen_pages_golden.py) — the pages corpus is
@@ -160,6 +174,11 @@ def oracle_sql() -> dict[str, str]:
         "top_terms_heavy_hitters": textops.TOP_TERMS_HH_SQL,
         "cms_term_counts": textops.CMS_TERM_COUNTS_SQL,
         "doc_unigram_logppl": textops.DOC_UNIGRAM_LOGPPL_SQL,
+        "doc_repetition_stats": textops.DOC_REPETITION_STATS_SQL,
+        "stratified_sample_by_source": textops.STRATIFIED_SAMPLE_SQL,
+        "term_cooccurrence_pmi": textops.TERM_COOCCURRENCE_PMI_SQL,
+        "duplicate_spans": dedup.DUPLICATE_SPANS_SQL,
+        "dup_clusters": dedup.DUP_CLUSTERS_SQL,
         "bm25_topk_docs": fulltext.bm25_topk_sql(),
         "ann_cosine_topk": ann.ANN_COSINE_TOPK_SQL,
         "near_dup_embeddings": ann.NEAR_DUP_EMBEDDINGS_SQL,

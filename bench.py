@@ -32,7 +32,12 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_PAGES = int(os.environ.get("MYAKU_BENCH_PAGES", "100000"))
-CORPUS_DIR = f"/tmp/myaku_bench/pages_{BENCH_PAGES}"
+# Working-dir base: default the shared virtio disk; the scaling
+# protocol can point this at /dev/shm (tmpfs) to model per-node disk
+# bandwidth, which on a real N- vs 4N-node cluster scales with nodes
+# but on this single box is ONE device shared by both legs.
+BENCH_BASE = os.environ.get("MYAKU_BENCH_DIR", "/tmp/myaku_bench")
+CORPUS_DIR = f"{BENCH_BASE}/pages_{BENCH_PAGES}"
 QUERY_REPEATS = 5
 
 
@@ -89,7 +94,7 @@ def bench_build(pages: str, num_cpus: int) -> dict:
 
     blogs = gen_blogs_table()
     ratings = dict(zip(blogs["blog_url"], blogs["rating"]))
-    index_dir = f"/tmp/myaku_bench/index_{num_cpus}"
+    index_dir = f"{BENCH_BASE}/index_{num_cpus}"
     shutil.rmtree(index_dir, ignore_errors=True)
     t0 = time.time()
     # Proportional pool (3/4 of CPUs, rest reserved for read/write tasks):
@@ -252,6 +257,11 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "pack_training_chunks": textops.pack_training_chunks,
         "hll_event_registers": events.hll_event_registers,
         "cms_term_counts": textops.cms_term_counts,
+        "duplicate_spans": dedup.duplicate_spans,
+        "dup_clusters": dedup.dup_clusters,
+        "doc_repetition_stats": textops.doc_repetition_stats,
+        "stratified_sample_by_source": textops.stratified_sample_by_source,
+        "term_cooccurrence_pmi": textops.term_cooccurrence_pmi,
     }
     import pandas as pd
     import pyarrow as pa
@@ -295,7 +305,7 @@ def run_once() -> dict:
         and xl_pages != BENCH_PAGES
     ):
         prev_pages, prev_dir = BENCH_PAGES, CORPUS_DIR
-        BENCH_PAGES, CORPUS_DIR = xl_pages, f"/tmp/myaku_bench/pages_{xl_pages}"
+        BENCH_PAGES, CORPUS_DIR = xl_pages, f"{BENCH_BASE}/pages_{xl_pages}"
         try:
             xl_corpus = ensure_corpus()
             warm_page_cache(xl_corpus)
@@ -690,7 +700,7 @@ def run_scaling_serve() -> dict:
 
     # one shared index build (not part of the measurement)
     global CORPUS_DIR, BENCH_PAGES
-    BENCH_PAGES, CORPUS_DIR = int(pages), f"/tmp/myaku_bench/pages_{pages}"
+    BENCH_PAGES, CORPUS_DIR = int(pages), f"{BENCH_BASE}/pages_{pages}"
     _ray_init(NUM_CPUS)
     corpus = ensure_corpus()
     build = bench_build(corpus, NUM_CPUS)
@@ -772,7 +782,7 @@ def run_kernel_ab() -> dict:
 
     _ray_init(NUM_CPUS)
     n_pages = int(os.environ.get("MYAKU_AB_PAGES", "20000"))
-    corpus_dir = f"/tmp/myaku_bench/pages_{n_pages}"
+    corpus_dir = f"{BENCH_BASE}/pages_{n_pages}"
     from myaku_ray.corpus import write_pages_parquet
 
     write_pages_parquet(corpus_dir, n_pages)

@@ -506,3 +506,335 @@ WHERE len(list_intersect(a.shingles, b.shingles)) > 0
   AND round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
         / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) >= {NGRAM_JACCARD_THRESHOLD}::DOUBLE
 """
+
+
+# ---------------------------------------------------------------------------
+# Repeated-span detection (exact substring-level dedup, à la Lee et al.
+# "Deduplicating Training Data Makes Language Models Better": find exact
+# token windows that recur across documents so they can be cut or the
+# docs down-weighted).  Reference has no analog; this is a training-data
+# op over the generic documents table.
+# ---------------------------------------------------------------------------
+
+SPAN_WIDTH = 8    # tokens per window
+SPAN_STRIDE = 4   # window start stride
+SPAN_MIN_DOCS = 2
+
+
+def duplicate_spans(
+    sf_dir: str,
+    width: int = SPAN_WIDTH,
+    stride: int = SPAN_STRIDE,
+    min_docs: int = SPAN_MIN_DOCS,
+):
+    """Exact ``width``-token windows (every ``stride`` tokens) that occur
+    in >= ``min_docs`` distinct documents.
+
+    Scale shape: the map side emits one row per DISTINCT (span_hash,
+    doc_id) — in-batch combined via np.unique, with the per-doc
+    occurrence count carried as a payload — so the only exchange is a
+    ``groupby(span_hash)`` over 24-byte rows; span text never crosses
+    the shuffle.  Hashes are md5-derived 63-bit ints so the DuckDB
+    oracle recomputes them exactly.  Window generation is fully
+    vectorized: one split_pattern, one flattened token take per batch
+    (start indices by numpy arithmetic), one binary_join to rebuild the
+    span strings."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Min, Sum
+
+    from myaku_ray.functions.hashkit import md5_u64_str
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def spans(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "span_hash": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "occ": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        flat = toks.flatten()
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        offsets = np.concatenate([[0], np.cumsum(n_tok)])[:-1]
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        # window start positions per doc: 0, stride, ... while s+width<=n
+        n_win = np.maximum(n_tok - width, -stride) // stride + 1
+        total = int(n_win.sum())
+        if total == 0:
+            return empty
+        win_doc = np.repeat(np.arange(len(n_tok)), n_win)
+        # position of each window within its doc
+        first = np.concatenate([[0], np.cumsum(n_win)])[:-1]
+        local = (np.arange(total) - np.repeat(first, n_win)) * stride
+        starts = offsets[win_doc] + local
+        # (total, width) token index matrix -> span strings via one join
+        idx = starts[:, None] + np.arange(width)[None, :]
+        words = flat.take(pa.array(idx.ravel(), pa.int64()))
+        lists = pa.ListArray.from_arrays(
+            pa.array(
+                np.arange(total + 1, dtype=np.int32) * width, pa.int32()
+            ),
+            words,
+        )
+        span_strs = pc.binary_join(lists, " ")
+        hashes = (
+            md5_u64_str(span_strs) & np.uint64(0x7FFF_FFFF_FFFF_FFFF)
+        ).astype(np.int64)
+        # in-batch combine to distinct (span_hash, doc_id) + occurrence
+        # count: docs never span batches, so these rows are globally
+        # distinct and Count == n_docs downstream
+        key_doc = doc_ids[win_doc]
+        order = np.lexsort((key_doc, hashes))
+        h_s, d_s = hashes[order], key_doc[order]
+        new = np.empty(total, dtype=bool)
+        new[0] = True
+        new[1:] = (h_s[1:] != h_s[:-1]) | (d_s[1:] != d_s[:-1])
+        idx_first = np.flatnonzero(new)
+        occ = np.diff(np.append(idx_first, total))
+        return pa.table(
+            {
+                "span_hash": pa.array(h_s[idx_first]),
+                "doc_id": pa.array(d_s[idx_first]),
+                "occ": pa.array(occ.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(spans, batch_format="pyarrow")
+        .groupby("span_hash")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("occ", alias_name="n_occ"),
+            Min("doc_id", alias_name="min_doc_id"),
+        )
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch["n_docs"], pa.scalar(min_docs))
+        )
+
+    return agg.map_batches(keep, batch_format="pyarrow")
+
+
+DUPLICATE_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+spans AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(unnest(list_transform(
+        generate_series(1, greatest(len(w) - {SPAN_WIDTH} + 1, 0), {SPAN_STRIDE}),
+        i -> array_to_string(w[i:i+{SPAN_WIDTH - 1}], ' ')))), 1, 16))::UBIGINT
+      & 9223372036854775807::UBIGINT AS BIGINT) AS span_hash
+  FROM toks
+)
+SELECT span_hash,
+  count(DISTINCT doc_id) AS n_docs,
+  count(*) AS n_occ,
+  min(doc_id) AS min_doc_id
+FROM spans
+GROUP BY span_hash
+HAVING count(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate clusters: connected components over the n-gram-Jaccard
+# pair graph via alternating large-star / small-star contraction
+# (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+# each round is two groupby shuffles over the EDGE set only, converging
+# in O(log n) rounds, so no component, however large, is ever
+# materialized in one task's memory.  DuckDB oracle: transitive closure
+# by recursive CTE over the same pair SQL.
+# ---------------------------------------------------------------------------
+
+DUP_CLUSTER_MAX_ROUNDS = 20
+
+
+def _star_round(edges, which: str):
+    """One large-star or small-star contraction over an (a, b) edge
+    dataset.  Emits the canonical a < b orientation."""
+
+    def contract(g: pd.DataFrame) -> pd.DataFrame:
+        u = int(g["node"].iloc[0])
+        nbrs = np.unique(g["nbr"].to_numpy())
+        if which == "large":
+            # attach u's LARGER neighbors to min(N(u) + {u})
+            m = min(int(nbrs[0]), u)
+            out = nbrs[nbrs > u]
+            if len(out) == 0:
+                return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
+            return pd.DataFrame(
+                {"a": np.full(len(out), m, dtype=np.int64), "b": out}
+            )
+        # small-star: attach u's SMALLER neighbors (and u) to their min
+        small = nbrs[nbrs <= u]
+        if len(small) == 0:
+            return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
+        m = min(int(small[0]), u)
+        members = np.unique(np.append(small, u))
+        members = members[members != m]
+        if len(members) == 0:
+            return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
+        return pd.DataFrame(
+            {"a": np.full(len(members), m, dtype=np.int64), "b": members}
+        )
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b])),
+                "nbr": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    if which == "large":
+        src = edges.map_batches(both_dirs, batch_format="pyarrow")
+    else:
+        # small-star reads each edge at its larger endpoint only
+        def upper(batch: pa.Table) -> pa.Table:
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            hi = np.maximum(a, b)
+            lo = np.minimum(a, b)
+            return pa.table({"node": pa.array(hi), "nbr": pa.array(lo)})
+
+        src = edges.map_batches(upper, batch_format="pyarrow")
+    out = src.groupby("node").map_groups(contract, batch_format="pandas")
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        keep = lo != hi
+        return pa.table({"a": pa.array(lo[keep]), "b": pa.array(hi[keep])})
+
+    return out.map_batches(canon, batch_format="pyarrow")
+
+
+def _edge_sig(edges) -> tuple[int, int]:
+    """Order-independent (count, xor-of-row-hashes) signature of an edge
+    dataset — a distributed convergence check that never collects rows."""
+    from ray.data.aggregate import AggregateFn
+
+    def sig(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mix = (a * np.uint64(0x9E3779B97F4A7C15) + b) | np.uint64(1)
+        x = np.bitwise_xor.reduce(mix) if len(mix) else np.uint64(0)
+        return pa.table(
+            {
+                "n": pa.array([len(a)], pa.int64()),
+                "x": pa.array([int(x) - (1 << 63)], pa.int64()),
+            }
+        )
+
+    parts = edges.map_batches(sig, batch_format="pyarrow").take_all()
+    n = sum(p["n"] for p in parts)
+    x = 0
+    for p in parts:
+        x ^= p["x"] + (1 << 63)
+    return n, x
+
+
+def dup_clusters(sf_dir: str, threshold: float = NGRAM_JACCARD_THRESHOLD):
+    """(doc_id, cluster_id) for every document in at least one near-dup
+    pair; cluster_id is the component's minimum doc_id.  Components come
+    from alternating star contractions (see module comment); the loop
+    state is only the edge dataset plus an O(1) signature per round."""
+    pairs = ngram_jaccard_pairs(sf_dir, threshold=threshold)
+
+    def init_edges(batch: pa.Table) -> pa.Table:
+        a = batch["doc_id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["doc_id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"a": pa.array(np.minimum(a, b)), "b": pa.array(np.maximum(a, b))}
+        )
+
+    edges = pairs.map_batches(init_edges, batch_format="pyarrow")
+    prev = _edge_sig(edges)
+    if prev[0] == 0:  # no near-dup pairs at all
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "cluster_id": pd.Series([], dtype=np.int64),
+            }
+        )
+    for _ in range(DUP_CLUSTER_MAX_ROUNDS):
+        edges = _star_round(edges, "large")
+        edges = _star_round(edges, "small").materialize()
+        cur = _edge_sig(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError("dup_clusters: star contraction did not converge")
+
+    # converged state is a set of stars (root, member); emit members and
+    # the roots themselves
+    def emit(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([b, a])),
+                "cluster_id": pa.array(np.concatenate([a, a])),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    return (
+        edges.map_batches(emit, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Min("cluster_id", alias_name="cluster_id"))
+    )
+
+
+_NGRAM_PAIRS_CTE = f"""
+sh AS (
+  SELECT doc_id, source,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(string_split(text,' ')) - {NGRAM - 1}, 1)),
+      i -> string_split(text,' ')[i] || ' ' || coalesce(string_split(text,' ')[i+1], '')
+           || ' ' || coalesce(string_split(text,' ')[i+2], '')
+    )) AS shingles
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+    AND round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))), 6)
+        >= {NGRAM_JACCARD_THRESHOLD}::DOUBLE
+)
+"""
+
+DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_NGRAM_PAIRS_CTE},
+und AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION
+  SELECT doc_id_b, doc_id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+FROM reach GROUP BY a
+"""

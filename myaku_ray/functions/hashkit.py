@@ -58,3 +58,40 @@ def md5_u64(ids: np.ndarray, hexchars: int = 16) -> np.ndarray:
         return out.astype(np.uint64)
     except ImportError:
         return _hashlib_md5_u64(np.asarray(ids), hexchars)
+
+
+def md5_u64_str(strings: pa.Array, hexchars: int = 16) -> np.ndarray:
+    """uint64 value of the first ``hexchars`` hex chars of ``md5(s)`` for a
+    pyarrow string array — bit-identical to DuckDB's
+    ``('0x' || substr(md5(s), 1, hexchars))::UBIGINT``.  Same embedded-
+    DuckDB vectorized kernel as :func:`md5_u64`, hashlib fallback."""
+    assert hexchars in (8, 16)
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if len(strings) == 0:
+        return np.empty(0, dtype=np.uint64)
+    global _DUCK
+    try:
+        import duckdb
+
+        if _DUCK is None:
+            _DUCK = duckdb.connect()
+        t = pa.table({"s": strings})  # noqa: F841
+        q = (
+            f"SELECT ('0x' || substr(md5(s), 1, {hexchars}))"
+            "::UBIGINT AS h FROM t"
+        )
+        out = _DUCK.execute(q).arrow()["h"].to_numpy(zero_copy_only=False)
+        return out.astype(np.uint64)
+    except ImportError:
+        md5 = hashlib.md5
+        fb = int.from_bytes
+        nbytes = hexchars // 2
+        return np.fromiter(
+            (
+                fb(md5(s.encode()).digest()[:nbytes], "big")
+                for s in strings.to_pylist()
+            ),
+            dtype=np.uint64,
+            count=len(strings),
+        )

@@ -1330,3 +1330,320 @@ SELECT tok.doc_id,
 FROM tok JOIN tot USING (term) CROSS JOIN n
 GROUP BY tok.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals: the quality-filter family every
+# LLM-curation pipeline runs (Rae et al. 2021 §A1.1 — fraction of the doc
+# made of its top token / of repeated n-grams).  Pure per-doc map, no
+# shuffle; exact integer ratios so the DuckDB oracle matches bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def doc_repetition_stats(sf_dir: str):
+    """Per-doc repetition profile: n_tokens, top-token fraction, fraction
+    of trigram occurrences whose trigram repeats within the doc, distinct
+    fraction.  Vectorized: one split per batch; per-doc trigram counting
+    by one lexsort over (doc, c0, c1, c2) composite rows."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def stats(batch: pa.Table) -> pa.Table:
+        nrows = batch.num_rows
+        if nrows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "top_token_frac_r": pa.array([], pa.float64()),
+                    "dup_trigram_frac_r": pa.array([], pa.float64()),
+                    "distinct_frac_r": pa.array([], pa.float64()),
+                }
+            )
+        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        n_tok = n_tok.astype(np.int64)
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        enc = pc.list_flatten(toks).dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = max(len(enc.dictionary), 1)
+        # unigram tf -> per-doc max and distinct count
+        uniq, tfs = np.unique(parents * vocab + codes, return_counts=True)
+        docs_of_uniq = uniq // vocab
+        top_tf = np.zeros(nrows, dtype=np.int64)
+        np.maximum.at(top_tf, docs_of_uniq, tfs)
+        n_dis = np.bincount(docs_of_uniq, minlength=nrows)
+        # trigram occurrence counts: composite (doc, c0, c1, c2) rows at
+        # token positions whose 3-window stays within one doc
+        ok = np.flatnonzero(
+            (parents[:-2] == parents[2:]) if len(parents) > 2 else []
+        )
+        dup_tri = np.zeros(nrows, dtype=np.int64)
+        n_tri = np.maximum(n_tok - 2, 0)
+        if len(ok):
+            comp = np.stack(
+                [parents[ok], codes[ok], codes[ok + 1], codes[ok + 2]],
+                axis=1,
+            )
+            order = np.lexsort(
+                (comp[:, 3], comp[:, 2], comp[:, 1], comp[:, 0])
+            )
+            s = comp[order]
+            new = np.empty(len(s), dtype=bool)
+            new[0] = True
+            new[1:] = (s[1:] != s[:-1]).any(axis=1)
+            firsts = np.flatnonzero(new)
+            cnts = np.diff(np.append(firsts, len(s)))
+            rep = np.repeat(cnts, cnts)  # per-occurrence group size
+            dup_mask = rep >= 2
+            np.add.at(dup_tri, s[dup_mask, 0], 1)
+        safe_tok = np.maximum(n_tok, 1)
+        safe_tri = np.maximum(n_tri, 1)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok),
+                "top_token_frac_r": pa.array(
+                    np.round(top_tf / safe_tok, 6)
+                ),
+                "dup_trigram_frac_r": pa.array(
+                    np.round(dup_tri / safe_tri, 6)
+                ),
+                "distinct_frac_r": pa.array(np.round(n_dis / safe_tok, 6)),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+DOC_REPETITION_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+tf AS (
+  SELECT doc_id, max(c) AS top_tf, count(*) AS n_dis FROM (
+    SELECT doc_id, term, count(*) AS c FROM (
+      SELECT doc_id, unnest(w) AS term FROM toks
+    ) GROUP BY doc_id, term
+  ) GROUP BY doc_id
+),
+tric AS (
+  SELECT doc_id, g, count(*) AS c FROM (
+    SELECT doc_id, unnest(list_transform(
+        generate_series(1, greatest(len(w) - 2, 0)),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+    FROM toks
+  ) GROUP BY doc_id, g
+),
+tria AS (
+  SELECT doc_id,
+    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_tri
+  FROM tric GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CAST(len(t.w) AS BIGINT) AS n_tokens,
+  round(CAST(tf.top_tf AS DOUBLE) / greatest(len(t.w), 1), 6)
+    AS top_token_frac_r,
+  round(CAST(coalesce(tria.dup_tri, 0) AS DOUBLE)
+        / greatest(len(t.w) - 2, 1), 6) AS dup_trigram_frac_r,
+  round(CAST(tf.n_dis AS DOUBLE) / greatest(len(t.w), 1), 6)
+    AS distinct_frac_r
+FROM toks t
+JOIN tf USING (doc_id)
+LEFT JOIN tria USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Balanced (stratified) downsampling across sources: two-phase — a
+# source-count aggregate (group-count rows only) broadcast to a pure
+# per-row md5-threshold filter, so the payload never shuffles and
+# re-runs are deterministic.  The per-source keep-rate equalizes
+# expected counts to the smallest source.
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample_by_source(sf_dir: str):
+    """Deterministic source-balanced sample: every source is downsampled
+    to an expected HALF the smallest source's count — doc kept iff its
+    32-bit md5 key falls under floor(min_count * 2^31 / source_count),
+    an exact integer threshold the DuckDB oracle recomputes (the half
+    keeps the filter active even when sources are already balanced)."""
+    from myaku_ray.functions.hashkit import md5_u64
+
+    counts = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+        .groupby("source")
+        .count()
+        .to_pandas()
+    )
+    mn = int(counts["count()"].min())
+    thresholds = {
+        s: (mn << 31) // int(n)
+        for s, n in zip(counts["source"], counts["count()"])
+    }
+    thr_ref = ray.put(thresholds)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "lang", "n_chars"],
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        thr = ray.get(thr_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = md5_u64(ids, hexchars=8)
+        # vectorized per-source threshold: dictionary-encode the source
+        # column once, resolve thresholds per dictionary entry, take
+        src = batch["source"].combine_chunks().dictionary_encode()
+        vals = np.fromiter(
+            (thr[s] for s in src.dictionary.to_pylist()),
+            dtype=np.uint64,
+            count=len(src.dictionary),
+        )
+        lim = vals[src.indices.to_numpy(zero_copy_only=False)]
+        return batch.filter(pa.array(h < lim))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+STRATIFIED_SAMPLE_SQL = """
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+m AS (SELECT min(n) AS mn FROM c)
+SELECT d.doc_id, d.source, d.lang, d.n_chars
+FROM documents d JOIN c USING (source), m
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      < (m.mn::UBIGINT * 2147483648::UBIGINT) // c.n::UBIGINT
+"""
+
+
+# ---------------------------------------------------------------------------
+# Term co-occurrence PMI: corpus-level association mining (collocation /
+# topic signal).  Map side emits in-batch-combined distinct-term pair
+# counts (vocabulary-bounded, never token-bounded); one groupby(pair)
+# shuffle; df table is vocabulary-sized and broadcast for the final
+# result-sized PMI map.
+# ---------------------------------------------------------------------------
+
+PMI_MIN_SUPPORT = 25
+
+
+def term_cooccurrence_pmi(sf_dir: str, min_support: int = PMI_MIN_SUPPORT):
+    """Pairs of distinct terms co-occurring in >= min_support docs, with
+    pmi_r = round(ln(N * n_ab / (df_a * df_b)), 6).  ln on both engines
+    is the same libm call on result-sized data, so round-6 matches."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n_docs = ds.count()
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "term_a": pa.array([], pa.string()),
+                    "term_b": pa.array([], pa.string()),
+                    "n_ab": pa.array([], pa.int64()),
+                }
+            )
+        doc_idx, codes, _, dictionary = _doc_term_tfs(batch)
+        vocab = max(len(dictionary), 1)
+        # per-doc sorted distinct codes -> all unordered pairs, counted
+        # in one bincount over code_a * vocab + code_b composite keys
+        order = np.lexsort((codes, doc_idx))
+        d_s, c_s = doc_idx[order], codes[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], d_s[1:] != d_s[:-1]])
+        )
+        lens = np.diff(np.append(starts, len(d_s)))
+        keys: list[np.ndarray] = []
+        for st, ln_ in zip(starts, lens):
+            seg = c_s[st : st + ln_]
+            if ln_ < 2:
+                continue
+            iu = np.triu_indices(ln_, k=1)
+            keys.append(seg[iu[0]] * vocab + seg[iu[1]])
+        if not keys:
+            return pa.table(
+                {
+                    "term_a": pa.array([], pa.string()),
+                    "term_b": pa.array([], pa.string()),
+                    "n_ab": pa.array([], pa.int64()),
+                }
+            )
+        allk = np.concatenate(keys)
+        uniq, cnt = np.unique(allk, return_counts=True)
+        ca, cb = uniq // vocab, uniq % vocab
+        ta = dictionary.take(pa.array(ca))
+        tb = dictionary.take(pa.array(cb))
+        # pair order must be LEXICOGRAPHIC (the SQL's a.term < b.term),
+        # not dictionary-code order — swap where needed
+        import pyarrow.compute as pc
+
+        swap = pc.greater(ta, tb)
+        return pa.table(
+            {
+                "term_a": pc.if_else(swap, tb, ta),
+                "term_b": pc.if_else(swap, ta, tb),
+                "n_ab": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(pair_counts, batch_format="pyarrow")
+        .groupby(["term_a", "term_b"])
+        .aggregate(Sum("n_ab", alias_name="n_ab"))
+        .to_pandas()
+    )
+    pairs = pairs[pairs["n_ab"] >= min_support].reset_index(drop=True)
+
+    df_tbl = term_doc_freq(sf_dir).to_pandas()
+    df_map = dict(zip(df_tbl["term"], df_tbl["df"].astype(int)))
+
+    na = pairs["term_a"].map(df_map).to_numpy(dtype=np.int64)
+    nb = pairs["term_b"].map(df_map).to_numpy(dtype=np.int64)
+    nab = pairs["n_ab"].to_numpy(dtype=np.int64)
+    # same expression order as the SQL: double(N) * n_ab / (df_a * df_b);
+    # math.log == DuckDB ln (both glibc) on this result-sized table
+    pmi = [
+        round(math.log(float(n_docs) * int(x) / (int(a) * int(b))), 6)
+        for x, a, b in zip(nab, na, nb)
+    ]
+    return pd.DataFrame(
+        {
+            "term_a": pairs["term_a"],
+            "term_b": pairs["term_b"],
+            "n_ab": nab,
+            "pmi_r": np.array(pmi, dtype=np.float64),
+        }
+    )
+
+
+TERM_COOCCURRENCE_PMI_SQL = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+df AS (SELECT term, count(*) AS n FROM dt GROUP BY term),
+nn AS (SELECT count(*) AS n FROM documents),
+pr AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= {PMI_MIN_SUPPORT}
+)
+SELECT pr.term_a, pr.term_b, pr.n_ab,
+  round(ln(CAST(nn.n AS DOUBLE) * pr.n_ab / (fa.n * fb.n)), 6) AS pmi_r
+FROM pr, nn
+JOIN df fa ON fa.term = pr.term_a
+JOIN df fb ON fb.term = pr.term_b
+"""
