@@ -53,6 +53,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mergeable-sketch cardinality: HLL register state is exact
         # integer math, so even the sketch is hash-match oracled
         "hll_event_registers": events.hll_event_registers,
+        # semi-structured extraction: vectorized regex parse of the JSON
+        # props column + per-type aggregate
+        "events_props_stats": events.events_props_stats,
         # text analysis over documents
         "doc_token_stats": textops.doc_token_stats,
         "term_doc_freq": textops.term_doc_freq,
@@ -157,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join_partitioned": events.EVENTS_ASOF_SQL,
         "events_range_join": events.EVENTS_RANGE_JOIN_SQL,
         "hll_event_registers": events.HLL_EVENT_REGISTERS_SQL,
+        "events_props_stats": events.EVENTS_PROPS_STATS_SQL,
         "doc_token_stats": textops.DOC_TOKEN_STATS_SQL,
         "term_doc_freq": textops.TERM_DOC_FREQ_SQL,
         "doc_quality": textops.DOC_QUALITY_SQL,

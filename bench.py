@@ -520,6 +520,15 @@ def _single_build_run(ncpu: int, scaling_pages: str) -> dict:
     )
     out = json.loads(proc.stdout.strip().splitlines()[-1])
     out["coldpage_mbps_pre"] = pre["hw_coldpage_mbps"]
+    # Per-task encode skew profile (max/median bucket-task wall): the
+    # segments stage wall at high parallelism is max(task walls), so
+    # this separates straggler skew from host windows in the ratio.
+    enc = f"{BENCH_BASE}/index_{ncpu}/segments/_encode_tasks.json"
+    try:
+        with open(enc) as f:
+            out["encode_tasks"] = json.load(f)
+    except OSError:
+        pass
     return out
 
 

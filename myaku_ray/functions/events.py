@@ -649,3 +649,56 @@ def hll_estimate(histogram) -> float:
 
         est = m * _math.log(m / n_zero)
     return est
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured property extraction: events carry a JSON ``props``
+# string; parse the numeric field and aggregate per event_type.  The
+# parse is one vectorized extract_regex kernel per batch (no Python
+# JSON loop); the oracle mirrors it with regexp_extract so both engines
+# apply the identical grammar.
+# ---------------------------------------------------------------------------
+
+
+def events_props_stats(sf_dir: str):
+    """Per event_type: event count plus sum/max of the integer ``k``
+    property parsed out of the JSON props column."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(
+            batch["props"].combine_chunks(), r'"k":\s*(?P<k>\d+)'
+        )
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "k": k,
+            }
+        )
+
+    return (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("k", alias_name="sum_k"),
+            Max("k", alias_name="max_k"),
+        )
+    )
+
+
+EVENTS_PROPS_STATS_SQL = """
+SELECT event_type,
+  count(*) AS n_events,
+  sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS sum_k,
+  max(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""

@@ -272,12 +272,15 @@ def _encode_bucket_task(
     num_segments: int,
     drop,
     seg_root: str,
-) -> int:
+) -> tuple[int, int, float]:
     import os
+    import time
 
     import pyarrow.parquet as pq
 
+    t0 = time.time()
     t = pa.concat_tables([pq.read_table(f, columns=POSTING_COLS) for f in files])
+    in_rows = t.num_rows
     if drop is not None:
         losers, supersede, overrides = drop
         t = apply_drop(t, losers, supersede, overrides)
@@ -291,7 +294,7 @@ def _encode_bucket_task(
             sub.drop_columns(["segment"]),
             os.path.join(d, f"bucket-{bucket_id:05d}.parquet"),
         )
-    return rows.num_rows
+    return rows.num_rows, in_rows, time.time() - t0
 
 
 # Row-group bounds for segment files: the query path reads ONLY the row
@@ -374,7 +377,29 @@ def encode_segments_partitioned(
         )
         for b, files in sorted(buckets.items())
     ]
-    ray.get(refs)
+    stats = ray.get(refs)
+    # Per-task skew profile: the stage wall at high parallelism is
+    # max(task walls), so the straggler distribution is the scaling
+    # diagnostic.  Written next to the segments for lineage to pick up.
+    walls = sorted(s[2] for s in stats)
+    in_rows = [s[1] for s in stats]
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(seg_root, "_encode_tasks.json"), "w") as f:
+        f.write(
+            _json.dumps(
+                {
+                    "n_tasks": len(stats),
+                    "rows_in_max": max(in_rows),
+                    "rows_in_median": int(np.median(in_rows)),
+                    "wall_max_s": round(walls[-1], 3),
+                    "wall_p90_s": round(walls[int(len(walls) * 0.9)], 3),
+                    "wall_median_s": round(walls[len(walls) // 2], 3),
+                    "wall_sum_s": round(sum(walls), 3),
+                }
+            )
+        )
     return True
 
 

@@ -192,6 +192,25 @@ def test_dup_clusters_equals_union_find(ray_session):
     )
 
 
+def test_events_props_stats_matches_oracle(ray_session):
+    import duckdb
+
+    from myaku_ray.functions.events import (
+        EVENTS_PROPS_STATS_SQL, events_props_stats,
+    )
+
+    got = events_props_stats(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF}/events.parquet')"
+    )
+    want = con.sql(EVENTS_PROPS_STATS_SQL).df()
+    got = _norm(got, ["event_type"])
+    want = _norm(want, ["event_type"]).astype(got.dtypes.to_dict())
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_dup_clusters_empty_graph(ray_session, tmp_path):
     docs = pa.table(
         {
