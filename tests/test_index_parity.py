@@ -324,3 +324,17 @@ def test_pagination_and_count(built):
         s.search_page("x" * 200, 1)
     with _pytest.raises(ValueError):
         s.search_page("ok", 0)
+
+
+def test_preload_hot_terms_rank_neutral(built):
+    """The init-time hot-term warm list must fill the array cache and
+    change NO ranked result vs a cold Searcher."""
+    _, index_dir, _, _, _ = built
+    from myaku_ray.index.searcher import Searcher
+
+    warm = Searcher(index_dir)
+    cold = Searcher(index_dir, preload_hot=False)
+    assert len(warm._term_arrays) > 0
+    assert len(cold._term_arrays) == 0
+    for q in reference_query_set():
+        assert warm.topk(q, 10) == cold.topk(q, 10)
