@@ -184,18 +184,28 @@ def build_index(
         t0 = time.time()
         n_doc_rows = _parquet_rows(docs_dir)
         if n_doc_rows <= DEDUP_DRIVER_LIMIT:
-            import pandas as pd
             import pyarrow.parquet as pq
 
             light_t = pq.read_table(docs_dir, columns=["text_hash", "doc_id"])
-            pdf = pd.DataFrame(
-                {
-                    "text_hash": light_t["text_hash"].to_pylist(),
-                    "doc_id": light_t["doc_id"].to_numpy(zero_copy_only=False),
-                }
+            # dictionary-encode the hashes once; winner per group = min
+            # doc_id = first row of each code run after ONE lexsort — no
+            # Python strings, no pandas groupby (this is driver-side
+            # fixed cost, i.e. pure Amdahl tax on every scaling leg)
+            codes = (
+                light_t["text_hash"]
+                .combine_chunks()
+                .dictionary_encode()
+                .indices.to_numpy(zero_copy_only=False)
+                .astype(np.int64)
             )
-            winners = pdf.groupby("text_hash")["doc_id"].transform("min")
-            loser_arr = np.sort(pdf.loc[pdf["doc_id"] != winners, "doc_id"].to_numpy())
+            ids = light_t["doc_id"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, codes))
+            c_s, i_s = codes[order], ids[order]
+            first = np.empty(len(c_s), dtype=bool)
+            if len(c_s):
+                first[0] = True
+                first[1:] = c_s[1:] != c_s[:-1]
+            loser_arr = np.sort(i_s[~first])
             os.makedirs(dedup_dir, exist_ok=True)
             pq.write_table(
                 pa.table({"doc_id": pa.array(loser_arr, pa.int64())}),
