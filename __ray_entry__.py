@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_docs": fulltext.bm25_topk_docs,
         # similarity search / embeddings
         "ann_cosine_topk": ann.ann_cosine_topk,
+        # similarity + metadata predicate, pushed into the parquet read
+        "ann_cosine_topk_filtered": ann.ann_cosine_topk_filtered,
         "near_dup_embeddings": ann.near_dup_embeddings,
         "near_dup_embeddings_lsh": ann.near_dup_embeddings_lsh,
         # near-dup family
@@ -185,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": dedup.DUP_CLUSTERS_SQL,
         "bm25_topk_docs": fulltext.bm25_topk_sql(),
         "ann_cosine_topk": ann.ANN_COSINE_TOPK_SQL,
+        "ann_cosine_topk_filtered": ann.ANN_COSINE_TOPK_FILTERED_SQL,
         "near_dup_embeddings": ann.NEAR_DUP_EMBEDDINGS_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
         "simhash_docs": dedup.SIMHASH_DOCS_SQL,

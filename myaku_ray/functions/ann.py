@@ -747,3 +747,104 @@ def kmeans_representatives(
         .groupby("cluster_id")
         .map_groups(final, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Filtered ANN: similarity search composed with a metadata predicate —
+# the "retrieve within a slice" query every curation pipeline runs
+# (same broadcast-queries / per-batch partial-top-k shape, with the
+# predicate pushed into the parquet read so non-matching rows never
+# leave storage).
+# ---------------------------------------------------------------------------
+
+ANN_FILTER_LABEL_MOD = 3  # predicate: label % 3 == 0
+
+
+def ann_cosine_topk_filtered(sf_dir: str, k: int = TOPK):
+    """Top-k cosine neighbors among vectors whose label % 3 == 0 only.
+    The label predicate is evaluated as a pushed-down parquet filter, so
+    the scan decodes only matching row groups' columns — at corpus scale
+    a label-partitioned layout would prune whole files the same way."""
+    import pyarrow.dataset as pads
+
+    src = f"{sf_dir}/embeddings.parquet"
+    qtbl = pads.dataset(src).to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < N_QUERIES,
+    )
+    qids = qtbl["vec_id"].to_numpy(zero_copy_only=False)
+    Q = _matrix(qtbl["embedding"])
+    qnorm = np.sqrt((Q * Q).sum(axis=1))
+    q_ref = ray.put((qids, Q, qnorm))
+
+    # Arrow dataset expressions have no modulo; resolve the predicate to
+    # an isin over the (low-cardinality) label domain — one tiny column
+    # scan — so the row filter still pushes down into the parquet read.
+    labels = pads.dataset(src).to_table(columns=["label"])["label"]
+    import pyarrow.compute as _pc
+
+    keep_labels = [
+        int(v)
+        for v in _pc.unique(labels.combine_chunks()).to_pylist()
+        if int(v) % ANN_FILTER_LABEL_MOD == 0
+    ]
+    ds = rd.read_parquet(
+        src,
+        columns=["vec_id", "embedding", "label"],
+        filter=pads.field("label").isin(keep_labels),
+    )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids_l, Q_l, qnorm_l = ray.get(q_ref)
+        out = {
+            "query_vec_id": [],
+            "neighbor_vec_id": [],
+            "sim_r": [],
+        }
+        if batch.num_rows:
+            X = _matrix(batch["embedding"])
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            xnorm = np.sqrt((X * X).sum(axis=1))
+            sims_r = np.round(
+                (Q_l @ X.T) / (qnorm_l[:, None] * xnorm[None, :]), 6
+            )
+            for qi, qid in enumerate(qids_l):
+                mask = ids != qid
+                cand_ids = ids[mask]
+                cand = sims_r[qi][mask]
+                order = np.lexsort((cand_ids, -cand))[:k]
+                out["query_vec_id"] += [int(qid)] * len(order)
+                out["neighbor_vec_id"] += cand_ids[order].astype(int).tolist()
+                out["sim_r"] += cand[order].tolist()
+        return pa.table(
+            {
+                "query_vec_id": pa.array(out["query_vec_id"], pa.int64()),
+                "neighbor_vec_id": pa.array(out["neighbor_vec_id"], pa.int64()),
+                "sim_r": pa.array(out["sim_r"], pa.float64()),
+            }
+        )
+
+    allc = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    allc = allc.sort_values(
+        ["query_vec_id", "sim_r", "neighbor_vec_id"],
+        ascending=[True, False, True],
+    )
+    out = allc.groupby("query_vec_id", as_index=False).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_vec_id").cumcount() + 1
+    return out
+
+
+ANN_COSINE_TOPK_FILTERED_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+     b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE label % {ANN_FILTER_LABEL_MOD} = 0),
+     s AS (
+       SELECT q.qid AS query_vec_id, b.vec_id AS neighbor_vec_id,
+              round(list_dot_product(q.qv, b.v)
+                    / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim_r
+       FROM q, b WHERE b.vec_id != q.qid)
+SELECT query_vec_id, neighbor_vec_id, sim_r,
+       CAST(row_number() OVER (PARTITION BY query_vec_id ORDER BY sim_r DESC, neighbor_vec_id) AS BIGINT) AS rank
+FROM s
+QUALIFY rank <= {TOPK}
+"""

@@ -211,6 +211,36 @@ def test_events_props_stats_matches_oracle(ray_session):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_ann_filtered_matches_oracle(ray_session):
+    import duckdb
+
+    from myaku_ray.functions.ann import (
+        ANN_COSINE_TOPK_FILTERED_SQL, ANN_FILTER_LABEL_MOD,
+        ann_cosine_topk_filtered,
+    )
+
+    got = ann_cosine_topk_filtered(SF)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    want = con.sql(ANN_COSINE_TOPK_FILTERED_SQL).df()
+    keys = ["query_vec_id", "rank"]
+    got = _norm(got, keys)
+    want = _norm(want, keys).astype(got.dtypes.to_dict())
+    pd.testing.assert_frame_equal(got, want)
+    # every neighbor satisfies the predicate
+    import pyarrow.parquet as _pq
+
+    lab = _pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "label"])
+    l_of = dict(zip(lab["vec_id"].to_pylist(), lab["label"].to_pylist()))
+    assert all(
+        l_of[int(n)] % ANN_FILTER_LABEL_MOD == 0
+        for n in got["neighbor_vec_id"]
+    )
+
+
 def test_dup_clusters_empty_graph(ray_session, tmp_path):
     docs = pa.table(
         {
