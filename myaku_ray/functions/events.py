@@ -697,7 +697,8 @@ def events_props_stats(sf_dir: str):
 EVENTS_PROPS_STATS_SQL = """
 SELECT event_type,
   count(*) AS n_events,
-  sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS sum_k,
+  CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT))
+       AS BIGINT) AS sum_k,
   max(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS max_k
 FROM events
 GROUP BY event_type

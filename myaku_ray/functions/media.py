@@ -79,7 +79,18 @@ class MediaFeatureStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         raw = np.stack([self._decode_stub(p) for p in payloads])
-        feats = raw @ self._proj  # batched "inference"
+        # Batched "inference" — accumulated over the 32 input dims in a
+        # FIXED order (32 vectorized fused steps) instead of one BLAS
+        # gemm: gemm picks blocking by matrix shape, so its last-ulp
+        # output would depend on the Ray batch size and rounding-boundary
+        # rows would flip the 6th decimal vs the serial golden.  Each
+        # step is elementwise, so the result is batch-shape-independent.
+        proj64 = self._proj.astype(np.float64)
+        raw64 = raw.astype(np.float64)
+        feats64 = np.zeros((len(raw64), proj64.shape[1]), dtype=np.float64)
+        for ki in range(proj64.shape[0]):
+            feats64 += raw64[:, ki : ki + 1] * proj64[ki : ki + 1, :]
+        feats = feats64.astype(np.float32)
         n_bytes = np.asarray([len(p) for p in payloads], dtype=np.int64)
         widths = (n_bytes % 1920).astype(np.int32)
         heights = (n_bytes % 1080).astype(np.int32)
@@ -98,9 +109,7 @@ class MediaFeatureStage:
                 # stored-golden oracle compares exact values, and rounding
                 # absorbs any last-ulp kernel-order difference
                 "feat_norm": pa.array(
-                    np.round(
-                        np.sqrt((feats.astype(np.float64) ** 2).sum(axis=1)), 6
-                    )
+                    np.round(np.sqrt((feats64**2).sum(axis=1)), 6)
                 ),
             }
         )

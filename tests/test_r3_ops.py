@@ -257,3 +257,23 @@ def test_dup_clusters_empty_graph(ray_session, tmp_path):
     out = dup_clusters(str(tmp_path))
     out = out if isinstance(out, pd.DataFrame) else out.to_pandas()
     assert len(out) == 0
+
+
+def test_media_features_batch_shape_independent(ray_session):
+    """Feature values (and the 6-dp norm) must not depend on how rows
+    are batched — gemm blocking must never leak into oracle values."""
+    import pyarrow.parquet as _pq
+
+    from myaku_ray.functions.media import MediaFeatureStage, _as_media
+
+    docs = _pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    media = _as_media(docs)
+    stage = MediaFeatureStage()
+    whole = stage(media)
+    parts = pa.concat_tables(
+        [stage(media.slice(0, 7)), stage(media.slice(7))]
+    )
+    assert whole["feat_norm"].to_pylist() == parts["feat_norm"].to_pylist()
+    assert whole["feature"].to_pylist() == parts["feature"].to_pylist()
