@@ -261,6 +261,13 @@ def apply_drop(
 
 POSTING_COLS = ["term", "salt", "doc_id", "tf", "doclen", "quality", "warc_us"]
 
+# One encode task never reads more than ~this much compressed postings
+# input; buckets above it split into term-hash parts (see
+# encode_segments_partitioned).  Bounds the segments-stage straggler on
+# hot-bucket collisions AND keeps task size constant past the bucket-count
+# cap at very large corpora.
+ENCODE_TASK_TARGET_BYTES = 16 * 1024 * 1024
+
 
 @ray.remote
 def _encode_bucket_task(
@@ -272,6 +279,8 @@ def _encode_bucket_task(
     num_segments: int,
     drop,
     seg_root: str,
+    part: int = 0,
+    n_parts: int = 1,
 ) -> tuple[int, int, float]:
     import os
     import time
@@ -280,11 +289,27 @@ def _encode_bucket_task(
 
     t0 = time.time()
     t = pa.concat_tables([pq.read_table(f, columns=POSTING_COLS) for f in files])
+    if n_parts > 1:
+        # term-hash part filter: a term's postings stay whole within one
+        # part, so encode output is identical to the unsplit task's —
+        # just written across n_parts files
+        enc = t["term"].combine_chunks().dictionary_encode()
+        uhash = np.fromiter(
+            (term_hash(x) for x in enc.dictionary.to_pylist()),
+            dtype=np.int64,
+            count=len(enc.dictionary),
+        )
+        upart = (np.abs(uhash) // 7) % n_parts  # /7: decorrelate from bucket
+        keep = upart[
+            enc.indices.to_numpy(zero_copy_only=False)
+        ] == part
+        t = t.filter(pa.array(keep))
     in_rows = t.num_rows
     if drop is not None:
         losers, supersede, overrides = drop
         t = apply_drop(t, losers, supersede, overrides)
     rows = encode_bucket_table(t, df_map, n_docs, avgdl, num_segments)
+    suffix = f"-p{part}" if n_parts > 1 else ""
     segs = rows["segment"].to_numpy(zero_copy_only=False)
     for seg in np.unique(segs):
         sub = rows.filter(pa.array(segs == seg))
@@ -292,7 +317,7 @@ def _encode_bucket_task(
         os.makedirs(d, exist_ok=True)
         _write_rg_bounded(
             sub.drop_columns(["segment"]),
-            os.path.join(d, f"bucket-{bucket_id:05d}.parquet"),
+            os.path.join(d, f"bucket-{bucket_id:05d}{suffix}.parquet"),
         )
     return rows.num_rows, in_rows, time.time() - t0
 
@@ -371,12 +396,29 @@ def encode_segments_partitioned(
         return False
     df_ref = ray.put(df_map)
     drop_ref = ray.put(drop)
-    refs = [
-        _encode_bucket_task.remote(
-            b, files, df_ref, n_docs, avgdl, num_segments, drop_ref, seg_root
-        )
-        for b, files in sorted(buckets.items())
-    ]
+    refs = []
+    for b, files in sorted(buckets.items()):
+        # Straggler/scale bound: the bucket COUNT is capped (write
+        # fan-out), so at large corpora — or under hot-term collisions —
+        # a single bucket's rows can far exceed the constant task size
+        # the auto-sizing targets.  Oversized buckets split into
+        # term-hash parts: each part filters the same input files to its
+        # term subset and writes its own output file, so no encode task
+        # ever exceeds ~ENCODE_TASK_TARGET_BYTES of input regardless of
+        # corpus size.  Output rows are identical (a term's postings
+        # stay whole within one part); readers glob *.parquet per
+        # segment dir, so the extra files are invisible to queries.
+        import os
+
+        est_bytes = sum(os.path.getsize(f) for f in files)
+        n_parts = max(1, -(-est_bytes // ENCODE_TASK_TARGET_BYTES))
+        for part in range(n_parts):
+            refs.append(
+                _encode_bucket_task.remote(
+                    b, files, df_ref, n_docs, avgdl, num_segments,
+                    drop_ref, seg_root, part, n_parts,
+                )
+            )
     stats = ray.get(refs)
     # Per-task skew profile: the stage wall at high parallelism is
     # max(task walls), so the straggler distribution is the scaling

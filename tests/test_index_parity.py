@@ -338,3 +338,30 @@ def test_preload_hot_terms_rank_neutral(built):
     assert len(cold._term_arrays) == 0
     for q in reference_query_set():
         assert warm.topk(q, 10) == cold.topk(q, 10)
+
+
+def test_encode_bucket_split_is_output_identical(
+    ray_session, built, tmp_path_factory, monkeypatch
+):
+    """Oversized encode buckets split into term-hash parts; the rebuilt
+    index must serve rank-identical results (same docIDs AND scores)."""
+    import myaku_ray.index.segment_build as sb
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.pipelines.build import build_index
+
+    pages, base_index, _, _, ratings = built
+    monkeypatch.setattr(sb, "ENCODE_TASK_TARGET_BYTES", 20_000)
+    split_dir = str(tmp_path_factory.mktemp("split") / "index")
+    build_index(pages, split_dir, blog_ratings=ratings)
+    import glob
+
+    part_files = glob.glob(
+        f"{split_dir}/segments/**/*-p*.parquet", recursive=True
+    )
+    assert part_files, "split threshold did not trigger any part files"
+    a = Searcher(base_index)
+    b = Searcher(split_dir)
+    for q in reference_query_set():
+        ra = [(r.doc_id, round(r.score, 9)) for r in a.topk(q, 10)]
+        rb = [(r.doc_id, round(r.score, 9)) for r in b.topk(q, 10)]
+        assert ra == rb, q
