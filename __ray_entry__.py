@@ -89,6 +89,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_cooccurrence_pmi": textops.term_cooccurrence_pmi,
         # full-text index + BM25 top-k (the engine core)
         "bm25_topk_docs": fulltext.bm25_topk_docs,
+        # hybrid retrieval: BM25 + embedding-ANN fused by reciprocal-rank
+        # fusion; both legs are the oracled ops, fusion is exact
+        "hybrid_search_rrf": fulltext.hybrid_search_rrf,
         # similarity search / embeddings
         "ann_cosine_topk": ann.ann_cosine_topk,
         # similarity + metadata predicate, pushed into the parquet read
@@ -186,6 +189,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_spans": dedup.DUPLICATE_SPANS_SQL,
         "dup_clusters": dedup.DUP_CLUSTERS_SQL,
         "bm25_topk_docs": fulltext.bm25_topk_sql(),
+        "hybrid_search_rrf": fulltext.hybrid_search_rrf_sql(),
         "ann_cosine_topk": ann.ANN_COSINE_TOPK_SQL,
         "ann_cosine_topk_filtered": ann.ANN_COSINE_TOPK_FILTERED_SQL,
         "near_dup_embeddings": ann.NEAR_DUP_EMBEDDINGS_SQL,

@@ -325,3 +325,104 @@ def pages_fli_interp_profile(sf_dir: str):
         .groupby(["term_pos", "interp_pos", "conj_type", "conj_form", "sources"])
         .map_groups(merge, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 lexical top-k fused with embedding-ANN top-k by
+# reciprocal-rank fusion (RRF, Cormack et al. 2009) — the standard
+# modern search composition.  Query i pairs TEXT_QUERY_TERMS[i] with
+# query vector vec_id=i; both legs are the already-oracled operators,
+# and the fusion is exact rational arithmetic (sum of at most two
+# 1/(60+rank) doubles is order-independent), so the whole composite is
+# SQL-checkable end to end.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+HYBRID_TOPK = 10
+
+
+def hybrid_search_rrf(sf_dir: str, k: int = HYBRID_TOPK):
+    import numpy as np
+    import pandas as pd
+
+    from myaku_ray.functions.ann import N_QUERIES, ann_cosine_topk
+
+    n_q = min(N_QUERIES, len(TEXT_QUERY_TERMS))
+    bm = bm25_topk_docs(sf_dir).to_pandas()
+    ann = ann_cosine_topk(sf_dir)
+    ann = ann if isinstance(ann, pd.DataFrame) else ann.to_pandas()
+
+    term_of = {TEXT_QUERY_TERMS[i]: i for i in range(n_q)}
+    b = bm[bm["term"].isin(term_of)].copy()
+    b["query_id"] = b["term"].map(term_of)
+    contrib = pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "query_id": b["query_id"].astype(np.int64),
+                    "doc_id": b["doc_id"].astype(np.int64),
+                    "c": 1.0 / (RRF_K + b["rank"].astype(np.int64)),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "query_id": ann.loc[
+                        ann["query_vec_id"] < n_q, "query_vec_id"
+                    ].astype(np.int64),
+                    "doc_id": ann.loc[
+                        ann["query_vec_id"] < n_q, "neighbor_vec_id"
+                    ].astype(np.int64),
+                    "c": 1.0
+                    / (
+                        RRF_K
+                        + ann.loc[ann["query_vec_id"] < n_q, "rank"].astype(
+                            np.int64
+                        )
+                    ),
+                }
+            ),
+        ],
+        ignore_index=True,
+    )
+    f = (
+        contrib.groupby(["query_id", "doc_id"], as_index=False)["c"]
+        .sum()
+        .rename(columns={"c": "rrf"})
+    )
+    f["rrf_r"] = np.round(f["rrf"], 9)
+    f = f.sort_values(
+        ["query_id", "rrf_r", "doc_id"], ascending=[True, False, True]
+    )
+    f["rank"] = f.groupby("query_id").cumcount() + 1
+    out = f[f["rank"] <= k][["query_id", "doc_id", "rrf_r", "rank"]]
+    return out.reset_index(drop=True)
+
+
+def hybrid_search_rrf_sql(k: int = HYBRID_TOPK) -> str:
+    from myaku_ray.functions.ann import ANN_COSINE_TOPK_SQL, N_QUERIES
+
+    n_q = min(N_QUERIES, len(TEXT_QUERY_TERMS))
+    mapping = ", ".join(
+        f"({i}::BIGINT, '{TEXT_QUERY_TERMS[i]}')" for i in range(n_q)
+    )
+    return f"""
+WITH b AS ({bm25_topk_sql()}),
+a AS ({ANN_COSINE_TOPK_SQL}),
+m(query_id, term) AS (SELECT * FROM (VALUES {mapping})),
+u AS (
+  SELECT m.query_id, b.doc_id, 1.0::DOUBLE / ({RRF_K} + b.rank) AS c
+  FROM b JOIN m ON b.term = m.term
+  UNION ALL
+  SELECT a.query_vec_id, a.neighbor_vec_id, 1.0::DOUBLE / ({RRF_K} + a.rank)
+  FROM a WHERE a.query_vec_id < {n_q}
+),
+f AS (
+  SELECT query_id, doc_id, round(sum(c), 9) AS rrf_r
+  FROM u GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rrf_r,
+  CAST(row_number() OVER (PARTITION BY query_id
+       ORDER BY rrf_r DESC, doc_id) AS BIGINT) AS rank
+FROM f
+QUALIFY rank <= {k}
+"""

@@ -277,3 +277,27 @@ def test_media_features_batch_shape_independent(ray_session):
     )
     assert whole["feat_norm"].to_pylist() == parts["feat_norm"].to_pylist()
     assert whole["feature"].to_pylist() == parts["feature"].to_pylist()
+
+
+def test_hybrid_search_rrf_matches_oracle(ray_session):
+    import duckdb
+
+    from myaku_ray.functions.fulltext import (
+        hybrid_search_rrf, hybrid_search_rrf_sql,
+    )
+
+    got = hybrid_search_rrf(SF)
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF}/{t}.parquet')"
+        )
+    want = con.sql(hybrid_search_rrf_sql()).df()
+    keys = ["query_id", "rank"]
+    got = _norm(got, keys)
+    want = _norm(want, keys).astype(got.dtypes.to_dict())
+    pd.testing.assert_frame_equal(got, want)
+    # fusion actually fuses: some result must carry contributions from
+    # BOTH legs (rrf_r > max single-leg contribution 1/61)
+    assert (got["rrf_r"] > 1.0 / 61 + 1e-12).any()
