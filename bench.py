@@ -262,6 +262,9 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "doc_repetition_stats": textops.doc_repetition_stats,
         "stratified_sample_by_source": textops.stratified_sample_by_source,
         "term_cooccurrence_pmi": textops.term_cooccurrence_pmi,
+        "events_props_stats": events.events_props_stats,
+        "ann_cosine_topk_filtered": ann.ann_cosine_topk_filtered,
+        "hybrid_search_rrf": fulltext.hybrid_search_rrf,
     }
     import pandas as pd
     import pyarrow as pa
