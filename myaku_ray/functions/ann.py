@@ -61,8 +61,8 @@ def _matrix(batch_col) -> np.ndarray:
     )
 
 
-def ann_cosine_topk(sf_dir: str, k: int = TOPK):
-    """Top-k cosine neighbors for query vectors (vec_id < N_QUERIES)."""
+def _load_query_matrix(sf_dir: str):
+    """(qids, Q, qnorm) broadcast payload for the brute-force scans."""
     import pyarrow.dataset as pads
 
     qtbl = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
@@ -70,28 +70,34 @@ def ann_cosine_topk(sf_dir: str, k: int = TOPK):
     )
     qids = qtbl["vec_id"].to_numpy(zero_copy_only=False)
     Q = _matrix(qtbl["embedding"])
-    qnorm = np.sqrt((Q * Q).sum(axis=1))
-    q_ref = ray.put((qids, Q, qnorm))
+    return qids, Q, np.sqrt((Q * Q).sum(axis=1))
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+def _brute_topk(ds, q_ref, k: int):
+    """Shared brute-force cosine top-k: per-batch partial top-k against
+    the broadcast query matrix, then one result-sized global finalize.
+    Both the unfiltered and the predicate-filtered scans ride this exact
+    kernel so tie-breaking/rounding can never diverge between them."""
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         qids_l, Q_l, qnorm_l = ray.get(q_ref)
-        X = _matrix(batch["embedding"])
-        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        xnorm = np.sqrt((X * X).sum(axis=1))
-        sims = (Q_l @ X.T) / (qnorm_l[:, None] * xnorm[None, :])
-        sims_r = np.round(sims, 6)
         rows = {"query_vec_id": [], "neighbor_vec_id": [], "sim_r": []}
-        for qi, qid in enumerate(qids_l):
-            mask = ids != qid
-            cand_ids = ids[mask]
-            cand = sims_r[qi][mask]
-            # partial top-k within the batch on (sim_r desc, vec_id asc)
-            order = np.lexsort((cand_ids, -cand))[:k]
-            rows["query_vec_id"] += [int(qid)] * len(order)
-            rows["neighbor_vec_id"] += cand_ids[order].astype(int).tolist()
-            rows["sim_r"] += cand[order].tolist()
+        if batch.num_rows:
+            X = _matrix(batch["embedding"])
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            xnorm = np.sqrt((X * X).sum(axis=1))
+            sims_r = np.round(
+                (Q_l @ X.T) / (qnorm_l[:, None] * xnorm[None, :]), 6
+            )
+            for qi, qid in enumerate(qids_l):
+                mask = ids != qid
+                cand_ids = ids[mask]
+                cand = sims_r[qi][mask]
+                # partial top-k within the batch on (sim_r desc, vec_id asc)
+                order = np.lexsort((cand_ids, -cand))[:k]
+                rows["query_vec_id"] += [int(qid)] * len(order)
+                rows["neighbor_vec_id"] += cand_ids[order].astype(int).tolist()
+                rows["sim_r"] += cand[order].tolist()
         return pa.table(
             {
                 "query_vec_id": pa.array(rows["query_vec_id"], pa.int64()),
@@ -108,6 +114,13 @@ def ann_cosine_topk(sf_dir: str, k: int = TOPK):
     out = allc.groupby("query_vec_id", as_index=False).head(k).reset_index(drop=True)
     out["rank"] = out.groupby("query_vec_id").cumcount() + 1
     return out
+
+
+def ann_cosine_topk(sf_dir: str, k: int = TOPK):
+    """Top-k cosine neighbors for query vectors (vec_id < N_QUERIES)."""
+    q_ref = ray.put(_load_query_matrix(sf_dir))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return _brute_topk(ds, q_ref, k)
 
 
 ANN_COSINE_TOPK_SQL = f"""
@@ -764,19 +777,13 @@ def ann_cosine_topk_filtered(sf_dir: str, k: int = TOPK):
     """Top-k cosine neighbors among vectors whose label % 3 == 0 only.
     The label predicate is evaluated as a pushed-down parquet filter, so
     the scan decodes only matching row groups' columns — at corpus scale
-    a label-partitioned layout would prune whole files the same way."""
+    a label-partitioned layout would prune whole files the same way.
+    Rides the SAME _brute_topk kernel as the unfiltered op (one
+    tie-break/rounding implementation)."""
     import pyarrow.dataset as pads
 
     src = f"{sf_dir}/embeddings.parquet"
-    qtbl = pads.dataset(src).to_table(
-        columns=["vec_id", "embedding"],
-        filter=pads.field("vec_id") < N_QUERIES,
-    )
-    qids = qtbl["vec_id"].to_numpy(zero_copy_only=False)
-    Q = _matrix(qtbl["embedding"])
-    qnorm = np.sqrt((Q * Q).sum(axis=1))
-    q_ref = ray.put((qids, Q, qnorm))
-
+    q_ref = ray.put(_load_query_matrix(sf_dir))
     # Arrow dataset expressions have no modulo; resolve the predicate to
     # an isin over the (low-cardinality) label domain — one tiny column
     # scan — so the row filter still pushes down into the parquet read.
@@ -790,48 +797,10 @@ def ann_cosine_topk_filtered(sf_dir: str, k: int = TOPK):
     ]
     ds = rd.read_parquet(
         src,
-        columns=["vec_id", "embedding", "label"],
+        columns=["vec_id", "embedding"],
         filter=pads.field("label").isin(keep_labels),
     )
-
-    def partial_topk(batch: pa.Table) -> pa.Table:
-        qids_l, Q_l, qnorm_l = ray.get(q_ref)
-        out = {
-            "query_vec_id": [],
-            "neighbor_vec_id": [],
-            "sim_r": [],
-        }
-        if batch.num_rows:
-            X = _matrix(batch["embedding"])
-            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-            xnorm = np.sqrt((X * X).sum(axis=1))
-            sims_r = np.round(
-                (Q_l @ X.T) / (qnorm_l[:, None] * xnorm[None, :]), 6
-            )
-            for qi, qid in enumerate(qids_l):
-                mask = ids != qid
-                cand_ids = ids[mask]
-                cand = sims_r[qi][mask]
-                order = np.lexsort((cand_ids, -cand))[:k]
-                out["query_vec_id"] += [int(qid)] * len(order)
-                out["neighbor_vec_id"] += cand_ids[order].astype(int).tolist()
-                out["sim_r"] += cand[order].tolist()
-        return pa.table(
-            {
-                "query_vec_id": pa.array(out["query_vec_id"], pa.int64()),
-                "neighbor_vec_id": pa.array(out["neighbor_vec_id"], pa.int64()),
-                "sim_r": pa.array(out["sim_r"], pa.float64()),
-            }
-        )
-
-    allc = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
-    allc = allc.sort_values(
-        ["query_vec_id", "sim_r", "neighbor_vec_id"],
-        ascending=[True, False, True],
-    )
-    out = allc.groupby("query_vec_id", as_index=False).head(k).reset_index(drop=True)
-    out["rank"] = out.groupby("query_vec_id").cumcount() + 1
-    return out
+    return _brute_topk(ds, q_ref, k)
 
 
 ANN_COSINE_TOPK_FILTERED_SQL = f"""

@@ -488,24 +488,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = NGRAM_JACCARD_THRESHOLD)
     return res
 
 
-NGRAM_JACCARD_SQL = f"""
-WITH sh AS (
-  SELECT doc_id, source,
-    list_distinct(list_transform(
-      generate_series(1, greatest(len(string_split(text,' ')) - {NGRAM - 1}, 1)),
-      i -> string_split(text,' ')[i] || ' ' || coalesce(string_split(text,' ')[i+1], '')
-           || ' ' || coalesce(string_split(text,' ')[i+2], '')
-    )) AS shingles
-  FROM documents
-)
-SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard_r
-FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE len(list_intersect(a.shingles, b.shingles)) > 0
-  AND round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) >= {NGRAM_JACCARD_THRESHOLD}::DOUBLE
-"""
+NGRAM_JACCARD_SQL = None  # defined below from _NGRAM_PAIRS_CTE (single source)
 
 
 # ---------------------------------------------------------------------------
@@ -762,7 +745,10 @@ def dup_clusters(sf_dir: str, threshold: float = NGRAM_JACCARD_THRESHOLD):
             {"a": pa.array(np.minimum(a, b)), "b": pa.array(np.maximum(a, b))}
         )
 
-    edges = pairs.map_batches(init_edges, batch_format="pyarrow")
+    # materialize BEFORE the first signature: the pair-mining lineage is
+    # the operator's dominant cost and must execute exactly once (an
+    # unmaterialized dataset recomputes per consumption)
+    edges = pairs.map_batches(init_edges, batch_format="pyarrow").materialize()
     prev = _edge_sig(edges)
     if prev[0] == 0:  # no near-dup pairs at all
         return pd.DataFrame(
@@ -813,7 +799,10 @@ sh AS (
   FROM documents
 ),
 pairs AS (
-  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+    round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard_r
   FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
   WHERE len(list_intersect(a.shingles, b.shingles)) > 0
     AND round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
@@ -821,6 +810,13 @@ pairs AS (
              - len(list_intersect(a.shingles, b.shingles))), 6)
         >= {NGRAM_JACCARD_THRESHOLD}::DOUBLE
 )
+"""
+
+# ONE shingle/pair definition: ngram_jaccard_pairs' oracle and
+# dup_clusters' recursive-closure oracle must always mine the same pairs
+NGRAM_JACCARD_SQL = f"""
+WITH {_NGRAM_PAIRS_CTE}
+SELECT doc_id_a, doc_id_b, jaccard_r FROM pairs
 """
 
 DUP_CLUSTERS_SQL = f"""

@@ -697,9 +697,9 @@ def events_props_stats(sf_dir: str):
 EVENTS_PROPS_STATS_SQL = """
 SELECT event_type,
   count(*) AS n_events,
-  CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT))
+  CAST(sum(TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT))
        AS BIGINT) AS sum_k,
-  max(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS max_k
+  max(TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS max_k
 FROM events
 GROUP BY event_type
 """

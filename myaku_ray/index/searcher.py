@@ -310,16 +310,31 @@ class Searcher:
         except Exception:
             return
         n_docs = max(int(self.stats.get("n_docs", 0)), 1)
-        dfs = tbl["df"].to_numpy(zero_copy_only=False)
-        terms = tbl["term"].to_pylist()
+        # Arrow-side range filter first: only the tiny hot set ever
+        # materializes as Python strings (the vocab can be millions of
+        # terms at corpus scale).  Above DECODE_LIMIT the term rides the
+        # streaming WAND path (never fully decoded), so preloading would
+        # do nothing.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        mask = pc.and_(
+            pc.greater_equal(
+                tbl["df"], pa.scalar(int(-(-df_frac * n_docs // 1)))
+            ),
+            pc.less_equal(tbl["df"], pa.scalar(DECODE_LIMIT)),
+        )
+        sub = tbl.filter(mask)
         hot = sorted(
-            (int(d), t)
-            for d, t in zip(dfs, terms)
-            # above DECODE_LIMIT the term rides the streaming WAND path
-            # (never fully decoded), so preloading would do nothing
-            if df_frac * n_docs <= d <= DECODE_LIMIT
+            zip(
+                sub["df"].to_numpy(zero_copy_only=False).tolist(),
+                sub["term"].to_pylist(),
+            )
         )[-cap:]
-        for _, term in sorted(hot, reverse=True):  # hottest first
+        # COOLEST first: the array cache evicts FIFO (insertion order),
+        # so under pressure the hottest preloaded terms must be the
+        # last candidates to evict
+        for _, term in hot:
             self.term_iterator(term)  # fills self._term_arrays
 
     # -- query analysis ---------------------------------------------------

@@ -288,22 +288,34 @@ def _encode_bucket_task(
     import pyarrow.parquet as pq
 
     t0 = time.time()
-    t = pa.concat_tables([pq.read_table(f, columns=POSTING_COLS) for f in files])
     if n_parts > 1:
-        # term-hash part filter: a term's postings stay whole within one
-        # part, so encode output is identical to the unsplit task's —
-        # just written across n_parts files
-        enc = t["term"].combine_chunks().dictionary_encode()
-        uhash = np.fromiter(
-            (term_hash(x) for x in enc.dictionary.to_pylist()),
-            dtype=np.int64,
-            count=len(enc.dictionary),
+        # term-hash part filter, applied PER FILE during the read so a
+        # part task's peak memory is one file's decode + its own kept
+        # subset — never the whole bucket.  A term's postings stay whole
+        # within one part, so encode output is identical to the unsplit
+        # task's — just written across n_parts files.  (Each part does
+        # re-scan the bucket's files; n_parts is capped so the extra
+        # sequential scans stay bounded — the common-path sizing lever
+        # is the bucket COUNT, this is the hot-bucket valve.)
+        kept = []
+        for f in files:
+            ft = pq.read_table(f, columns=POSTING_COLS)
+            enc = ft["term"].combine_chunks().dictionary_encode()
+            uhash = np.fromiter(
+                (term_hash(x) for x in enc.dictionary.to_pylist()),
+                dtype=np.int64,
+                count=len(enc.dictionary),
+            )
+            upart = (np.abs(uhash) // 7) % n_parts  # decorrelate from bucket
+            keep = upart[
+                enc.indices.to_numpy(zero_copy_only=False)
+            ] == part
+            kept.append(ft.filter(pa.array(keep)))
+        t = pa.concat_tables(kept)
+    else:
+        t = pa.concat_tables(
+            [pq.read_table(f, columns=POSTING_COLS) for f in files]
         )
-        upart = (np.abs(uhash) // 7) % n_parts  # /7: decorrelate from bucket
-        keep = upart[
-            enc.indices.to_numpy(zero_copy_only=False)
-        ] == part
-        t = t.filter(pa.array(keep))
     in_rows = t.num_rows
     if drop is not None:
         losers, supersede, overrides = drop
@@ -411,7 +423,10 @@ def encode_segments_partitioned(
         import os
 
         est_bytes = sum(os.path.getsize(f) for f in files)
-        n_parts = max(1, -(-est_bytes // ENCODE_TASK_TARGET_BYTES))
+        # cap: each part re-scans the bucket's files, so the valve is
+        # bounded at 16 extra sequential scans; past that the right
+        # lever is more buckets (auto-sizing), not more parts
+        n_parts = min(max(1, -(-est_bytes // ENCODE_TASK_TARGET_BYTES)), 16)
         for part in range(n_parts):
             refs.append(
                 _encode_bucket_task.remote(
