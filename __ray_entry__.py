@@ -120,6 +120,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # implemented by the reference, datastore/__init__.py:26-68):
         # alt-spelling group expansion with per-doc max-over-members
         "pages_search_altforms": fulltext.pages_search_altforms,
+        # positional-index extension (beyond the term-only reference):
+        # phrase search = contiguous token-chain verification over the
+        # pos_blob sidecar; proximity = smallest covering char window
+        "pages_phrase_search": fulltext.pages_phrase_search,
+        "pages_near_search": fulltext.pages_near_search,
         # full FLI payload with lexical interpretations (list<struct>
         # columns; not SQL-expressible — pytest golden tests hold the gate)
         "pages_fli_interps": fulltext.pages_fli_interps,
@@ -203,6 +208,8 @@ def oracle_sql() -> dict[str, str]:
         "pages_extract_stats": pages_golden.PAGES_EXTRACT_STATS_SQL,
         "pages_search_topk": pages_golden.PAGES_SEARCH_TOPK_SQL,
         "pages_search_altforms": pages_golden.PAGES_SEARCH_ALTFORMS_SQL,
+        "pages_phrase_search": pages_golden.PAGES_PHRASE_SEARCH_SQL,
+        "pages_near_search": pages_golden.PAGES_NEAR_SEARCH_SQL,
         "pages_fli_interp_profile": pages_golden.PAGES_FLI_INTERP_PROFILE_SQL,
         # Stored-golden oracles (tools/gen_op_goldens.py): these operators
         # are not SQL-expressible directly (LSH banding, approximate ANN,

@@ -845,6 +845,82 @@ def run_kernel_ab() -> dict:
     }
 
 
+def run_positions() -> dict:
+    """Positional-sidecar cost + phrase/proximity query latency, one
+    session: build the bench corpus index plain and with positions
+    back-to-back (same window), then time phrase_topk / near_topk cold
+    and warm on the positional index."""
+    import statistics as _st
+
+    _ray_init(NUM_CPUS)
+    n_pages = int(os.environ.get("MYAKU_POS_PAGES", "50000"))
+    corpus_dir = f"{BENCH_BASE}/pages_{n_pages}"
+    from myaku_ray.corpus import gen_blogs_table, write_pages_parquet
+    from myaku_ray.pipelines.build import build_index
+
+    write_pages_parquet(corpus_dir, n_pages)
+    blogs = gen_blogs_table()
+    ratings = dict(zip(blogs["blog_url"], blogs["rating"]))
+    conc = max(3 * NUM_CPUS // 4, 1)
+    walls = {}
+    sizes = {}
+    for kind, wp in (("plain", False), ("positional", True)):
+        idx = f"{BENCH_BASE}/posbench_{kind}"
+        shutil.rmtree(idx, ignore_errors=True)
+        t0 = time.time()
+        build_index(
+            corpus_dir, idx, blog_ratings=ratings,
+            tokenize_concurrency=conc, with_positions=wp,
+        )
+        walls[kind] = round(time.time() - t0, 3)
+        total = 0
+        for root, _, files in os.walk(os.path.join(idx, "segments")):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        sizes[kind] = total
+    import ray
+
+    ray.shutdown()
+
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.oracle import near_query_set, phrase_query_set
+
+    s = Searcher(f"{BENCH_BASE}/posbench_positional")
+    phrases = phrase_query_set(corpus_dir)
+    nears = near_query_set(corpus_dir)
+    cold_ph, cold_nr = [], []
+    for q in phrases:
+        t0 = time.time()
+        s.phrase_topk(q, 10)
+        cold_ph.append((time.time() - t0) * 1000)
+    for q, w in nears:
+        t0 = time.time()
+        s.near_topk(q, w, 10)
+        cold_nr.append((time.time() - t0) * 1000)
+    warm_ph = []
+    for _ in range(QUERY_REPEATS):
+        for q in phrases:
+            t0 = time.time()
+            s.phrase_topk(q, 10)
+            warm_ph.append((time.time() - t0) * 1000)
+    return {
+        "metric": "positional build overhead + phrase/near latency",
+        "n_pages": n_pages,
+        "num_cpus": NUM_CPUS,
+        "build_plain_s": walls["plain"],
+        "build_positional_s": walls["positional"],
+        "build_overhead_x": round(walls["positional"] / walls["plain"], 3),
+        "segments_plain_mb": round(sizes["plain"] / 1e6, 1),
+        "segments_positional_mb": round(sizes["positional"] / 1e6, 1),
+        "segments_overhead_x": round(sizes["positional"] / sizes["plain"], 3),
+        "n_phrases": len(phrases),
+        "phrase_cold_p50_ms": round(_st.median(cold_ph), 2),
+        "phrase_cold_max_ms": round(max(cold_ph), 2),
+        "phrase_warm_p50_ms": round(_st.median(warm_ph), 2),
+        "near_cold_p50_ms": round(_st.median(cold_nr), 2) if cold_nr else None,
+        "near_cold_max_ms": round(max(cold_nr), 2) if cold_nr else None,
+    }
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if "--probe" in sys.argv:
@@ -866,5 +942,7 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--kernel-ab" in sys.argv:
         print(json.dumps(run_kernel_ab()))
+    elif "--positions" in sys.argv:
+        print(json.dumps(run_positions()))
     else:
         print(json.dumps(run_once()))

@@ -250,6 +250,63 @@ def pages_search_altforms(sf_dir: str, k: int = 10):
     return pd.DataFrame(rows)
 
 
+def _pages_pos_searcher():
+    """Positional pages index (``with_positions=True``): the phrase /
+    proximity serving path.  Separate index dir — the score blobs are
+    byte-identical to the plain index's (pytest-asserted), only the
+    pos_blob sidecar differs."""
+    from myaku_ray.corpus import gen_blogs_table
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.pipelines.build import build_index
+
+    pages = _pages_dir()
+    idx = os.path.join(CACHE_ROOT, f"pagesposindex_{PAGES_N}")
+    blogs = gen_blogs_table()
+    ratings = dict(zip(blogs["blog_url"], blogs["rating"]))
+    build_index(pages, idx, blog_ratings=ratings, with_positions=True)
+    return Searcher(idx)
+
+
+def pages_phrase_search(sf_dir: str, k: int = 10):
+    """Phrase search over the positional pages index: the query's token
+    chain must appear contiguously (doc-side char offsets chaining,
+    index/phrase.py) — a capability the term-only reference engine
+    lacks.  Ranked rows for the corpus-derived phrase query set."""
+    from myaku_ray.oracle import phrase_query_set
+
+    s = _pages_pos_searcher()
+    rows = {"query": [], "rank": [], "doc_id": [], "score": [], "url": []}
+    for q in phrase_query_set(_pages_dir()):
+        for rank, r in enumerate(s.phrase_search(q, k), start=1):
+            rows["query"].append(q)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r.doc_id)
+            rows["score"].append(round(r.score, 5))
+            rows["url"].append(r.url)
+    return pd.DataFrame(rows)
+
+
+def pages_near_search(sf_dir: str, k: int = 10):
+    """Proximity search: every query term within a char window (smallest
+    covering range per doc), ranked like the ordinary AND scan."""
+    from myaku_ray.oracle import near_query_set
+
+    s = _pages_pos_searcher()
+    rows = {
+        "query": [], "window": [], "rank": [], "doc_id": [],
+        "score": [], "url": [],
+    }
+    for q, w in near_query_set(_pages_dir()):
+        for rank, r in enumerate(s.hydrate(s.near_topk(q, w, k), q), start=1):
+            rows["query"].append(q)
+            rows["window"].append(w)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r.doc_id)
+            rows["score"].append(round(r.score, 5))
+            rows["url"].append(r.url)
+    return pd.DataFrame(rows)
+
+
 def pages_fli_interp_profile(sf_dir: str):
     """Compact aggregate over the FLI interpretation payload: count of
     interpretation structs per (term pos, interp POS chain, conjugation

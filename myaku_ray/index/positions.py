@@ -1,0 +1,219 @@
+"""Positional-posting sidecar codec (phrase / proximity queries).
+
+The reference engine is term-only: its posting payload carries no
+positions and previews recompute offsets query-side
+(myaku/datastore/database.py:157-174 stores FLI positions only inside
+the per-article document, never in a term-keyed index).  Phrase and
+proximity search need positions NEXT TO the postings, so the positional
+build (an opt-in ``build_index(with_positions=True)`` flag) ships each
+posting's occurrence offsets through the same bucket-partitioned write
+as the posting row and stores them as a SEPARATE ``pos_blob`` column in
+the segment files:
+
+- the score path (``blob`` column, WAND, rank identity) is untouched —
+  a positional index answers term queries byte-identically;
+- position bytes are read ONLY by phrase/proximity queries, and only
+  for the row groups the term lookup already touches.
+
+Per-posting record (one per (term, doc), built in the tokenize stage):
+
+    varint count                 # occurrences of term in doc
+    count x varint start-delta   # char offsets, ascending (first = abs)
+    count x varint length        # matched surface length per occurrence
+
+Sub-list ``pos_blob`` (one per (term, salt) row, doc_id order identical
+to the main blob):
+
+    varint n_postings
+    n_postings x varint record byte length
+    records, concatenated
+
+The record-length stream gives random access: a phrase query gathers
+ONLY the candidate docs' records (after the docID AND-intersection) and
+decodes them in one vectorized pass — the decode cost is O(positions of
+the candidate docs), not O(ctf of the term).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from myaku_ray.index.codec import (
+    decode_varint_stream,
+    encode_varint_stream,
+    read_varint,
+    write_varint,
+)
+
+
+def encode_position_record(starts: np.ndarray, lens: np.ndarray) -> bytes:
+    """One (term, doc) occurrence list -> record bytes (starts ascending)."""
+    n = len(starts)
+    out = bytearray()
+    write_varint(out, n)
+    if n == 0:
+        return bytes(out)
+    s = np.asarray(starts, dtype=np.int64)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = s[0]
+    np.subtract(s[1:], s[:-1], out=deltas[1:], casting="unsafe")
+    db, _ = encode_varint_stream(deltas)
+    lb, _ = encode_varint_stream(np.asarray(lens, dtype=np.uint64))
+    out += db.tobytes()
+    out += lb.tobytes()
+    return bytes(out)
+
+
+def encode_position_records_batch(
+    pos_lists: list,
+) -> list[bytes]:
+    """Vectorized batch form: list of (starts, lens) pairs -> records.
+
+    All values across the batch encode in two ``encode_varint_stream``
+    calls; the per-record Python work is slicing only (same shape as
+    ``encode_postings``' two-call trick)."""
+    counts = np.fromiter(
+        (len(p[0]) for p in pos_lists), dtype=np.int64, count=len(pos_lists)
+    )
+    total = int(counts.sum())
+    if total == 0:
+        return [encode_position_record(np.empty(0), np.empty(0))] * len(pos_lists)
+    flat_deltas = np.empty(total, dtype=np.uint64)
+    flat_lens = np.empty(total, dtype=np.uint64)
+    off = 0
+    for starts, lens in pos_lists:
+        n = len(starts)
+        if n:
+            s = np.asarray(starts, dtype=np.int64)
+            flat_deltas[off] = s[0]
+            if n > 1:
+                np.subtract(
+                    s[1:], s[:-1], out=flat_deltas[off + 1 : off + n],
+                    casting="unsafe",
+                )
+            flat_lens[off : off + n] = np.asarray(lens, dtype=np.uint64)
+            off += n
+    dbytes, dlens = encode_varint_stream(flat_deltas)
+    lbytes, llens = encode_varint_stream(flat_lens)
+    d_cum = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(dlens, out=d_cum[1:])
+    l_cum = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(llens, out=l_cum[1:])
+    c_cum = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=c_cum[1:])
+    out = []
+    for i, c in enumerate(counts):
+        rec = bytearray()
+        write_varint(rec, int(c))
+        lo, hi = int(c_cum[i]), int(c_cum[i + 1])
+        rec += dbytes[d_cum[lo] : d_cum[hi]].tobytes()
+        rec += lbytes[l_cum[lo] : l_cum[hi]].tobytes()
+        out.append(bytes(rec))
+    return out
+
+
+def encode_pos_blob(records: list[bytes]) -> bytes:
+    """Records (doc_id order of the main blob) -> sub-list pos_blob."""
+    out = bytearray()
+    write_varint(out, len(records))
+    lens = np.fromiter(
+        (len(r) for r in records), dtype=np.uint64, count=len(records)
+    )
+    lb, _ = encode_varint_stream(lens) if len(records) else (np.empty(0, np.uint8), None)
+    out += lb.tobytes()
+    for r in records:
+        out += r
+    return bytes(out)
+
+
+def encode_pos_blob_from_arrow(bin_arr, lo: int, hi: int) -> bytes:
+    """Sub-list pos_blob straight from a slice of an Arrow binary column
+    (the sorted bucket table's ``positions`` rows [lo, hi)): lengths come
+    from the offsets buffer, the payload is ONE contiguous buffer slice —
+    no per-row Python bytes objects."""
+    n = hi - lo
+    out = bytearray()
+    write_varint(out, n)
+    if n == 0:
+        return bytes(out)
+    offs = np.frombuffer(bin_arr.buffers()[1], dtype=np.int32)
+    base = bin_arr.offset
+    rec_off = offs[base + lo : base + hi + 1].astype(np.int64)
+    lens = (rec_off[1:] - rec_off[:-1]).astype(np.uint64)
+    lb, _ = encode_varint_stream(lens)
+    out += lb.tobytes()
+    data = bin_arr.buffers()[2]
+    out += data[int(rec_off[0]) : int(rec_off[-1])]
+    return bytes(out)
+
+
+def _blob_offsets(blob: bytes) -> tuple[np.ndarray, int]:
+    """(record byte offsets (n+1, relative to payload start), payload_pos)."""
+    mv = memoryview(blob)
+    n, pos = read_varint(mv, 0)
+    if n == 0:
+        return np.zeros(1, dtype=np.int64), pos
+    # the length stream is exactly n varints: find its end via the n-th
+    # clear continuation bit
+    arr = np.frombuffer(blob, dtype=np.uint8)
+    ends = np.flatnonzero((arr[pos:] & 0x80) == 0)
+    len_stream_end = pos + int(ends[n - 1]) + 1
+    lens = decode_varint_stream(arr[pos:len_stream_end]).astype(np.int64)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    return offs, len_stream_end
+
+
+def gather_positions(
+    blob: bytes, wanted: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode occurrence positions for a subset of postings.
+
+    ``wanted``: ascending posting indices within the sub-list (as in the
+    main blob's doc order).  Returns (counts, starts, lens): ``counts``
+    aligned with ``wanted``; ``starts``/``lens`` flat, concatenated in
+    ``wanted`` order, starts absolute.  One gather + one vectorized
+    varint decode; no per-occurrence Python."""
+    offs, payload_pos = _blob_offsets(blob)
+    wanted = np.asarray(wanted, dtype=np.int64)
+    if len(wanted) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    arr = np.frombuffer(blob, dtype=np.uint8)
+    rec_lo = offs[wanted] + payload_pos
+    rec_hi = offs[wanted + 1] + payload_pos
+    rec_bytes = rec_hi - rec_lo
+    # gather the wanted records into one contiguous buffer
+    total_bytes = int(rec_bytes.sum())
+    gidx = np.repeat(rec_lo, rec_bytes) + (
+        np.arange(total_bytes, dtype=np.int64)
+        - np.repeat(np.cumsum(rec_bytes) - rec_bytes, rec_bytes)
+    )
+    buf = arr[gidx]
+    vals = decode_varint_stream(buf).astype(np.int64)
+    # value index at each record start = varints ending before that byte
+    v_ends = np.flatnonzero((buf & 0x80) == 0)  # end byte of each varint
+    rec_start_bytes = np.cumsum(rec_bytes) - rec_bytes
+    rec_val_idx = np.searchsorted(v_ends, rec_start_bytes, side="left")
+    counts = vals[rec_val_idx]
+    total_c = int(counts.sum())
+    if total_c == 0:
+        z = np.empty(0, dtype=np.int64)
+        return counts, z, z
+    c_off = np.cumsum(counts) - counts  # exclusive cumsum
+    within = np.arange(total_c, dtype=np.int64) - np.repeat(c_off, counts)
+    base = np.repeat(rec_val_idx + 1, counts)
+    deltas = vals[base + within]
+    lens = vals[base + np.repeat(counts, counts) + within]
+    # segmented cumsum: absolute starts per record
+    g = np.cumsum(deltas)
+    rec_first = c_off  # flat index of each record's first occurrence
+    prior = np.where(rec_first > 0, g[rec_first - 1], 0)
+    starts = g - np.repeat(prior, counts)
+    return counts, starts, lens
+
+
+def decode_record(blob: bytes, idx: int) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, lens) of one posting — convenience over gather_positions."""
+    counts, starts, lens = gather_positions(blob, np.asarray([idx]))
+    return starts, lens

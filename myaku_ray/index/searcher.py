@@ -214,10 +214,23 @@ class _SegmentFileIndex:
         self.sorted = bool((self.terms[1:] >= self.terms[:-1]).all()) \
             if len(self.terms) > 1 else True
 
-    def term_rows(self, term: str) -> list[tuple[bytes, float]]:
+    def term_rows(
+        self, term: str, with_positions: bool = False
+    ) -> list[tuple]:
+        """(blob, max_score) tuples for one term — (blob, max_score,
+        pos_blob) triples when ``with_positions`` (phrase/proximity path;
+        requires an index built with ``with_positions=True``)."""
         import numpy as np
         import pyarrow.compute as pc
 
+        if with_positions and (
+            self.pf.schema_arrow.get_field_index("pos_blob") == -1
+        ):
+            raise ValueError(
+                "index was built without positions "
+                "(build_index(with_positions=True) required for "
+                "phrase/proximity queries)"
+            )
         if self.sorted:
             lo = int(np.searchsorted(self.terms, term, "left"))
             hi = int(np.searchsorted(self.terms, term, "right"))
@@ -238,11 +251,18 @@ class _SegmentFileIndex:
                 )
             )
         out = []
+        cols = ["term", "blob", "max_score"] + (
+            ["pos_blob"] if with_positions else []
+        )
         for g in rgs:
-            t = self.pf.read_row_group(g, columns=["term", "blob", "max_score"])
+            t = self.pf.read_row_group(g, columns=cols)
             t = t.filter(pc.equal(t["term"], term))
-            for blob, ms in zip(t["blob"], t["max_score"]):
-                out.append((blob.as_py(), float(ms.as_py())))
+            if with_positions:
+                for blob, ms, pb in zip(t["blob"], t["max_score"], t["pos_blob"]):
+                    out.append((blob.as_py(), float(ms.as_py()), pb.as_py()))
+            else:
+                for blob, ms in zip(t["blob"], t["max_score"]):
+                    out.append((blob.as_py(), float(ms.as_py())))
         return out
 
 
@@ -684,6 +704,39 @@ class Searcher:
         return self.hydrate(
             hits[lo : lo + self.PAGE_SIZE], query_str, query_type
         )
+
+    # -- phrase / proximity (positional index extension) -------------------
+
+    def phrase_topk(self, query_str: str, k: int = 10) -> list[SearchResult]:
+        """Ranked docs containing the query as a contiguous token chain
+        (index/phrase.py semantics).  Requires a positional index."""
+        from myaku_ray.index import phrase as _ph
+
+        return [
+            SearchResult(doc_id=d, score=s, warc_us=w)
+            for (d, s, w) in _ph.phrase_topk(self, query_str, k)
+        ]
+
+    def phrase_search(
+        self, query_str: str, k: int = 10
+    ) -> list[SearchResult]:
+        return self.hydrate(self.phrase_topk(query_str, k), query_str)
+
+    def phrase_count(self, query_str: str) -> int:
+        from myaku_ray.index import phrase as _ph
+
+        return _ph.phrase_count(self, query_str)
+
+    def near_topk(
+        self, query_str: str, window: int, k: int = 10
+    ) -> list[SearchResult]:
+        """Proximity search: every query term within a char window."""
+        from myaku_ray.index import phrase as _ph
+
+        return [
+            SearchResult(doc_id=d, score=s, warc_us=w)
+            for (d, s, w) in _ph.near_topk(self, query_str, window, k)
+        ]
 
     def count(self, query_str: str, query_type: str = "exact") -> int:
         """Total matching docs (docs containing >= 1 query term) — the

@@ -102,12 +102,26 @@ def make_add_keys_fn(salt_buckets: int, n_buckets: int):
 def encode_bucket_table(
     g: pa.Table, dfs: dict, n_docs: int, avgdl: float, num_segments: int
 ) -> pa.Table:
-    """Encode every (term, salt) sub-list inside one bucket's rows."""
+    """Encode every (term, salt) sub-list inside one bucket's rows.
+
+    When the input carries a ``positions`` column (positional build),
+    each output row additionally gets a ``pos_blob`` assembled from the
+    sorted per-posting records (index/positions.py) — the score blob is
+    byte-identical to the non-positional build's."""
     if g.num_rows == 0:
         return _empty_rows()
     g = g.sort_by(
         [("term", "ascending"), ("salt", "ascending"), ("doc_id", "ascending")]
     )
+    with_pos = "positions" in g.schema.names
+    pos_arr = None
+    if with_pos:
+        pos_arr = g["positions"].combine_chunks()
+        if isinstance(pos_arr, pa.ChunkedArray):  # pyarrow version drift
+            pos_arr = (
+                pos_arr.chunk(0) if pos_arr.num_chunks
+                else pa.array([], pa.binary())
+            )
     # dictionary-encode instead of to_pylist: only the (vocab-sized)
     # dictionary materializes as Python strings, never the row column
     enc = g["term"].combine_chunks().dictionary_encode()
@@ -133,6 +147,9 @@ def encode_bucket_table(
     out_max: list[float] = []
     out_blob: list[bytes] = []
     out_seg: list[int] = []
+    out_pos: list[bytes] = []
+    if with_pos:
+        from myaku_ray.index.positions import encode_pos_blob_from_arrow
     for lo, hi in zip(starts, ends):
         term = uniques[codes[lo]]
         df = int(dfs[term])
@@ -147,17 +164,20 @@ def encode_bucket_table(
         out_max.append(float(scores.max()))
         out_blob.append(blob)
         out_seg.append(term_hash(term) % num_segments)
-    return pa.table(
-        {
-            "term": pa.array(out_term, pa.string()),
-            "salt": pa.array(out_salt, pa.int32()),
-            "df": pa.array(out_df, pa.int64()),
-            "count": pa.array(out_count, pa.int64()),
-            "max_score": pa.array(out_max, pa.float32()),
-            "blob": pa.array(out_blob, pa.binary()),
-            "segment": pa.array(out_seg, pa.int32()),
-        }
-    )
+        if with_pos:
+            out_pos.append(encode_pos_blob_from_arrow(pos_arr, int(lo), int(hi)))
+    cols = {
+        "term": pa.array(out_term, pa.string()),
+        "salt": pa.array(out_salt, pa.int32()),
+        "df": pa.array(out_df, pa.int64()),
+        "count": pa.array(out_count, pa.int64()),
+        "max_score": pa.array(out_max, pa.float32()),
+        "blob": pa.array(out_blob, pa.binary()),
+    }
+    if with_pos:
+        cols["pos_blob"] = pa.array(out_pos, pa.binary())
+    cols["segment"] = pa.array(out_seg, pa.int32())
+    return pa.table(cols)
 
 
 def make_encode_bucket_fn(df_ref, n_docs: int, avgdl: float, num_segments: int):
@@ -288,6 +308,9 @@ def _encode_bucket_task(
     import pyarrow.parquet as pq
 
     t0 = time.time()
+    cols = POSTING_COLS
+    if pq.read_schema(files[0]).get_field_index("positions") != -1:
+        cols = POSTING_COLS + ["positions"]  # positional build sidecar
     if n_parts > 1:
         # term-hash part filter, applied PER FILE during the read so a
         # part task's peak memory is one file's decode + its own kept
@@ -299,7 +322,7 @@ def _encode_bucket_task(
         # is the bucket COUNT, this is the hot-bucket valve.)
         kept = []
         for f in files:
-            ft = pq.read_table(f, columns=POSTING_COLS)
+            ft = pq.read_table(f, columns=cols)
             enc = ft["term"].combine_chunks().dictionary_encode()
             uhash = np.fromiter(
                 (term_hash(x) for x in enc.dictionary.to_pylist()),
@@ -314,7 +337,7 @@ def _encode_bucket_task(
         t = pa.concat_tables(kept)
     else:
         t = pa.concat_tables(
-            [pq.read_table(f, columns=POSTING_COLS) for f in files]
+            [pq.read_table(f, columns=cols) for f in files]
         )
     in_rows = t.num_rows
     if drop is not None:
@@ -354,6 +377,10 @@ def _write_rg_bounded(tbl: pa.Table, path: str) -> None:
     lens = pc.binary_length(tbl["blob"].combine_chunks()).to_numpy(
         zero_copy_only=False
     ).astype(np.int64)
+    if "pos_blob" in tbl.schema.names:  # positional build: bound both payloads
+        lens = lens + pc.binary_length(
+            tbl["pos_blob"].combine_chunks()
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
     n = len(lens)
     cum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens)])
     with pq.ParquetWriter(path, tbl.schema) as w:

@@ -168,6 +168,224 @@ def oracle_topk(
     return [(d, s, w) for (s, w, d) in scored[:k]]
 
 
+def _oracle_phrase_chain(query_str: str) -> list[str] | None:
+    """Query -> contiguous base-form chain (oracle copy of the engine's
+    contract: symbol tokens or gaps mean no chain)."""
+    from myaku_ray.tokenizer import _SYMBOL_POS
+
+    tok = get_tokenizer()
+    toks = tok.tokenize(normalize_char_width(query_str))
+    if not toks:
+        return None
+    chain, end = [], None
+    for t in toks:
+        if t.pos == _SYMBOL_POS:
+            return None
+        if end is not None and t.start != end:
+            return None
+        chain.append(t.base_form)
+        end = t.start + t.length
+    return chain
+
+
+def _doc_positions(index: OracleIndex) -> dict:
+    """doc_id -> {term: [(start, len), ...]} via the reference FLI path
+    (find_lexical_items), computed once per oracle index."""
+    tok = get_tokenizer()
+    out = {}
+    for doc_id, meta in index.docs.items():
+        items = tok.find_lexical_items(meta["text"])
+        out[doc_id] = {it["term"]: it["positions"] for it in items}
+    return out
+
+
+def _score_docs(index: OracleIndex, terms: list[str], docs: list[int]):
+    """(doc_id, score, warc_us) rank-ordered — ordinary multi-term BM25
+    sum over the distinct terms, restricted to the given docs."""
+    tf_maps = {
+        t: dict(index.postings.get(t, [])) for t in set(terms)
+    }
+    scored = []
+    for d in docs:
+        meta = index.docs[d]
+        score = 0.0
+        for t in sorted(set(terms)):
+            tf = tf_maps[t].get(d)
+            if tf is None:
+                continue
+            score += posting_score(
+                tf, meta["doclen"], meta["quality"], index.df[t],
+                index.n_docs, index.avgdl,
+            )
+        scored.append((score, meta["warc_us"], d))
+    scored.sort(reverse=True)
+    return [(d, s, w) for (s, w, d) in scored]
+
+
+def oracle_phrase_topk(
+    index: OracleIndex, query_str: str, k: int = 10, positions: dict | None = None
+):
+    """Serial phrase search: set-walk the occurrence chain per doc.
+
+    Independent mechanism from the engine (per-doc Python set chase over
+    find_lexical_items positions vs vectorized searchsorted over decoded
+    pos_blobs); shared semantics contract only."""
+    chain = _oracle_phrase_chain(query_str)
+    if not chain:
+        return []
+    positions = positions if positions is not None else _doc_positions(index)
+    matched = []
+    for doc_id, posmap in positions.items():
+        occ0 = posmap.get(chain[0])
+        if not occ0:
+            continue
+        nexts = {s + l for (s, l) in occ0}
+        ok = True
+        for t in chain[1:]:
+            occ = posmap.get(t)
+            if not occ:
+                ok = False
+                break
+            nexts = {s + l for (s, l) in occ if s in nexts}
+            if not nexts:
+                ok = False
+                break
+        if ok:
+            matched.append(doc_id)
+    return _score_docs(index, chain, matched)[:k]
+
+
+def oracle_near_topk(
+    index: OracleIndex,
+    query_str: str,
+    window: int,
+    k: int = 10,
+    positions: dict | None = None,
+):
+    """Serial proximity search: smallest-range merge per doc (max start -
+    min start <= window over one occurrence per distinct term)."""
+    terms = analyze_query(query_str)
+    if not terms:
+        return []
+    positions = positions if positions is not None else _doc_positions(index)
+    matched = []
+    for doc_id, posmap in positions.items():
+        lists = []
+        ok = True
+        for i, t in enumerate(terms):
+            occ = posmap.get(t)
+            if not occ:
+                ok = False
+                break
+            lists.extend((s, i) for (s, _l) in occ)
+        if not ok:
+            continue
+        lists.sort()
+        have = [0] * len(terms)
+        missing = len(terms)
+        best = None
+        left = 0
+        for right in range(len(lists)):
+            ti = lists[right][1]
+            if have[ti] == 0:
+                missing -= 1
+            have[ti] += 1
+            while missing == 0:
+                span = lists[right][0] - lists[left][0]
+                if best is None or span < best:
+                    best = span
+                tl = lists[left][1]
+                have[tl] -= 1
+                if have[tl] == 0:
+                    missing += 1
+                left += 1
+        if best is not None and best <= window:
+            matched.append(doc_id)
+    return _score_docs(index, terms, matched)[:k]
+
+
+def phrase_query_set(pages_parquet: str) -> list[str]:
+    """Deterministic phrase queries derived from the FIXED corpus text:
+    contiguous 2- and 3-token slices of real docs (guaranteed hits), a
+    cross-boundary slice containing a symbol (chain is unprovable —
+    must return nothing), and a nonsense chain (zero hits)."""
+    tok = get_tokenizer()
+    texts = _first_texts(pages_parquet, want=3, min_len=200)
+    out: list[str] = []
+    for which, text in enumerate(texts):
+        toks = tok.tokenize(text)
+        runs2 = [
+            i
+            for i in range(len(toks) - 1)
+            if toks[i + 1].start == toks[i].start + toks[i].length
+        ]
+        if not runs2:
+            continue
+        i = runs2[min(which * 7, len(runs2) - 1)]
+        out.append(
+            text[toks[i].start : toks[i + 1].start + toks[i + 1].length]
+        )
+        runs3 = [
+            i
+            for i in runs2
+            if i + 2 < len(toks)
+            and toks[i + 2].start == toks[i + 1].start + toks[i + 1].length
+        ]
+        if runs3 and which == 0:
+            j = runs3[len(runs3) // 2]
+            out.append(
+                text[toks[j].start : toks[j + 2].start + toks[j + 2].length]
+            )
+        # a slice spanning a GAP (symbol/whitespace): phrase must be empty
+        gaps = [
+            i
+            for i in range(len(toks) - 1)
+            if toks[i + 1].start > toks[i].start + toks[i].length
+        ]
+        if gaps and which == 0:
+            g = gaps[0]
+            out.append(
+                text[toks[g].start : toks[g + 1].start + toks[g + 1].length]
+            )
+    out.append("ぬりぬりぺぺぺ")  # nonsense chain, zero hits
+    return out
+
+
+def near_query_set(pages_parquet: str) -> list[tuple[str, int]]:
+    """(query, window) pairs: two terms co-occurring in a real doc at
+    three windows (tight / mid / loose) plus a multi-term query."""
+    tok = get_tokenizer()
+    texts = _first_texts(pages_parquet, want=1, min_len=200)
+    if not texts:
+        return []
+    toks = [t for t in tok.tokenize(texts[0]) if len(t.base_form) > 1]
+    seen: dict[str, int] = {}
+    for t in toks:
+        seen.setdefault(t.base_form, t.start)
+    bases = list(seen)
+    if len(bases) < 3:
+        return []
+    q2 = bases[0] + "の" + bases[1]
+    q3 = bases[0] + bases[1] + bases[2]
+    return [(q2, 20), (q2, 100), (q2, 1000), (q3, 200)]
+
+
+def _first_texts(pages_parquet: str, want: int, min_len: int) -> list[str]:
+    """First N extracted ja texts in row order — the deterministic doc
+    sample the query-set derivations run over."""
+    table = pq.read_table(pages_parquet, columns=["url", "html", "lang"])
+    out: list[str] = []
+    for i in range(table.num_rows):
+        if table["lang"][i].as_py() != "ja":
+            continue
+        er = extract_page(table["html"][i].as_py(), table["url"][i].as_py())
+        if er.ok and len(er.text) >= min_len:
+            out.append(er.text)
+            if len(out) >= want:
+                break
+    return out
+
+
 def reference_query_set() -> list[str]:
     """The fixed query set for rank-identity checks (FIXTURES.md §4):
     mid-df terms, rare terms, high-df particles, width-normalization cases,

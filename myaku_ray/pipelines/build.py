@@ -148,6 +148,11 @@ def build_index(
     tokenize_concurrency: int | tuple | None = None,
     tokenize_batch_size: int = 128,
     resume: bool = True,
+    # opt-in positional sidecar (phrase / proximity queries): postings
+    # carry per-occurrence (start, len) records and segments gain a
+    # pos_blob column.  The score path (blob, WAND, rank identity) is
+    # byte-identical either way; positions cost ~tokenize 2x + payload.
+    with_positions: bool = False,
 ) -> dict:
     """Build (or resume building) the full index. Returns build metrics."""
     os.makedirs(index_dir, exist_ok=True)
@@ -274,11 +279,14 @@ def build_index(
         # this version — Ray Data itself ships the MapTransformer through
         # the object store — so bench.py silences that known line at the
         # glog level instead.)
-        _salt, _enc = salt_buckets, encode_buckets
+        _salt, _enc, _wp = salt_buckets, encode_buckets, with_positions
 
         class _PinnedTokenizeStage(TokenizeStage):
             def __init__(self):
-                super().__init__(salt_buckets=_salt, encode_buckets=_enc)
+                super().__init__(
+                    salt_buckets=_salt, encode_buckets=_enc,
+                    with_positions=_wp,
+                )
 
         postings = winners.map_batches(
             _PinnedTokenizeStage,
@@ -358,6 +366,7 @@ def build_index(
             "salt_buckets": salt_buckets,
             "encode_buckets": encode_buckets,
             "fixed_now_us": int(fixed_now.timestamp() * 1_000_000),
+            "with_positions": bool(with_positions),
         }
         with open(stats_path, "w") as f:
             json.dump(stats, f)

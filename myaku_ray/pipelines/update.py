@@ -572,6 +572,10 @@ def update_index(
             fn_constructor_kwargs={
                 "salt_buckets": _stats["salt_buckets"],
                 "encode_buckets": _stats.get("encode_buckets", 64),
+                # positional indexes must stay positional across updates:
+                # the encode task concats base + delta postings, so their
+                # schemas have to agree
+                "with_positions": _stats.get("with_positions", False),
             },
         )
         delta_postings.write_parquet(
@@ -1137,6 +1141,10 @@ def delete_urls(
             fn_constructor_kwargs={
                 "salt_buckets": _stats["salt_buckets"],
                 "encode_buckets": _stats.get("encode_buckets", 64),
+                # positional indexes must stay positional across updates:
+                # the encode task concats base + delta postings, so their
+                # schemas have to agree
+                "with_positions": _stats.get("with_positions", False),
             },
         ).write_parquet(postings_delta_dir, partition_cols=["bucket"], compression="lz4")
         _write_tokenized_shard(postings_delta_dir, need)

@@ -35,6 +35,11 @@ POSTING_SCHEMA = pa.schema(
     ]
 )
 
+# Positional build (with_positions=True): one extra binary column holding
+# the per-(term, doc) occurrence record (index/positions.py layout).  It
+# rides the same bucket-partitioned write; the score path never reads it.
+POSTING_POS_SCHEMA = POSTING_SCHEMA.append(pa.field("positions", pa.binary()))
+
 
 class TokenizeStage:
     """Optionally emits ``salt`` + ``bucket`` columns so the postings
@@ -46,10 +51,12 @@ class TokenizeStage:
         self,
         salt_buckets: int | None = None,
         encode_buckets: int | None = None,
+        with_positions: bool = False,
     ) -> None:
         self._tok = Tokenizer()
         self._salt_buckets = salt_buckets
         self._encode_buckets = encode_buckets
+        self._with_positions = with_positions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
@@ -63,28 +70,58 @@ class TokenizeStage:
         out_dl: list[int] = []
         out_q: list[int] = []
         out_w: list[int] = []
+        pos_lists: list = []  # (starts, lens) per row, positional build only
+        with_pos = self._with_positions
         for text, did, q, w in zip(texts, doc_ids, qualities, warcs):
-            tfs = self._tok.find_term_tfs(text)
-            doclen = sum(tfs.values())
-            n = len(tfs)
-            terms.extend(tfs.keys())
-            out_tf.extend(tfs.values())
+            if with_pos:
+                # positional kernel: same term set, tf == len(positions)
+                poss = self._tok.find_term_positions(text)
+                doclen = sum(len(v) for v in poss.values())
+                n = len(poss)
+                terms.extend(poss.keys())
+                out_tf.extend(len(v) for v in poss.values())
+                pos_lists.extend(
+                    (
+                        np.fromiter((p[0] for p in v), dtype=np.int64,
+                                    count=len(v)),
+                        np.fromiter((p[1] for p in v), dtype=np.int64,
+                                    count=len(v)),
+                    )
+                    for v in poss.values()
+                )
+            else:
+                tfs = self._tok.find_term_tfs(text)
+                doclen = sum(tfs.values())
+                n = len(tfs)
+                terms.extend(tfs.keys())
+                out_tf.extend(tfs.values())
             out_doc.extend([did] * n)
             out_dl.extend([doclen] * n)
             out_q.extend([q] * n)
             out_w.extend([w] * n)
 
-        out = pa.Table.from_pydict(
-            {
-                "term": terms,
-                "doc_id": out_doc,
-                "tf": out_tf,
-                "doclen": out_dl,
-                "quality": out_q,
-                "warc_us": np.asarray(out_w, dtype=np.uint64),
-            },
-            schema=POSTING_SCHEMA,
-        )
+        cols = {
+            "term": terms,
+            "doc_id": out_doc,
+            "tf": out_tf,
+            "doclen": out_dl,
+            "quality": out_q,
+            "warc_us": np.asarray(out_w, dtype=np.uint64),
+        }
+        if with_pos:
+            from myaku_ray.index.positions import encode_position_records_batch
+
+            out = pa.Table.from_pydict(
+                dict(
+                    cols,
+                    positions=pa.array(
+                        encode_position_records_batch(pos_lists), pa.binary()
+                    ),
+                ),
+                schema=POSTING_POS_SCHEMA,
+            )
+        else:
+            out = pa.Table.from_pydict(cols, schema=POSTING_SCHEMA)
         if self._salt_buckets is not None and self._encode_buckets is not None:
             from myaku_ray.index.segment_build import add_salt_bucket
 

@@ -340,6 +340,66 @@ class Tokenizer:
                     counts[ph] = counts.get(ph, 0) + cnt
         return counts
 
+    def find_term_positions(self, text: str) -> dict[str, list]:
+        """Positional build kernel: term -> sorted [(start, len), ...].
+
+        Exactly ``{it['term']: it['positions'] for it in
+        find_lexical_items(text)}`` (parity-tested), i.e. the same term
+        set as ``find_term_tfs`` with ``tf == len(positions)``, but
+        produced by ONE ``finditer`` pass over the combined pattern
+        instead of the longest-match loop.  Per-occurrence work is a
+        dict/set insert (positions must materialize — there is no
+        distinct-surface collapse like the tf kernel's Counter trick),
+        so this costs more than ``find_term_tfs``; it runs only in the
+        opt-in positional build (``build_index(with_positions=True)``).
+        """
+        if not self._fast_ok:
+            return {
+                it["term"]: [tuple(p) for p in it["positions"]]
+                for it in self.find_lexical_items(text)
+            }
+        surfaces = self._surfaces
+        phrases = self._phrases
+        found: dict[str, set] = {}
+        # surface -> (base form, counts toward the index) memo: the
+        # per-occurrence branch work collapses to distinct surfaces
+        base_cache: dict[str, tuple] = {}
+        prev_base: str | None = None
+        prev_start = 0
+        for m in self._combined.finditer(text):
+            s_ = m.group()
+            cached = base_cache.get(s_)
+            if cached is None:
+                e = surfaces.get(s_)
+                if e is not None:
+                    b, _r, p, _ct, _cf = e
+                    cached = (b, p != _SYMBOL_POS)
+                elif _is_latin_alnum(s_[0]):
+                    cached = (normalize_char_width(s_).lower(), True)
+                elif s_.isalnum():
+                    cached = (normalize_char_width(s_), True)
+                else:
+                    # exotic \w char str.isalnum rejects: defer to the
+                    # reference longest-match path (same rule as the tf
+                    # kernel)
+                    return {
+                        it["term"]: [tuple(p) for p in it["positions"]]
+                        for it in self.find_lexical_items(text)
+                    }
+                base_cache[s_] = cached
+            b, indexed = cached
+            start = m.start()
+            if indexed:
+                found.setdefault(b, set()).add((start, len(s_)))
+            # meta 2-gram phrase over adjacent tokens (dict-symbol tokens
+            # participate as `prev`, exactly as in find_lexical_items)
+            if prev_base is not None and (prev_base, b) in phrases:
+                found.setdefault(prev_base + b, set()).add(
+                    (prev_start, start + len(s_) - prev_start)
+                )
+            prev_base, prev_start = b, start
+        return {t: sorted(ps) for t, ps in found.items()}
+
     def _find_term_tfs_slow(self, text: str) -> dict[str, int]:
         """Longest-match-loop reference implementation (parity-tested
         equal to the fused fast path)."""

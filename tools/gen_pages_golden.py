@@ -114,6 +114,53 @@ def main() -> None:
         + "\n) AS golden(query, query_type, rank, doc_id, score, url)"
     )
 
+    # ---- phrase / proximity goldens (serial positional oracle) ---------
+    from myaku_ray.oracle import (
+        _doc_positions, near_query_set, oracle_near_topk,
+        oracle_phrase_topk, phrase_query_set,
+    )
+
+    dpos = _doc_positions(oi)
+    phrase_rows = []
+    for q in phrase_query_set(pages_dir):
+        for rank, (doc_id, score, _w) in enumerate(
+            oracle_phrase_topk(oi, q, k=10, positions=dpos), start=1
+        ):
+            phrase_rows.append(
+                (q, rank, doc_id, round(float(score), 5),
+                 oi.docs[doc_id]["url"])
+            )
+    phrase_values = ",\n  ".join(
+        f"({q!r}, {rank}::BIGINT, {doc_id}::BIGINT, "
+        f"{score!r}::DOUBLE, '{url}')"
+        for q, rank, doc_id, score, url in phrase_rows
+    )
+    phrase_sql = (
+        "SELECT * FROM (VALUES\n  "
+        + phrase_values
+        + "\n) AS golden(query, rank, doc_id, score, url)"
+    )
+
+    near_rows = []
+    for q, w in near_query_set(pages_dir):
+        for rank, (doc_id, score, _ww) in enumerate(
+            oracle_near_topk(oi, q, w, k=10, positions=dpos), start=1
+        ):
+            near_rows.append(
+                (q, w, rank, doc_id, round(float(score), 5),
+                 oi.docs[doc_id]["url"])
+            )
+    near_values = ",\n  ".join(
+        f"({q!r}, {w}::BIGINT, {rank}::BIGINT, {doc_id}::BIGINT, "
+        f"{score!r}::DOUBLE, '{url}')"
+        for q, w, rank, doc_id, score, url in near_rows
+    )
+    near_sql = (
+        "SELECT * FROM (VALUES\n  "
+        + near_values
+        + "\n) AS golden(query, \"window\", rank, doc_id, score, url)"
+    )
+
     # ---- FLI interp profile golden (serial tokenizer pass) -------------
     # Mirrors fulltext.pages_fli_interp_profile: same "interesting" filter
     # (multi-interp or meta-phrase) and the same struct shaping FliStage
@@ -167,11 +214,14 @@ def main() -> None:
             f"PAGES_EXTRACT_STATS_SQL = '''\n{stats_sql}\n'''\n\n"
             f"PAGES_SEARCH_TOPK_SQL = '''\n{search_sql}\n'''\n\n"
             f"PAGES_SEARCH_ALTFORMS_SQL = '''\n{alt_sql}\n'''\n\n"
-            f"PAGES_FLI_INTERP_PROFILE_SQL = '''\n{prof_sql}\n'''\n"
+            f"PAGES_FLI_INTERP_PROFILE_SQL = '''\n{prof_sql}\n'''\n\n"
+            f"PAGES_PHRASE_SEARCH_SQL = '''\n{phrase_sql}\n'''\n\n"
+            f"PAGES_NEAR_SEARCH_SQL = '''\n{near_sql}\n'''\n"
         )
     print(
         f"wrote {out}: {len(stats)} stats rows, {len(rows)} search rows, "
-        f"{len(alt_rows)} altform rows, {len(prof)} interp-profile rows"
+        f"{len(alt_rows)} altform rows, {len(prof)} interp-profile rows, "
+        f"{len(phrase_rows)} phrase rows, {len(near_rows)} near rows"
     )
 
 
