@@ -9,6 +9,7 @@ pipelines.  Owns its Ray session (guarded init), unlike the library.
     python -m myaku_ray rescore <index_dir> [--now ISO] [--cpus N]
     python -m myaku_ray first-page <index_dir> [--cpus N]
     python -m myaku_ray search  <index_dir> <query> [--k K] [--page P]
+    python -m myaku_ray phrase  <index_dir> <query> [--k K] [--near WINDOW]
     python -m myaku_ray delete  <index_dir> <url> [...]
     python -m myaku_ray gen     <out_dir> <n_pages>
 """
@@ -53,6 +54,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("pages_dir")
     b.add_argument("index_dir")
     b.add_argument("--cpus", type=int, default=None)
+    b.add_argument(
+        "--positions", action="store_true",
+        help="positional sidecar (enables phrase/near queries)",
+    )
 
     u = sub.add_parser("update")
     u.add_argument("pages_dir")
@@ -74,6 +79,15 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--page", type=int, default=None)
 
+    ph = sub.add_parser("phrase")
+    ph.add_argument("index_dir")
+    ph.add_argument("query")
+    ph.add_argument("--k", type=int, default=10)
+    ph.add_argument(
+        "--near", type=int, default=None, metavar="WINDOW",
+        help="proximity mode: every term within WINDOW chars",
+    )
+
     d = sub.add_parser("delete")
     d.add_argument("index_dir")
     d.add_argument("urls", nargs="+")
@@ -94,7 +108,10 @@ def main(argv: list[str] | None = None) -> int:
         _init_ray(args.cpus)
         from myaku_ray.pipelines.build import build_index
 
-        m = build_index(args.pages_dir, args.index_dir, blog_ratings=_ratings())
+        m = build_index(
+            args.pages_dir, args.index_dir, blog_ratings=_ratings(),
+            with_positions=args.positions,
+        )
         print(json.dumps({"stats": m["stats"]}))
     elif args.cmd == "update":
         _init_ray(args.cpus)
@@ -141,6 +158,27 @@ def main(argv: list[str] | None = None) -> int:
                         "url": h.url,
                         "title": h.title,
                         "preview": h.preview,
+                    },
+                    ensure_ascii=False,
+                )
+            )
+    elif args.cmd == "phrase":
+        from myaku_ray.index.searcher import Searcher
+
+        s_ = Searcher(args.index_dir)
+        hits = (
+            s_.near_topk(args.query, args.near, args.k)
+            if args.near is not None
+            else s_.phrase_topk(args.query, args.k)
+        )
+        for h in s_.hydrate(hits, args.query):
+            print(
+                json.dumps(
+                    {
+                        "doc_id": h.doc_id,
+                        "score": round(h.score, 5),
+                        "url": h.url,
+                        "title": h.title,
                     },
                     ensure_ascii=False,
                 )

@@ -857,9 +857,11 @@ def refresh_index(index_dir: str, *, recompute_df: bool = True) -> dict:
         num_segments=num_segments,
         drop=(frozenset(drop_losers), supersede, overrides),
     ):
+        refresh_cols = ["term", "doc_id", "tf", "doclen", "quality", "warc_us"]
+        if stats.get("with_positions"):
+            refresh_cols.append("positions")  # keep the phrase sidecar
         postings = rd.read_parquet(
-            posting_files,
-            columns=["term", "doc_id", "tf", "doclen", "quality", "warc_us"],
+            posting_files, columns=refresh_cols
         ).map_batches(drop_dead, batch_format="pyarrow")
         encode_segments(
             postings,
@@ -1006,8 +1008,13 @@ def compact_index(index_dir: str) -> dict:
 
         from myaku_ray.index.segment_build import POSTING_COLS, apply_drop
 
+        cols = POSTING_COLS
+        if _pq.read_schema(bfiles[0]).get_field_index("positions") != -1:
+            # positional index: the sidecar must survive compaction, or
+            # the next refresh would silently re-encode without pos_blob
+            cols = POSTING_COLS + ["positions"]
         t = pa.concat_tables(
-            [_pq.read_table(f, columns=POSTING_COLS) for f in bfiles]
+            [_pq.read_table(f, columns=cols) for f in bfiles]
         )
         loser_set, sup, ov = drop
         t = apply_drop(t, loser_set, sup, ov)

@@ -221,17 +221,31 @@ def test_positional_index_survives_update(ray_session, tmp_path_factory):
     write_union_parquet(union, base, batch)
     oi = build_oracle_index(union, blog_ratings=ratings)
     pos = _doc_positions(oi)
-    s = Searcher(idx)
-    n_hits = 0
-    for p in phrase_query_set(union):
-        got = [(r.doc_id, round(r.score, 5)) for r in s.phrase_topk(p, 10)]
-        want = [
-            (d, round(sc, 5))
-            for (d, sc, _w) in oracle_phrase_topk(oi, p, 10, positions=pos)
-        ]
-        assert got == want, p
-        n_hits += len(got)
-    assert n_hits > 0
+
+    def assert_parity(searcher):
+        n_hits = 0
+        for p in phrase_query_set(union):
+            got = [
+                (r.doc_id, round(r.score, 5))
+                for r in searcher.phrase_topk(p, 10)
+            ]
+            want = [
+                (d, round(sc, 5))
+                for (d, sc, _w) in oracle_phrase_topk(oi, p, 10, positions=pos)
+            ]
+            assert got == want, p
+            n_hits += len(got)
+        assert n_hits > 0
+
+    assert_parity(Searcher(idx))
+
+    # compaction must keep the positional sidecar: compact, then refresh
+    # re-encodes from the compacted postings — phrase parity must hold
+    from myaku_ray.pipelines.update import compact_index, refresh_index
+
+    compact_index(idx)
+    refresh_index(idx)
+    assert_parity(Searcher(idx))
 
 
 def test_phrase_is_subset_of_and_search(pos_built):
