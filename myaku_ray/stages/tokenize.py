@@ -80,15 +80,7 @@ class TokenizeStage:
                 n = len(poss)
                 terms.extend(poss.keys())
                 out_tf.extend(len(v) for v in poss.values())
-                pos_lists.extend(
-                    (
-                        np.fromiter((p[0] for p in v), dtype=np.int64,
-                                    count=len(v)),
-                        np.fromiter((p[1] for p in v), dtype=np.int64,
-                                    count=len(v)),
-                    )
-                    for v in poss.values()
-                )
+                pos_lists.extend(poss.values())
             else:
                 tfs = self._tok.find_term_tfs(text)
                 doclen = sum(tfs.values())
@@ -109,13 +101,16 @@ class TokenizeStage:
             "warc_us": np.asarray(out_w, dtype=np.uint64),
         }
         if with_pos:
-            from myaku_ray.index.positions import encode_position_records_batch
+            from myaku_ray.index.positions import (
+                encode_position_records_from_pairs,
+            )
 
             out = pa.Table.from_pydict(
                 dict(
                     cols,
                     positions=pa.array(
-                        encode_position_records_batch(pos_lists), pa.binary()
+                        encode_position_records_from_pairs(pos_lists),
+                        pa.binary(),
                     ),
                 ),
                 schema=POSTING_POS_SCHEMA,

@@ -345,14 +345,16 @@ class Tokenizer:
 
         Exactly ``{it['term']: it['positions'] for it in
         find_lexical_items(text)}`` (parity-tested), i.e. the same term
-        set as ``find_term_tfs`` with ``tf == len(positions)``, but
-        produced by ONE ``finditer`` pass over the combined pattern
-        instead of the longest-match loop.  Per-occurrence work is a
-        dict/set insert (positions must materialize — there is no
-        distinct-surface collapse like the tf kernel's Counter trick),
-        so this costs more than ``find_term_tfs``; it runs only in the
-        opt-in positional build (``build_index(with_positions=True)``).
-        """
+        set as ``find_term_tfs`` with ``tf == len(positions)``, produced
+        by ONE ``finditer`` pass over the combined pattern.  All
+        per-distinct-surface work (dict probes, base map, surface
+        length, the term's occurrence-list ref) memoizes, so the
+        per-OCCURRENCE cost is one cache get + one list append — the
+        positional analog of the tf kernel's Counter collapse.  (A fully
+        numpy re.split/factorize variant was benchmarked SLOWER: docs
+        are a few hundred tokens, and small-array numpy constants beat
+        the saved interpreter work.)  Runs only in the opt-in positional
+        build (``build_index(with_positions=True)``)."""
         if not self._fast_ok:
             return {
                 it["term"]: [tuple(p) for p in it["positions"]]
@@ -360,24 +362,28 @@ class Tokenizer:
             }
         surfaces = self._surfaces
         phrases = self._phrases
-        found: dict[str, set] = {}
-        # surface -> (base form, counts toward the index) memo: the
-        # per-occurrence branch work collapses to distinct surfaces
-        base_cache: dict[str, tuple] = {}
-        prev_base: str | None = None
+        found: dict[str, list] = {}
+        # surface -> (term's occurrence list | None, surface len, base)
+        scache: dict[str, tuple] = {}
+        # (prev surface, surface) -> phrase occurrence list | False
+        pcache: dict[tuple, object] = {}
+        phrase_keys: list[str] = []
+        prev_s: str | None = None
         prev_start = 0
         for m in self._combined.finditer(text):
             s_ = m.group()
-            cached = base_cache.get(s_)
-            if cached is None:
+            c = scache.get(s_)
+            if c is None:
                 e = surfaces.get(s_)
                 if e is not None:
                     b, _r, p, _ct, _cf = e
-                    cached = (b, p != _SYMBOL_POS)
+                    indexed = p != _SYMBOL_POS
                 elif _is_latin_alnum(s_[0]):
-                    cached = (normalize_char_width(s_).lower(), True)
+                    b = normalize_char_width(s_).lower()
+                    indexed = True
                 elif s_.isalnum():
-                    cached = (normalize_char_width(s_), True)
+                    b = normalize_char_width(s_)
+                    indexed = True
                 else:
                     # exotic \w char str.isalnum rejects: defer to the
                     # reference longest-match path (same rule as the tf
@@ -386,19 +392,51 @@ class Tokenizer:
                         it["term"]: [tuple(p) for p in it["positions"]]
                         for it in self.find_lexical_items(text)
                     }
-                base_cache[s_] = cached
-            b, indexed = cached
+                c = scache[s_] = (
+                    found.setdefault(b, []) if indexed else None,
+                    len(s_),
+                    b,
+                )
+            lst, slen, b = c
             start = m.start()
-            if indexed:
-                found.setdefault(b, set()).add((start, len(s_)))
+            if lst is not None:
+                lst.append((start, slen))
             # meta 2-gram phrase over adjacent tokens (dict-symbol tokens
             # participate as `prev`, exactly as in find_lexical_items)
-            if prev_base is not None and (prev_base, b) in phrases:
-                found.setdefault(prev_base + b, set()).add(
-                    (prev_start, start + len(s_) - prev_start)
-                )
-            prev_base, prev_start = b, start
-        return {t: sorted(ps) for t, ps in found.items()}
+            if prev_s is not None:
+                pc = pcache.get((prev_s, s_))
+                if pc is None:
+                    pb = scache[prev_s][2]
+                    if (pb, b) in phrases:
+                        pc = found.setdefault(pb + b, [])
+                        phrase_keys.append(pb + b)
+                    else:
+                        pc = False
+                    pcache[(prev_s, s_)] = pc
+                if pc is not False:
+                    pc.append((prev_start, start + slen - prev_start))
+            prev_s, prev_start = s_, start
+        # finditer emits ascending starts, so every single-stream list is
+        # already sorted; only terms fed by BOTH a token stream and a
+        # phrase stream (base form == some phrase concatenation) can
+        # interleave — re-sort exactly those (FLI set-union semantics)
+        for k in phrase_keys:
+            found[k] = sorted(set(found[k]))
+        return found
+
+    def find_term_position_arrays(self, text: str) -> dict:
+        """Array view for the tokenize stage: term -> (starts, lens)
+        int64 arrays, ascending by start."""
+        import numpy as np
+
+        out = {}
+        for t, ps in self.find_term_positions(text).items():
+            n = len(ps)
+            arr = np.fromiter(
+                (x for p in ps for x in p), dtype=np.int64, count=2 * n
+            ).reshape(n, 2)
+            out[t] = (arr[:, 0].copy(), arr[:, 1].copy())
+        return out
 
     def _find_term_tfs_slow(self, text: str) -> dict[str, int]:
         """Longest-match-loop reference implementation (parity-tested
