@@ -125,6 +125,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pos_blob sidecar; proximity = smallest covering char window
         "pages_phrase_search": fulltext.pages_phrase_search,
         "pages_near_search": fulltext.pages_near_search,
+        # index-native analytics: matched docs per (term, month) straight
+        # from the posting payload's warc_us — no doc hydration
+        "pages_term_trend": fulltext.pages_term_trend,
         # full FLI payload with lexical interpretations (list<struct>
         # columns; not SQL-expressible — pytest golden tests hold the gate)
         "pages_fli_interps": fulltext.pages_fli_interps,
@@ -210,6 +213,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_search_altforms": pages_golden.PAGES_SEARCH_ALTFORMS_SQL,
         "pages_phrase_search": pages_golden.PAGES_PHRASE_SEARCH_SQL,
         "pages_near_search": pages_golden.PAGES_NEAR_SEARCH_SQL,
+        "pages_term_trend": pages_golden.PAGES_TERM_TREND_SQL,
         "pages_fli_interp_profile": pages_golden.PAGES_FLI_INTERP_PROFILE_SQL,
         # Stored-golden oracles (tools/gen_op_goldens.py): these operators
         # are not SQL-expressible directly (LSH banding, approximate ANN,

@@ -250,6 +250,24 @@ def pages_search_altforms(sf_dir: str, k: int = 10):
     return pd.DataFrame(rows)
 
 
+def pages_term_trend(sf_dir: str):
+    """Crawl-time trend analytics: matched-doc counts per (query term,
+    UTC month), computed entirely from the posting payload's warc_us
+    column — no doc hydration, cost bound = one sub-list decode per
+    term (the ``count`` bound).  Rows for the reference query set."""
+    from myaku_ray.oracle import reference_query_set
+
+    s = _pages_searcher()
+    rows = {"query": [], "term": [], "month": [], "n_docs": []}
+    for q in reference_query_set():
+        for term, month, n in s.term_trend(q):
+            rows["query"].append(q)
+            rows["term"].append(term)
+            rows["month"].append(month)
+            rows["n_docs"].append(n)
+    return pd.DataFrame(rows)
+
+
 def _pages_pos_searcher():
     """Positional pages index (``with_positions=True``): the phrase /
     proximity serving path.  Separate index dir — the score blobs are

@@ -705,6 +705,55 @@ class Searcher:
             hits[lo : lo + self.PAGE_SIZE], query_str, query_type
         )
 
+    # -- index-native analytics -------------------------------------------
+
+    def term_trend(self, query_str: str, query_type: str = "exact"):
+        """Matched-doc counts per (query term, UTC month) — crawl-time
+        trend analytics computed ENTIRELY from the posting payload's
+        ``warc_us`` column (no doc hydration; cost bound = one sub-list
+        decode per query term, the same bound as ``count``).  Alt-form
+        query types count a doc once per GROUP (union over member
+        spellings), keyed by the original query term.  Returns
+        [(term, 'YYYY-MM', n_docs), ...] sorted by (term, month)."""
+        import numpy as np
+
+        from myaku_ray.lexicon import expand_alt_forms
+
+        out = []
+        for t in self.analyze_query(query_str):
+            parts = []
+            for m in expand_alt_forms(t, query_type):
+                it = self.term_iterator(m)
+                if it is None:
+                    continue
+                if isinstance(it, ArrayPostings):
+                    ids, warc = it.ids, it.warc
+                else:
+                    acc_i, acc_w = [], []
+                    while not it.exhausted:
+                        acc_i.append(it.doc_id())
+                        acc_w.append(it.warc_us())
+                        it.next()
+                    ids = np.asarray(acc_i, dtype=np.int64)
+                    warc = np.asarray(acc_w, dtype=np.uint64)
+                parts.append((ids, warc))
+            if not parts:
+                continue
+            ids = np.concatenate([p[0] for p in parts])
+            warc = np.concatenate([p[1] for p in parts])
+            if len(parts) > 1:  # group union: one count per doc
+                ids, first = np.unique(ids, return_index=True)
+                warc = warc[first]
+            months = (
+                warc.astype("int64").astype("datetime64[us]")
+                .astype("datetime64[M]")
+            )
+            um, counts = np.unique(months, return_counts=True)
+            out.extend(
+                (t, str(m), int(c)) for m, c in zip(um, counts)
+            )
+        return out
+
     # -- phrase / proximity (positional index extension) -------------------
 
     def phrase_topk(self, query_str: str, k: int = 10) -> list[SearchResult]:

@@ -304,6 +304,32 @@ def oracle_near_topk(
     return _score_docs(index, terms, matched)[:k]
 
 
+def oracle_term_trend(
+    index: OracleIndex, query_str: str, query_type: str = "exact"
+) -> list:
+    """Serial term-trend: per (query term, UTC month) matched-doc counts
+    via a per-doc dict walk over the postings (independent mechanism
+    from the engine's vectorized datetime64 bucketing)."""
+    from collections import Counter
+    from datetime import datetime, timezone
+
+    from myaku_ray.lexicon import expand_alt_forms
+
+    out = []
+    for t in analyze_query(query_str):
+        docs = set()
+        for m in expand_alt_forms(t, query_type):
+            docs.update(d for d, _tf in index.postings.get(m, []))
+        c: Counter = Counter()
+        for d in docs:
+            ts = datetime.fromtimestamp(
+                index.docs[d]["warc_us"] / 1_000_000, tz=timezone.utc
+            )
+            c[f"{ts.year:04d}-{ts.month:02d}"] += 1
+        out.extend((t, month, n) for month, n in sorted(c.items()))
+    return out
+
+
 def phrase_query_set(pages_parquet: str) -> list[str]:
     """Deterministic phrase queries derived from the FIXED corpus text:
     contiguous 2- and 3-token slices of real docs (guaranteed hits), a

@@ -365,3 +365,26 @@ def test_encode_bucket_split_is_output_identical(
         ra = [(r.doc_id, round(r.score, 9)) for r in a.topk(q, 10)]
         rb = [(r.doc_id, round(r.score, 9)) for r in b.topk(q, 10)]
         assert ra == rb, q
+
+
+def test_term_trend_parity(built, monkeypatch):
+    """term_trend (matched docs per term-month from the warc_us posting
+    payload) matches the serial per-doc walk — on the array path AND the
+    forced streaming path, under exact and alt-form query types."""
+    import myaku_ray.index.searcher as searcher_mod
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.oracle import oracle_term_trend, reference_query_set
+
+    pages, index_dir, _, oracle, ratings = built
+    s = Searcher(index_dir)
+    n_rows = 0
+    for q in reference_query_set():
+        for qt in ("exact", "possible"):
+            got = s.term_trend(q, qt)
+            assert got == oracle_term_trend(oracle, q, qt), (q, qt)
+            n_rows += len(got)
+    assert n_rows > 100
+    monkeypatch.setattr(searcher_mod, "DECODE_LIMIT", -1)
+    s2 = Searcher(index_dir, preload_hot=False)
+    for q in reference_query_set():
+        assert s2.term_trend(q) == oracle_term_trend(oracle, q), q

@@ -161,6 +161,22 @@ def main() -> None:
         + "\n) AS golden(query, \"window\", rank, doc_id, score, url)"
     )
 
+    # ---- term trend golden (serial per-doc month walk) -----------------
+    from myaku_ray.oracle import oracle_term_trend
+
+    trend_rows = []
+    for q in reference_query_set():
+        for term, month, n in oracle_term_trend(oi, q):
+            trend_rows.append((q, term, month, n))
+    trend_values = ",\n  ".join(
+        f"('{q}', '{t}', '{m}', {n}::BIGINT)" for q, t, m, n in trend_rows
+    )
+    trend_sql = (
+        "SELECT * FROM (VALUES\n  "
+        + trend_values
+        + "\n) AS golden(query, term, \"month\", n_docs)"
+    )
+
     # ---- FLI interp profile golden (serial tokenizer pass) -------------
     # Mirrors fulltext.pages_fli_interp_profile: same "interesting" filter
     # (multi-interp or meta-phrase) and the same struct shaping FliStage
@@ -216,12 +232,14 @@ def main() -> None:
             f"PAGES_SEARCH_ALTFORMS_SQL = '''\n{alt_sql}\n'''\n\n"
             f"PAGES_FLI_INTERP_PROFILE_SQL = '''\n{prof_sql}\n'''\n\n"
             f"PAGES_PHRASE_SEARCH_SQL = '''\n{phrase_sql}\n'''\n\n"
-            f"PAGES_NEAR_SEARCH_SQL = '''\n{near_sql}\n'''\n"
+            f"PAGES_NEAR_SEARCH_SQL = '''\n{near_sql}\n'''\n\n"
+            f"PAGES_TERM_TREND_SQL = '''\n{trend_sql}\n'''\n"
         )
     print(
         f"wrote {out}: {len(stats)} stats rows, {len(rows)} search rows, "
         f"{len(alt_rows)} altform rows, {len(prof)} interp-profile rows, "
-        f"{len(phrase_rows)} phrase rows, {len(near_rows)} near rows"
+        f"{len(phrase_rows)} phrase rows, {len(near_rows)} near rows, "
+        f"{len(trend_rows)} trend rows"
     )
 
 
