@@ -223,9 +223,12 @@ def hex_frames(batch: pa.Table) -> pa.Table:
 
     arr = batch["frame"].combine_chunks()
     if len(arr):
+        # slice the offsets at arr.offset — a sliced array's buffers
+        # still cover the parent, and ignoring the offset would cut
+        # record i's hex from record (i - offset)'s byte range
         offsets = np.frombuffer(
-            arr.buffers()[1], dtype=np.int32, count=len(arr) + 1
-        )
+            arr.buffers()[1], dtype=np.int32, count=len(arr) + arr.offset + 1
+        )[arr.offset :]
         hex_all = binascii.hexlify(arr.buffers()[2].to_pybytes()).decode()
         out = [
             hex_all[offsets[i] * 2 : offsets[i + 1] * 2]

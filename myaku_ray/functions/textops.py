@@ -1131,19 +1131,25 @@ def bloom_doc_filter(sf_dir: str, m: int = BLOOM_M, k: int = BLOOM_K):
     set (result-bounded: <= m rows per batch); merge is a distinct-union
     — pure OR semantics, so the filter state is EXACTLY
     order-independent and the driver holds only bit positions, never
-    keys.  Hashing is md5-derived (hashkit.md5_u64 over doc_id*k+i), so
-    the DuckDB oracle recomputes the IDENTICAL filter state bit for bit
-    — same oracle style as the HLL registers and CMS cells.  Output: the
+    keys.  Hashing is md5-derived over the string ``"<doc_id>:<i>"``
+    (NOT integer ``doc_id*k+i`` arithmetic, which silently wraps in
+    int64 for 63-bit url-hash ids and would both break the no-false-
+    negative guarantee and overflow the oracle's BIGINT), so the DuckDB
+    oracle recomputes the IDENTICAL filter state bit for bit — same
+    oracle style as the HLL registers and CMS cells.  Output: the
     sorted set-bit positions."""
-    from myaku_ray.functions.hashkit import md5_u64
+    import pyarrow.compute as pc
+
+    from myaku_ray.functions.hashkit import md5_u64_str
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        id_str = pc.cast(batch["doc_id"].combine_chunks(), pa.string())
         bits = np.zeros(m, dtype=bool)
         for i in range(k):
-            bits[md5_u64(ids * k + i) % m] = True
+            keys = pc.binary_join_element_wise(id_str, str(i), ":")
+            bits[md5_u64_str(keys) % m] = True
         return pa.table(
             {"bit": pa.array(np.flatnonzero(bits).astype(np.int64))}
         )
@@ -1158,11 +1164,12 @@ def bloom_contains(bits: "np.ndarray", doc_id: int, m: int = BLOOM_M,
     """Membership probe against a built filter (sorted set-bit array):
     true iff ALL k positions are set — no false negatives; false-positive
     rate ~= (1 - e^(-k*n/m))^k."""
-    from myaku_ray.functions.hashkit import md5_u64
+    from myaku_ray.functions.hashkit import md5_u64_str
 
     if len(bits) == 0:
         return False
-    pos = md5_u64(np.asarray([doc_id * k + i for i in range(k)])) % m
+    keys = pa.array([f"{int(doc_id)}:{i}" for i in range(k)], pa.string())
+    pos = md5_u64_str(keys) % m
     idx = np.searchsorted(bits, pos.astype(np.int64))
     idx = np.clip(idx, 0, len(bits) - 1)
     return bool((bits[idx] == pos.astype(np.int64)).all())
@@ -1171,7 +1178,8 @@ def bloom_contains(bits: "np.ndarray", doc_id: int, m: int = BLOOM_M,
 BLOOM_DOC_FILTER_SQL = f"""
 WITH h AS (
   SELECT DISTINCT CAST(
-    (('0x' || substr(md5(CAST(d.doc_id*{BLOOM_K}+t.i AS VARCHAR)), 1, 16))::UBIGINT
+    (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                         CAST(t.i AS VARCHAR)), 1, 16))::UBIGINT
      % {BLOOM_M}) AS BIGINT) AS bit
   FROM documents d, range({BLOOM_K}) t(i)
 )

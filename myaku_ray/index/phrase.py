@@ -139,14 +139,16 @@ def load_term_postings(searcher, term: str) -> _TermPostings | None:
         return None
     tp = _TermPostings(term, subs)
     n = len(tp.all_ids)
+    if n > _PHRASE_CACHE_POSTINGS:
+        # never cacheable — do NOT flush the warm entries for nothing
+        return tp
     while (
         searcher._phrase_tp_postings + n > _PHRASE_CACHE_POSTINGS and cache
     ):
         old = cache.pop(next(iter(cache)))
         searcher._phrase_tp_postings -= len(old.all_ids)
-    if n <= _PHRASE_CACHE_POSTINGS:
-        cache[term] = tp
-        searcher._phrase_tp_postings += n
+    cache[term] = tp
+    searcher._phrase_tp_postings += n
     return tp
 
 
@@ -256,14 +258,7 @@ def near_topk(
     composite (doc, start) keys against every anchor.  O(T * N_occ log
     N_occ) numpy work on the AND-candidate occurrences; the serial
     oracle verifies with the classic smallest-range merge instead."""
-    q = normalize_char_width(query_str)
-    items = searcher._tok.find_lexical_items(q)
-    terms = []
-    seen = set()
-    for it in sorted(items, key=lambda x: x["positions"][0]):
-        if it["term"] not in seen:
-            seen.add(it["term"])
-            terms.append(it["term"])
+    terms = searcher.analyze_query(query_str)
     if not terms:
         return []
     tps = {}

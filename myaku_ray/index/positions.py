@@ -64,54 +64,6 @@ def encode_position_record(starts: np.ndarray, lens: np.ndarray) -> bytes:
     return bytes(out)
 
 
-def encode_position_records_batch(
-    pos_lists: list,
-) -> list[bytes]:
-    """Vectorized batch form: list of (starts, lens) pairs -> records.
-
-    All values across the batch encode in two ``encode_varint_stream``
-    calls; the per-record Python work is slicing only (same shape as
-    ``encode_postings``' two-call trick)."""
-    counts = np.fromiter(
-        (len(p[0]) for p in pos_lists), dtype=np.int64, count=len(pos_lists)
-    )
-    total = int(counts.sum())
-    if total == 0:
-        return [encode_position_record(np.empty(0), np.empty(0))] * len(pos_lists)
-    flat_deltas = np.empty(total, dtype=np.uint64)
-    flat_lens = np.empty(total, dtype=np.uint64)
-    off = 0
-    for starts, lens in pos_lists:
-        n = len(starts)
-        if n:
-            s = np.asarray(starts, dtype=np.int64)
-            flat_deltas[off] = s[0]
-            if n > 1:
-                np.subtract(
-                    s[1:], s[:-1], out=flat_deltas[off + 1 : off + n],
-                    casting="unsafe",
-                )
-            flat_lens[off : off + n] = np.asarray(lens, dtype=np.uint64)
-            off += n
-    dbytes, dlens = encode_varint_stream(flat_deltas)
-    lbytes, llens = encode_varint_stream(flat_lens)
-    d_cum = np.zeros(total + 1, dtype=np.int64)
-    np.cumsum(dlens, out=d_cum[1:])
-    l_cum = np.zeros(total + 1, dtype=np.int64)
-    np.cumsum(llens, out=l_cum[1:])
-    c_cum = np.zeros(len(counts) + 1, dtype=np.int64)
-    np.cumsum(counts, out=c_cum[1:])
-    out = []
-    for i, c in enumerate(counts):
-        rec = bytearray()
-        write_varint(rec, int(c))
-        lo, hi = int(c_cum[i]), int(c_cum[i + 1])
-        rec += dbytes[d_cum[lo] : d_cum[hi]].tobytes()
-        rec += lbytes[l_cum[lo] : l_cum[hi]].tobytes()
-        out.append(bytes(rec))
-    return out
-
-
 def encode_position_records_from_pairs(pos_lists: list) -> list[bytes]:
     """Batch encoder over tuple-list inputs: ``pos_lists[i]`` is the
     kernel's [(start, len), ...] for row i.  Flattens the WHOLE batch
@@ -255,9 +207,3 @@ def gather_positions(
     prior = np.where(rec_first > 0, g[rec_first - 1], 0)
     starts = g - np.repeat(prior, counts)
     return counts, starts, lens
-
-
-def decode_record(blob: bytes, idx: int) -> tuple[np.ndarray, np.ndarray]:
-    """(starts, lens) of one posting — convenience over gather_positions."""
-    counts, starts, lens = gather_positions(blob, np.asarray([idx]))
-    return starts, lens

@@ -424,20 +424,6 @@ class Tokenizer:
             found[k] = sorted(set(found[k]))
         return found
 
-    def find_term_position_arrays(self, text: str) -> dict:
-        """Array view for the tokenize stage: term -> (starts, lens)
-        int64 arrays, ascending by start."""
-        import numpy as np
-
-        out = {}
-        for t, ps in self.find_term_positions(text).items():
-            n = len(ps)
-            arr = np.fromiter(
-                (x for p in ps for x in p), dtype=np.int64, count=2 * n
-            ).reshape(n, 2)
-            out[t] = (arr[:, 0].copy(), arr[:, 1].copy())
-        return out
-
     def _find_term_tfs_slow(self, text: str) -> dict[str, int]:
         """Longest-match-loop reference implementation (parity-tested
         equal to the fused fast path)."""

@@ -569,3 +569,31 @@ def test_top_orders_tie_window(ray_session, tmp_path):
     assert got["l_orderkey"].tolist()[n_top:] == list(
         range(n_top + 1, 11)
     )
+
+
+def test_bloom_63bit_ids_no_false_negatives():
+    """Regression (review finding): integer-arithmetic bloom keys wrapped
+    in int64 for 63-bit url-hash doc ids; string keys must not.  The
+    filter state must also stay bit-identical to the DuckDB oracle."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from myaku_ray.functions.hashkit import md5_u64_str
+    from myaku_ray.functions.textops import BLOOM_K, BLOOM_M, bloom_contains
+
+    ids = np.array([2**62 + 5, 2**61 + 1, (1 << 63) - 1, 12345], np.int64)
+    id_str = pc.cast(pa.array(ids), pa.string())
+    bits = np.zeros(BLOOM_M, dtype=bool)
+    for i in range(BLOOM_K):
+        keys = pc.binary_join_element_wise(id_str, str(i), ":")
+        bits[md5_u64_str(keys) % BLOOM_M] = True
+    bitpos = np.flatnonzero(bits).astype(np.int64)
+    assert all(bloom_contains(bitpos, int(x)) for x in ids)
+    con = duckdb.connect()
+    con.register("documents", pa.table({"doc_id": pa.array(ids)}))
+    from myaku_ray.functions.textops import BLOOM_DOC_FILTER_SQL
+
+    want = con.execute(BLOOM_DOC_FILTER_SQL).df()["bit"].to_numpy()
+    assert (np.sort(bitpos) == np.sort(want)).all()

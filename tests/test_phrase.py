@@ -32,7 +32,7 @@ def test_position_codec_roundtrip():
     from myaku_ray.index.positions import (
         encode_pos_blob,
         encode_position_record,
-        encode_position_records_batch,
+        encode_position_records_from_pairs,
         gather_positions,
     )
 
@@ -48,7 +48,8 @@ def test_position_codec_roundtrip():
         lens = rng.integers(1, 40, size=c).astype(np.int64)
         truth.append((starts, lens))
         recs.append(encode_position_record(starts, lens))
-    assert recs == encode_position_records_batch(truth)
+    pairs = [list(zip(s_.tolist(), l_.tolist())) for s_, l_ in truth]
+    assert recs == encode_position_records_from_pairs(pairs)
     blob = encode_pos_blob(recs)
     wanted = np.sort(rng.choice(300, size=77, replace=False))
     counts, starts, lens = gather_positions(blob, wanted)

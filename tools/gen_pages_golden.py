@@ -23,6 +23,12 @@ import pandas as pd
 import pyarrow.parquet as pq
 
 
+
+def _sql_str(s: str) -> str:
+    """SQL string literal with '' doubling (same as gen_op_goldens)."""
+    return "'" + str(s).replace("'", "''") + "'"
+
+
 def main() -> None:
     from myaku_ray.corpus import gen_blogs_table, write_pages_parquet
     from myaku_ray.functions.fulltext import PAGES_N
@@ -56,7 +62,7 @@ def main() -> None:
         .sort_values("source")
     )
     stats_rows = ",\n  ".join(
-        f"('{r.source}', {int(r.n_docs)}::BIGINT, {int(r.sum_alnum)}::BIGINT)"
+        f"({_sql_str(r.source)}, {int(r.n_docs)}::BIGINT, {int(r.sum_alnum)}::BIGINT)"
         for r in stats.itertuples()
     )
     stats_sql = (
@@ -78,8 +84,8 @@ def main() -> None:
                 (q, rank, doc_id, round(float(score), 5), oi.docs[doc_id]["url"])
             )
     search_rows = ",\n  ".join(
-        f"('{q}', {rank}::BIGINT, {doc_id}::BIGINT, "
-        f"{score!r}::DOUBLE, '{url}')"
+        f"({_sql_str(q)}, {rank}::BIGINT, {doc_id}::BIGINT, "
+        f"{score!r}::DOUBLE, {_sql_str(url)})"
         for q, rank, doc_id, score, url in rows
     )
     search_sql = (
@@ -104,8 +110,8 @@ def main() -> None:
                     )
                 )
     alt_values = ",\n  ".join(
-        f"('{q}', '{qt}', {rank}::BIGINT, {doc_id}::BIGINT, "
-        f"{score!r}::DOUBLE, '{url}')"
+        f"({_sql_str(q)}, {_sql_str(qt)}, {rank}::BIGINT, {doc_id}::BIGINT, "
+        f"{score!r}::DOUBLE, {_sql_str(url)})"
         for q, qt, rank, doc_id, score, url in alt_rows
     )
     alt_sql = (
@@ -131,8 +137,8 @@ def main() -> None:
                  oi.docs[doc_id]["url"])
             )
     phrase_values = ",\n  ".join(
-        f"({q!r}, {rank}::BIGINT, {doc_id}::BIGINT, "
-        f"{score!r}::DOUBLE, '{url}')"
+        f"({_sql_str(q)}, {rank}::BIGINT, {doc_id}::BIGINT, "
+        f"{score!r}::DOUBLE, {_sql_str(url)})"
         for q, rank, doc_id, score, url in phrase_rows
     )
     phrase_sql = (
@@ -151,8 +157,8 @@ def main() -> None:
                  oi.docs[doc_id]["url"])
             )
     near_values = ",\n  ".join(
-        f"({q!r}, {w}::BIGINT, {rank}::BIGINT, {doc_id}::BIGINT, "
-        f"{score!r}::DOUBLE, '{url}')"
+        f"({_sql_str(q)}, {w}::BIGINT, {rank}::BIGINT, {doc_id}::BIGINT, "
+        f"{score!r}::DOUBLE, {_sql_str(url)})"
         for q, w, rank, doc_id, score, url in near_rows
     )
     near_sql = (
@@ -169,7 +175,7 @@ def main() -> None:
         for term, month, n in oracle_term_trend(oi, q):
             trend_rows.append((q, term, month, n))
     trend_values = ",\n  ".join(
-        f"('{q}', '{t}', '{m}', {n}::BIGINT)" for q, t, m, n in trend_rows
+        f"({_sql_str(q)}, {_sql_str(t)}, {_sql_str(m)}, {n}::BIGINT)" for q, t, m, n in trend_rows
     )
     trend_sql = (
         "SELECT * FROM (VALUES\n  "
@@ -206,7 +212,8 @@ def main() -> None:
                 prof_tf[key] += int(item["tf"])
                 prof_terms.setdefault(key, set()).add(item["term"])
     prof_rows = ",\n  ".join(
-        f"('{k[0]}', '{k[1]}', '{k[2]}', '{k[3]}', '{k[4]}', {n}::BIGINT, "
+        f"({_sql_str(k[0])}, {_sql_str(k[1])}, {_sql_str(k[2])}, "
+        f"{_sql_str(k[3])}, {_sql_str(k[4])}, {n}::BIGINT, "
         f"{prof_tf[k]}::BIGINT, {len(prof_terms[k])}::BIGINT)"
         for k, n in sorted(prof.items())
     )
