@@ -877,8 +877,55 @@ def run_positions() -> dict:
         for root, _, files in os.walk(os.path.join(idx, "segments")):
             total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
         sizes[kind] = total
-    import ray
 
+    # distributed phrase-serving QPS: distinct corpus-derived phrases
+    # (per-actor caches cannot answer a repeat) through an actor pool of
+    # Searchers over the positional index — the serving-tier scale-out
+    # path for the phrase feature
+    import ray
+    import ray.data as _rd
+
+    n_pq = int(os.environ.get("MYAKU_POS_QPS_N", "1500"))
+    pqs = _gen_phrase_stream(corpus_dir, n_pq)
+    pool = max(NUM_CPUS - 2, 1)
+    pidx = f"{BENCH_BASE}/posbench_positional"
+    ds = _rd.from_items([{"q": q} for q in pqs], override_num_blocks=pool * 4)
+
+    class PhraseStage:
+        def __init__(self):
+            from myaku_ray.index.searcher import Searcher
+
+            self.s = Searcher(pidx)
+
+        def __call__(self, batch):
+            import pyarrow as _pa
+
+            t0 = time.time()
+            n_hits = sum(
+                len(self.s.phrase_topk(q, 10))
+                for q in batch["q"].to_pylist()
+            )
+            return _pa.table(
+                {
+                    "n_hits": _pa.array([n_hits], _pa.int64()),
+                    "n_q": _pa.array([len(batch)], _pa.int64()),
+                    "t0": _pa.array([t0], _pa.float64()),
+                    "t1": _pa.array([time.time()], _pa.float64()),
+                }
+            )
+
+    t0 = time.time()
+    per_batch = ds.map_batches(
+        PhraseStage, batch_format="pyarrow", batch_size=64,
+        concurrency=pool, num_cpus=1,
+    ).to_pandas()
+    phrase_qps_wall = time.time() - t0
+    hits = per_batch["n_hits"].sum()
+    # capacity = pool / mean in-actor service time per query: independent
+    # of ramp and end-of-stream stragglers (few batches per actor make a
+    # timeline-tail estimate unstable here)
+    busy = float((per_batch["t1"] - per_batch["t0"]).sum())
+    phrase_qps_capacity = pool * float(per_batch["n_q"].sum()) / max(busy, 1e-9)
     ray.shutdown()
 
     from myaku_ray.index.searcher import Searcher
@@ -918,7 +965,41 @@ def run_positions() -> dict:
         "phrase_warm_p50_ms": round(_st.median(warm_ph), 2),
         "near_cold_p50_ms": round(_st.median(cold_nr), 2) if cold_nr else None,
         "near_cold_max_ms": round(max(cold_nr), 2) if cold_nr else None,
+        "phrase_qps": round(len(pqs) / phrase_qps_wall, 1),
+        "phrase_qps_capacity": round(phrase_qps_capacity, 1),
+        "phrase_qps_n": len(pqs),
+        "phrase_qps_pool": pool,
+        "phrase_qps_hits": int(hits),
     }
+
+
+def _gen_phrase_stream(corpus_dir: str, n_q: int) -> list[str]:
+    """Distinct contiguous 2-token slices of real corpus docs — a
+    deterministic stream of guaranteed-chainable phrase queries."""
+    import pyarrow.dataset as pads
+
+    from myaku_ray.tokenizer import get_tokenizer
+
+    tok = get_tokenizer()
+    out: list[str] = []
+    seen: set = set()
+    for text in (
+        pads.dataset(corpus_dir).to_table(columns=["text"])["text"]
+        .to_pylist()
+    ):
+        if not text:
+            continue
+        toks = tok.tokenize(text)
+        for i in range(len(toks) - 1):
+            if toks[i + 1].start != toks[i].start + toks[i].length:
+                continue
+            q = text[toks[i].start : toks[i + 1].start + toks[i + 1].length]
+            if q not in seen:
+                seen.add(q)
+                out.append(q)
+                if len(out) >= n_q:
+                    return out
+    return out
 
 
 if __name__ == "__main__":
