@@ -272,3 +272,56 @@ def test_phrase_is_subset_of_and_search(pos_built):
             ids = set(it.ids.tolist()) if it is not None else set()
             and_docs = ids if and_docs is None else (and_docs & ids)
         assert matched <= and_docs
+
+
+def test_phrase_edge_contracts(pos_built):
+    """Cheap invariants: empty query, k truncation, repeated-token
+    chains, and term_trend consistency on the positional index."""
+    from myaku_ray.index.phrase import phrase_chain
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.oracle import phrase_query_set
+
+    pages, pos_idx, _, _ = pos_built
+    s = Searcher(pos_idx)
+    assert s.phrase_topk("", 10) == []
+    assert s.phrase_count("") == 0
+    q = next(p for p in phrase_query_set(pages) if s.phrase_count(p) > 1)
+    full = s.phrase_topk(q, 10)
+    assert s.phrase_topk(q, 1) == full[:1]
+    # repeated-token chain: derive a real adjacent equal-base-form pair
+    # from the corpus (note "のの" itself is a dictionary surface, so
+    # longest-match makes it a SINGLE token — querying it must still
+    # agree with the oracle, exercised below either way)
+    from myaku_ray.oracle import (
+        _doc_positions, build_oracle_index, oracle_phrase_topk,
+    )
+
+    blogs = gen_blogs_table()
+    ratings = dict(zip(blogs["blog_url"], blogs["rating"]))
+    oi = build_oracle_index(pages, blog_ratings=ratings)
+    dpos = _doc_positions(oi)
+    repeated = None
+    for meta in oi.docs.values():
+        toks = s._tok.tokenize(meta["text"])
+        for i in range(len(toks) - 1):
+            if (
+                toks[i].base_form == toks[i + 1].base_form
+                and toks[i + 1].start == toks[i].start + toks[i].length
+            ):
+                cand = meta["text"][
+                    toks[i].start : toks[i + 1].start + toks[i + 1].length
+                ]
+                if len(phrase_chain(s, cand) or []) == 2:
+                    repeated = cand
+                    break
+        if repeated:
+            break
+    for probe in (["のの"] + ([repeated] if repeated else [])):
+        got = [(r.doc_id, round(r.score, 5)) for r in s.phrase_topk(probe, 10)]
+        want = [
+            (d, round(sc, 5))
+            for (d, sc, _w) in oracle_phrase_topk(oi, probe, 10, positions=dpos)
+        ]
+        assert got == want, probe
+    if repeated:  # the doc the pair came from must match
+        assert s.phrase_count(repeated) >= 1
