@@ -557,14 +557,20 @@ def duplicate_spans(
         first = np.concatenate([[0], np.cumsum(n_win)])[:-1]
         local = (np.arange(total) - np.repeat(first, n_win)) * stride
         starts = offsets[win_doc] + local
-        # (total, width) token index matrix -> span strings via one join
+        # (total, width) token index matrix -> span strings via one join.
+        # Offsets computed in int64 first: a silent int32 wrap on an
+        # oversized batch would corrupt spans; fail loudly instead.
         idx = starts[:, None] + np.arange(width)[None, :]
         words = flat.take(pa.array(idx.ravel(), pa.int64()))
+        offs64 = np.arange(total + 1, dtype=np.int64) * width
+        if offs64[-1] > np.iinfo(np.int32).max:
+            raise ValueError(
+                f"duplicate_spans batch too large: {total} windows x "
+                f"width {width} overflows int32 list offsets — lower "
+                "the map_batches batch_size"
+            )
         lists = pa.ListArray.from_arrays(
-            pa.array(
-                np.arange(total + 1, dtype=np.int32) * width, pa.int32()
-            ),
-            words,
+            pa.array(offs64.astype(np.int32), pa.int32()), words
         )
         span_strs = pc.binary_join(lists, " ")
         hashes = (

@@ -280,25 +280,47 @@ def events_asof_join(sf_dir: str):
 
 
 ASOF_EPOCH_HOURS = 24
+ASOF_SHARDS = 64  # Ray-level exchange groups per stage (each holds many
+# (user, epoch) logical groups, processed vectorized — per-group Python
+# frames at billions of groups is the 100-TB killer this avoids)
+
+
+def _asof_empty() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype=np.int64),
+            "user_id": pd.Series([], dtype=np.int64),
+            "click_ts_us": pd.Series([], dtype=np.int64),
+            "purchase_event_id": pd.Series([], dtype=np.int64),
+            "purchase_value_milli": pd.Series([], dtype=np.int64),
+            "lag_us": pd.Series([], dtype=np.int64),
+        }
+    )
 
 
 def events_asof_join_partitioned(sf_dir: str, epoch_hours: int = ASOF_EPOCH_HOURS):
     """As-of join with the HOT-USER SKEW VALVE implemented for real: the
-    shuffle key is ``(user_id, epoch)`` (epoch = ts // epoch_hours), so a
-    user who is 50% of the corpus still lands in bounded per-epoch groups
-    instead of one giant ``map_groups`` task.
+    logical join key is ``(user_id, epoch)`` (epoch = ts // epoch_hours),
+    so a user who is 50% of the corpus still lands in bounded per-epoch
+    groups instead of one giant task.
 
     A click in epoch e may match a purchase from an EARLIER epoch; that
     boundary state rides the same shuffle as the events, never a
     broadcast: (1) per-(user, epoch) purchase maxima are pre-reduced
     map-side (one row per batch per key), (2) a per-USER scan over those
     epoch summaries (one row per epoch — bounded regardless of event
-    count, this is the non-skewed residue of the per-user pass) emits a
-    carry-in row per event-bearing epoch holding the latest purchase from
-    all earlier epochs, (3) carry rows union with the events and the
-    (user, epoch) groups resolve clicks by the same sorted searchsorted
-    merge.  Output is row-identical to ``events_asof_join`` (equality
-    pytest with a 50%-hot user + the same DuckDB oracle)."""
+    count) emits a carry-in row per event-bearing epoch holding the
+    latest purchase from all earlier epochs, (3) carry rows union with
+    the events and each (user, epoch) group resolves clicks against the
+    latest at-or-before purchase.
+
+    Each stage shuffles on a SHARD of its logical key (ASOF_SHARDS Ray
+    groups) and processes every logical group inside the shard with one
+    vectorized pass (sort + segmented cummax — no per-group Python
+    frame): a hot user's epochs scatter across shards, and the engine
+    pays per-shard, not per-(user, epoch), task overhead.  Output is
+    row-identical to ``events_asof_join`` (equality pytest with a
+    50%-hot user + the same DuckDB oracle)."""
     epoch_us = epoch_hours * HOUR_US
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet",
@@ -312,13 +334,14 @@ def events_asof_join_partitioned(sf_dir: str, epoch_hours: int = ASOF_EPOCH_HOUR
         is_click = pc.equal(ty, "click")
         t = batch.filter(pc.or_(is_click, pc.equal(ty, "purchase")))
         ts_us = t["ts"].cast(pa.int64())
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ep = ts_us.to_numpy(zero_copy_only=False) // epoch_us
         return pa.table(
             {
                 "event_id": t["event_id"],
                 "user_id": t["user_id"],
-                "epoch": pa.array(
-                    ts_us.to_numpy(zero_copy_only=False) // epoch_us
-                ),
+                "epoch": pa.array(ep),
+                "shard": pa.array((uid * 1_000_003 + ep) % ASOF_SHARDS),
                 "ts_us": ts_us,
                 "is_click": pc.equal(t["event_type"], "click"),
                 "value_milli": pa.array(
@@ -339,106 +362,152 @@ def events_asof_join_partitioned(sf_dir: str, epoch_hours: int = ASOF_EPOCH_HOUR
         eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         vm = batch["value_milli"].to_numpy(zero_copy_only=False)
         isp = ~batch["is_click"].to_numpy(zero_copy_only=False)
-        df = pd.DataFrame(
-            {"user_id": uid, "epoch": ep, "ts_us": np.where(isp, ts, -1),
-             "event_id": np.where(isp, eid, -1),
-             "value_milli": np.where(isp, vm, 0)}
+        # purchase-free keys keep a (-1, -1) sentinel
+        pts = np.where(isp, ts, -1)
+        peid = np.where(isp, eid, -1)
+        pvm = np.where(isp, vm, 0)
+        order = np.lexsort((peid, pts, ep, uid))
+        uid, ep, pts, peid, pvm = (
+            uid[order], ep[order], pts[order], peid[order], pvm[order]
         )
-        # the (ts, event_id)-max purchase per key; purchase-free keys keep
-        # the (-1, -1) sentinel
-        df = df.sort_values(["user_id", "epoch", "ts_us", "event_id"])
-        g = df.groupby(["user_id", "epoch"], as_index=False).last()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        last = np.empty(len(uid), dtype=bool)
+        if len(uid):
+            last[-1] = True
+            last[:-1] = (uid[1:] != uid[:-1]) | (ep[1:] != ep[:-1])
+        keep = np.flatnonzero(last)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[keep]),
+                "epoch": pa.array(ep[keep]),
+                "shard_u": pa.array(uid[keep] % ASOF_SHARDS),
+                "ts_us": pa.array(pts[keep]),
+                "event_id": pa.array(peid[keep]),
+                "value_milli": pa.array(pvm[keep].astype(np.int64)),
+            }
+        )
 
-    def epoch_merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts_us", "event_id"])
-        return g.tail(1).reset_index(drop=True)
+    def epoch_merge_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # reduce batch partials to one row per (user, epoch): the
+        # (ts, event_id)-max row wins (sentinels never beat purchases)
+        g = g.sort_values(
+            ["user_id", "epoch", "ts_us", "event_id"]
+        ).reset_index(drop=True)
+        uid = g["user_id"].to_numpy()
+        ep = g["epoch"].to_numpy()
+        last = np.empty(len(g), dtype=bool)
+        last[-1] = True
+        last[:-1] = (uid[1:] != uid[:-1]) | (ep[1:] != ep[:-1])
+        return g.loc[
+            last,
+            ["user_id", "epoch", "shard_u", "ts_us", "event_id", "value_milli"],
+        ]
 
     summaries = (
         events.map_batches(epoch_partial, batch_format="pyarrow")
-        .groupby(["user_id", "epoch"])
-        .map_groups(epoch_merge, batch_format="pandas")
+        .groupby("shard_u")
+        .map_groups(epoch_merge_shard, batch_format="pandas")
     )
 
     # (2) per-user prefix scan over epoch summaries -> carry-in rows.
     # Distinct epochs cannot share a ts, so the running max over ts alone
     # identifies the latest earlier purchase; sentinel rows (ts = -1)
-    # never win.  Fully vectorized (exclusive prefix argmax).
-    def carry_of_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("epoch").reset_index(drop=True)
+    # never win.  Segmented exclusive prefix argmax across ALL users in
+    # the shard: two grouped cummax/shift passes (cython), no per-user
+    # Python.
+    def carry_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "epoch"]).reset_index(drop=True)
+        n = len(g)
+        uid = g["user_id"].to_numpy()
         ts = g["ts_us"].to_numpy()
         eid = g["event_id"].to_numpy()
         vm = g["value_milli"].to_numpy()
-        n = len(g)
-        am = np.maximum.accumulate(ts)
-        arg = np.maximum.accumulate(np.where(ts == am, np.arange(n), 0))
-        has = np.zeros(n, dtype=bool)
-        has[1:] = am[:-1] >= 0
-        src = np.zeros(n, dtype=np.int64)
-        src[1:] = arg[:-1]
-        keep = np.flatnonzero(has)
+        key = pd.Series(uid)
+        cm = pd.Series(ts).groupby(key, sort=False).cummax().to_numpy()
+        idx = np.arange(n)
+        masked = pd.Series(np.where(ts == cm, idx, -1))
+        src_inc = masked.groupby(key, sort=False).cummax()
+        src = (
+            src_inc.groupby(key, sort=False)
+            .shift(1, fill_value=-1)
+            .to_numpy()
+            .astype(np.int64)
+        )
+        cm_prev = (
+            pd.Series(cm).groupby(key, sort=False)
+            .shift(1, fill_value=-1)
+            .to_numpy()
+        )
+        keep = np.flatnonzero((cm_prev >= 0) & (src >= 0))
+        ep_k = g["epoch"].to_numpy()[keep].astype(np.int64)
+        uid_k = uid[keep].astype(np.int64)
         return pd.DataFrame(
             {
                 "event_id": eid[src[keep]].astype(np.int64),
-                "user_id": np.full(
-                    len(keep), int(g["user_id"].iloc[0]), np.int64
-                ),
-                "epoch": g["epoch"].to_numpy()[keep].astype(np.int64),
+                "user_id": uid_k,
+                "epoch": ep_k,
+                "shard": (uid_k * 1_000_003 + ep_k) % ASOF_SHARDS,
                 "ts_us": ts[src[keep]].astype(np.int64),
                 "is_click": np.zeros(len(keep), dtype=bool),
                 "value_milli": vm[src[keep]].astype(np.int64),
             }
         )
 
-    carries = summaries.groupby("user_id").map_groups(
-        carry_of_user, batch_format="pandas"
+    carries = summaries.groupby("shard_u").map_groups(
+        carry_shard, batch_format="pandas"
     ).map_batches(  # normalize to Arrow blocks so the union is homogeneous
         lambda t: t, batch_format="pyarrow"
     )
 
-    # (3) carry rows union with events; per-(user, epoch) sorted merge.
-    # Carry ts is strictly below the epoch's own timestamps, so it slots
-    # in as the left sentinel of the searchsorted right side.
-    def asof_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        right = g[~g["is_click"]]
-        left = g[g["is_click"]]
-        if right.empty or left.empty:
-            return pd.DataFrame(
-                {
-                    "event_id": pd.Series([], dtype=np.int64),
-                    "user_id": pd.Series([], dtype=np.int64),
-                    "click_ts_us": pd.Series([], dtype=np.int64),
-                    "purchase_event_id": pd.Series([], dtype=np.int64),
-                    "purchase_value_milli": pd.Series([], dtype=np.int64),
-                    "lag_us": pd.Series([], dtype=np.int64),
-                }
-            )
-        right = (
-            right.sort_values(["ts_us", "event_id"])
-            .groupby("ts_us", as_index=False)
-            .last()
+    # (3) carry rows union with events; every (user, epoch) group in the
+    # shard resolves in ONE vectorized pass.  Sorted by (group, ts,
+    # is_click, event_id) — purchases before same-ts clicks, max event_id
+    # last among same-ts purchases — a segmented inclusive prefix argmax
+    # over purchase row indices IS the as-of match (identical winner to
+    # dedup-then-searchsorted: latest ts wins, max event_id on ties).
+    def asof_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "epoch", "ts_us", "is_click", "event_id"]
+        ).reset_index(drop=True)
+        n = len(g)
+        uid = g["user_id"].to_numpy()
+        ep = g["epoch"].to_numpy()
+        isc = g["is_click"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        vm = g["value_milli"].to_numpy()
+        if not isc.any() or isc.all():
+            return _asof_empty()
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (uid[1:] != uid[:-1]) | (ep[1:] != ep[:-1])
+        gid = np.cumsum(new) - 1
+        idx_p = np.where(~isc, np.arange(n), -1)
+        src = (
+            pd.Series(idx_p)
+            .groupby(pd.Series(gid), sort=False)
+            .cummax()
+            .to_numpy()
+            .astype(np.int64)
         )
-        rts = right["ts_us"].to_numpy()
-        lts = left["ts_us"].to_numpy()
-        idx = np.searchsorted(rts, lts, side="right") - 1
-        ok = idx >= 0
-        idx = idx[ok]
-        lf = left[ok]
+        lsel = np.flatnonzero(isc & (src >= 0))
+        if len(lsel) == 0:
+            return _asof_empty()
+        m = src[lsel]
         return pd.DataFrame(
             {
-                "event_id": lf["event_id"].to_numpy(),
-                "user_id": lf["user_id"].to_numpy(),
-                "click_ts_us": lf["ts_us"].to_numpy(),
-                "purchase_event_id": right["event_id"].to_numpy()[idx],
-                "purchase_value_milli": right["value_milli"].to_numpy()[idx],
-                "lag_us": lf["ts_us"].to_numpy() - rts[idx],
+                "event_id": eid[lsel].astype(np.int64),
+                "user_id": uid[lsel].astype(np.int64),
+                "click_ts_us": ts[lsel].astype(np.int64),
+                "purchase_event_id": eid[m].astype(np.int64),
+                "purchase_value_milli": vm[m].astype(np.int64),
+                "lag_us": (ts[lsel] - ts[m]).astype(np.int64),
             }
         )
 
     return (
         events.union(carries)
-        .groupby(["user_id", "epoch"])
-        .map_groups(asof_of_group, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(asof_shard, batch_format="pandas")
     )
 
 

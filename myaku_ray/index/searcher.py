@@ -218,8 +218,10 @@ class _SegmentFileIndex:
         self, term: str, with_positions: bool = False
     ) -> list[tuple]:
         """(blob, max_score) tuples for one term — (blob, max_score,
-        pos_blob) triples when ``with_positions`` (phrase/proximity path;
-        requires an index built with ``with_positions=True``)."""
+        pos_blob, salt) when ``with_positions`` (phrase/proximity path;
+        requires an index built with ``with_positions=True``; salt routes
+        the streaming AND's candidate probes to the one same-stride
+        sub-list that can contain each doc)."""
         import numpy as np
         import pyarrow.compute as pc
 
@@ -252,14 +254,19 @@ class _SegmentFileIndex:
             )
         out = []
         cols = ["term", "blob", "max_score"] + (
-            ["pos_blob"] if with_positions else []
+            ["pos_blob", "salt"] if with_positions else []
         )
         for g in rgs:
             t = self.pf.read_row_group(g, columns=cols)
             t = t.filter(pc.equal(t["term"], term))
             if with_positions:
-                for blob, ms, pb in zip(t["blob"], t["max_score"], t["pos_blob"]):
-                    out.append((blob.as_py(), float(ms.as_py()), pb.as_py()))
+                for blob, ms, pb, sa in zip(
+                    t["blob"], t["max_score"], t["pos_blob"], t["salt"]
+                ):
+                    out.append(
+                        (blob.as_py(), float(ms.as_py()), pb.as_py(),
+                         int(sa.as_py()))
+                    )
             else:
                 for blob, ms in zip(t["blob"], t["max_score"]):
                     out.append((blob.as_py(), float(ms.as_py())))
@@ -291,6 +298,8 @@ class Searcher:
         # not leaked, across index updates).
         self._cache_segments = cache_segments
         self._seg_files: dict[str, tuple[float, _SegmentFileIndex]] = {}
+        # last-seen file listing per segment (mutation detection)
+        self._seg_known: dict[int, list[str]] = {}
         # Decoded-array cache: term -> (ids, scores, warc, max_score).
         # Bounded by total cached postings; FIFO eviction.  Plays the role
         # of the reference's Redis hot-query caches (datastore/cache.py).
@@ -388,16 +397,27 @@ class Searcher:
         """Per-file term directories for one segment, cached by (path,
         mtime) with stale entries replaced in place (an index update
         rewrites files; the old entry must not leak for the process
-        lifetime)."""
+        lifetime).  Detecting ANY change to a previously seen segment
+        (new/removed file, rewritten mtime) flushes the derived term
+        caches — decoded arrays, phrase sub-lists, the query memo — so a
+        long-lived Searcher over an index updated in place never serves
+        mixed-snapshot results (cached terms stale, uncached fresh)."""
         import glob as _glob
 
         path = os.path.join(self._seg_root, f"segment={seg}")
         files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        mutated = False
+        prev_files = self._seg_known.get(seg)
+        if prev_files is not None and prev_files != files:
+            mutated = True
+        self._seg_known[seg] = files
         out = []
         for f in files:
             mtime = os.path.getmtime(f)
             cached = self._seg_files.get(f)
             if cached is None or cached[0] != mtime:
+                if cached is not None:
+                    mutated = True  # rewritten in place
                 cached = (mtime, _SegmentFileIndex(f))
                 if self._cache_segments:
                     self._seg_files[f] = cached
@@ -411,7 +431,26 @@ class Searcher:
             p for p in self._seg_files if p.startswith(prefix) and p not in live
         ]:
             del self._seg_files[stale]
+        if mutated:
+            self._invalidate_term_caches(seg)
         return out
+
+    def _invalidate_term_caches(self, seg: int | None = None) -> None:
+        """Flush caches derived from segment contents after an index
+        mutation was detected (update / compact / refresh in place)."""
+        self._term_arrays.clear()
+        self._cached_postings = 0
+        self._query_memo.clear()
+        if seg is not None:
+            self._seg_ds_cache.pop(seg, None)
+        else:
+            self._seg_ds_cache.clear()
+        for attr in ("_phrase_tp_cache", "_phrase_sub_cache"):
+            c = getattr(self, attr, None)
+            if c is not None:
+                c.clear()
+        self._phrase_tp_postings = 0
+        self._phrase_sub_bytes = 0
 
     def term_iterator(self, term: str):
         cached = self._term_arrays.get(term)
@@ -649,11 +688,51 @@ class Searcher:
             for t in self.analyze_query(query_str)
             for m in expand_alt_forms(t, query_type)
         }
+        # Positional index: matched offsets are already in the pos_blob
+        # sidecar — point-read them instead of re-tokenizing every result
+        # doc (byte-identical preview output, pytest A/B vs the rescan
+        # path; the rescan remains for plain indexes, matching the
+        # reference's query-side preview assembly).
+        posmap = None
+        if self.stats.get("with_positions"):
+            from myaku_ray.index.phrase import term_positions_in_docs
+
+            posmap = term_positions_in_docs(
+                self, sorted(terms), [r.doc_id for r in results]
+            )
         for r in results:
             url, title, text = by_id.get(r.doc_id, ("", "", ""))
             r.url, r.title = url, title
-            r.matched_terms, r.preview = self._preview(text, terms)
+            if posmap is not None:
+                r.matched_terms, r.preview = self._preview_from_index(
+                    text, r.doc_id, terms, posmap
+                )
+            else:
+                r.matched_terms, r.preview = self._preview(text, terms)
         return results
+
+    def _preview_from_index(
+        self, text: str, doc_id: int, terms: set, posmap: dict
+    ) -> tuple[list, str]:
+        """Preview assembly from indexed positions (no doc re-tokenize).
+        Output contract identical to _preview: find_lexical_items returns
+        terms in sorted order, so matched_terms sorts; positions are the
+        sorted (start, len) union over matched terms."""
+        from myaku_ray.preview import build_preview
+
+        matched = sorted(t for t in terms if (t, doc_id) in posmap)
+        if not matched:
+            return [], text[:100]
+        positions = sorted(
+            {
+                (int(s), int(ln))
+                for t in matched
+                for s, ln in zip(*posmap[(t, doc_id)])
+            }
+        )
+        samples = build_preview(text, positions)
+        preview = " … ".join(s.text for s in samples)
+        return matched, preview
 
     def _preview(self, text: str, terms: set) -> tuple[list, str]:
         """Recompute positions for preview (bounded to one doc), then run
@@ -719,39 +798,63 @@ class Searcher:
 
         from myaku_ray.lexicon import expand_alt_forms
 
-        out = []
-        for t in self.analyze_query(query_str):
-            parts = []
-            for m in expand_alt_forms(t, query_type):
-                it = self.term_iterator(m)
-                if it is None:
-                    continue
-                if isinstance(it, ArrayPostings):
-                    ids, warc = it.ids, it.warc
-                else:
-                    acc_i, acc_w = [], []
-                    while not it.exhausted:
-                        acc_i.append(it.doc_id())
-                        acc_w.append(it.warc_us())
-                        it.next()
-                    ids = np.asarray(acc_i, dtype=np.int64)
-                    warc = np.asarray(acc_w, dtype=np.uint64)
-                parts.append((ids, warc))
-            if not parts:
-                continue
-            ids = np.concatenate([p[0] for p in parts])
-            warc = np.concatenate([p[1] for p in parts])
-            if len(parts) > 1:  # group union: one count per doc
-                ids, first = np.unique(ids, return_index=True)
-                warc = warc[first]
+        from myaku_ray.index.codec import decode_all
+
+        def _month_counts(warc: np.ndarray, acc: dict) -> None:
             months = (
                 warc.astype("int64").astype("datetime64[us]")
                 .astype("datetime64[M]")
             )
             um, counts = np.unique(months, return_counts=True)
-            out.extend(
-                (t, str(m), int(c)) for m, c in zip(um, counts)
-            )
+            for m, c in zip(um, counts):
+                key = str(m)
+                acc[key] = acc.get(key, 0) + int(c)
+
+        out = []
+        for t in self.analyze_query(query_str):
+            members = expand_alt_forms(t, query_type)
+            acc: dict[str, int] = {}
+            if len(members) == 1:
+                # Singleton group (every high-df particle lands here):
+                # aggregate months PER SUB-LIST via the vectorized codec
+                # decode — transient memory bound = one sub-list, never
+                # the term's whole df, and no per-posting Python even
+                # above DECODE_LIMIT.
+                m = members[0]
+                cached = self._term_arrays.get(m)
+                if cached is not None:
+                    _month_counts(cached[2], acc)
+                else:
+                    seg = term_hash(m) % self.stats["num_segments"]
+                    for fi in self._segment_file_indexes(seg):
+                        for blob, _ms in fi.term_rows(m):
+                            _, _, _, warc = decode_all(blob)
+                            _month_counts(warc, acc)
+            else:
+                # Group union: one count per doc needs cross-member doc
+                # identity, so (ids, warc) concatenate — bounded by the
+                # GROUP's df (alt-form groups are small-vocab entries,
+                # never particles).
+                parts = []
+                for m in members:
+                    it = self.term_iterator(m)
+                    if it is None:
+                        continue
+                    if isinstance(it, ArrayPostings):
+                        parts.append((it.ids, it.warc))
+                    else:
+                        seg = term_hash(m) % self.stats["num_segments"]
+                        for fi in self._segment_file_indexes(seg):
+                            for blob, _ms in fi.term_rows(m):
+                                ids_s, _, _, warc_s = decode_all(blob)
+                                parts.append((ids_s, warc_s))
+                if not parts:
+                    continue
+                ids = np.concatenate([p[0] for p in parts])
+                warc = np.concatenate([p[1] for p in parts])
+                ids, first = np.unique(ids, return_index=True)
+                _month_counts(warc[first], acc)
+            out.extend((t, m, c) for m, c in sorted(acc.items()))
         return out
 
     # -- phrase / proximity (positional index extension) -------------------

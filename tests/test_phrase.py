@@ -249,6 +249,102 @@ def test_positional_index_survives_update(ray_session, tmp_path_factory):
     assert_parity(Searcher(idx))
 
 
+def test_stream_path_matches_array_path(pos_built, monkeypatch):
+    """Forcing the bounded-memory streaming AND (stream limit 0, tiny
+    chunks) must reproduce the array path's phrase/near/count results
+    exactly on the real corpus — every query, every rank position."""
+    from myaku_ray.index import phrase as ph
+    from myaku_ray.index.phrase import phrase_match_docs
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.oracle import near_query_set, phrase_query_set
+
+    pages, pos_idx, _, _ = pos_built
+    s_arr = Searcher(pos_idx)
+    phrases = phrase_query_set(pages)
+    nears = near_query_set(pages)
+    want_phrase = {
+        p: (
+            [(r.doc_id, r.score, r.warc_us) for r in s_arr.phrase_topk(p, 10)],
+            s_arr.phrase_count(p),
+            phrase_match_docs(s_arr, p).tolist(),
+        )
+        for p in phrases
+    }
+    want_near = {
+        (q, w): [
+            (r.doc_id, r.score, r.warc_us) for r in s_arr.near_topk(q, w, 10)
+        ]
+        for q, w in nears
+    }
+    assert any(v[1] > 0 for v in want_phrase.values())
+
+    monkeypatch.setattr(ph, "_PHRASE_STREAM_LIMIT", 0)
+    monkeypatch.setattr(ph, "_STREAM_CHUNK_BLOCKS", 2)
+    monkeypatch.setattr(ph, "_STREAM_RUN_CAP", 3)
+    s_str = Searcher(pos_idx)
+    for p, (topk, cnt, ids) in want_phrase.items():
+        got = [(r.doc_id, r.score, r.warc_us) for r in s_str.phrase_topk(p, 10)]
+        assert got == topk, p
+        if cnt:  # stream path actually ran
+            assert s_str._phrase_last_stats["path"] == "stream"
+        assert s_str.phrase_count(p) == cnt, p
+        assert phrase_match_docs(s_str, p).tolist() == ids, p
+    for (q, w), topk in want_near.items():
+        got = [(r.doc_id, r.score, r.warc_us) for r in s_str.near_topk(q, w, 10)]
+        assert got == topk, (q, w)
+
+
+def test_preview_from_positions_byte_identical(pos_built):
+    """Hydrated search over the positional index must produce previews
+    and matched_terms BYTE-IDENTICAL to the plain index's re-tokenize
+    path — while never tokenizing a result doc (only the query)."""
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.oracle import phrase_query_set
+
+    pages, pos_idx, plain_idx, _ = pos_built
+    s_pos = Searcher(pos_idx)
+    s_plain = Searcher(plain_idx)
+    queries = ["日本", "今日", "東京"] + [
+        p for p in phrase_query_set(pages)[:3]
+    ]
+    # spy: count doc-text tokenizations during the positional hydrate
+    calls = []
+    orig = s_pos._tok.find_lexical_items
+
+    class SpyTok:
+        def __getattr__(self, name):
+            return getattr(s_pos.__dict__["_tok_real"], name)
+
+        def find_lexical_items(self, text):
+            calls.append(len(text))
+            return orig(text)
+
+    s_pos.__dict__["_tok_real"] = s_pos._tok
+    checked = 0
+    for q in queries:
+        a = s_plain.search(q, 10)
+        calls.clear()
+        s_pos._tok = SpyTok()
+        try:
+            b = s_pos.search(q, 10)
+        finally:
+            s_pos._tok = s_pos.__dict__["_tok_real"]
+        assert [
+            (r.doc_id, r.score, r.warc_us, r.url, r.title,
+             r.matched_terms, r.preview)
+            for r in a
+        ] == [
+            (r.doc_id, r.score, r.warc_us, r.url, r.title,
+             r.matched_terms, r.preview)
+            for r in b
+        ], q
+        # only the query string (tiny) may have been tokenized — never a
+        # result doc body
+        assert all(n <= s_pos.MAX_QUERY_LEN for n in calls), (q, calls)
+        checked += len(b)
+    assert checked > 0
+
+
 def test_phrase_is_subset_of_and_search(pos_built):
     """Every phrase match must also be an AND match of its terms, with
     the same score the ordinary ranked scan assigns."""
