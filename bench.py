@@ -224,6 +224,94 @@ def bench_search_qps(index_dir: str, num_cpus: int, n_q: int = 3000) -> dict:
     }
 
 
+def bench_phrase_serving(
+    corpus_dir: str, pos_index: str, num_cpus: int, n_q: int = 1500
+) -> dict:
+    """Phrase/proximity serving numbers over an existing positional
+    index: distributed phrase QPS (distinct corpus-derived phrases — no
+    memo hits — through a Searcher actor pool) plus in-process cold/warm
+    latency on the oracle query sets.  Shared by the standard bench
+    (run_once) and the positional A/B mode (run_positions)."""
+    import statistics as _st
+
+    import ray.data as _rd
+
+    pqs = _gen_phrase_stream(corpus_dir, n_q)
+    pool = max(num_cpus - 2, 1)
+    ds = _rd.from_items([{"q": q} for q in pqs], override_num_blocks=pool * 4)
+
+    class PhraseStage:
+        def __init__(self):
+            from myaku_ray.index.searcher import Searcher
+
+            self.s = Searcher(pos_index)
+
+        def __call__(self, batch):
+            import pyarrow as _pa
+
+            t0 = time.time()
+            n_hits = sum(
+                len(self.s.phrase_topk(q, 10))
+                for q in batch["q"].to_pylist()
+            )
+            return _pa.table(
+                {
+                    "n_hits": _pa.array([n_hits], _pa.int64()),
+                    "n_q": _pa.array([len(batch)], _pa.int64()),
+                    "t0": _pa.array([t0], _pa.float64()),
+                    "t1": _pa.array([time.time()], _pa.float64()),
+                }
+            )
+
+    t0 = time.time()
+    per_batch = ds.map_batches(
+        PhraseStage, batch_format="pyarrow", batch_size=64,
+        concurrency=pool, num_cpus=1,
+    ).to_pandas()
+    phrase_qps_wall = time.time() - t0
+    hits = per_batch["n_hits"].sum()
+    # capacity = pool / mean in-actor service time per query: independent
+    # of ramp and end-of-stream stragglers (few batches per actor make a
+    # timeline-tail estimate unstable here)
+    busy = float((per_batch["t1"] - per_batch["t0"]).sum())
+    phrase_qps_capacity = pool * float(per_batch["n_q"].sum()) / max(busy, 1e-9)
+
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.oracle import near_query_set, phrase_query_set
+
+    s = Searcher(pos_index)
+    phrases = phrase_query_set(corpus_dir)
+    nears = near_query_set(corpus_dir)
+    cold_ph, cold_nr = [], []
+    for q in phrases:
+        t0 = time.time()
+        s.phrase_topk(q, 10)
+        cold_ph.append((time.time() - t0) * 1000)
+    for q, w in nears:
+        t0 = time.time()
+        s.near_topk(q, w, 10)
+        cold_nr.append((time.time() - t0) * 1000)
+    warm_ph = []
+    for _ in range(QUERY_REPEATS):
+        for q in phrases:
+            t0 = time.time()
+            s.phrase_topk(q, 10)
+            warm_ph.append((time.time() - t0) * 1000)
+    return {
+        "n_phrases": len(phrases),
+        "phrase_cold_p50_ms": round(_st.median(cold_ph), 2),
+        "phrase_cold_max_ms": round(max(cold_ph), 2),
+        "phrase_warm_p50_ms": round(_st.median(warm_ph), 2),
+        "near_cold_p50_ms": round(_st.median(cold_nr), 2) if cold_nr else None,
+        "near_cold_max_ms": round(max(cold_nr), 2) if cold_nr else None,
+        "phrase_qps": round(len(pqs) / phrase_qps_wall, 1),
+        "phrase_qps_capacity": round(phrase_qps_capacity, 1),
+        "phrase_qps_n": len(pqs),
+        "phrase_qps_pool": pool,
+        "phrase_qps_hits": int(hits),
+    }
+
+
 def bench_doc_pipelines(sf_dir: str) -> dict:
     from myaku_ray.functions import ann, dedup, events, fulltext, media, relational, textops
 
@@ -296,6 +384,25 @@ def run_once() -> dict:
     queries = bench_queries(build["index_dir"]) if not build_only else {}
     if not build_only:
         queries.update(bench_search_qps(build["index_dir"], NUM_CPUS))
+    # phrase/proximity serving over a positional sidecar of the SAME
+    # bench corpus — recorded in the standard bench so every round logs
+    # phrase QPS + cold/warm latency in whatever window the driver draws
+    if not build_only and os.environ.get("MYAKU_BENCH_PHRASE", "1") != "0":
+        from myaku_ray.corpus import gen_blogs_table as _gen_blogs
+        from myaku_ray.pipelines.build import build_index as _build_index
+
+        _blogs = _gen_blogs()
+        pos_idx = f"{BENCH_BASE}/bench_pos_index"
+        shutil.rmtree(pos_idx, ignore_errors=True)
+        t0 = time.time()
+        _build_index(
+            pages, pos_idx,
+            blog_ratings=dict(zip(_blogs["blog_url"], _blogs["rating"])),
+            tokenize_concurrency=max(3 * NUM_CPUS // 4, 1),
+            with_positions=True,
+        )
+        queries["index_build_pos_s"] = round(time.time() - t0, 3)
+        queries.update(bench_phrase_serving(pages, pos_idx, NUM_CPUS))
     doc_timings = bench_doc_pipelines(SF_DIR) if not build_only else {}
 
     # 400k-page build IN the bench record (not just BASELINE.md prose) so
@@ -878,77 +985,14 @@ def run_positions() -> dict:
             total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
         sizes[kind] = total
 
-    # distributed phrase-serving QPS: distinct corpus-derived phrases
-    # (per-actor caches cannot answer a repeat) through an actor pool of
-    # Searchers over the positional index — the serving-tier scale-out
-    # path for the phrase feature
     import ray
-    import ray.data as _rd
 
     n_pq = int(os.environ.get("MYAKU_POS_QPS_N", "1500"))
-    pqs = _gen_phrase_stream(corpus_dir, n_pq)
-    pool = max(NUM_CPUS - 2, 1)
-    pidx = f"{BENCH_BASE}/posbench_positional"
-    ds = _rd.from_items([{"q": q} for q in pqs], override_num_blocks=pool * 4)
-
-    class PhraseStage:
-        def __init__(self):
-            from myaku_ray.index.searcher import Searcher
-
-            self.s = Searcher(pidx)
-
-        def __call__(self, batch):
-            import pyarrow as _pa
-
-            t0 = time.time()
-            n_hits = sum(
-                len(self.s.phrase_topk(q, 10))
-                for q in batch["q"].to_pylist()
-            )
-            return _pa.table(
-                {
-                    "n_hits": _pa.array([n_hits], _pa.int64()),
-                    "n_q": _pa.array([len(batch)], _pa.int64()),
-                    "t0": _pa.array([t0], _pa.float64()),
-                    "t1": _pa.array([time.time()], _pa.float64()),
-                }
-            )
-
-    t0 = time.time()
-    per_batch = ds.map_batches(
-        PhraseStage, batch_format="pyarrow", batch_size=64,
-        concurrency=pool, num_cpus=1,
-    ).to_pandas()
-    phrase_qps_wall = time.time() - t0
-    hits = per_batch["n_hits"].sum()
-    # capacity = pool / mean in-actor service time per query: independent
-    # of ramp and end-of-stream stragglers (few batches per actor make a
-    # timeline-tail estimate unstable here)
-    busy = float((per_batch["t1"] - per_batch["t0"]).sum())
-    phrase_qps_capacity = pool * float(per_batch["n_q"].sum()) / max(busy, 1e-9)
+    serving = bench_phrase_serving(
+        corpus_dir, f"{BENCH_BASE}/posbench_positional", NUM_CPUS, n_pq
+    )
     ray.shutdown()
 
-    from myaku_ray.index.searcher import Searcher
-    from myaku_ray.oracle import near_query_set, phrase_query_set
-
-    s = Searcher(f"{BENCH_BASE}/posbench_positional")
-    phrases = phrase_query_set(corpus_dir)
-    nears = near_query_set(corpus_dir)
-    cold_ph, cold_nr = [], []
-    for q in phrases:
-        t0 = time.time()
-        s.phrase_topk(q, 10)
-        cold_ph.append((time.time() - t0) * 1000)
-    for q, w in nears:
-        t0 = time.time()
-        s.near_topk(q, w, 10)
-        cold_nr.append((time.time() - t0) * 1000)
-    warm_ph = []
-    for _ in range(QUERY_REPEATS):
-        for q in phrases:
-            t0 = time.time()
-            s.phrase_topk(q, 10)
-            warm_ph.append((time.time() - t0) * 1000)
     return {
         "metric": "positional build overhead + phrase/near latency",
         "n_pages": n_pages,
@@ -959,17 +1003,7 @@ def run_positions() -> dict:
         "segments_plain_mb": round(sizes["plain"] / 1e6, 1),
         "segments_positional_mb": round(sizes["positional"] / 1e6, 1),
         "segments_overhead_x": round(sizes["positional"] / sizes["plain"], 3),
-        "n_phrases": len(phrases),
-        "phrase_cold_p50_ms": round(_st.median(cold_ph), 2),
-        "phrase_cold_max_ms": round(max(cold_ph), 2),
-        "phrase_warm_p50_ms": round(_st.median(warm_ph), 2),
-        "near_cold_p50_ms": round(_st.median(cold_nr), 2) if cold_nr else None,
-        "near_cold_max_ms": round(max(cold_nr), 2) if cold_nr else None,
-        "phrase_qps": round(len(pqs) / phrase_qps_wall, 1),
-        "phrase_qps_capacity": round(phrase_qps_capacity, 1),
-        "phrase_qps_n": len(pqs),
-        "phrase_qps_pool": pool,
-        "phrase_qps_hits": int(hits),
+        **serving,
     }
 
 
