@@ -955,12 +955,16 @@ def run_kernel_ab() -> dict:
 def run_positions() -> dict:
     """Positional-sidecar cost + phrase/proximity query latency, one
     session: build the bench corpus index plain and with positions
-    back-to-back (same window), then time phrase_topk / near_topk cold
-    and warm on the positional index."""
+    back-to-back N times (MYAKU_POS_REPEATS, default 5), ALTERNATING
+    which kind goes first per repeat so host drift hits both equally —
+    the overhead claim is the median of per-repeat (positional/plain)
+    wall ratios, with every repeat published.  Then time phrase_topk /
+    near_topk cold/warm and phrase QPS on the positional index."""
     import statistics as _st
 
     _ray_init(NUM_CPUS)
     n_pages = int(os.environ.get("MYAKU_POS_PAGES", "50000"))
+    repeats = int(os.environ.get("MYAKU_POS_REPEATS", "5"))
     corpus_dir = f"{BENCH_BASE}/pages_{n_pages}"
     from myaku_ray.corpus import gen_blogs_table, write_pages_parquet
     from myaku_ray.pipelines.build import build_index
@@ -969,9 +973,9 @@ def run_positions() -> dict:
     blogs = gen_blogs_table()
     ratings = dict(zip(blogs["blog_url"], blogs["rating"]))
     conc = max(3 * NUM_CPUS // 4, 1)
-    walls = {}
     sizes = {}
-    for kind, wp in (("plain", False), ("positional", True)):
+
+    def one_build(kind: str, wp: bool) -> float:
         idx = f"{BENCH_BASE}/posbench_{kind}"
         shutil.rmtree(idx, ignore_errors=True)
         t0 = time.time()
@@ -979,11 +983,31 @@ def run_positions() -> dict:
             corpus_dir, idx, blog_ratings=ratings,
             tokenize_concurrency=conc, with_positions=wp,
         )
-        walls[kind] = round(time.time() - t0, 3)
+        wall = round(time.time() - t0, 3)
         total = 0
         for root, _, files in os.walk(os.path.join(idx, "segments")):
             total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
         sizes[kind] = total
+        return wall
+
+    reps = []
+    for r in range(repeats):
+        order = (
+            (("plain", False), ("positional", True))
+            if r % 2 == 0
+            else (("positional", True), ("plain", False))
+        )
+        walls = {}
+        for kind, wp in order:
+            walls[kind] = one_build(kind, wp)
+        reps.append(
+            {
+                "order": [k for k, _ in order],
+                "plain_s": walls["plain"],
+                "positional_s": walls["positional"],
+                "overhead_x": round(walls["positional"] / walls["plain"], 3),
+            }
+        )
 
     import ray
 
@@ -997,9 +1021,15 @@ def run_positions() -> dict:
         "metric": "positional build overhead + phrase/near latency",
         "n_pages": n_pages,
         "num_cpus": NUM_CPUS,
-        "build_plain_s": walls["plain"],
-        "build_positional_s": walls["positional"],
-        "build_overhead_x": round(walls["positional"] / walls["plain"], 3),
+        "repeats": repeats,
+        "build_repeats": reps,
+        "build_plain_s": round(_st.median(r["plain_s"] for r in reps), 3),
+        "build_positional_s": round(
+            _st.median(r["positional_s"] for r in reps), 3
+        ),
+        "build_overhead_x": round(
+            _st.median(r["overhead_x"] for r in reps), 3
+        ),
         "segments_plain_mb": round(sizes["plain"] / 1e6, 1),
         "segments_positional_mb": round(sizes["positional"] / 1e6, 1),
         "segments_overhead_x": round(sizes["positional"] / sizes["plain"], 3),

@@ -130,6 +130,26 @@ class Tokenizer:
         self._combined = _re.compile(
             f"(?:{_trie_regex(list(self._surfaces))})|[{_latin_cls}]+|[^\\W_]"
         )
+        # ALL-CONSUMING variant for the positions kernel: every char of
+        # the input lands in exactly one match, so token offsets are the
+        # running sum of match lengths and `findall` (no match objects)
+        # replaces `finditer`.  Two extra alternatives: (4) gap runs —
+        # non-word chars MINUS the first chars of symbol dictionary
+        # surfaces (those must stay visible to the trie alternative, and
+        # if the trie then fails there, (5) catches the char singly);
+        # (5) `.` catch-all.  Alternation order preserves the original
+        # pattern's precedence exactly: (4)/(5) only match where
+        # `_combined` matched nothing.
+        _sym_firsts = sorted(
+            {s[0] for s in self._surfaces if _re.match(r"[\W_]", s[0])}
+        )
+        _esc = "".join(_re.escape(c) for c in _sym_firsts)
+        self._combined_all = _re.compile(
+            f"(?:{_trie_regex(list(self._surfaces))})|[{_latin_cls}]+"
+            f"|[^\\W_]|[^\\w{_esc}]+|.",
+            _re.DOTALL,
+        )
+        self._word_char = _re.compile(r"[^\W_]")
 
     def tokenize(self, text: str) -> list[Token]:
         """Segment text into dictionary tokens with char offsets."""
@@ -346,15 +366,19 @@ class Tokenizer:
         Exactly ``{it['term']: it['positions'] for it in
         find_lexical_items(text)}`` (parity-tested), i.e. the same term
         set as ``find_term_tfs`` with ``tf == len(positions)``, produced
-        by ONE ``finditer`` pass over the combined pattern.  All
-        per-distinct-surface work (dict probes, base map, surface
-        length, the term's occurrence-list ref) memoizes, so the
-        per-OCCURRENCE cost is one cache get + one list append — the
-        positional analog of the tf kernel's Counter collapse.  (A fully
-        numpy re.split/factorize variant was benchmarked SLOWER: docs
-        are a few hundred tokens, and small-array numpy constants beat
-        the saved interpreter work.)  Runs only in the opt-in positional
-        build (``build_index(with_positions=True)``)."""
+        by ONE ``findall`` pass over the ALL-CONSUMING combined pattern
+        (``_combined_all``): every char lands in exactly one match, so
+        offsets are the running sum of match lengths and no match
+        objects are built (~1.3x the previous finditer pass; the regex
+        scan is now ~the tf kernel's findall).  Gap matches (whitespace
+        / non-dict symbols) carry offsets but are transparent to the
+        2-gram ``prev`` chain, exactly like the chars ``tokenize``
+        drops.  All per-distinct-surface work memoizes, so the
+        per-OCCURRENCE cost is one cache get + one list append.  (A
+        fully numpy re.split/factorize variant was benchmarked SLOWER:
+        docs are a few hundred tokens, and small-array numpy constants
+        beat the saved interpreter work.)  Runs only in the opt-in
+        positional build (``build_index(with_positions=True)``)."""
         if not self._fast_ok:
             return {
                 it["term"]: [tuple(p) for p in it["positions"]]
@@ -363,28 +387,38 @@ class Tokenizer:
         surfaces = self._surfaces
         phrases = self._phrases
         found: dict[str, list] = {}
-        # surface -> (term's occurrence list | None, surface len, base)
+        # surface -> (occurrence list | None, surface len, base, is_token)
         scache: dict[str, tuple] = {}
         # (prev surface, surface) -> phrase occurrence list | False
         pcache: dict[tuple, object] = {}
         phrase_keys: list[str] = []
         prev_s: str | None = None
         prev_start = 0
-        for m in self._combined.finditer(text):
-            s_ = m.group()
+        start = 0
+        for s_ in self._combined_all.findall(text):
             c = scache.get(s_)
             if c is None:
                 e = surfaces.get(s_)
                 if e is not None:
                     b, _r, p, _ct, _cf = e
-                    indexed = p != _SYMBOL_POS
+                    c = (
+                        found.setdefault(b, []) if p != _SYMBOL_POS else None,
+                        len(s_), b, True,
+                    )
                 elif _is_latin_alnum(s_[0]):
                     b = normalize_char_width(s_).lower()
-                    indexed = True
+                    c = (found.setdefault(b, []), len(s_), b, True)
                 elif s_.isalnum():
+                    if len(s_) != 1:
+                        # an alnum gap run can only mean the regex word
+                        # class and str.isalnum disagree — defer
+                        return {
+                            it["term"]: [tuple(p) for p in it["positions"]]
+                            for it in self.find_lexical_items(text)
+                        }
                     b = normalize_char_width(s_)
-                    indexed = True
-                else:
+                    c = (found.setdefault(b, []), len(s_), b, True)
+                elif len(s_) == 1 and self._word_char.match(s_):
                     # exotic \w char str.isalnum rejects: defer to the
                     # reference longest-match path (same rule as the tf
                     # kernel)
@@ -392,31 +426,31 @@ class Tokenizer:
                         it["term"]: [tuple(p) for p in it["positions"]]
                         for it in self.find_lexical_items(text)
                     }
-                c = scache[s_] = (
-                    found.setdefault(b, []) if indexed else None,
-                    len(s_),
-                    b,
-                )
-            lst, slen, b = c
-            start = m.start()
-            if lst is not None:
-                lst.append((start, slen))
-            # meta 2-gram phrase over adjacent tokens (dict-symbol tokens
-            # participate as `prev`, exactly as in find_lexical_items)
-            if prev_s is not None:
-                pc = pcache.get((prev_s, s_))
-                if pc is None:
-                    pb = scache[prev_s][2]
-                    if (pb, b) in phrases:
-                        pc = found.setdefault(pb + b, [])
-                        phrase_keys.append(pb + b)
-                    else:
-                        pc = False
-                    pcache[(prev_s, s_)] = pc
-                if pc is not False:
-                    pc.append((prev_start, start + slen - prev_start))
-            prev_s, prev_start = s_, start
-        # finditer emits ascending starts, so every single-stream list is
+                else:
+                    c = (None, len(s_), "", False)  # gap run
+                scache[s_] = c
+            lst, slen, b, is_token = c
+            if is_token:
+                if lst is not None:
+                    lst.append((start, slen))
+                # meta 2-gram phrase over adjacent tokens (dict-symbol
+                # tokens participate as `prev`, exactly as in
+                # find_lexical_items; gap runs never update `prev`)
+                if prev_s is not None:
+                    pc = pcache.get((prev_s, s_))
+                    if pc is None:
+                        pb = scache[prev_s][2]
+                        if (pb, b) in phrases:
+                            pc = found.setdefault(pb + b, [])
+                            phrase_keys.append(pb + b)
+                        else:
+                            pc = False
+                        pcache[(prev_s, s_)] = pc
+                    if pc is not False:
+                        pc.append((prev_start, start + slen - prev_start))
+                prev_s, prev_start = s_, start
+            start += slen
+        # matches emit ascending starts, so every single-stream list is
         # already sorted; only terms fed by BOTH a token stream and a
         # phrase stream (base form == some phrase concatenation) can
         # interleave — re-sort exactly those (FLI set-union semantics)
