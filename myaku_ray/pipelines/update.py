@@ -446,14 +446,18 @@ def update_index(
 
     def keep_updated(batch: pa.Table) -> pa.Table:
         known, skip = ray.get(url_warc_ref)
-        urls = batch["url"].to_pylist()
-        warcs = batch["warc_ts"].cast(pa.int64()).to_pylist()
-        mask = [
-            ((u not in known) or (w > known[u]))
-            and ((u not in skip) or (w > skip[u]))
-            for u, w in zip(urls, warcs)
-        ]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        urls = batch["url"].to_pandas()
+        warcs = batch["warc_ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        # Series.map probes the broadcast dicts in C (NaN = absent); the
+        # fillna value is irrelevant — the isna term already passes those
+        kw = urls.map(known)
+        sw = urls.map(skip)
+        mask = (
+            kw.isna().to_numpy() | (warcs > kw.fillna(0).to_numpy())
+        ) & (sw.isna().to_numpy() | (warcs > sw.fillna(0).to_numpy()))
+        return batch.filter(pa.array(mask))
 
     fresh = pages.map_batches(keep_updated, batch_format="pyarrow")
 
@@ -486,17 +490,26 @@ def update_index(
     # (additive + deterministic per version, so committing it before the
     # delta is crash-safe: a re-run recomputes the identical entries)
     light_in = pq.read_table(pages_path, columns=["url", "warc_ts"])
-    in_urls = light_in["url"].to_pylist()
-    in_warcs = light_in["warc_ts"].cast(pa.int64()).to_pylist()
-    extracted_urls = set(new_t["url"].to_pylist())
+    in_u = light_in["url"].to_pandas()
+    in_w = light_in["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    # Passed-the-anti-join is evaluated against the PRE-update state; a
+    # same-run duplicate url can only raise the recorded watermark, and
+    # the per-url max below subsumes that sequential update exactly.
+    kw = in_u.map(url_warc)
+    sw = in_u.map(crawl_skip)
+    passed = (kw.isna().to_numpy() | (in_w > kw.fillna(0).to_numpy())) & (
+        sw.isna().to_numpy() | (in_w > sw.fillna(0).to_numpy())
+    )
+    passed &= ~in_u.isin(set(new_t["url"].to_pylist())).to_numpy()
     skip_changed = False
-    for u, w in zip(in_urls, in_warcs):
-        passed = ((u not in url_warc) or (w > url_warc[u])) and (
-            (u not in crawl_skip) or (w > crawl_skip[u])
+    if passed.any():
+        upd = (
+            pd.DataFrame({"url": in_u[passed], "w": in_w[passed]})
+            .groupby("url")["w"].max()
         )
-        if passed and u not in extracted_urls:
-            crawl_skip[u] = max(w, crawl_skip.get(u, 0))
-            skip_changed = True
+        for u, w in upd.items():  # result-sized: failed-extraction urls only
+            crawl_skip[u] = max(int(w), crawl_skip.get(u, 0))
+        skip_changed = True
     if skip_changed:
         save_crawl_skip(index_dir, crawl_skip)
     metrics["n_crawl_skipped"] = len(crawl_skip)
