@@ -225,13 +225,18 @@ def bench_search_qps(index_dir: str, num_cpus: int, n_q: int = 3000) -> dict:
 
 
 def bench_phrase_serving(
-    corpus_dir: str, pos_index: str, num_cpus: int, n_q: int = 1500
+    corpus_dir: str, pos_index: str, num_cpus: int, n_q: int = 1500,
+    plain_index: str | None = None,
 ) -> dict:
     """Phrase/proximity serving numbers over an existing positional
     index: distributed phrase QPS (distinct corpus-derived phrases — no
     memo hits — through a Searcher actor pool) plus in-process cold/warm
     latency on the oracle query sets.  Shared by the standard bench
-    (run_once) and the positional A/B mode (run_positions)."""
+    (run_once) and the positional A/B mode (run_positions).  With
+    plain_index, also A/Bs the hydrate (doc read + preview) stage:
+    the positional path point-reads matched offsets from pos_blob while
+    the plain path re-tokenizes every result doc (byte-identical output,
+    pytest-asserted) — the ratio is the preview-stage speedup."""
     import statistics as _st
 
     import ray.data as _rd
@@ -297,6 +302,43 @@ def bench_phrase_serving(
             t0 = time.time()
             s.phrase_topk(q, 10)
             warm_ph.append((time.time() - t0) * 1000)
+    preview = {}
+    if plain_index is not None:
+        from myaku_ray.oracle import reference_query_set
+
+        s_pl = Searcher(plain_index)
+        reps = max(QUERY_REPEATS, 5)
+        med_pl, med_po = [], []
+        for q in reference_query_set():
+            hits_pl = s_pl.topk(q, 10)
+            hits_po = s.topk(q, 10)
+            if not hits_pl:
+                continue
+            s_pl.hydrate(list(hits_pl), q)  # warm doc/file caches
+            s.hydrate(list(hits_po), q)
+            t_pl, t_po = [], []
+            for _ in range(reps):
+                t0 = time.time()
+                s_pl.hydrate(list(hits_pl), q)
+                t_pl.append((time.time() - t0) * 1000)
+                t0 = time.time()
+                s.hydrate(list(hits_po), q)
+                t_po.append((time.time() - t0) * 1000)
+            med_pl.append(_st.median(t_pl))
+            med_po.append(_st.median(t_po))
+        if med_pl:
+            preview = {
+                "preview_n_queries": len(med_pl),
+                "preview_hydrate_plain_ms_p50": round(_st.median(med_pl), 2),
+                "preview_hydrate_pos_ms_p50": round(_st.median(med_po), 2),
+                # total-work ratio across the query set (hydrate = doc
+                # read + preview; the doc read is identical both ways, so
+                # this UNDERSTATES the preview-stage-only speedup)
+                "preview_speedup_x": round(sum(med_pl) / sum(med_po), 2),
+                "preview_speedup_max_x": round(
+                    max(a / b for a, b in zip(med_pl, med_po)), 2
+                ),
+            }
     return {
         "n_phrases": len(phrases),
         "phrase_cold_p50_ms": round(_st.median(cold_ph), 2),
@@ -309,6 +351,7 @@ def bench_phrase_serving(
         "phrase_qps_n": len(pqs),
         "phrase_qps_pool": pool,
         "phrase_qps_hits": int(hits),
+        **preview,
     }
 
 
@@ -402,7 +445,11 @@ def run_once() -> dict:
             with_positions=True,
         )
         queries["index_build_pos_s"] = round(time.time() - t0, 3)
-        queries.update(bench_phrase_serving(pages, pos_idx, NUM_CPUS))
+        queries.update(
+            bench_phrase_serving(
+                pages, pos_idx, NUM_CPUS, plain_index=build["index_dir"]
+            )
+        )
     doc_timings = bench_doc_pipelines(SF_DIR) if not build_only else {}
 
     # 400k-page build IN the bench record (not just BASELINE.md prose) so
@@ -606,13 +653,48 @@ def _prewarm_pages(max_bytes: int = 2 << 30, timeout_s: float = 30.0) -> dict:
     return {"prewarmed_gb": round(warmed / (1 << 30), 2)}
 
 
+def _settled_coldpage_probe(
+    attempts: int = 4, healthy_mbps: float = 1000.0
+) -> dict:
+    """Pre-leg cold-page probe with a bounded ACTIVE settle loop.
+
+    A probe taken right after a leg's teardown reads 80-200 MB/s even in
+    windows where the same probe reads 3-4.6 GB/s two minutes later
+    (measured r04, every second leg of SCALING_r04.json) — that
+    self-shadow kept every r03/r04 repeat below the window_ok gate.  A
+    PASSIVE settle (4x12 s sleeps) does not clear it; what restores
+    supply is TOUCHING memory — the end-of-repeat probes read GB/s
+    precisely because the compute+membw probes touch GBs first.  Since
+    the protocol already prewarms 2 GB before each timed leg (the leg
+    never enters the passive post-teardown state), the honest leg-entry
+    measurement is: alternate touch-and-free warming with fresh-process
+    256 MB probes, and gate on the final reading.  Both the first
+    (raw post-teardown) and final (leg-entry) readings are published.
+    The settle wall stays OUTSIDE every timed region and is identical
+    for both legs, so it cannot bias the ratio; a genuinely starved
+    window stays under the gate no matter how much is touched
+    (HOST_PATHOLOGY_r03: warming itself crawls at single-digit MB/s
+    there)."""
+    first = _hw_coldpage_probe(timeout_s=30.0)
+    last = dict(first)
+    for _ in range(attempts - 1):
+        if last["hw_coldpage_mbps"] >= healthy_mbps:
+            break
+        _prewarm_pages(timeout_s=20.0)
+        last = _hw_coldpage_probe(timeout_s=30.0)
+    last["hw_coldpage_mbps_raw_first"] = first["hw_coldpage_mbps"]
+    return last
+
+
 def _single_build_run(ncpu: int, scaling_pages: str) -> dict:
     """One fresh-process build at the given parallelism (no best-of).
-    A cold-page probe runs immediately BEFORE the leg (the end-of-repeat
-    probes sample the window's end — a window that dies mid-repeat and
-    recovers by probe time would otherwise qualify falsely)."""
+    A cold-page probe runs BEFORE the leg (the end-of-repeat probes
+    sample the window's end — a window that dies mid-repeat and recovers
+    by probe time would otherwise qualify falsely), with a bounded settle
+    loop so the previous leg's teardown reclaim doesn't masquerade as a
+    bad window (see _settled_coldpage_probe)."""
     _quiesce()
-    pre = _hw_coldpage_probe(timeout_s=30.0)
+    pre = _settled_coldpage_probe()
     _prewarm_pages()
     env = dict(
         os.environ,
@@ -630,6 +712,7 @@ def _single_build_run(ncpu: int, scaling_pages: str) -> dict:
     )
     out = json.loads(proc.stdout.strip().splitlines()[-1])
     out["coldpage_mbps_pre"] = pre["hw_coldpage_mbps"]
+    out["coldpage_mbps_pre_raw"] = pre.get("hw_coldpage_mbps_raw_first")
     # Per-task encode skew profile (max/median bucket-task wall): the
     # segments stage wall at high parallelism is max(task walls), so
     # this separates straggler skew from host windows in the ratio.
@@ -715,6 +798,12 @@ def run_scaling() -> dict:
                 ),
                 f"coldpage_mbps_pre_{n_hi}": res[n_hi].get(
                     "coldpage_mbps_pre"
+                ),
+                f"coldpage_mbps_pre_raw_{n_lo}": res[n_lo].get(
+                    "coldpage_mbps_pre_raw"
+                ),
+                f"coldpage_mbps_pre_raw_{n_hi}": res[n_hi].get(
+                    "coldpage_mbps_pre_raw"
                 ),
                 "raw_efficiency": round(raw, 3),
                 "efficiency_vs_host": round(
@@ -1013,7 +1102,8 @@ def run_positions() -> dict:
 
     n_pq = int(os.environ.get("MYAKU_POS_QPS_N", "1500"))
     serving = bench_phrase_serving(
-        corpus_dir, f"{BENCH_BASE}/posbench_positional", NUM_CPUS, n_pq
+        corpus_dir, f"{BENCH_BASE}/posbench_positional", NUM_CPUS, n_pq,
+        plain_index=f"{BENCH_BASE}/posbench_plain",
     )
     ray.shutdown()
 
