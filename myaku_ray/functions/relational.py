@@ -44,19 +44,32 @@ def q1_pricing_summary(sf_dir: str):
     cutoff = np.datetime64(Q1_CUTOFF)
 
     def prep(batch: pa.Table) -> pa.Table:
+        # Map-side combiner: collapse the batch to <=|groups| partial rows
+        # (6 here) BEFORE the exchange, so the groupby shuffles partials,
+        # not the 600k filtered lineitem rows.  Arrow's hash aggregate
+        # keeps the cent sums exact int64.
         ship = batch["l_shipdate"].to_numpy(zero_copy_only=False)
         batch = batch.filter(pa.array(ship <= cutoff))
         qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
         price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = batch["l_discount"].to_numpy(zero_copy_only=False)
-        return pa.table(
+        rows = pa.table(
             {
                 "l_returnflag": batch["l_returnflag"],
                 "l_linestatus": batch["l_linestatus"],
                 "qty": pa.array(qty.astype(np.int64)),
                 "price_cents": pa.array(_cents(price)),
                 "disc_price_cents": pa.array(_cents(price * (1.0 - disc))),
+                "cnt": pa.array(np.ones(len(batch), dtype=np.int64)),
             }
+        )
+        part = rows.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price_cents", "sum"),
+             ("disc_price_cents", "sum"), ("cnt", "sum")]
+        )
+        return part.rename_columns(
+            ["l_returnflag", "l_linestatus", "qty", "price_cents",
+             "disc_price_cents", "cnt"]
         )
 
     out = (
@@ -66,7 +79,7 @@ def q1_pricing_summary(sf_dir: str):
             Sum("qty", alias_name="sum_qty"),
             Sum("price_cents", alias_name="sum_base_price_cents"),
             Sum("disc_price_cents", alias_name="sum_disc_price_cents"),
-            Count(alias_name="count_order"),
+            Sum("cnt", alias_name="count_order"),
         )
     )
     return out
