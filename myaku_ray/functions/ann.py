@@ -817,3 +817,121 @@ SELECT query_vec_id, neighbor_vec_id, sim_r,
 FROM s
 QUALIFY rank <= {TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+# k-means buckets the corpus into semantic clusters, then WITHIN each
+# cluster a vector is pruned if its cosine similarity to any vector
+# EARLIER in a deterministic priority order exceeds eps.  This is the
+# curation step a training-data pipeline runs between exact/near-dup
+# hashing and quality filtering — it removes semantically redundant
+# examples the lexical near-dup family (minhash/simhash) cannot see.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_EPS = 0.35
+# Row-block width for the within-cluster scan: peak memory is
+# O(block x cluster) instead of O(cluster^2), so a 100k-row cluster
+# costs ~0.8 GB transient per block instead of 80 GB for the full
+# similarity matrix.  At 100 TB the valve is k itself: size k so
+# clusters stay ~O(100k) rows (SemDeDup runs k ~ sqrt(N)); a pathological
+# hot cluster can additionally be tiled through the shuffle exactly like
+# near_dup_embeddings' (label, tile_i, tile_j) scheme, since the drop
+# rule only ever compares a row against EARLIER rows.
+SEMDEDUP_ROW_BLOCK = 1024
+
+
+def _semdedup_scan(Xu: np.ndarray, eps: float):
+    """Per-row max cosine against all EARLIER rows of unit-normalized
+    ``Xu`` (already sorted into priority order) and its argmax, computed
+    in row blocks.  Shared verbatim by the serial golden generator
+    (tools/gen_op_goldens.py) so blocked-matmul float behavior is
+    identical on both paths; similarities are rounded to 6 decimals
+    BEFORE the comparison (the library-wide oracle-identity rule).
+    Row 0 has no earlier rows: best=-1, sim=-inf."""
+    n = len(Xu)
+    best = np.full(n, -1, dtype=np.int64)
+    msim = np.full(n, -np.inf, dtype=np.float64)
+    for s in range(1, n, SEMDEDUP_ROW_BLOCK):
+        e = min(s + SEMDEDUP_ROW_BLOCK, n)
+        S = np.round(Xu[s:e] @ Xu[:e].T, 6)
+        # mask j >= i: row i may only match strictly earlier columns
+        S[np.arange(e)[None, :] >= np.arange(s, e)[:, None]] = -np.inf
+        b = S.argmax(axis=1)
+        best[s:e] = b
+        msim[s:e] = S[np.arange(e - s), b]
+    return best, msim
+
+
+def semdedup_prune(
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    eps: float = SEMDEDUP_EPS,
+):
+    """Semantic near-duplicate pruning: returns the DROPPED rows
+    ``(vec_id, cluster_id, dup_of, sim_r)`` — result-sized output, the
+    keep-set is its complement.
+
+    Shape: ``kmeans_fit`` (broadcast centroids, Q20 exact reduce) ->
+    one assignment ``map_batches`` -> ``groupby(cluster_id)`` shuffle
+    (each row crosses the exchange exactly once) -> per-cluster
+    vectorized blocked scan.  Priority order inside a cluster is
+    (rounded d2-to-centroid ASC, vec_id ASC) — most-central first, fully
+    deterministic, independent of Ray blocking; ``dup_of`` is the
+    earlier vector with max similarity (SemDeDup's published rule keeps
+    one representative per epsilon-ball, dropping later arrivals whether
+    or not their match was itself dropped).
+    """
+    C, _ = kmeans_fit(sf_dir, k=k, iters=iters)
+    c_ref = ray.put(C)
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        Cl = ray.get(c_ref)
+        X = _matrix(batch["embedding"])
+        scores = X @ Cl.T - 0.5 * (Cl * Cl).sum(axis=1)[None, :]
+        a = scores.argmax(axis=1)
+        d2 = np.round(
+            (X * X).sum(axis=1) - 2.0 * scores[np.arange(len(X)), a], 6
+        )
+        return pa.table(
+            {
+                "cluster_id": pa.array(a.astype(np.int64)),
+                "d2_r": pa.array(d2, pa.float64()),
+                "vec_id": batch["vec_id"],
+                "embedding": batch["embedding"],
+            }
+        )
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (g["vec_id"].to_numpy(), g["d2_r"].to_numpy())
+        )
+        ids = g["vec_id"].to_numpy().astype(np.int64)[order]
+        X = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in g["embedding"].iloc[order]]
+        )
+        Xu = X / np.sqrt((X * X).sum(axis=1))[:, None]
+        best, msim = _semdedup_scan(Xu, eps)
+        drop = msim >= eps
+        nd = int(drop.sum())
+        return pd.DataFrame(
+            {
+                "vec_id": ids[drop],
+                "cluster_id": np.full(
+                    nd, int(g["cluster_id"].iloc[0]), dtype=np.int64
+                ),
+                "dup_of": ids[best[drop]],
+                "sim_r": msim[drop],
+            }
+        )
+
+    return (
+        ds.map_batches(assign_batch, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .map_groups(prune, batch_format="pandas")
+        .select_columns(["vec_id", "cluster_id", "dup_of", "sim_r"])
+    )

@@ -597,3 +597,108 @@ def test_bloom_63bit_ids_no_false_negatives():
 
     want = con.execute(BLOOM_DOC_FILTER_SQL).df()["bit"].to_numpy()
     assert (np.sort(bitpos) == np.sort(want)).all()
+
+
+def test_semdedup_prunes_planted_semantic_copies(ray_session, tmp_path):
+    """4 tight planted clusters, 12 vectors given a near-identical copy
+    with a HIGHER vec_id: SemDeDup must drop every planted copy, the
+    surviving keep-set must be pairwise below eps within each cluster,
+    and the distributed output must equal a serial recompute through the
+    shared scan kernel."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from myaku_ray.functions.ann import (
+        _semdedup_scan, kmeans_fit, semdedup_prune,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 32)) * 4.0
+    base = np.concatenate(
+        [centers[i] + 0.3 * rng.standard_normal((30, 32)) for i in range(4)]
+    )
+    copies = base[::10] + 1e-4 * rng.standard_normal((12, 32))
+    X = np.concatenate([base, copies])
+    copy_ids = np.arange(len(base), len(X))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(X)), pa.int64()),
+                "embedding": pa.array(
+                    [r.tolist() for r in X], pa.list_(pa.float32())
+                ),
+                "label": pa.array(np.zeros(len(X), dtype=np.int32)),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    sf = str(tmp_path)
+    eps = 0.95
+
+    got = (
+        semdedup_prune(sf, k=4, iters=6, eps=eps)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    # every planted (base, copy) pair loses exactly its later-priority
+    # member: the copy when the base is more central, else the base —
+    # either way one of the two must be pruned
+    dropped = set(got["vec_id"])
+    for bi, ci in zip(range(0, len(base), 10), copy_ids):
+        assert bi in dropped or ci in dropped, (bi, ci)
+    assert (got["sim_r"] >= eps).all()
+    # dup_of is earlier in priority order => always a distinct vector
+    assert (got["dup_of"] != got["vec_id"]).all()
+
+    # keep-set is pairwise below eps inside each cluster: a kept vector
+    # saw NO earlier vector >= eps, so for kept i<j (priority order),
+    # sim(i, j) < eps
+    Xq = np.array(
+        pq.read_table(str(tmp_path / "embeddings.parquet"))["embedding"]
+        .to_pylist(),
+        dtype=np.float64,
+    )
+    C, _ = kmeans_fit(sf, k=4, iters=6)
+    scores = Xq @ C.T - 0.5 * (C * C).sum(axis=1)[None, :]
+    assign = scores.argmax(axis=1)
+    Xu = Xq / np.sqrt((Xq * Xq).sum(axis=1))[:, None]
+    kept = np.setdiff1d(np.arange(len(Xq)), got["vec_id"].to_numpy())
+    for c in range(4):
+        m = kept[assign[kept] == c]
+        if len(m) > 1:
+            S = np.round(Xu[m] @ Xu[m].T, 6)
+            np.fill_diagonal(S, -np.inf)
+            assert S.max() < eps
+
+    # serial recompute through the shared kernel reproduces the
+    # distributed groupby/map_groups output exactly
+    ids = np.arange(len(Xq), dtype=np.int64)
+    d2 = np.round(
+        (Xq * Xq).sum(axis=1) - 2.0 * scores[np.arange(len(Xq)), assign], 6
+    )
+    rows = []
+    for c in range(4):
+        m = np.flatnonzero(assign == c)
+        o = m[np.lexsort((ids[m], d2[m]))]
+        best, msim = _semdedup_scan(Xu[o], eps)
+        for i in np.flatnonzero(msim >= eps):
+            rows.append(
+                (int(ids[o[i]]), c, int(ids[o[best[i]]]), float(msim[i]))
+            )
+    want = (
+        pd.DataFrame(rows, columns=["vec_id", "cluster_id", "dup_of", "sim_r"])
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+    # deterministic across runs
+    again = (
+        semdedup_prune(sf, k=4, iters=6, eps=eps)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, again)

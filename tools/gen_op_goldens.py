@@ -285,6 +285,43 @@ def golden_kmeans() -> tuple[str, str]:
     return summary, reps
 
 
+def golden_semdedup() -> str:
+    """Serial SemDeDup replica: serial kmeans -> per-cluster priority
+    order (rounded d2 ASC, vec_id ASC) -> the SHARED blocked scan kernel
+    (_semdedup_scan — identical float behavior to the Ray path)."""
+    from myaku_ray.functions.ann import (
+        KMEANS_ITERS, KMEANS_K, SEMDEDUP_EPS, _semdedup_scan,
+    )
+
+    src = f"{SF_DIR}/embeddings.parquet"
+    X, C = _serial_kmeans(src, KMEANS_K, KMEANS_ITERS)
+    ids = np.asarray(
+        pq.read_table(src, columns=["vec_id"])["vec_id"].to_pylist(),
+        dtype=np.int64,
+    )
+    scores = X @ C.T - 0.5 * (C * C).sum(axis=1)[None, :]
+    assign = scores.argmax(axis=1)
+    d2 = np.round(
+        (X * X).sum(axis=1) - 2.0 * scores[np.arange(len(X)), assign], 6
+    )
+    Xu = X / np.sqrt((X * X).sum(axis=1))[:, None]
+    rows = []
+    for c in range(KMEANS_K):
+        m = np.flatnonzero(assign == c)
+        o = m[np.lexsort((ids[m], d2[m]))]
+        best, msim = _semdedup_scan(Xu[o], SEMDEDUP_EPS)
+        for i in np.flatnonzero(msim >= SEMDEDUP_EPS):
+            rows.append(
+                (int(ids[o[i]]), c, int(ids[o[best[i]]]), float(msim[i]))
+            )
+    rows.sort()
+    return values_sql(
+        rows,
+        [("vec_id", "BIGINT"), ("cluster_id", "BIGINT"),
+         ("dup_of", "BIGINT"), ("sim_r", "DOUBLE")],
+    )
+
+
 def golden_pages_fli() -> str:
     from myaku_ray.corpus import gen_blogs_table, write_pages_parquet
     from myaku_ray.functions.fulltext import PAGES_N, fli_payload_json
@@ -382,6 +419,7 @@ def main() -> None:
         "IVF_COSINE_TOPK_SQL": golden_ivf(),
         "KMEANS_EMBEDDINGS_SQL": summary_sql,
         "KMEANS_REPRESENTATIVES_SQL": reps_sql,
+        "SEMDEDUP_PRUNE_SQL": golden_semdedup(),
         "PAGES_FLI_INTERPS_SQL": golden_pages_fli(),
         "MEDIA_FEATURES_SQL": golden_media_features(),
         "MEDIA_FRAME_SAMPLE_SQL": golden_media_frames(),
