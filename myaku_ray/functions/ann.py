@@ -616,7 +616,11 @@ def kmeans_fit(
     seeds = _strided_training_sample(src, k)[:k].astype(np.float64)
     if len(seeds) < k:
         raise ValueError(f"corpus smaller than k={k}")
-    ds = rd.read_parquet(src, columns=["embedding"])
+    # Lloyd's is multi-pass: materialize the single projected column ONCE
+    # so iterations re-read Arrow blocks from the object store (spilling
+    # if oversized) instead of re-decoding the parquet k times — the
+    # standard Ray Data idiom for iterative algorithms.
+    ds = rd.read_parquet(src, columns=["embedding"]).materialize()
     C = seeds
     history: list[float] = []
     for _ in range(iters):
