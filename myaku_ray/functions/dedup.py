@@ -185,19 +185,63 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
             }
         )
 
-    def candidates(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(int(x) for x in g["doc_id"]))
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_id_a": [], "doc_id_b": []}).astype(np.int64)
-        pairs = [(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]]
-        return pd.DataFrame(pairs, columns=["doc_id_a", "doc_id_b"])
+    # Candidate generation: almost every (band, bucket) group is a
+    # singleton, so a per-group map_groups call pays ~n_docs x LSH_BANDS
+    # Python invocations to discard them.  Instead: one Arrow-native
+    # COUNT aggregate finds the colliding buckets (result-sized), their
+    # combined keys broadcast as a sorted array, and a vectorized
+    # np.isin filter keeps only rows inside collisions — the driver then
+    # expands pairs over that result-sized remainder.  The uint64
+    # key-combine may wrap; a wrap collision only lets EXTRA rows
+    # through the filter, and the exact (band, bucket) pair expansion
+    # below drops them, so output is unchanged.
+    from ray.data.aggregate import Count
 
-    cand = (
-        ds.map_batches(bands, batch_format="pyarrow")
-        .groupby(["band", "bucket"])
-        .map_groups(candidates, batch_format="pandas")
+    # 3 ints per (doc, band) — tiny next to the corpus; pin it so the
+    # count pass and the membership pass don't re-hash the texts
+    band_rows = ds.map_batches(bands, batch_format="pyarrow").materialize()
+
+    def _combine(band: np.ndarray, bucket: np.ndarray) -> np.ndarray:
+        return bucket.astype(np.uint64) * np.uint64(LSH_BANDS) + band.astype(
+            np.uint64
+        )
+
+    counts = (
+        band_rows.groupby(["band", "bucket"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    hot = counts[counts["n"] >= 2]
+    hot_keys = np.sort(
+        _combine(hot["band"].to_numpy(), hot["bucket"].to_numpy())
+    )
+    hot_ref = ray.put(hot_keys)
+
+    def in_hot_bucket(batch: pa.Table) -> pa.Table:
+        keys = _combine(
+            batch["band"].to_numpy(zero_copy_only=False),
+            batch["bucket"].to_numpy(zero_copy_only=False),
+        )
+        mask = np.zeros(len(keys), dtype=bool)
+        hk = ray.get(hot_ref)
+        if len(hk):
+            idx = np.searchsorted(hk, keys)
+            idx[idx == len(hk)] = 0
+            mask = hk[idx] == keys
+        return batch.filter(pa.array(mask))
+
+    member = band_rows.map_batches(
+        in_hot_bucket, batch_format="pyarrow"
     ).to_pandas()
-    cand = cand.drop_duplicates().reset_index(drop=True)
+    pairs_set: set[tuple[int, int]] = set()
+    for (_, _), g in member.groupby(["band", "bucket"]):
+        ids = sorted(set(int(x) for x in g["doc_id"]))
+        pairs_set.update(
+            (x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]
+        )
+    cand = pd.DataFrame(
+        sorted(pairs_set), columns=["doc_id_a", "doc_id_b"]
+    ).astype(np.int64)
     empty = pd.DataFrame(
         {"doc_id_a": pd.Series(dtype=np.int64),
          "doc_id_b": pd.Series(dtype=np.int64),
