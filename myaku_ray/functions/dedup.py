@@ -494,41 +494,63 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = NGRAM_JACCARD_THRESHOLD)
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
 
+    def shingle_batch(batch: pa.Table) -> pa.Table:
+        """Per-doc UNIQUE shingle-hash blob — the heavy text hashing runs
+        data-parallel here instead of serially inside each source group
+        (whose concurrency is capped by source cardinality)."""
+        blobs = [
+            np.unique(_shingle_hashes(t)).tobytes()
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "shingles": pa.array(blobs, pa.binary()),
+            }
+        )
+
     def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        docs = sorted(zip(g["doc_id"].astype(int), g["text"]))
-        sets = [(did, frozenset(_shingle_hashes(text).tolist())) for did, text in docs]
-        n = len(sets)
-        sizes = np.fromiter((len(s) for _, s in sets), dtype=np.int64, count=n)
-        # inverted index: shingle -> doc indices; co-occurrence counting
-        inv: dict[int, list[int]] = {}
-        for i, (_, s) in enumerate(sets):
-            for h in s:
-                inv.setdefault(h, []).append(i)
-        pair_keys: list[np.ndarray] = []
-        for members in inv.values():
-            m = len(members)
-            if m < 2:
-                continue
-            arr = np.asarray(members, dtype=np.int64)
-            iu = np.triu_indices(m, k=1)
-            pair_keys.append(arr[iu[0]] * n + arr[iu[1]])
+        docs = sorted(zip(g["doc_id"].astype(int), g["shingles"]))
+        uniqs = [np.frombuffer(blob, dtype=np.uint64) for _, blob in docs]
+        n = len(docs)
+        sizes = np.fromiter((len(u) for u in uniqs), dtype=np.int64, count=n)
         out = {"doc_id_a": [], "doc_id_b": [], "jaccard_r": []}
-        if pair_keys:
-            keys = np.concatenate(pair_keys)
-            uniq, inter = np.unique(keys, return_counts=True)
-            ia = uniq // n
-            ib = uniq % n
-            la = sizes[ia]
-            lb = sizes[ib]
-            jac = np.round(inter / (la + lb - inter), 6)
-            ok = jac >= threshold
-            for i, j, v in zip(ia[ok], ib[ok], jac[ok]):
-                out["doc_id_a"].append(sets[i][0])
-                out["doc_id_b"].append(sets[j][0])
-                out["jaccard_r"].append(float(v))
+        if n >= 2 and sizes.sum():
+            # sort-based inverted index: (shingle, doc) rows sorted by
+            # shingle; equal-shingle runs are the posting lists
+            all_h = np.concatenate(uniqs)
+            all_d = np.repeat(np.arange(n, dtype=np.int64), sizes)
+            order = np.argsort(all_h, kind="stable")
+            h = all_h[order]
+            d = all_d[order]
+            rs = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+            rl = np.diff(np.r_[rs, len(h)])
+            pair_keys: list[np.ndarray] = []
+            for s, m in zip(rs[rl >= 2], rl[rl >= 2]):
+                arr = d[s : s + m]
+                iu = np.triu_indices(m, k=1)
+                pair_keys.append(arr[iu[0]] * n + arr[iu[1]])
+            if pair_keys:
+                keys = np.concatenate(pair_keys)
+                uniq, inter = np.unique(keys, return_counts=True)
+                ia = uniq // n
+                ib = uniq % n
+                la = sizes[ia]
+                lb = sizes[ib]
+                jac = np.round(inter / (la + lb - inter), 6)
+                ok = jac >= threshold
+                for i, j, v in zip(ia[ok], ib[ok], jac[ok]):
+                    out["doc_id_a"].append(docs[i][0])
+                    out["doc_id_b"].append(docs[j][0])
+                    out["jaccard_r"].append(float(v))
         return pd.DataFrame(out)
 
-    res = ds.groupby("source").map_groups(pairs_of_group, batch_format="pandas")
+    res = (
+        ds.map_batches(shingle_batch, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(pairs_of_group, batch_format="pandas")
+    )
     return res
 
 
