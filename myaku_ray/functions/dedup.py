@@ -712,6 +712,37 @@ HAVING count(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
 # ---------------------------------------------------------------------------
 
 DUP_CLUSTER_MAX_ROUNDS = 20
+# Edge-count bound for solving components on the driver: 16 bytes/edge
+# => ~80 MB driver state at the limit.  Above it, the alternating-star
+# distributed loop below handles arbitrarily large graphs.  Same
+# driver/distributed scale-switch idiom as dedup_exact.
+DUP_CLUSTERS_DRIVER_LIMIT = 5_000_000
+
+
+def _driver_components(a: np.ndarray, b: np.ndarray):
+    """Vectorized connected components over an edge list: min-label
+    relaxation + pointer jumping, O(log n) numpy rounds, no Python
+    per-edge work.  Node labels are indices into the ascending-sorted
+    unique node array, so the component label maps back to the
+    component's MINIMUM doc_id — identical semantics to the distributed
+    star contraction."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = inv[: len(a)], inv[len(a) :]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        lmin = np.minimum(label[ea], label[eb])
+        new = label.copy()
+        np.minimum.at(new, ea, lmin)
+        np.minimum.at(new, eb, lmin)
+        while True:
+            jumped = new[new]
+            if np.array_equal(jumped, new):
+                break
+            new = jumped
+        if np.array_equal(new, label):
+            break
+        label = new
+    return nodes, nodes[label]
 
 
 def _star_round(edges, which: str):
@@ -803,11 +834,18 @@ def _edge_sig(edges) -> tuple[int, int]:
     return n, x
 
 
-def dup_clusters(sf_dir: str, threshold: float = NGRAM_JACCARD_THRESHOLD):
+def dup_clusters(
+    sf_dir: str,
+    threshold: float = NGRAM_JACCARD_THRESHOLD,
+    driver_limit: int = DUP_CLUSTERS_DRIVER_LIMIT,
+):
     """(doc_id, cluster_id) for every document in at least one near-dup
-    pair; cluster_id is the component's minimum doc_id.  Components come
-    from alternating star contractions (see module comment); the loop
-    state is only the edge dataset plus an O(1) signature per round."""
+    pair; cluster_id is the component's minimum doc_id.  The near-dup
+    EDGE set is result-sized; when it fits the driver bound the
+    components solve in one vectorized pass (_driver_components), else
+    the alternating star contraction runs distributed (see module
+    comment) with only the edge dataset + an O(1) signature as loop
+    state.  Both paths are output-identical (pytest-equality-gated)."""
     pairs = ngram_jaccard_pairs(sf_dir, threshold=threshold)
 
     def init_edges(batch: pa.Table) -> pa.Table:
@@ -829,6 +867,12 @@ def dup_clusters(sf_dir: str, threshold: float = NGRAM_JACCARD_THRESHOLD):
                 "cluster_id": pd.Series([], dtype=np.int64),
             }
         )
+    if prev[0] <= driver_limit:
+        pdf = edges.to_pandas()
+        nodes, comp = _driver_components(
+            pdf["a"].to_numpy(np.int64), pdf["b"].to_numpy(np.int64)
+        )
+        return pd.DataFrame({"doc_id": nodes, "cluster_id": comp})
     for _ in range(DUP_CLUSTER_MAX_ROUNDS):
         edges = _star_round(edges, "large")
         edges = _star_round(edges, "small").materialize()

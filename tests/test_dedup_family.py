@@ -170,3 +170,70 @@ def test_near_dup_tiled_equals_single_tile(ray_session, tmp_path_factory):
     import pandas as pd
 
     pd.testing.assert_frame_equal(tiled, single)
+
+
+def test_driver_components_match_bruteforce():
+    """_driver_components equals a brute-force DFS labeling on random
+    graphs (including singleton-free node sets and chain/star shapes)."""
+    import numpy as np
+
+    from myaku_ray.functions.dedup import _driver_components
+
+    rng = np.random.default_rng(3)
+    for trial in range(20):
+        n = int(rng.integers(2, 60))
+        m = int(rng.integers(1, 90))
+        a = rng.integers(0, n, m) * 7 + 3  # sparse non-contiguous ids
+        b = rng.integers(0, n, m) * 7 + 3
+        keep = a != b
+        a, b = a[keep], b[keep]
+        if not len(a):
+            continue
+        nodes, comp = _driver_components(a, b)
+        # brute force: min doc id per component via adjacency DFS
+        adj = {}
+        for x, y in zip(a.tolist(), b.tolist()):
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        want = {}
+        seen = set()
+        for start in sorted(adj):
+            if start in seen:
+                continue
+            stack, members = [start], []
+            while stack:
+                u = stack.pop()
+                if u in seen:
+                    continue
+                seen.add(u)
+                members.append(u)
+                stack.extend(adj[u] - seen)
+            root = min(members)
+            for u in members:
+                want[u] = root
+        got = dict(zip(nodes.tolist(), comp.tolist()))
+        assert got == want, trial
+
+
+def test_dup_clusters_driver_and_distributed_paths_agree(ray_session):
+    """The driver-side component solve and the alternating-star
+    distributed loop produce identical (doc_id, cluster_id) rows."""
+    import pandas as pd
+
+    from myaku_ray.functions.dedup import dup_clusters
+
+    sf = "/root/testdata/sf0.01"
+
+    def norm(r):
+        if not isinstance(r, pd.DataFrame):
+            r = r.to_pandas()
+        return (
+            r.astype({"doc_id": "int64", "cluster_id": "int64"})
+            .sort_values(["doc_id"])
+            .reset_index(drop=True)
+        )
+
+    fast = norm(dup_clusters(sf))
+    slow = norm(dup_clusters(sf, driver_limit=0))
+    pd.testing.assert_frame_equal(fast, slow)
+    assert len(fast) > 0
