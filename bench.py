@@ -375,6 +375,7 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "bm25_topk_docs": fulltext.bm25_topk_docs,
         "ann_cosine_topk": ann.ann_cosine_topk,
         "ivf_cosine_topk": ann.ivf_cosine_topk,
+        "pq_cosine_topk": ann.pq_cosine_topk,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_docs": dedup.simhash_docs,
         "simhash_pairs": dedup.simhash_pairs,
@@ -384,6 +385,7 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "events_asof_join": events.events_asof_join,
         "tfidf_top_terms": textops.tfidf_top_terms,
         "kmeans_embeddings": ann.kmeans_embeddings,
+        "semdedup_prune": ann.semdedup_prune,
         "top_terms_heavy_hitters": textops.top_terms_heavy_hitters,
         "pack_training_chunks": textops.pack_training_chunks,
         "hll_event_registers": events.hll_event_registers,

