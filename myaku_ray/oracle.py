@@ -397,11 +397,18 @@ def near_query_set(pages_parquet: str) -> list[tuple[str, int]]:
 
 
 def _first_texts(pages_parquet: str, want: int, min_len: int) -> list[str]:
-    """First N extracted ja texts in row order — the deterministic doc
-    sample the query-set derivations run over."""
+    """First N extracted ja texts in URL order — the deterministic doc
+    sample the query-set derivations run over.  Sorted by url (a
+    content-stable key), NOT raw row order: a Ray-written corpus dir has
+    no deterministic file/row order across runs, and a row-order sample
+    made the derived phrase/near query sets (and so the stored goldens)
+    depend on which write produced the cache."""
+    import numpy as np
+
     table = pq.read_table(pages_parquet, columns=["url", "html", "lang"])
+    order = np.argsort(np.asarray(table["url"].to_pylist(), dtype=object))
     out: list[str] = []
-    for i in range(table.num_rows):
+    for i in order:
         if table["lang"][i].as_py() != "ja":
             continue
         er = extract_page(table["html"][i].as_py(), table["url"][i].as_py())
