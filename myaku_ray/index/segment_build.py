@@ -301,6 +301,7 @@ def _encode_bucket_task(
     seg_root: str,
     part: int = 0,
     n_parts: int = 1,
+    marker_path: str | None = None,
 ) -> tuple[int, int, float]:
     import os
     import time
@@ -354,7 +355,23 @@ def _encode_bucket_task(
             sub.drop_columns(["segment"]),
             os.path.join(d, f"bucket-{bucket_id:05d}{suffix}.parquet"),
         )
-    return rows.num_rows, in_rows, time.time() - t0
+    wall = time.time() - t0
+    if marker_path is not None:
+        # Durable per-partition checkpoint, written ATOMICALLY and LAST:
+        # its existence means every output file of this (bucket, part)
+        # is complete, so a resumed stage can skip the task outright.
+        import json
+
+        tmp = marker_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(
+                json.dumps(
+                    {"rows_out": int(rows.num_rows), "rows_in": int(in_rows),
+                     "wall_s": round(wall, 3)}
+                )
+            )
+        os.replace(tmp, marker_path)
+    return rows.num_rows, in_rows, wall
 
 
 # Row-group bounds for segment files: the query path reads ONLY the row
@@ -427,15 +444,34 @@ def encode_segments_partitioned(
     avgdl: float,
     num_segments: int,
     drop=None,
+    resume: bool = False,
+    markers_newer_than: float = -1.0,
 ) -> bool:
     """Encode from bucket-partitioned postings; returns False when the
-    layout is not partitioned (caller falls back to the shuffle path)."""
+    layout is not partitioned (caller falls back to the shuffle path).
+
+    With ``resume``, finished (bucket, part) tasks — those with a durable
+    ``_done`` marker written atomically AFTER their outputs — are skipped,
+    so an interrupted segments stage redoes only unfinished partitions
+    (at 100-TB scale the stage is thousands of tasks; losing all of them
+    to one preemption would make long builds non-convergent).  Markers
+    older than ``markers_newer_than`` (the upstream postings stage's
+    completion time) are stale — the postings they encoded were replaced
+    — and are ignored; un-markered partitions get their deterministic
+    output filenames deleted before re-encode, so no row duplicates."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
     buckets = bucket_file_map(postings_roots)
     if not buckets:
         return False
+    done_dir = _os.path.join(seg_root, "_done")
+    _os.makedirs(done_dir, exist_ok=True)
     df_ref = ray.put(df_map)
     drop_ref = ray.put(drop)
     refs = []
+    skipped: list[tuple[int, int, float]] = []
     for b, files in sorted(buckets.items()):
         # Straggler/scale bound: the bucket COUNT is capped (write
         # fan-out), so at large corpora — or under hot-term collisions —
@@ -455,13 +491,31 @@ def encode_segments_partitioned(
         # lever is more buckets (auto-sizing), not more parts
         n_parts = min(max(1, -(-est_bytes // ENCODE_TASK_TARGET_BYTES)), 16)
         for part in range(n_parts):
+            name = f"bucket-{b:05d}" + (f"-p{part}" if n_parts > 1 else "")
+            marker = _os.path.join(done_dir, f"{name}.json")
+            if resume and _os.path.exists(marker):
+                if _os.path.getmtime(marker) >= markers_newer_than:
+                    with open(marker) as f:
+                        m = _json.load(f)
+                    skipped.append(
+                        (m["rows_out"], m["rows_in"], m["wall_s"])
+                    )
+                    continue
+                _os.remove(marker)  # stale: postings re-ran since
+            # un-markered partition: clear any half-written outputs of a
+            # previous attempt (filenames are deterministic, so this is
+            # exact), then re-encode
+            for stale in _glob.glob(
+                _os.path.join(seg_root, "segment=*", f"{name}.parquet")
+            ):
+                _os.remove(stale)
             refs.append(
                 _encode_bucket_task.remote(
                     b, files, df_ref, n_docs, avgdl, num_segments,
-                    drop_ref, seg_root, part, n_parts,
+                    drop_ref, seg_root, part, n_parts, marker,
                 )
             )
-    stats = ray.get(refs)
+    stats = list(ray.get(refs)) + skipped
     # Per-task skew profile: the stage wall at high parallelism is
     # max(task walls), so the straggler distribution is the scaling
     # diagnostic.  Written next to the segments for lineage to pick up.
@@ -475,6 +529,7 @@ def encode_segments_partitioned(
             _json.dumps(
                 {
                     "n_tasks": len(stats),
+                    "n_resumed": len(skipped),
                     "rows_in_max": max(in_rows),
                     "rows_in_median": int(np.median(in_rows)),
                     "wall_max_s": round(walls[-1], 3),

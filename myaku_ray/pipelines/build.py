@@ -380,11 +380,24 @@ def build_index(
     # ---- stage 5: segments ---------------------------------------------
     seg_root = stage_dir(index_dir, "segments")
     if not (resume and is_complete(index_dir, "segments")):
-        _clear_stage(index_dir, "segments")
+        if not resume:
+            _clear_stage(index_dir, "segments")
         t0 = time.time()
         df_pdf = rd.read_parquet(df_dir).to_pandas()
         df_map = dict(zip(df_pdf["term"], df_pdf["df"].astype(int)))
 
+        # Partition-level resume: an interrupted segments stage redoes
+        # only (bucket, part) encode tasks without a durable _done
+        # marker; markers older than the postings stage's completion
+        # are stale (their input was replaced) and are ignored.
+        post_success = os.path.join(
+            stage_dir(index_dir, "postings"), "_SUCCESS"
+        )
+        markers_newer_than = (
+            os.path.getmtime(post_success)
+            if os.path.exists(post_success)
+            else -1.0
+        )
         if not encode_segments_partitioned(
             [postings_dir],
             seg_root,
@@ -392,8 +405,14 @@ def build_index(
             n_docs=stats["n_docs"],
             avgdl=stats["avgdl"],
             num_segments=num_segments,
+            resume=resume,
+            markers_newer_than=markers_newer_than,
         ):
-            # postings not bucket-partitioned (legacy layout): shuffle path
+            # postings not bucket-partitioned (legacy layout): shuffle
+            # path — clear any partial segment output first
+            # (write_parquet uses unique filenames and never deletes, so
+            # re-running into a half-written dir would duplicate rows)
+            _clear_stage(index_dir, "segments")
             postings = rd.read_parquet(
                 postings_dir,
                 columns=["term", "doc_id", "tf", "doclen", "quality", "warc_us"],

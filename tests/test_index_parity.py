@@ -203,6 +203,80 @@ def test_resume_skips_completed_stages(built, tmp_path):
     assert eng == ora
 
 
+def test_partition_level_resume(ray_session, tmp_path):
+    """An interrupted segments stage redoes ONLY unfinished (bucket,
+    part) partitions: finished ones are skipped via their durable _done
+    markers, half-written outputs of unfinished ones are cleaned, and
+    the resumed index is byte-identical to a from-scratch build."""
+    import glob as _glob
+    import hashlib
+    import json
+
+    import pyarrow.dataset as pads
+
+    from myaku_ray.pipelines.build import build_index
+
+    pages = str(tmp_path / "pages")
+    write_pages_parquet(pages, 300)
+
+    def seg_digest(idx):
+        tbl = pads.dataset(
+            os.path.join(idx, "segments"), format="parquet",
+            partitioning="hive",
+        ).to_table(columns=["term", "salt", "blob"])
+        rows = sorted(
+            zip(
+                tbl["term"].to_pylist(),
+                tbl["salt"].to_pylist(),
+                (b.as_py() for b in tbl["blob"]),
+            )
+        )
+        h = hashlib.sha256()
+        for t, sa, b in rows:
+            h.update(t.encode())
+            h.update(bytes([sa]))
+            h.update(b)
+        return h.hexdigest()
+
+    idx = str(tmp_path / "idx")
+    build_index(pages, idx)
+    want = seg_digest(idx)
+    seg = os.path.join(idx, "segments")
+
+    # simulate a mid-stage kill: stage marker gone, two partitions
+    # unfinished — one lost an output file entirely, the other kept a
+    # (complete-looking but un-markered) output that resume must treat
+    # as suspect and rewrite
+    os.remove(os.path.join(seg, "_SUCCESS"))
+    markers = sorted(_glob.glob(os.path.join(seg, "_done", "*.json")))
+    assert len(markers) > 2
+    for kill_output, m in zip((True, False), markers[:2]):
+        name = os.path.basename(m)[: -len(".json")]
+        outs = _glob.glob(os.path.join(seg, "segment=*", f"{name}.parquet"))
+        assert outs
+        if kill_output:
+            for f in outs:
+                os.remove(f)
+        os.remove(m)
+
+    build_index(pages, idx)  # resume=True default
+    prof = json.load(open(os.path.join(seg, "_encode_tasks.json")))
+    assert prof["n_resumed"] == len(markers) - 2
+    assert prof["n_tasks"] == len(markers)
+    assert seg_digest(idx) == want
+
+    # stale markers (upstream postings re-ran after they were written)
+    # are ignored: everything re-encodes, output unchanged
+    os.remove(os.path.join(seg, "_SUCCESS"))
+    post_success = os.path.join(idx, "postings", "_SUCCESS")
+    now = __import__("time").time() + 2
+    os.utime(post_success, (now, now))
+    build_index(pages, idx)
+    prof = json.load(open(os.path.join(seg, "_encode_tasks.json")))
+    assert prof["n_resumed"] == 0
+    assert seg_digest(idx) == want
+
+
 def test_deterministic_rebuild(ray_session, tmp_path):
     """Two from-scratch builds produce byte-identical segment blobs."""
     import hashlib
