@@ -66,6 +66,13 @@ DEFAULT_SALT_BUCKETS = 4
 # min_rows_per_file bundling (measured ~300 on the synthetic corpus; an
 # over/under-estimate only shifts file counts, never correctness).
 TERMS_PER_DOC_EST = 300
+
+# Docs-input bytes above which the postings (tokenize+write) stage runs
+# as multiple independently-resumable input shards.  Sized so every
+# test/bench corpus here (≤ a few GB of docs) stays ONE shard — the
+# single streaming pipeline — while a real 100-TB build gets shard-level
+# checkpointing on its longest stage.
+POSTINGS_CHUNK_TARGET_BYTES = 8 * 1024 * 1024 * 1024
 # Below this many docs, exact dedup runs as a driver-side pandas groupby
 # over (text_hash, doc_id) only; above it, the distributed groupby shuffle.
 DEDUP_DRIVER_LIMIT = 2_000_000
@@ -153,6 +160,12 @@ def build_index(
     # pos_blob column.  The score path (blob, WAND, rank identity) is
     # byte-identical either way; positions cost ~tokenize 2x + payload.
     with_positions: bool = False,
+    # tokenize+write input shards; None = auto (1 below
+    # POSTINGS_CHUNK_TARGET_BYTES of docs input — every corpus in this
+    # sandbox — else sized so each shard's pipeline stays bounded).
+    # Shards > 1 give the most expensive stage partition-level resume:
+    # an interrupted build redoes only unfinished shards.
+    postings_chunks: int | None = None,
 ) -> dict:
     """Build (or resume building) the full index. Returns build metrics."""
     os.makedirs(index_dir, exist_ok=True)
@@ -249,11 +262,9 @@ def build_index(
     # ---- stage 3: tokenize -> postings ---------------------------------
     postings_dir = stage_dir(index_dir, "postings")
     if not (resume and is_complete(index_dir, "postings")):
-        _clear_stage(index_dir, "postings")
+        if not resume:
+            _clear_stage(index_dir, "postings")
         t0 = time.time()
-        docs = rd.read_parquet(
-            docs_dir, columns=["doc_id", "text", "quality_score", "warc_ts"]
-        )
 
         _dedup_dir = dedup_dir
         _have_losers = n_losers > 0
@@ -265,7 +276,6 @@ def build_index(
             ids = batch["doc_id"].to_numpy(zero_copy_only=False)
             return batch.filter(pa.array(~np.isin(ids, larr)))
 
-        winners = docs.map_batches(drop_losers, batch_format="pyarrow")
         avail = int(ray.cluster_resources().get("CPU", 8))
         if tokenize_concurrency is None:
             # default: FIXED pool sized to the cluster — autoscaling pools
@@ -288,13 +298,6 @@ def build_index(
                     with_positions=_wp,
                 )
 
-        postings = winners.map_batches(
-            _PinnedTokenizeStage,
-            batch_format="pyarrow",
-            batch_size=tokenize_batch_size,
-            concurrency=tokenize_concurrency,
-            num_cpus=1,
-        )
         # Hive-partition by encode bucket: the write IS the (term, salt)
         # shuffle — segment encode later reads one bucket dir per task.
         # Files per bucket are BOUNDED at ~write_tasks regardless of corpus
@@ -308,15 +311,98 @@ def build_index(
         )
         write_tasks = max(64, 2 * avail)
         min_rows = max(est_rows // write_tasks, 50_000)
-        postings.write_parquet(
-            postings_dir,
-            partition_cols=["bucket"],
-            compression="lz4",
-            min_rows_per_file=min_rows,
+
+        # Input-shard chunking (partition-level resume for the most
+        # expensive stage): above POSTINGS_CHUNK_TARGET_BYTES of docs
+        # input, the stage runs as one bounded pipeline per group of
+        # docs files, each writing shard-{k}/bucket=B/... with a durable
+        # marker written after the shard completes — an interrupted
+        # build redoes only unfinished shards.  Every downstream reader
+        # (df, segment encode, refresh, compaction) already discovers
+        # postings via a recursive ``bucket=`` glob, so the shard layer
+        # is invisible to them.  Below the threshold (every test/bench
+        # corpus here) it is ONE shard — the single streaming pipeline,
+        # unchanged.
+        import glob as _glob
+        import shutil as _shutil
+
+        doc_files = sorted(
+            _glob.glob(os.path.join(docs_dir, "**", "*.parquet"),
+                       recursive=True)
         )
+        if postings_chunks is None:
+            total_bytes = sum(os.path.getsize(f) for f in doc_files)
+            postings_chunks = max(
+                1, -(-total_bytes // POSTINGS_CHUNK_TARGET_BYTES)
+            )
+        n_chunks = min(max(int(postings_chunks), 1), len(doc_files) or 1)
+        if n_chunks == 1:
+            # single streaming pipeline (every sub-100-GB corpus): no
+            # marker granularity below the stage, so a partial write is
+            # cleared wholesale as before
+            _clear_stage(index_dir, "postings")
+        else:
+            # drop layout remnants a resumed run must not double-count:
+            # top-level bucket= dirs from a previous single-shard attempt
+            # and shard dirs outside the current shard range
+            expected = {f"shard-{k:05d}" for k in range(n_chunks)}
+            for p in _glob.glob(os.path.join(postings_dir, "*")):
+                base = os.path.basename(p)
+                if base.startswith("bucket=") or (
+                    base.startswith("shard-") and base not in expected
+                ):
+                    _shutil.rmtree(p, ignore_errors=True)
+        chunk_done = os.path.join(postings_dir, "_shard_done")
+        os.makedirs(chunk_done, exist_ok=True)
+        docs_success = os.path.join(docs_dir, "_SUCCESS")
+        dedup_success = os.path.join(dedup_dir, "_SUCCESS")
+        inputs_mtime = max(
+            os.path.getmtime(p)
+            for p in (docs_success, dedup_success)
+            if os.path.exists(p)
+        )
+        for k in range(n_chunks):
+            shard_files = doc_files[k::n_chunks]
+            shard_dir = (
+                postings_dir if n_chunks == 1
+                else os.path.join(postings_dir, f"shard-{k:05d}")
+            )
+            marker = os.path.join(chunk_done, f"shard-{k:05d}.json")
+            if (
+                resume
+                and n_chunks > 1
+                and os.path.exists(marker)
+                and os.path.getmtime(marker) >= inputs_mtime
+            ):
+                continue
+            if n_chunks > 1:
+                _shutil.rmtree(shard_dir, ignore_errors=True)
+            docs = rd.read_parquet(
+                shard_files,
+                columns=["doc_id", "text", "quality_score", "warc_ts"],
+            )
+            winners = docs.map_batches(drop_losers, batch_format="pyarrow")
+            postings = winners.map_batches(
+                _PinnedTokenizeStage,
+                batch_format="pyarrow",
+                batch_size=tokenize_batch_size,
+                concurrency=tokenize_concurrency,
+                num_cpus=1,
+            )
+            postings.write_parquet(
+                shard_dir,
+                partition_cols=["bucket"],
+                compression="lz4",
+                min_rows_per_file=max(min_rows // n_chunks, 50_000),
+            )
+            if n_chunks > 1:
+                tmp = marker + ".tmp"
+                with open(tmp, "w") as f:
+                    f.write(json.dumps({"files": len(shard_files)}))
+                os.replace(tmp, marker)
         mark_complete(
             index_dir, "postings", rows=_parquet_rows(postings_dir),
-            wall_s=round(time.time() - t0, 3),
+            wall_s=round(time.time() - t0, 3), shards=n_chunks,
         )
         metrics["postings_wall_s"] = time.time() - t0
 
