@@ -102,6 +102,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("index_dir")
     c.add_argument("--cpus", type=int, default=None)
 
+    mg = sub.add_parser("merge")
+    mg.add_argument("out_dir")
+    mg.add_argument("shard_index", nargs="+")
+    mg.add_argument("--cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "build":
@@ -140,6 +145,12 @@ def main(argv: list[str] | None = None) -> int:
 
         m = compact_index(args.index_dir)
         print(json.dumps({k: v for k, v in m.items() if k != "stats"}))
+    elif args.cmd == "merge":
+        _init_ray(args.cpus)
+        from myaku_ray.pipelines.merge import merge_indexes
+
+        m = merge_indexes(args.shard_index, args.out_dir)
+        print(json.dumps(m))
     elif args.cmd == "search":
         from myaku_ray.index.searcher import Searcher
 

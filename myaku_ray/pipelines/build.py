@@ -78,6 +78,31 @@ POSTINGS_CHUNK_TARGET_BYTES = 8 * 1024 * 1024 * 1024
 DEDUP_DRIVER_LIMIT = 2_000_000
 
 
+def driver_loser_ids(light_t: pa.Table) -> np.ndarray:
+    """Exact-dedup losers (sorted doc_ids) from a (text_hash, doc_id)
+    table — driver-side kernel for corpora below DEDUP_DRIVER_LIMIT.
+    Dictionary-encode the hashes once; winner per group = min doc_id =
+    first row of each code run after ONE lexsort — no Python strings,
+    no pandas groupby (this is driver-side fixed cost, i.e. pure Amdahl
+    tax on every scaling leg).  Shared by the build dedup stage and
+    index merge (cross-shard dedup)."""
+    codes = (
+        light_t["text_hash"]
+        .combine_chunks()
+        .dictionary_encode()
+        .indices.to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    ids = light_t["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, codes))
+    c_s, i_s = codes[order], ids[order]
+    first = np.empty(len(c_s), dtype=bool)
+    if len(c_s):
+        first[0] = True
+        first[1:] = c_s[1:] != c_s[:-1]
+    return np.sort(i_s[~first])
+
+
 def _parquet_rows(path: str) -> int:
     """Row count from parquet footers only (no data read)."""
     import glob as _glob
@@ -205,25 +230,7 @@ def build_index(
             import pyarrow.parquet as pq
 
             light_t = pq.read_table(docs_dir, columns=["text_hash", "doc_id"])
-            # dictionary-encode the hashes once; winner per group = min
-            # doc_id = first row of each code run after ONE lexsort — no
-            # Python strings, no pandas groupby (this is driver-side
-            # fixed cost, i.e. pure Amdahl tax on every scaling leg)
-            codes = (
-                light_t["text_hash"]
-                .combine_chunks()
-                .dictionary_encode()
-                .indices.to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
-            ids = light_t["doc_id"].to_numpy(zero_copy_only=False)
-            order = np.lexsort((ids, codes))
-            c_s, i_s = codes[order], ids[order]
-            first = np.empty(len(c_s), dtype=bool)
-            if len(c_s):
-                first[0] = True
-                first[1:] = c_s[1:] != c_s[:-1]
-            loser_arr = np.sort(i_s[~first])
+            loser_arr = driver_loser_ids(light_t)
             os.makedirs(dedup_dir, exist_ok=True)
             pq.write_table(
                 pa.table({"doc_id": pa.array(loser_arr, pa.int64())}),
