@@ -527,12 +527,18 @@ def _resolve_terms(searcher, terms: list[str]):
             _SubList(blob, pblob, salt) for blob, _ms, pblob, salt in rows
         ]
         _sub_cache_put(searcher, t, subs_by_term[t])
-    for t in tp_hits:  # decoded-cache hits lack blobs: re-read (rare)
-        rows = _read_term_rows(searcher, t)
-        subs_by_term[t] = [
-            _SubList(blob, pblob, salt) for blob, _ms, pblob, salt in rows
-        ]
-        _sub_cache_put(searcher, t, subs_by_term[t])
+    for t in tp_hits:  # decoded-cache hits lack blobs
+        subs = searcher._phrase_sub_cache.get(t)
+        if subs is None:  # probe the sub cache BEFORE re-reading: a hot
+            # small term alongside an oversized particle would otherwise
+            # re-pay the row read + header parse on every stream query
+            rows = _read_term_rows(searcher, t)
+            subs = [
+                _SubList(blob, pblob, salt)
+                for blob, _ms, pblob, salt in rows
+            ]
+            _sub_cache_put(searcher, t, subs)
+        subs_by_term[t] = subs
     return "stream", subs_by_term
 
 

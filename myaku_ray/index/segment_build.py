@@ -468,6 +468,32 @@ def encode_segments_partitioned(
         return False
     done_dir = _os.path.join(seg_root, "_done")
     _os.makedirs(done_dir, exist_ok=True)
+
+    # Expected partition names for THIS run's layout.  n_parts follows
+    # the buckets' current byte sizes, so a resume after inputs changed
+    # can change a bucket's naming set (1 part <-> several); any output
+    # file or marker OUTSIDE the expected set is an orphan from the old
+    # layout and must go, or the searcher would read duplicated postings
+    # (it globs every parquet in a segment dir).
+    parts_of: dict[int, int] = {}
+    for b, files in buckets.items():
+        est = sum(_os.path.getsize(f) for f in files)
+        parts_of[b] = min(max(1, -(-est // ENCODE_TASK_TARGET_BYTES)), 16)
+    expected = set()
+    for b, np_ in parts_of.items():
+        for part in range(np_):
+            expected.add(
+                f"bucket-{b:05d}" + (f"-p{part}" if np_ > 1 else "")
+            )
+    for f in _glob.glob(
+        _os.path.join(seg_root, "segment=*", "bucket-*.parquet")
+    ):
+        if _os.path.basename(f)[: -len(".parquet")] not in expected:
+            _os.remove(f)
+    for f in _glob.glob(_os.path.join(done_dir, "*.json")):
+        if _os.path.basename(f)[: -len(".json")] not in expected:
+            _os.remove(f)
+
     df_ref = ray.put(df_map)
     drop_ref = ray.put(drop)
     refs = []
@@ -483,13 +509,10 @@ def encode_segments_partitioned(
         # corpus size.  Output rows are identical (a term's postings
         # stay whole within one part); readers glob *.parquet per
         # segment dir, so the extra files are invisible to queries.
-        import os
-
-        est_bytes = sum(os.path.getsize(f) for f in files)
         # cap: each part re-scans the bucket's files, so the valve is
         # bounded at 16 extra sequential scans; past that the right
         # lever is more buckets (auto-sizing), not more parts
-        n_parts = min(max(1, -(-est_bytes // ENCODE_TASK_TARGET_BYTES)), 16)
+        n_parts = parts_of[b]
         for part in range(n_parts):
             name = f"bucket-{b:05d}" + (f"-p{part}" if n_parts > 1 else "")
             marker = _os.path.join(done_dir, f"{name}.json")

@@ -368,6 +368,17 @@ def build_index(
             for p in (docs_success, dedup_success)
             if os.path.exists(p)
         )
+        # A shard's CONTENT is doc_files[k::n_chunks] — a marker is only
+        # valid for the exact layout it was written under.  Resuming
+        # with a different shard count (or after the docs file list
+        # changed without a docs re-run) must re-tokenize everything,
+        # not silently skip shards holding a different file subset.
+        import hashlib as _hashlib
+
+        layout_sig = _hashlib.blake2b(
+            ("\n".join(doc_files) + f"|{n_chunks}").encode(),
+            digest_size=8,
+        ).hexdigest()
         for k in range(n_chunks):
             shard_files = doc_files[k::n_chunks]
             shard_dir = (
@@ -381,7 +392,11 @@ def build_index(
                 and os.path.exists(marker)
                 and os.path.getmtime(marker) >= inputs_mtime
             ):
-                continue
+                with open(marker) as f:
+                    m = json.load(f)
+                if m.get("layout_sig") == layout_sig:
+                    continue
+                os.remove(marker)  # written under a different layout
             if n_chunks > 1:
                 _shutil.rmtree(shard_dir, ignore_errors=True)
             docs = rd.read_parquet(
@@ -405,7 +420,10 @@ def build_index(
             if n_chunks > 1:
                 tmp = marker + ".tmp"
                 with open(tmp, "w") as f:
-                    f.write(json.dumps({"files": len(shard_files)}))
+                    f.write(json.dumps(
+                        {"files": len(shard_files),
+                         "layout_sig": layout_sig}
+                    ))
                 os.replace(tmp, marker)
         mark_complete(
             index_dir, "postings", rows=_parquet_rows(postings_dir),

@@ -118,13 +118,14 @@ def merge_indexes(
 
     os.makedirs(out_dir, exist_ok=True)
 
-    # ---- docs: link shard doc files; disjointness + union losers -------
+    # ---- docs: link shard doc files -------------------------------------
     docs_dir = stage_dir(out_dir, "docs")
     os.makedirs(docs_dir, exist_ok=True)
-    lights = []
+    shard_doc_files: list[list[str]] = []
     n_docs_rows = 0
     for i, d in enumerate(index_dirs):
         src = stage_dir(d, "docs")
+        files = []
         for f in sorted(glob.glob(os.path.join(src, "**", "*.parquet"),
                                   recursive=True)):
             if os.path.basename(f).startswith("_"):
@@ -138,32 +139,75 @@ def merge_indexes(
 
                     _sh.copy2(f, dst)
             n_docs_rows += pq.read_metadata(f).num_rows
-        lt = pq.read_table(src, columns=["text_hash", "doc_id"])
-        lights.append(lt)
-    all_ids = np.concatenate(
-        [lt["doc_id"].to_numpy(zero_copy_only=False) for lt in lights]
-    )
-    if len(np.unique(all_ids)) != len(all_ids):
-        raise ValueError(
-            "shard indexes share doc_ids — the fan-out pattern requires "
-            "disjoint corpus shards (one url lives in exactly one shard)"
-        )
+            files.append(f)
+        shard_doc_files.append(files)
     mark_complete(out_dir, "docs", rows=n_docs_rows, merged=True)
 
     # ---- cross-shard exact dedup over the union of shard winners -------
+    # Scale switch mirrors the build's dedup stage: below the limit the
+    # (text_hash, doc_id) columns fit on the driver; above it nothing
+    # corpus-sized is materialized driver-side — disjointness and the
+    # winner groupby run as Dataset plans, only loser ids (result-sized)
+    # and the per-shard loser arrays (broadcast) come back.
     t0 = time.time()
     shard_losers = [_shard_losers(d) for d in index_dirs]
-    winners = []
-    for lt, losers in zip(lights, shard_losers):
-        ids = lt["doc_id"].to_numpy(zero_copy_only=False)
-        if len(losers):
-            lt = lt.filter(pa.array(~np.isin(ids, losers)))
-        winners.append(lt)
-    union_winners = pa.concat_tables(winners)
-    if union_winners.num_rows > DEDUP_DRIVER_LIMIT:
-        # scale path: same plan as the build's distributed dedup — a
-        # 2-column groupby(text_hash) over the union winners
+    overlap_err = (
+        "shard indexes share doc_ids — the fan-out pattern requires "
+        "disjoint corpus shards (one url lives in exactly one shard)"
+    )
+    if n_docs_rows <= DEDUP_DRIVER_LIMIT:
+        lights = [
+            pq.read_table(stage_dir(d, "docs"),
+                          columns=["text_hash", "doc_id"])
+            for d in index_dirs
+        ]
+        all_ids = np.concatenate(
+            [lt["doc_id"].to_numpy(zero_copy_only=False) for lt in lights]
+        )
+        if len(np.unique(all_ids)) != len(all_ids):
+            raise ValueError(overlap_err)
+        winners = []
+        for lt, losers in zip(lights, shard_losers):
+            ids = lt["doc_id"].to_numpy(zero_copy_only=False)
+            if len(losers):
+                lt = lt.filter(pa.array(~np.isin(ids, losers)))
+            winners.append(lt)
+        cross_losers = driver_loser_ids(pa.concat_tables(winners))
+    else:
+        import ray
         import ray.data as rd
+
+        light = rd.read_parquet(
+            [f for files in shard_doc_files for f in files],
+            columns=["text_hash", "doc_id"],
+        )
+        losers_union = (
+            np.unique(np.concatenate(shard_losers))
+            if any(len(x) for x in shard_losers)
+            else np.array([], dtype=np.int64)
+        )
+        losers_ref = ray.put(losers_union)
+
+        def drop_shard_losers(batch: pa.Table) -> pa.Table:
+            larr = ray.get(losers_ref)  # broadcast once per worker
+            if not len(larr):
+                return batch
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(~np.isin(ids, larr)))
+
+        def dup_ids_of_group(g: pa.Table) -> pa.Table:
+            if g.num_rows <= 1:
+                return pa.table({"doc_id": pa.array([], pa.int64())})
+            return g.select(["doc_id"])
+
+        n_dup_ids = (
+            light.select_columns(["doc_id"])
+            .groupby("doc_id")
+            .map_groups(dup_ids_of_group, batch_format="pyarrow")
+            .count()
+        )
+        if n_dup_ids:
+            raise ValueError(overlap_err)
 
         def losers_of_group(g: pa.Table) -> pa.Table:
             ids = g["doc_id"].to_numpy(zero_copy_only=False)
@@ -177,7 +221,7 @@ def merge_indexes(
             })
 
         cross = (
-            rd.from_arrow(union_winners)
+            light.map_batches(drop_shard_losers, batch_format="pyarrow")
             .groupby("text_hash")
             .map_groups(losers_of_group, batch_format="pyarrow")
             .to_pandas()["doc_id"]
@@ -185,8 +229,6 @@ def merge_indexes(
             .astype(np.int64)
         )
         cross_losers = np.sort(cross)
-    else:
-        cross_losers = driver_loser_ids(union_winners)
     # the merged index's loser set is ALL docs present in docs/ that are
     # not indexed — per-shard losers plus cross-shard losers (the
     # invariant the update/refresh flows rely on)

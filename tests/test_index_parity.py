@@ -209,34 +209,14 @@ def test_partition_level_resume(ray_session, tmp_path):
     markers, half-written outputs of unfinished ones are cleaned, and
     the resumed index is byte-identical to a from-scratch build."""
     import glob as _glob
-    import hashlib
     import json
 
-    import pyarrow.dataset as pads
+    from conftest import seg_digest
 
     from myaku_ray.pipelines.build import build_index
 
     pages = str(tmp_path / "pages")
     write_pages_parquet(pages, 300)
-
-    def seg_digest(idx):
-        tbl = pads.dataset(
-            os.path.join(idx, "segments"), format="parquet",
-            partitioning="hive",
-        ).to_table(columns=["term", "salt", "blob"])
-        rows = sorted(
-            zip(
-                tbl["term"].to_pylist(),
-                tbl["salt"].to_pylist(),
-                (b.as_py() for b in tbl["blob"]),
-            )
-        )
-        h = hashlib.sha256()
-        for t, sa, b in rows:
-            h.update(t.encode())
-            h.update(bytes([sa]))
-            h.update(b)
-        return h.hexdigest()
 
     idx = str(tmp_path / "idx")
     build_index(pages, idx)
@@ -282,34 +262,15 @@ def test_postings_shard_resume(ray_session, tmp_path):
     same segments as the single pipeline, and an interrupted shard run
     redoes only the missing shard."""
     import glob as _glob
-    import hashlib
     import json
 
     import pyarrow.dataset as pads
+    from conftest import seg_digest
 
     from myaku_ray.pipelines.build import build_index
 
     pages = str(tmp_path / "pages")
     write_pages_parquet(pages, 300)
-
-    def seg_digest(idx):
-        tbl = pads.dataset(
-            os.path.join(idx, "segments"), format="parquet",
-            partitioning="hive",
-        ).to_table(columns=["term", "salt", "blob"])
-        rows = sorted(
-            zip(
-                tbl["term"].to_pylist(),
-                tbl["salt"].to_pylist(),
-                (b.as_py() for b in tbl["blob"]),
-            )
-        )
-        h = hashlib.sha256()
-        for t, sa, b in rows:
-            h.update(t.encode())
-            h.update(bytes([sa]))
-            h.update(b)
-        return h.hexdigest()
 
     one = str(tmp_path / "one")
     sharded = str(tmp_path / "sharded")
@@ -317,18 +278,25 @@ def test_postings_shard_resume(ray_session, tmp_path):
     want = seg_digest(one)
 
     # sharding is file-granular (ONE docs file here → one shard), so
-    # repack the docs stage into two files to exercise multi-shard runs
+    # repack the docs stage into three files to exercise multi-shard
+    # runs (and leave headroom for the shard-count-change case below —
+    # n_chunks is capped at the docs file count)
     build_index(pages, sharded, postings_chunks=2)
     import pyarrow.parquet as _pq
 
     docs_dir = os.path.join(sharded, "docs")
     docs_files = sorted(_glob.glob(os.path.join(docs_dir, "*.parquet")))
     tbl = pads.dataset(docs_files, format="parquet").to_table()
-    half = tbl.num_rows // 2
+    third = tbl.num_rows // 3
     for f in docs_files:
         os.remove(f)
-    _pq.write_table(tbl.slice(0, half), os.path.join(docs_dir, "a.parquet"))
-    _pq.write_table(tbl.slice(half), os.path.join(docs_dir, "b.parquet"))
+    _pq.write_table(tbl.slice(0, third), os.path.join(docs_dir, "a.parquet"))
+    _pq.write_table(
+        tbl.slice(third, third), os.path.join(docs_dir, "b.parquet")
+    )
+    _pq.write_table(
+        tbl.slice(2 * third), os.path.join(docs_dir, "c.parquet")
+    )
     for st in ("postings", "df", "segments"):
         os.remove(os.path.join(sharded, st, "_SUCCESS"))
     build_index(pages, sharded, postings_chunks=2)
@@ -348,6 +316,44 @@ def test_postings_shard_resume(ray_session, tmp_path):
         os.remove(os.path.join(sharded, st, "_SUCCESS"))
     build_index(pages, sharded, postings_chunks=2)
     assert seg_digest(sharded) == want
+
+    # resume with a DIFFERENT shard count: the old layout's markers are
+    # fresh by mtime but record a different stride — trusting them would
+    # silently drop the docs of the vanished shards.  The layout
+    # signature must invalidate them (full re-tokenize, output equal).
+    os.remove(os.path.join(post, "_SUCCESS"))
+    for st in ("df", "segments"):
+        os.remove(os.path.join(sharded, st, "_SUCCESS"))
+    build_index(pages, sharded, postings_chunks=3)
+    assert json.load(open(os.path.join(post, "_SUCCESS")))["shards"] == 3
+    assert seg_digest(sharded) == want
+
+
+def test_encode_part_count_change_leaves_no_orphans(ray_session, tmp_path):
+    """Re-encoding with a changed per-bucket part count must remove the
+    old naming set's output files, or the searcher (which reads every
+    parquet in a segment dir) would see duplicated postings."""
+    import myaku_ray.index.segment_build as sb
+    from conftest import seg_digest
+
+    from myaku_ray.pipelines.build import build_index
+
+    pages = str(tmp_path / "pages")
+    write_pages_parquet(pages, 300)
+    idx = str(tmp_path / "idx")
+    build_index(pages, idx)  # n_parts == 1 everywhere at this scale
+    want = seg_digest(idx)
+
+    os.remove(os.path.join(idx, "segments", "_SUCCESS"))
+    old = sb.ENCODE_TASK_TARGET_BYTES
+    sb.ENCODE_TASK_TARGET_BYTES = 1  # force n_parts > 1 on every bucket
+    try:
+        build_index(pages, idx)  # resume: markers stale by NAME, not mtime
+    finally:
+        sb.ENCODE_TASK_TARGET_BYTES = old
+    # digest is content-based over every file: any orphaned single-part
+    # file would duplicate its bucket's rows and change the digest
+    assert seg_digest(idx) == want
 
 
 def test_deterministic_rebuild(ray_session, tmp_path):

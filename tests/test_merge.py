@@ -6,37 +6,17 @@ BM25 stats, rank-identical results, no re-tokenization.
 """
 
 import glob
-import hashlib
 import json
 import os
 
-import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 import pytest
+from conftest import seg_digest as _seg_digest
 
 from myaku_ray.corpus import gen_blogs_table, write_pages_parquet
 from myaku_ray.oracle import build_oracle_index, oracle_topk, reference_query_set
 
 N_PAGES = 500
-
-
-def _seg_digest(idx):
-    tbl = pads.dataset(
-        os.path.join(idx, "segments"), format="parquet", partitioning="hive"
-    ).to_table(columns=["term", "salt", "blob"])
-    rows = sorted(
-        zip(
-            tbl["term"].to_pylist(),
-            tbl["salt"].to_pylist(),
-            (b.as_py() for b in tbl["blob"]),
-        )
-    )
-    h = hashlib.sha256()
-    for t, sa, b in rows:
-        h.update(t.encode())
-        h.update(bytes([sa]))
-        h.update(b)
-    return h.hexdigest()
 
 
 @pytest.fixture(scope="module")
@@ -139,6 +119,29 @@ def test_merge_resumes_segment_encode(merged, tmp_path):
     prof = json.load(open(os.path.join(seg, "_encode_tasks.json")))
     assert prof["n_resumed"] == len(markers) - 1
     assert _seg_digest(out) == _seg_digest(idx_union)
+
+
+def test_merge_distributed_dedup_path(merged, tmp_path):
+    """Above DEDUP_DRIVER_LIMIT the cross-shard dedup and the
+    disjointness check run as Dataset plans (nothing corpus-sized on
+    the driver); the output must equal the driver path's byte for byte
+    and the overlap guard must still fire."""
+    import myaku_ray.pipelines.merge as m
+
+    _, idx_union, shard_idx, _, _, _ = merged
+    old = m.DEDUP_DRIVER_LIMIT
+    m.DEDUP_DRIVER_LIMIT = 0
+    try:
+        out = str(tmp_path / "dist")
+        metrics = m.merge_indexes(shard_idx, out)
+        assert metrics["n_cross_losers"] > 0
+        assert _seg_digest(out) == _seg_digest(idx_union)
+        with pytest.raises(ValueError, match="share doc_ids"):
+            m.merge_indexes(
+                [shard_idx[0], shard_idx[0]], str(tmp_path / "overlap")
+            )
+    finally:
+        m.DEDUP_DRIVER_LIMIT = old
 
 
 def test_merge_rejects_bad_inputs(merged, tmp_path):
