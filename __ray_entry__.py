@@ -90,6 +90,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis over documents
         "doc_token_stats": textops.doc_token_stats,
         "term_doc_freq": textops.term_doc_freq,
+        # fuzzy "did-you-mean": SymSpell deletion-neighborhood candidates
+        # + exact Levenshtein verify, ranked by df
+        "term_suggestions": textops.term_suggestions,
         "doc_quality": textops.doc_quality,
         "dedup_exact": textops.dedup_exact,
         "lang_source_profile": textops.lang_source_profile,
@@ -156,6 +159,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pos_blob sidecar; proximity = smallest covering char window
         "pages_phrase_search": fulltext.pages_phrase_search,
         "pages_near_search": fulltext.pages_near_search,
+        # fuzzy "did-you-mean" over the index vocabulary: SymSpell
+        # deletion-neighborhood map over the df stage, banded exact
+        # verify, ranked by (dist, -df, term); stored golden = serial
+        # full-vocab Levenshtein scan
+        "pages_suggest": fulltext.pages_suggest,
         # SemDeDup-style semantic dedup: k-means buckets -> within-cluster
         # priority-order cosine pruning (Abbas et al. 2023, 2303.09540);
         # stored golden.  LAST on purpose: new this round, so if the
@@ -191,6 +199,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_stats": events.EVENTS_PROPS_STATS_SQL,
         "doc_token_stats": textops.DOC_TOKEN_STATS_SQL,
         "term_doc_freq": textops.TERM_DOC_FREQ_SQL,
+        "term_suggestions": textops.TERM_SUGGESTIONS_SQL,
         "doc_quality": textops.DOC_QUALITY_SQL,
         "dedup_exact": textops.DEDUP_EXACT_SQL,
         "lang_source_profile": textops.LANG_SOURCE_PROFILE_SQL,
@@ -229,6 +238,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_phrase_search": pages_golden.PAGES_PHRASE_SEARCH_SQL,
         "pages_near_search": pages_golden.PAGES_NEAR_SEARCH_SQL,
         "pages_term_trend": pages_golden.PAGES_TERM_TREND_SQL,
+        "pages_suggest": pages_golden.PAGES_SUGGEST_SQL,
         "pages_fli_interp_profile": pages_golden.PAGES_FLI_INTERP_PROFILE_SQL,
         # Stored-golden oracles (tools/gen_op_goldens.py): these operators
         # are not SQL-expressible directly (LSH banding, approximate ANN,

@@ -118,7 +118,7 @@ def bench_build(pages: str, num_cpus: int) -> dict:
     }
 
 
-def bench_queries(index_dir: str) -> dict:
+def bench_queries(index_dir: str, corpus_dir: str | None = None) -> dict:
     from myaku_ray.index.searcher import Searcher
     from myaku_ray.oracle import reference_query_set
 
@@ -140,13 +140,36 @@ def bench_queries(index_dir: str) -> dict:
             lats.append((time.time() - t0) * 1000)
     cold.sort()
     lats.sort()
-    return {
+    out = {
         "query_p50_ms": round(statistics.median(lats), 2),
         "query_p95_ms": round(lats[int(len(lats) * 0.95)], 2),
         "query_cold_p50_ms": round(statistics.median(cold), 2),
         "query_cold_p95_ms": round(cold[int(len(cold) * 0.95)], 2),
         "n_queries": len(lats),
     }
+    if corpus_dir is not None:
+        # fuzzy did-you-mean serving: first call pays the lazy SymSpell
+        # map build over the vocab (cold), later calls are map lookups
+        from myaku_ray.oracle import suggest_query_set
+
+        sqs = suggest_query_set(corpus_dir)
+        t0 = time.time()
+        s.suggest(sqs[0], 5)
+        map_build_ms = (time.time() - t0) * 1000
+        warm = []
+        for _ in range(QUERY_REPEATS):
+            for q in sqs:
+                t0 = time.time()
+                s.suggest(q, 5)
+                warm.append((time.time() - t0) * 1000)
+        out.update(
+            {
+                "suggest_map_build_ms": round(map_build_ms, 1),
+                "suggest_p50_ms": round(statistics.median(warm), 3),
+                "suggest_n_queries": len(sqs),
+            }
+        )
+    return out
 
 
 def bench_search_qps(index_dir: str, num_cpus: int, n_q: int = 3000) -> dict:
@@ -395,6 +418,7 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "doc_repetition_stats": textops.doc_repetition_stats,
         "stratified_sample_by_source": textops.stratified_sample_by_source,
         "term_cooccurrence_pmi": textops.term_cooccurrence_pmi,
+        "term_suggestions": textops.term_suggestions,
         "events_props_stats": events.events_props_stats,
         "ann_cosine_topk_filtered": ann.ann_cosine_topk_filtered,
         "hybrid_search_rrf": fulltext.hybrid_search_rrf,
@@ -426,7 +450,9 @@ def run_once() -> dict:
         t0 = time.time()
         build_first_page_cache(build["index_dir"])
         build["first_page_s"] = round(time.time() - t0, 3)
-    queries = bench_queries(build["index_dir"]) if not build_only else {}
+    queries = (
+        bench_queries(build["index_dir"], pages) if not build_only else {}
+    )
     if not build_only:
         queries.update(bench_search_qps(build["index_dir"], NUM_CPUS))
     # phrase/proximity serving over a positional sidecar of the SAME

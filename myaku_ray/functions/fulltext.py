@@ -268,6 +268,27 @@ def pages_term_trend(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def pages_suggest(sf_dir: str, k: int = 5):
+    """Fuzzy "did-you-mean" over the pages index vocabulary: for each
+    deterministically misspelled query, the vocab terms within
+    Levenshtein distance <= 2 ranked by (distance, -df, term) — served
+    from the SymSpell deletion-neighborhood map the Searcher builds
+    lazily over the df stage (``Searcher.suggest``).  Stored-golden
+    oracled against the serial full-vocabulary scan."""
+    from myaku_ray.oracle import suggest_query_set
+
+    s = _pages_searcher()
+    rows = {"query": [], "rank": [], "suggestion": [], "dist": [], "df": []}
+    for q in suggest_query_set(_pages_dir()):
+        for rank, (term, dist, df) in enumerate(s.suggest(q, k), start=1):
+            rows["query"].append(q)
+            rows["rank"].append(rank)
+            rows["suggestion"].append(term)
+            rows["dist"].append(dist)
+            rows["df"].append(df)
+    return pd.DataFrame(rows)
+
+
 def _pages_pos_searcher():
     """Positional pages index (``with_positions=True``): the phrase /
     proximity serving path.  Separate index dir — the score blobs are

@@ -109,6 +109,147 @@ FROM tf GROUP BY term
 """
 
 
+def term_suggestions(sf_dir: str, max_dist: int = 2):
+    """Fuzzy "did-you-mean" pairs: vocabulary terms within Levenshtein
+    distance <= max_dist of each other, each side carrying its df (the
+    rank signal a serving layer would order suggestions by).
+
+    SymSpell-style plan — past the vocab aggregate every stage is
+    VOCAB-sized, never corpus-sized, so the op's cost is independent of
+    the corpus row count once df is known:
+      1. (term, df) via the same explode + groupby(term) plan as
+         ``term_doc_freq``;
+      2. deletion-neighborhood expansion inside ``map_batches``: each
+         term emits every string reachable by deleting <= max_dist of
+         its chars (O(len^max_dist) variants per term; the per-term
+         Python loop is over the VOCAB, the accepted idiom for
+         vocab-sized stages).  Two terms at distance <= d always share
+         a <= d-deletion variant (delete each side's unaligned chars of
+         an optimal alignment), so candidate recall is exact;
+      3. ONE groupby(variant) exchange -> in-bucket (a < b) candidate
+         pairs.  Hot buckets are the very short variants ('' pairs all
+         <= max_dist-char terms) — alphabet-bounded, the same df**2
+         valve ``ngram_jaccard_pairs`` documents;
+      4. groupby(pair) dedup (a pair shares many variants) + banded
+         exact-Levenshtein verify on each group's single survivor.
+    Matches TERM_SUGGESTIONS_SQL row-for-row.
+    """
+    from myaku_ray.editdist import deletion_variants, levenshtein_capped
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string())})
+        _, codes, _, dictionary = _doc_term_tfs(batch)
+        return pa.table({"term": dictionary.take(pa.array(codes))})
+
+    vocab = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Count(alias_name="df"))
+    )
+
+    def variants_of(batch: pa.Table) -> pa.Table:
+        terms = batch["term"].to_pylist()
+        dfs = batch["df"].to_pylist()
+        v_out: list[str] = []
+        t_out: list[str] = []
+        d_out: list[int] = []
+        for t, df in zip(terms, dfs):
+            seen = deletion_variants(t, max_dist)
+            v_out.extend(seen)
+            t_out.extend([t] * len(seen))
+            d_out.extend([int(df)] * len(seen))
+        return pa.table(
+            {
+                "variant": pa.array(v_out, pa.string()),
+                "term": pa.array(t_out, pa.string()),
+                "df": pa.array(d_out, pa.int64()),
+            }
+        )
+
+    _pair_schema = pa.schema(
+        [
+            ("term", pa.string()),
+            ("suggestion", pa.string()),
+            ("term_df", pa.int64()),
+            ("suggestion_df", pa.int64()),
+        ]
+    )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows <= 1:
+            return _pair_schema.empty_table()
+        rows = sorted(zip(g["term"].to_pylist(), g["df"].to_pylist()))
+        a_t, b_t, a_d, b_d = [], [], [], []
+        for i in range(len(rows)):
+            ti, di = rows[i]
+            for j in range(i + 1, len(rows)):
+                tj, dj = rows[j]
+                a_t.append(ti)
+                b_t.append(tj)
+                a_d.append(di)
+                b_d.append(dj)
+        return pa.table(
+            {
+                "term": pa.array(a_t, pa.string()),
+                "suggestion": pa.array(b_t, pa.string()),
+                "term_df": pa.array(a_d, pa.int64()),
+                "suggestion_df": pa.array(b_d, pa.int64()),
+            }
+        )
+
+    _out_schema = pa.schema(
+        [
+            ("term", pa.string()),
+            ("suggestion", pa.string()),
+            ("dist", pa.int64()),
+            ("term_df", pa.int64()),
+            ("suggestion_df", pa.int64()),
+        ]
+    )
+
+    def verify_pair(g: pa.Table) -> pa.Table:
+        t = g["term"][0].as_py()
+        s = g["suggestion"][0].as_py()
+        d = levenshtein_capped(t, s, max_dist)
+        if d > max_dist:
+            return _out_schema.empty_table()
+        return pa.table(
+            {
+                "term": pa.array([t], pa.string()),
+                "suggestion": pa.array([s], pa.string()),
+                "dist": pa.array([d], pa.int64()),
+                "term_df": g["term_df"].slice(0, 1),
+                "suggestion_df": g["suggestion_df"].slice(0, 1),
+            }
+        )
+
+    return (
+        vocab.map_batches(variants_of, batch_format="pyarrow")
+        .groupby("variant")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["term", "suggestion"])
+        .map_groups(verify_pair, batch_format="pyarrow")
+    )
+
+
+TERM_SUGGESTIONS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), vocab AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY term
+)
+SELECT a.term AS term, b.term AS suggestion,
+  CAST(levenshtein(a.term, b.term) AS BIGINT) AS dist,
+  a.df AS term_df, b.df AS suggestion_df
+FROM vocab a JOIN vocab b ON a.term < b.term
+WHERE levenshtein(a.term, b.term) <= 2
+"""
+
+
 def doc_quality(sf_dir: str):
     """Quality-scoring signals: stopword ratio, mean token length, shortness."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])

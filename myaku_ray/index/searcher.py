@@ -318,6 +318,8 @@ class Searcher:
         # Searcher's lifetime, so memoization is exact.
         self._query_memo: dict[tuple[str, int], list] = {}
         self._query_memo_cap = 10_000
+        # Lazy fuzzy-suggestion state: (max_dist, terms, dfs, nbhd map)
+        self._suggest_state: tuple | None = None
         # Hot-term warm list: decode the particle-class terms (df above
         # preload_hot_df_frac of the corpus, capped) into the array cache
         # ONCE at init — a serving process loads its hot postings with
@@ -451,6 +453,7 @@ class Searcher:
                 c.clear()
         self._phrase_tp_postings = 0
         self._phrase_sub_bytes = 0
+        self._suggest_state = None  # vocab map derives from df/ contents
 
     def term_iterator(self, term: str):
         cached = self._term_arrays.get(term)
@@ -783,6 +786,70 @@ class Searcher:
         return self.hydrate(
             hits[lo : lo + self.PAGE_SIZE], query_str, query_type
         )
+
+    # -- fuzzy suggestion ("did you mean") ---------------------------------
+
+    def suggest(
+        self, query_str: str, k: int = 5, max_dist: int = 2
+    ) -> list[tuple[str, int, int]]:
+        """Vocabulary terms within Levenshtein distance <= max_dist of
+        the (width-normalized) query term, ranked by (distance, -df,
+        term) — the exact query string itself excluded.  Returns the
+        top-k as [(term, dist, df), ...].
+
+        Serving layout: a SymSpell deletion-neighborhood inverted map
+        over the df stage's (term, df) table, built lazily on the first
+        call and flushed by the same mutation detection that guards the
+        other term caches.  Memory is O(vocab x len^max_dist) keys —
+        VOCAB-sized, never corpus-sized; at web-scale vocabularies the
+        map shards by term hash across query nodes (the same axis the
+        segments shard on) or floors df (suggestion targets are by
+        definition frequent terms).  Candidate recall is exact — two
+        terms at distance <= d always share a <= d-deletion variant
+        (``editdist.deletion_variants``) — and every candidate is
+        verified with the banded exact kernel, so results match a full
+        vocabulary scan (pytest-gated vs the serial oracle)."""
+        from myaku_ray.editdist import deletion_variants, levenshtein_capped
+
+        q = normalize_char_width(query_str.strip())
+        if not q:
+            return []
+        state = self._suggest_state
+        if state is None or state[0] != max_dist:
+            state = (max_dist, *self._build_suggest_map(max_dist))
+            self._suggest_state = state
+        _, terms, dfs, nbhd = state
+        cand: set[int] = set()
+        for v in deletion_variants(q, max_dist):
+            cand.update(nbhd.get(v, ()))
+        scored = []
+        for i in cand:
+            t = terms[i]
+            if t == q:
+                continue
+            d = levenshtein_capped(q, t, max_dist)
+            if d <= max_dist:
+                scored.append((d, -int(dfs[i]), t))
+        scored.sort()
+        return [(t, d, -neg_df) for d, neg_df, t in scored[:k]]
+
+    def _build_suggest_map(self, max_dist: int):
+        """(terms, dfs, variant -> [vocab index]) over the df table."""
+        from myaku_ray.editdist import deletion_variants
+
+        df_dir = os.path.join(self.index_dir, "df")
+        if not os.path.isdir(df_dir):
+            return [], [], {}
+        tbl = pads.dataset(df_dir, format="parquet").to_table(
+            columns=["term", "df"]
+        )
+        terms = tbl["term"].to_pylist()
+        dfs = tbl["df"].to_numpy(zero_copy_only=False)
+        nbhd: dict[str, list[int]] = {}
+        for i, t in enumerate(terms):
+            for v in deletion_variants(t, max_dist):
+                nbhd.setdefault(v, []).append(i)
+        return terms, dfs, nbhd
 
     # -- index-native analytics -------------------------------------------
 

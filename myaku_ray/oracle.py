@@ -330,6 +330,73 @@ def oracle_term_trend(
     return out
 
 
+def oracle_suggest(
+    index: OracleIndex, query_str: str, k: int = 5, max_dist: int = 2
+) -> list[tuple[str, int, int]]:
+    """Serial reference for ``Searcher.suggest``: a FULL vocabulary scan
+    with an independent uncapped Levenshtein DP (no shared candidate
+    generation or banding code with the engine), ranked by
+    (distance, -df, term), the exact query excluded.  Returns top-k
+    [(term, dist, df), ...]."""
+    from myaku_ray.normalize import normalize_char_width
+
+    q = normalize_char_width(query_str.strip())
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    scored = []
+    for t, df in index.df.items():
+        if t == q:
+            continue
+        d = lev(q, t)
+        if d <= max_dist:
+            scored.append((d, -int(df), t))
+    scored.sort()
+    return [(t, d, -neg_df) for d, neg_df, t in scored[:k]]
+
+
+def suggest_query_set(pages_parquet: str) -> list[str]:
+    """Deterministic did-you-mean queries derived from the FIXED corpus:
+    tokenizer terms of the first URL-ordered docs (content-stable, the
+    phrase/near derivation rule), deterministically misspelled —
+    alternating middle-char deletion and substitution — plus one exact
+    vocabulary term (neighbors minus itself) and one nonsense string
+    with no distance-2 neighbor (zero suggestions)."""
+    tok = get_tokenizer()
+    texts = _first_texts(pages_parquet, want=3, min_len=200)
+    base: list[str] = []
+    seen: set[str] = set()
+    for text in texts:
+        for term in sorted(tok.find_term_tfs(text)):
+            if len(term) >= 3 and term not in seen:
+                seen.add(term)
+                base.append(term)
+            if len(base) >= 6:
+                break
+        if len(base) >= 6:
+            break
+    out: list[str] = []
+    for i, t in enumerate(base):
+        mid = len(t) // 2
+        if i % 2 == 0:
+            out.append(t[:mid] + t[mid + 1 :])  # one deletion
+        else:
+            out.append(t[:mid] + "ぴ" + t[mid + 1 :])  # one substitution
+    if base:
+        out.append(base[0])
+    out.append("ゑゐゑゐゑ")
+    return out
+
+
 def phrase_query_set(pages_parquet: str) -> list[str]:
     """Deterministic phrase queries derived from the FIXED corpus text:
     contiguous 2- and 3-token slices of real docs (guaranteed hits), a

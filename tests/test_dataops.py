@@ -121,6 +121,70 @@ def test_lang_id_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_term_suggestions_match_duckdb(ray_session):
+    """SymSpell candidates + banded verify == naive SQL self-join with
+    levenshtein: exact recall of the deletion-neighborhood candidate
+    stage, exact distances from the verify kernel."""
+    import duckdb
+
+    from myaku_ray.functions.textops import (
+        TERM_SUGGESTIONS_SQL, term_suggestions,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        term_suggestions(sf)
+        .to_pandas()
+        .sort_values(["term", "suggestion"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0  # the fixed vocab has distance-2 pairs
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = (
+        con.sql(TERM_SUGGESTIONS_SQL)
+        .df()
+        .sort_values(["term", "suggestion"])
+        .reset_index(drop=True)
+    )
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)].astype(got.dtypes.to_dict())
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_levenshtein_capped_kernel():
+    """Banded kernel == full unit-cost DP for every distance at or below
+    the cap; above the cap it reports cap+1."""
+    import itertools
+    import random
+
+    from myaku_ray.editdist import levenshtein_capped as _levenshtein_capped
+
+    def full_dp(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(7)
+    words = [
+        "".join(rng.choice("abcd") for _ in range(rng.randint(0, 6)))
+        for _ in range(40)
+    ]
+    for a, b in itertools.combinations(words, 2):
+        want = full_dp(a, b)
+        for cap in (1, 2, 3):
+            got = _levenshtein_capped(a, b, cap)
+            assert got == (want if want <= cap else cap + 1), (a, b, cap)
+
+
 def test_ivf_layout_prunes_read(ray_session, clustered_embeddings):
     """The IVF query must read ONLY probed cell partitions: probed dirs
     are a strict subset of the layout's cell dirs, and the layout

@@ -356,6 +356,34 @@ def test_encode_part_count_change_leaves_no_orphans(ray_session, tmp_path):
     assert seg_digest(idx) == want
 
 
+def test_suggest_matches_oracle(ray_session, tmp_path):
+    """Fuzzy did-you-mean: the Searcher's SymSpell deletion-neighborhood
+    map + banded verify must equal the serial oracle's full-vocabulary
+    uncapped-DP scan — same candidates, distances, df ranks, order."""
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.oracle import (
+        build_oracle_index, oracle_suggest, suggest_query_set,
+    )
+    from myaku_ray.pipelines.build import build_index
+
+    pages = str(tmp_path / "pages")
+    write_pages_parquet(pages, 300)
+    idx = str(tmp_path / "idx")
+    build_index(pages, idx)
+    s = Searcher(idx)
+    oi = build_oracle_index(pages)
+    qs = suggest_query_set(pages)
+    assert qs
+    got_any = False
+    for q in qs:
+        got = s.suggest(q, 5)
+        want = oracle_suggest(oi, q, 5)
+        assert got == want, q
+        got_any = got_any or bool(got)
+    assert got_any  # the derived misspellings do have vocab neighbors
+    assert s.suggest("ゑゐゑゐゑ") == []  # nonsense: no d<=2 neighbor
+
+
 def test_deterministic_rebuild(ray_session, tmp_path):
     """Two from-scratch builds produce byte-identical segment blobs."""
     import hashlib

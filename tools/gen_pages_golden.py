@@ -183,6 +183,26 @@ def main() -> None:
         + "\n) AS golden(query, term, \"month\", n_docs)"
     )
 
+    # ---- fuzzy suggestion golden (serial full-vocab Levenshtein scan) ---
+    from myaku_ray.oracle import oracle_suggest, suggest_query_set
+
+    sug_rows = []
+    for q in suggest_query_set(pages_dir):
+        for rank, (term, dist, dfreq) in enumerate(
+            oracle_suggest(oi, q, k=5), start=1
+        ):
+            sug_rows.append((q, rank, term, dist, dfreq))
+    sug_values = ",\n  ".join(
+        f"({_sql_str(q)}, {rank}::BIGINT, {_sql_str(t)}, "
+        f"{d}::BIGINT, {dfreq}::BIGINT)"
+        for q, rank, t, d, dfreq in sug_rows
+    )
+    sug_sql = (
+        "SELECT * FROM (VALUES\n  "
+        + sug_values
+        + '\n) AS golden(query, rank, suggestion, dist, df)'
+    )
+
     # ---- FLI interp profile golden (serial tokenizer pass) -------------
     # Mirrors fulltext.pages_fli_interp_profile: same "interesting" filter
     # (multi-interp or meta-phrase) and the same struct shaping FliStage
@@ -240,13 +260,14 @@ def main() -> None:
             f"PAGES_FLI_INTERP_PROFILE_SQL = '''\n{prof_sql}\n'''\n\n"
             f"PAGES_PHRASE_SEARCH_SQL = '''\n{phrase_sql}\n'''\n\n"
             f"PAGES_NEAR_SEARCH_SQL = '''\n{near_sql}\n'''\n\n"
-            f"PAGES_TERM_TREND_SQL = '''\n{trend_sql}\n'''\n"
+            f"PAGES_TERM_TREND_SQL = '''\n{trend_sql}\n'''\n\n"
+            f"PAGES_SUGGEST_SQL = '''\n{sug_sql}\n'''\n"
         )
     print(
         f"wrote {out}: {len(stats)} stats rows, {len(rows)} search rows, "
         f"{len(alt_rows)} altform rows, {len(prof)} interp-profile rows, "
         f"{len(phrase_rows)} phrase rows, {len(near_rows)} near rows, "
-        f"{len(trend_rows)} trend rows"
+        f"{len(trend_rows)} trend rows, {len(sug_rows)} suggest rows"
     )
 
 
