@@ -93,6 +93,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fuzzy "did-you-mean": SymSpell deletion-neighborhood candidates
         # + exact Levenshtein verify, ranked by df
         "term_suggestions": textops.term_suggestions,
+        # sequential-bigram corpus stats (ordered adjacent pairs; the
+        # n-gram-LM counterpart of the unordered PMI cooccurrence op)
+        "bigram_counts": textops.bigram_counts,
+        # global-percentile length gate: exact order statistics from ONE
+        # streaming bincount pass (range-sized driver state, no sort)
+        "doc_length_band": textops.doc_length_band,
         "doc_quality": textops.doc_quality,
         "dedup_exact": textops.dedup_exact,
         "lang_source_profile": textops.lang_source_profile,
@@ -200,6 +206,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_stats": textops.DOC_TOKEN_STATS_SQL,
         "term_doc_freq": textops.TERM_DOC_FREQ_SQL,
         "term_suggestions": textops.TERM_SUGGESTIONS_SQL,
+        "bigram_counts": textops.BIGRAM_COUNTS_SQL,
+        "doc_length_band": textops.DOC_LENGTH_BAND_SQL,
         "doc_quality": textops.DOC_QUALITY_SQL,
         "dedup_exact": textops.DEDUP_EXACT_SQL,
         "lang_source_profile": textops.LANG_SOURCE_PROFILE_SQL,

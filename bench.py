@@ -419,6 +419,8 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "stratified_sample_by_source": textops.stratified_sample_by_source,
         "term_cooccurrence_pmi": textops.term_cooccurrence_pmi,
         "term_suggestions": textops.term_suggestions,
+        "bigram_counts": textops.bigram_counts,
+        "doc_length_band": textops.doc_length_band,
         "events_props_stats": events.events_props_stats,
         "ann_cosine_topk_filtered": ann.ann_cosine_topk_filtered,
         "hybrid_search_rrf": fulltext.hybrid_search_rrf,

@@ -18,26 +18,41 @@ import itertools
 def levenshtein_capped(a: str, b: str, cap: int) -> int:
     """Unit-cost Levenshtein distance, banded: returns the exact
     distance when it is <= cap, else cap + 1 (early-exiting as soon as
-    a full DP row exceeds the cap)."""
+    a full DP row exceeds the cap).  Two reusable rows, O(cap) work per
+    row: only band cells [i-cap, i+cap] are visited.  Reuse is safe
+    because cells right of the band were never written (bands only
+    advance right, so they hold their init values, all > cap), cells
+    left of it are never read, and the lo-1 boundary is written
+    explicitly each row."""
     la, lb = len(a), len(b)
     if abs(la - lb) > cap:
         return cap + 1
     if la == 0 or lb == 0:
         return max(la, lb)
+    big = cap + 1
     prev = list(range(lb + 1))
+    cur = [big] * (lb + 1)
     for i in range(1, la + 1):
         lo = max(1, i - cap)
         hi = min(lb, i + cap)
-        cur = [cap + 1] * (lb + 1)
-        cur[0] = i if i <= cap else cap + 1
+        cur[lo - 1] = i if lo == 1 and i <= cap else big
+        best = cur[lo - 1]
         ca = a[i - 1]
         for j in range(lo, hi + 1):
-            cost = 0 if ca == b[j - 1] else 1
-            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
-        if min(cur[lo - 1 : hi + 1]) > cap:
-            return cap + 1
-        prev = cur
-    return min(prev[lb], cap + 1)
+            v = prev[j] + 1
+            w = cur[j - 1] + 1
+            if w < v:
+                v = w
+            x = prev[j - 1] + (0 if ca == b[j - 1] else 1)
+            if x < v:
+                v = x
+            cur[j] = v
+            if v < best:
+                best = v
+        if best > cap:
+            return big
+        prev, cur = cur, prev
+    return min(prev[lb], big)
 
 
 def deletion_variants(term: str, max_dist: int) -> set[str]:

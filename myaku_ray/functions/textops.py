@@ -250,6 +250,158 @@ WHERE levenshtein(a.term, b.term) <= 2
 """
 
 
+def bigram_counts(sf_dir: str):
+    """Corpus sequential-bigram statistics: for every ORDERED adjacent
+    token pair, total occurrences (n) and containing-doc count (df) —
+    the n-gram LM / collocation-table counterpart of
+    ``term_cooccurrence_pmi`` (which counts distinct UNORDERED pairs
+    per doc, adjacency ignored).
+
+    Per-batch work is fully vectorized: one dictionary-encode of the
+    flattened tokens, an adjacency mask on the parent indices, then one
+    np.unique over composite (doc, pair) keys gives per-doc pair tfs —
+    n = segment-summed tf, df = distinct-doc row count (each doc lives
+    in exactly one batch, so the partials are summable).  The ONE
+    groupby exchange carries (w1, w2, partial n, partial df) rows —
+    bounded by the batch's distinct-bigram count, never its token
+    count.  Matches BIGRAM_COUNTS_SQL row-for-row."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "pn": pa.array([], pa.int64()),
+                "pdf": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        if len(parents) < 2:
+            return empty
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = max(len(enc.dictionary), 1)
+        adj = parents[1:] == parents[:-1]
+        if not adj.any():
+            return empty
+        w1c = codes[:-1][adj]
+        w2c = codes[1:][adj]
+        doc = parents[:-1][adj]
+        pair = w1c * vocab + w2c
+        dockey = doc * (vocab * vocab) + pair
+        uniq, tf = np.unique(dockey, return_counts=True)
+        pk = uniq % (vocab * vocab)
+        order = np.argsort(pk, kind="stable")
+        pk_s, tf_s = pk[order], tf[order]
+        upk, start = np.unique(pk_s, return_index=True)
+        n = np.add.reduceat(tf_s, start).astype(np.int64)
+        df = np.diff(np.append(start, len(pk_s))).astype(np.int64)
+        return pa.table(
+            {
+                "w1": enc.dictionary.take(pa.array(upk // vocab)),
+                "w2": enc.dictionary.take(pa.array(upk % vocab)),
+                "pn": pa.array(n),
+                "pdf": pa.array(df),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("pn", alias_name="n"), Sum("pdf", alias_name="df"))
+    )
+
+
+BIGRAM_COUNTS_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+)
+SELECT w1, w2, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM pairs GROUP BY w1, w2
+"""
+
+
+def doc_length_band(sf_dir: str, lo_q: float = 0.10, hi_q: float = 0.99):
+    """Docs whose length lies inside the corpus-GLOBAL [lo_q, hi_q]
+    discrete length quantiles — the percentile-threshold quality gate
+    real curation pipelines apply before training.
+
+    Exact at any scale WITHOUT a distributed sort: n_chars is a bounded
+    int (the extract stage caps docs at 2^16 chars), so one streaming
+    bincount pass — per-batch (value, count) rows, groupby(value) sum —
+    yields a RANGE-sized histogram (<= 65k rows on the driver, never
+    corpus-sized) from which exact order statistics fall out; the two
+    integer thresholds then broadcast into a second streaming filter
+    pass.  Threshold rule is DuckDB ``quantile_disc``: the order
+    statistic at index ceil(q*n)-1 (verified against DuckDB on both
+    interpolation-free and midpoint cases), and thresholds are INTS so
+    the boundary comparison cannot float-flake.  Matches
+    DOC_LENGTH_BAND_SQL row-for-row."""
+    import math
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        vals, cnts = np.unique(
+            batch["n_chars"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "value": pa.array(vals.astype(np.int64)),
+                "cnt": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("value")
+    )
+    values = h["value"].to_numpy()
+    cum = h["cnt"].to_numpy().cumsum()
+    n = int(cum[-1])
+
+    def disc(q: float) -> int:
+        k = max(math.ceil(q * n) - 1, 0)
+        return int(values[np.searchsorted(cum, k + 1)])
+
+    lo, hi = disc(lo_q), disc(hi_q)
+
+    def band(batch: pa.Table) -> pa.Table:
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((nc >= lo) & (nc <= hi)))
+
+    return ds.map_batches(band, batch_format="pyarrow")
+
+
+DOC_LENGTH_BAND_SQL = """
+WITH b AS (
+  SELECT quantile_disc(n_chars, 0.10) AS lo,
+         quantile_disc(n_chars, 0.99) AS hi
+  FROM documents
+)
+SELECT doc_id, n_chars FROM documents, b
+WHERE n_chars >= lo AND n_chars <= hi
+"""
+
+
 def doc_quality(sf_dir: str):
     """Quality-scoring signals: stopword ratio, mean token length, shortness."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])

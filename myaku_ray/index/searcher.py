@@ -799,8 +799,9 @@ class Searcher:
 
         Serving layout: a SymSpell deletion-neighborhood inverted map
         over the df stage's (term, df) table, built lazily on the first
-        call and flushed by the same mutation detection that guards the
-        other term caches.  Memory is O(vocab x len^max_dist) keys —
+        call and rebuilt whenever the df files' fingerprint changes (an
+        in-place update/refresh rewrites df/; segment-read mutation
+        probes also clear it).  Memory is O(vocab x len^max_dist) keys —
         VOCAB-sized, never corpus-sized; at web-scale vocabularies the
         map shards by term hash across query nodes (the same axis the
         segments shard on) or floors df (suggestion targets are by
@@ -814,11 +815,17 @@ class Searcher:
         q = normalize_char_width(query_str.strip())
         if not q:
             return []
+        # freshness: the map derives from df/ alone, and suggest() never
+        # touches a segment, so it cannot rely on the segment-read
+        # mutation probes — fingerprint the df files directly (a handful
+        # of getmtime calls) and rebuild when an in-place update/refresh
+        # rewrote them
+        fp = self._df_fingerprint()
         state = self._suggest_state
-        if state is None or state[0] != max_dist:
-            state = (max_dist, *self._build_suggest_map(max_dist))
+        if state is None or state[0] != max_dist or state[1] != fp:
+            state = (max_dist, fp, *self._build_suggest_map(max_dist))
             self._suggest_state = state
-        _, terms, dfs, nbhd = state
+        _, _, terms, dfs, nbhd = state
         cand: set[int] = set()
         for v in deletion_variants(q, max_dist):
             cand.update(nbhd.get(v, ()))
@@ -832,6 +839,21 @@ class Searcher:
                 scored.append((d, -int(dfs[i]), t))
         scored.sort()
         return [(t, d, -neg_df) for d, neg_df, t in scored[:k]]
+
+    def _df_fingerprint(self) -> tuple:
+        """Sorted (name, mtime) of the df stage's parquet files — the
+        suggest map's staleness key."""
+        df_dir = os.path.join(self.index_dir, "df")
+        try:
+            return tuple(
+                sorted(
+                    (f, os.path.getmtime(os.path.join(df_dir, f)))
+                    for f in os.listdir(df_dir)
+                    if f.endswith(".parquet")
+                )
+            )
+        except FileNotFoundError:
+            return ()
 
     def _build_suggest_map(self, max_dist: int):
         """(terms, dfs, variant -> [vocab index]) over the df table."""

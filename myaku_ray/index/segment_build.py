@@ -367,7 +367,7 @@ def _encode_bucket_task(
             f.write(
                 json.dumps(
                     {"rows_out": int(rows.num_rows), "rows_in": int(in_rows),
-                     "wall_s": round(wall, 3)}
+                     "wall_s": round(wall, 3), "n_parts": int(n_parts)}
                 )
             )
         os.replace(tmp, marker_path)
@@ -517,14 +517,22 @@ def encode_segments_partitioned(
             name = f"bucket-{b:05d}" + (f"-p{part}" if n_parts > 1 else "")
             marker = _os.path.join(done_dir, f"{name}.json")
             if resume and _os.path.exists(marker):
-                if _os.path.getmtime(marker) >= markers_newer_than:
-                    with open(marker) as f:
-                        m = _json.load(f)
+                with open(marker) as f:
+                    m = _json.load(f)
+                # a marker is valid only for the part MODULUS it was
+                # written under: terms are hash%n_parts-partitioned, so
+                # e.g. a 4->2 change keeps p0/p1's NAMES in the expected
+                # set while their contents cover only hash%4 in {0,1} —
+                # trusting them would silently drop half the terms
+                if (
+                    _os.path.getmtime(marker) >= markers_newer_than
+                    and m.get("n_parts") == n_parts
+                ):
                     skipped.append(
                         (m["rows_out"], m["rows_in"], m["wall_s"])
                     )
                     continue
-                _os.remove(marker)  # stale: postings re-ran since
+                _os.remove(marker)  # stale: postings re-ran or layout changed
             # un-markered partition: clear any half-written outputs of a
             # previous attempt (filenames are deterministic, so this is
             # exact), then re-encode

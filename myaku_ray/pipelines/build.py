@@ -359,6 +359,16 @@ def build_index(
                     base.startswith("shard-") and base not in expected
                 ):
                     _shutil.rmtree(p, ignore_errors=True)
+            # markers OUTSIDE the current shard range must go with their
+            # dirs: a count decrease followed by a later resume back at
+            # the old count would otherwise re-validate the out-of-range
+            # marker (fresh mtime AND matching old-layout sig) and skip a
+            # shard whose output dir was deleted above — silent data loss
+            for m in _glob.glob(
+                os.path.join(postings_dir, "_shard_done", "*.json")
+            ):
+                if os.path.basename(m)[: -len(".json")] not in expected:
+                    os.remove(m)
         chunk_done = os.path.join(postings_dir, "_shard_done")
         os.makedirs(chunk_done, exist_ok=True)
         docs_success = os.path.join(docs_dir, "_SUCCESS")

@@ -154,6 +154,69 @@ def test_term_suggestions_match_duckdb(ray_session):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_bigram_counts_match_duckdb(ray_session):
+    """Vectorized adjacency-mask bigram partials == DuckDB's 1-based
+    list-slice pair expansion (ordered pairs, n and distinct-doc df)."""
+    import duckdb
+
+    from myaku_ray.functions.textops import BIGRAM_COUNTS_SQL, bigram_counts
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        bigram_counts(sf)
+        .to_pandas()
+        .sort_values(["w1", "w2"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 100
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = (
+        con.sql(BIGRAM_COUNTS_SQL)
+        .df()
+        .sort_values(["w1", "w2"])
+        .reset_index(drop=True)
+    )
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)].astype(got.dtypes.to_dict())
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_doc_length_band_matches_duckdb(ray_session):
+    """Histogram-derived discrete quantile thresholds == DuckDB
+    quantile_disc, and the banded doc set matches exactly."""
+    import duckdb
+
+    from myaku_ray.functions.textops import (
+        DOC_LENGTH_BAND_SQL, doc_length_band,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        doc_length_band(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = (
+        con.sql(DOC_LENGTH_BAND_SQL)
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n_docs = con.sql("SELECT count(*) FROM documents").fetchone()[0]
+    assert 0 < len(got) < n_docs  # the band actually excludes tails
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)].astype(got.dtypes.to_dict())
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_levenshtein_capped_kernel():
     """Banded kernel == full unit-cost DP for every distance at or below
     the cap; above the cap it reports cap+1."""
@@ -177,10 +240,15 @@ def test_levenshtein_capped_kernel():
     words = [
         "".join(rng.choice("abcd") for _ in range(rng.randint(0, 6)))
         for _ in range(40)
+    ] + [
+        # longer, small-alphabet strings: stresses the row-reuse band
+        # (stale cells outside the moving band must never be read)
+        "".join(rng.choice("ab") for _ in range(rng.randint(7, 14)))
+        for _ in range(25)
     ]
     for a, b in itertools.combinations(words, 2):
         want = full_dp(a, b)
-        for cap in (1, 2, 3):
+        for cap in (1, 2, 3, 5):
             got = _levenshtein_capped(a, b, cap)
             assert got == (want if want <= cap else cap + 1), (a, b, cap)
 

@@ -328,6 +328,23 @@ def test_postings_shard_resume(ray_session, tmp_path):
     assert json.load(open(os.path.join(post, "_SUCCESS")))["shards"] == 3
     assert seg_digest(sharded) == want
 
+    # decrease THEN increase: the count-2 run must delete shard-00002's
+    # MARKER along with its output dir — otherwise a later count-3
+    # resume finds the marker fresh by mtime with a matching 3-layout
+    # sig and skips a shard whose output no longer exists (silent loss)
+    os.remove(os.path.join(post, "_SUCCESS"))
+    for st in ("df", "segments"):
+        os.remove(os.path.join(sharded, st, "_SUCCESS"))
+    build_index(pages, sharded, postings_chunks=2)
+    assert not os.path.exists(
+        os.path.join(post, "_shard_done", "shard-00002.json")
+    )
+    os.remove(os.path.join(post, "_SUCCESS"))
+    for st in ("df", "segments"):
+        os.remove(os.path.join(sharded, st, "_SUCCESS"))
+    build_index(pages, sharded, postings_chunks=3)
+    assert seg_digest(sharded) == want
+
 
 def test_encode_part_count_change_leaves_no_orphans(ray_session, tmp_path):
     """Re-encoding with a changed per-bucket part count must remove the
@@ -353,6 +370,18 @@ def test_encode_part_count_change_leaves_no_orphans(ray_session, tmp_path):
         sb.ENCODE_TASK_TARGET_BYTES = old
     # digest is content-based over every file: any orphaned single-part
     # file would duplicate its bucket's rows and change the digest
+    assert seg_digest(idx) == want
+
+    # many -> many part-count change: p0/p1/... keep VALID NAMES but
+    # their contents were hash%old_parts-partitioned — a resume that
+    # trusts them by name+mtime silently drops the terms of the removed
+    # moduli.  Markers record n_parts; the digest proves re-encode.
+    os.remove(os.path.join(idx, "segments", "_SUCCESS"))
+    sb.ENCODE_TASK_TARGET_BYTES = 3000  # a DIFFERENT multi-part modulus
+    try:
+        build_index(pages, idx)
+    finally:
+        sb.ENCODE_TASK_TARGET_BYTES = old
     assert seg_digest(idx) == want
 
 
@@ -382,6 +411,41 @@ def test_suggest_matches_oracle(ray_session, tmp_path):
         got_any = got_any or bool(got)
     assert got_any  # the derived misspellings do have vocab neighbors
     assert s.suggest("ゑゐゑゐゑ") == []  # nonsense: no d<=2 neighbor
+
+
+def test_suggest_map_rebuilds_on_df_change(ray_session, tmp_path):
+    """A live Searcher must not serve suggestions from a stale vocab
+    map after the df stage is rewritten in place (update/refresh):
+    the df-file fingerprint rebuild must pick up the new vocabulary."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.oracle import suggest_query_set
+    from myaku_ray.pipelines.build import build_index
+
+    pages = str(tmp_path / "pages")
+    write_pages_parquet(pages, 300)
+    idx = str(tmp_path / "idx")
+    build_index(pages, idx)
+    s = Searcher(idx)
+    q = next(qq for qq in suggest_query_set(pages) if s.suggest(qq, 5))
+    before = s.suggest(q, 5)
+    top = before[0][0]
+    # rewrite df/ without the top suggestion's term: a fresh map cannot
+    # suggest it any more
+    df_dir = os.path.join(idx, "df")
+    t = pads.dataset(df_dir, format="parquet").to_table()
+    t2 = t.filter(pc.not_equal(t["term"], pa.scalar(top)))
+    for f in _glob.glob(os.path.join(df_dir, "*.parquet")):
+        os.remove(f)
+    _pq.write_table(t2, os.path.join(df_dir, "df-rewritten.parquet"))
+    after = s.suggest(q, 5)
+    assert all(term != top for term, _d, _f in after), after
 
 
 def test_deterministic_rebuild(ray_session, tmp_path):
