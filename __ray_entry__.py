@@ -183,6 +183,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # global-percentile length gate: exact order statistics from ONE
         # streaming bincount pass (range-sized driver state, no sort)
         "doc_length_band": textops.doc_length_band,
+        # weekly retention triangle: map-side (user, week) dedup, one
+        # groupby(user) pass for cohort+offsets, cohort-sized count
+        "user_retention_cohorts": events.user_retention_cohorts,
     }
 
 
@@ -211,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         "term_suggestions": textops.TERM_SUGGESTIONS_SQL,
         "bigram_counts": textops.BIGRAM_COUNTS_SQL,
         "doc_length_band": textops.DOC_LENGTH_BAND_SQL,
+        "user_retention_cohorts": events.USER_RETENTION_COHORTS_SQL,
         "doc_quality": textops.DOC_QUALITY_SQL,
         "dedup_exact": textops.DEDUP_EXACT_SQL,
         "lang_source_profile": textops.LANG_SOURCE_PROFILE_SQL,

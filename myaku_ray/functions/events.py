@@ -61,6 +61,74 @@ GROUP BY event_type, hour_bucket
 """
 
 
+WEEK_US = 7 * 24 * 3_600_000_000
+
+
+def user_retention_cohorts(sf_dir: str):
+    """Weekly retention triangle: users grouped by their first-activity
+    week (cohort), counted at every later week they were active —
+    (cohort_week, week_offset, n_users) — the standard growth-analytics
+    cut of an event stream.
+
+    ONE groupby(user_id) exchange does all the work: the per-batch prep
+    dedups to distinct (user, week) rows first (np.unique on a
+    structured view, so the shuffle carries user-week rows, never
+    event rows), then each user group derives its cohort week (min) and
+    offsets in a single pass, emitting one row per (user, active week);
+    a second groupby — bounded by cohorts x offsets, a few hundred rows
+    — counts users.  Matches USER_RETENTION_COHORTS_SQL row-for-row."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        w = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // WEEK_US
+        pairs = np.empty(len(u), dtype=[("u", np.int64), ("w", np.int64)])
+        pairs["u"], pairs["w"] = u, w
+        uniq = np.unique(pairs)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq["u"]),
+                "week": pa.array(uniq["w"]),
+            }
+        )
+
+    def per_user(g: pa.Table) -> pa.Table:
+        weeks = np.unique(g["week"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "cohort_week": pa.array(
+                    np.full(len(weeks), weeks[0], dtype=np.int64)
+                ),
+                "week_offset": pa.array(weeks - weeks[0]),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+USER_RETENTION_COHORTS_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+  FROM events
+), cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+)
+SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+       CAST(uw.week - c.cohort_week AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM uw JOIN cohort c USING (user_id)
+GROUP BY c.cohort_week, week_offset
+"""
+
+
 def user_sessions(sf_dir: str, gap_minutes: int = 30):
     """Per-user session counts with a 30-min inactivity gap."""
     ds = rd.read_parquet(

@@ -217,6 +217,38 @@ def test_doc_length_band_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_user_retention_cohorts_match_duckdb(ray_session):
+    """Map-side (user, week) dedup + one groupby(user) cohort pass ==
+    DuckDB's DISTINCT + min + self-join retention triangle."""
+    import duckdb
+
+    from myaku_ray.functions.events import (
+        USER_RETENTION_COHORTS_SQL, user_retention_cohorts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        user_retention_cohorts(sf)
+        .to_pandas()
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 1
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = (
+        con.sql(USER_RETENTION_COHORTS_SQL)
+        .df()
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)].astype(got.dtypes.to_dict())
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_levenshtein_capped_kernel():
     """Banded kernel == full unit-cost DP for every distance at or below
     the cap; above the cap it reports cap+1."""
