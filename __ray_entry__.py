@@ -186,6 +186,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weekly retention triangle: map-side (user, week) dedup, one
         # groupby(user) pass for cohort+offsets, cohort-sized count
         "user_retention_cohorts": events.user_retention_cohorts,
+        # ordered conversion funnel: one groupby(user) pass, per-step
+        # vectorized (type, ts > anchor) masks, 4-row aggregate
+        "event_funnel": events.event_funnel,
     }
 
 
@@ -215,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_counts": textops.BIGRAM_COUNTS_SQL,
         "doc_length_band": textops.DOC_LENGTH_BAND_SQL,
         "user_retention_cohorts": events.USER_RETENTION_COHORTS_SQL,
+        "event_funnel": events.EVENT_FUNNEL_SQL,
         "doc_quality": textops.DOC_QUALITY_SQL,
         "dedup_exact": textops.DEDUP_EXACT_SQL,
         "lang_source_profile": textops.LANG_SOURCE_PROFILE_SQL,

@@ -422,6 +422,7 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "bigram_counts": textops.bigram_counts,
         "doc_length_band": textops.doc_length_band,
         "user_retention_cohorts": events.user_retention_cohorts,
+        "event_funnel": events.event_funnel,
         "events_props_stats": events.events_props_stats,
         "ann_cosine_topk_filtered": ann.ann_cosine_topk_filtered,
         "hybrid_search_rrf": fulltext.hybrid_search_rrf,

@@ -129,6 +129,78 @@ GROUP BY c.cohort_week, week_offset
 """
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def event_funnel(sf_dir: str):
+    """Ordered-funnel completion counts: how many users performed
+    'view', then 'click' strictly after their first qualifying view,
+    then 'purchase' strictly after that click — the classic conversion
+    funnel, progressive-min-timestamp semantics (each step anchors at
+    the EARLIEST event that still satisfies the order, which maximizes
+    the chance of completing later steps).
+
+    ONE groupby(user_id) exchange: each user group walks the step list
+    with a vectorized (type-match AND ts > anchor) mask per step —
+    3 numpy passes per user, no sort needed since min() is
+    order-free — emitting the user's reached-step count; the per-step
+    user totals are then a 4-row aggregate.  Matches EVENT_FUNNEL_SQL
+    (progressive min-ts self-joins) row-for-row."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        anchor = np.iinfo(np.int64).min
+        reached = 0
+        for name in FUNNEL_STEPS:
+            cand = ts[(et == name) & (ts > anchor)]
+            if len(cand) == 0:
+                break
+            anchor = cand.min()
+            reached += 1
+        return pa.table({"reached": pa.array([reached], pa.int64())})
+
+    per_step = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby("reached")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    by_reached = dict(zip(per_step["reached"], per_step["n"]))
+    rows = []
+    for step, name in enumerate(FUNNEL_STEPS, start=1):
+        n = sum(v for k, v in by_reached.items() if k >= step)
+        rows.append((step, name, n))
+    return pd.DataFrame(rows, columns=["step", "event_type", "n_users"])
+
+
+EVENT_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT * FROM (VALUES
+  (1::BIGINT, 'view', (SELECT CAST(count(*) AS BIGINT) FROM s1)),
+  (2::BIGINT, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s2)),
+  (3::BIGINT, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3))
+) AS funnel(step, event_type, n_users)
+"""
+
+
 def user_sessions(sf_dir: str, gap_minutes: int = 30):
     """Per-user session counts with a 30-min inactivity gap."""
     ds = rd.read_parquet(

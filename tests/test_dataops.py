@@ -249,6 +249,27 @@ def test_user_retention_cohorts_match_duckdb(ray_session):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_event_funnel_matches_duckdb(ray_session):
+    """Per-user vectorized step walk == DuckDB's progressive min-ts
+    self-joins, and the funnel is monotone non-increasing."""
+    import duckdb
+
+    from myaku_ray.functions.events import EVENT_FUNNEL_SQL, event_funnel
+
+    sf = "/root/testdata/sf0.001"
+    got = event_funnel(sf).sort_values("step").reset_index(drop=True)
+    assert (got["n_users"].diff().dropna() <= 0).all()
+    assert got["n_users"].iloc[0] > 0
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = con.sql(EVENT_FUNNEL_SQL).df().sort_values("step").reset_index(drop=True)
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)].astype(got.dtypes.to_dict())
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_levenshtein_capped_kernel():
     """Banded kernel == full unit-cost DP for every distance at or below
     the cap; above the cap it reports cap+1."""
