@@ -140,23 +140,44 @@ def event_funnel(sf_dir: str):
     the EARLIEST event that still satisfies the order, which maximizes
     the chance of completing later steps).
 
-    ONE groupby(user_id) exchange: each user group walks the step list
-    with a vectorized (type-match AND ts > anchor) mask per step —
+    ONE groupby(user_id) exchange, pre-shrunk map-side: a prep stage
+    drops every non-funnel event type and replaces the string type with
+    an int8 step code, so the shuffle carries (user, ts, step) rows for
+    qualifying events only.  Each user group then walks the step list
+    with a vectorized (step-match AND ts > anchor) mask per step —
     3 numpy passes per user, no sort needed since min() is
     order-free — emitting the user's reached-step count; the per-step
     user totals are then a 4-row aggregate.  Matches EVENT_FUNNEL_SQL
     (progressive min-ts self-joins) row-for-row."""
+    import pyarrow.compute as pc
+
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
     )
+    step_names = pa.array(list(FUNNEL_STEPS), pa.string())
+
+    def prep(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].combine_chunks()
+        keep = pc.is_in(et, value_set=step_names)
+        kept = batch.filter(keep)
+        code = pc.index_in(
+            kept["event_type"].combine_chunks(), value_set=step_names
+        ).cast(pa.int8())
+        return pa.table(
+            {
+                "user_id": kept["user_id"],
+                "ts": kept["ts"].cast(pa.int64()),
+                "step": code,
+            }
+        )
 
     def per_user(g: pa.Table) -> pa.Table:
-        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        code = g["step"].to_numpy(zero_copy_only=False)
         anchor = np.iinfo(np.int64).min
         reached = 0
-        for name in FUNNEL_STEPS:
-            cand = ts[(et == name) & (ts > anchor)]
+        for k in range(len(FUNNEL_STEPS)):
+            cand = ts[(code == k) & (ts > anchor)]
             if len(cand) == 0:
                 break
             anchor = cand.min()
@@ -164,7 +185,8 @@ def event_funnel(sf_dir: str):
         return pa.table({"reached": pa.array([reached], pa.int64())})
 
     per_step = (
-        ds.groupby("user_id")
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
         .map_groups(per_user, batch_format="pyarrow")
         .groupby("reached")
         .aggregate(Count(alias_name="n"))
