@@ -189,6 +189,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ordered conversion funnel: one groupby(user) pass, per-step
         # vectorized (type, ts > anchor) masks, 4-row aggregate
         "event_funnel": events.event_funnel,
+        # --- round-4 fifth-session additions (tail-placed, same rule) ---
+        # TPC-H Q3 shape: selective 3-table join — dims broadcast INTO
+        # the fact scans, tie-safe top-k; documented broadcast-limit
+        # switch to the bucketed co-partition plan
+        "shipping_priority_q3": relational.shipping_priority_q3,
+        # TPC-H Q5 shape: dim-chain + fact x fact co-partitioned join
+        # with the nation-equality predicate; the hive-bucketed layout
+        # write IS the exchange
+        "local_supplier_revenue_q5": relational.local_supplier_revenue_q5,
+        # SUM() OVER (PARTITION BY user ORDER BY ts) window shape: one
+        # shard exchange + vectorized grouped cumsum per shard
+        "events_running_value": events.events_running_value,
     }
 
 
@@ -276,4 +288,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_fli_interps": op_goldens.PAGES_FLI_INTERPS_SQL,
         "media_features": op_goldens.MEDIA_FEATURES_SQL,
         "media_frame_sample": op_goldens.MEDIA_FRAME_SAMPLE_SQL,
+        "shipping_priority_q3": relational.SHIPPING_PRIORITY_Q3_SQL,
+        "local_supplier_revenue_q5": relational.LOCAL_SUPPLIER_REVENUE_Q5_SQL,
+        "events_running_value": events.EVENTS_RUNNING_VALUE_SQL,
     }

@@ -934,3 +934,67 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-user running (cumulative) aggregate — the window-function shape
+# ---------------------------------------------------------------------------
+
+RUNNING_SHARDS = 64
+
+
+def events_running_value(sf_dir: str):
+    """Per-user running sum of ``value`` in (ts, event_id) order — the
+    ``SUM() OVER (PARTITION BY user ORDER BY ts)`` window shape.
+
+    Scale plan: ONE exchange on ``user_id % RUNNING_SHARDS`` (not on the
+    raw user key — per-user ``map_groups`` would pay one task per user at
+    millions of users), then each shard group is processed VECTORIZED:
+    one sort by (user, ts, event_id) and one pandas grouped cumsum over
+    the whole shard.  The exchange carries (ids, ts, value-millis) only;
+    output is event-sized, same as the SQL window.  Within-user order is
+    totalized by (ts, event_id) exactly as the oracle's OVER clause.
+    """
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "value_millis": pa.array(
+                    _millis(batch["value"].to_numpy(zero_copy_only=False))
+                ),
+                "shard_u": pa.array((uid % RUNNING_SHARDS).astype(np.int32)),
+            }
+        )
+
+    def running_of_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        run = g.groupby("user_id", sort=False)["value_millis"].cumsum()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "running_value_millis": run.to_numpy().astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("shard_u")
+        .map_groups(running_of_shard, batch_format="pandas")
+    )
+
+
+EVENTS_RUNNING_VALUE_SQL = """
+SELECT event_id, user_id,
+  CAST(sum(CAST(floor(value*1000.0 + 0.5) AS BIGINT))
+       OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_value_millis
+FROM events
+"""

@@ -348,3 +348,316 @@ SELECT o.o_orderpriority,
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# Selective 3-table join (TPC-H Q3 shape): customer ⋈ orders ⋈ lineitem
+# ---------------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-06-01"
+# Above this many filtered orders the broadcast semi-join side must
+# switch to the hive-bucketed co-partition plan (revenue_by_priority_
+# bucketed's layout, with the segment/date filters applied at layout
+# write).  At TPC-H selectivity (~1/5 segment x ~1/2 date) that is
+# ~3% of orders rows as (key, date, priority) triples — broadcastable
+# to ~1e8 orders, switched past it.
+Q3_BROADCAST_LIMIT = 5_000_000
+
+
+def shipping_priority_q3(sf_dir: str, k: int = 10):
+    """TPC-H Q3 analog: top-k undelivered orders by revenue for one
+    market segment.
+
+    Plan (the 100-TB shape): the selective dimensions flow INTO the
+    fact scan as broadcasts, never the other way.  customer is filtered
+    to the segment and only its custkeys are broadcast (sorted int64
+    array, searchsorted membership — no dict, no hash build per batch);
+    orders is scanned once with column pruning, date-filtered map-side,
+    semi-joined against the custkey broadcast, and the surviving
+    (orderkey, orderdate, priority) triples — the selective side —
+    are broadcast into the lineitem scan, which pre-aggregates revenue
+    per orderkey inside each batch before the single result-sized
+    groupby.  Tie-safe top-k via the kth-value threshold (the
+    top_orders_by_revenue pattern).
+    """
+    import pyarrow.dataset as pads
+
+    cutoff = np.datetime64(Q3_DATE)
+
+    cust = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
+        columns=["c_custkey"],
+        filter=pads.field("c_mktsegment") == Q3_SEGMENT,
+    )
+    custkeys = np.sort(cust["c_custkey"].to_numpy(zero_copy_only=False))
+    cust_ref = ray.put(custkeys)
+
+    def orders_filter(batch: pa.Table) -> pa.Table:
+        keys = ray.get(cust_ref)
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(od < cutoff))
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ck)
+        pos[pos == len(keys)] = 0
+        hit = keys[pos] == ck
+        return batch.filter(pa.array(hit)).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        )
+
+    # Materialized to the driver: the segment+date semi-join output —
+    # (key, date, priority) triples at ~3% selectivity.  Scale switch
+    # documented above; assert it rather than silently degrade.
+    surviving = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        )
+        .map_batches(orders_filter, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(surviving) > Q3_BROADCAST_LIMIT:
+        raise NotImplementedError(
+            "filtered orders side exceeds the broadcast limit — switch to "
+            "the hive-bucketed co-partition join (revenue_by_priority_bucketed)"
+        )
+    surviving = surviving.sort_values("o_orderkey").reset_index(drop=True)
+    okeys = surviving["o_orderkey"].to_numpy()
+    okeys_ref = ray.put(okeys)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(okeys_ref)
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(ship > cutoff))
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ok)
+        pos[pos == len(keys)] = 0
+        hit = keys[pos] == ok
+        batch = batch.filter(pa.array(hit))
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"l_orderkey": ok, "revenue_cents": _cents(price * (1.0 - disc))}
+        )
+        g = df.groupby("l_orderkey", as_index=False)["revenue_cents"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .materialize()
+    )
+    head = rev.sort("revenue_cents", descending=True).limit(k).to_pandas()
+    if len(head) >= k:
+        kth = int(head["revenue_cents"].iloc[-1])
+        head = (
+            rev.map_batches(
+                lambda b: b.filter(pa.compute.greater_equal(b["revenue_cents"], kth)),
+                batch_format="pyarrow",
+            ).to_pandas()
+        )
+    top = head.sort_values(
+        ["revenue_cents", "l_orderkey"], ascending=[False, True]
+    ).head(k)
+    out = top.merge(surviving, left_on="l_orderkey", right_on="o_orderkey")
+    out = out.sort_values(["revenue_cents", "l_orderkey"], ascending=[False, True])
+    return out[
+        ["l_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority"]
+    ].reset_index(drop=True)
+
+
+SHIPPING_PRIORITY_Q3_SQL = f"""
+SELECT l.l_orderkey,
+  CAST(sum(CAST(floor(l.l_extendedprice*(1.0::DOUBLE - l.l_discount)*100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+  o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '{Q3_DATE} 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue_cents DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dim-chain + fact x fact join (TPC-H Q5 shape): region→nation→
+# (customer, supplier)→orders⋈lineitem with the nation-equality predicate
+# ---------------------------------------------------------------------------
+
+Q5_REGION = "ASIA"
+Q5_YEAR_START = "1996-01-01"
+Q5_YEAR_END = "1997-01-01"
+
+
+def local_supplier_revenue_q5(sf_dir: str):
+    """TPC-H Q5 analog: revenue per nation where the customer's and the
+    supplier's nation coincide inside one region, for one order year.
+
+    Plan: region/nation/supplier/customer are dimension-side — their
+    key→nation maps are broadcast once (``ray.put``; supplier and
+    customer are 1/10 and 1/15 of orders in TPC-H, int32 maps — at a
+    scale where customer itself stops being broadcastable the custkey→
+    nation attach moves into its own bucketed layout, same plan as
+    below).  The two FACT tables never broadcast: both are written once
+    hive-partitioned by ``orderkey % B`` with the region/date filters
+    and the nation attach applied map-side AT LAYOUT WRITE (lineitem
+    rows come out as per-(orderkey, s_nation) revenue partials), then
+    one task per bucket joins co-located slices on orderkey +
+    nation-equality and emits nation-sized partials; the driver merges
+    B tiny tables.  The write IS the exchange — no groupby all-to-all.
+    """
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    rkey = int(region.loc[region["r_name"] == Q5_REGION, "r_regionkey"].iloc[0])
+    in_region = nation[nation["n_regionkey"] == rkey]
+    region_nations = np.sort(in_region["n_nationkey"].to_numpy().astype(np.int32))
+    nation_names = dict(zip(in_region["n_nationkey"], in_region["n_name"]))
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas().sort_values("s_suppkey")
+    s_keys = supp["s_suppkey"].to_numpy()
+    s_nat = supp["s_nationkey"].to_numpy().astype(np.int32)
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas().sort_values("c_custkey")
+    c_keys = cust["c_custkey"].to_numpy()
+    c_nat = cust["c_nationkey"].to_numpy().astype(np.int32)
+    s_ref = ray.put((s_keys, s_nat))
+    c_ref = ray.put((c_keys, c_nat))
+    rn_ref = ray.put(region_nations)
+
+    d0 = np.datetime64(Q5_YEAR_START)
+    d1 = np.datetime64(Q5_YEAR_END)
+
+    key = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    root = f"/tmp/myaku_ray_join_q5/{key}_{JOIN_BUCKETS}"
+    li_dir, od_dir = f"{root}/lineitem", f"{root}/orders"
+    marker = f"{root}/_SUCCESS"
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+
+        def li_prep(batch: pa.Table) -> pa.Table:
+            skeys, snat = ray.get(s_ref)
+            rn = ray.get(rn_ref)
+            sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+            nat = snat[np.searchsorted(skeys, sk)]
+            keep = np.isin(nat, rn)
+            batch = batch.filter(pa.array(keep))
+            nat = nat[keep]
+            ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+            df = pd.DataFrame(
+                {
+                    "l_orderkey": ok,
+                    "s_nation": nat,
+                    "revenue_cents": _cents(price * (1.0 - disc)),
+                }
+            )
+            g = df.groupby(["l_orderkey", "s_nation"], as_index=False)[
+                "revenue_cents"
+            ].sum()
+            g["bucket"] = (g["l_orderkey"] % JOIN_BUCKETS).astype(np.int32)
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        def od_prep(batch: pa.Table) -> pa.Table:
+            ckeys, cnat = ray.get(c_ref)
+            rn = ray.get(rn_ref)
+            od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+            batch = batch.filter(pa.array((od >= d0) & (od < d1)))
+            ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            nat = cnat[np.searchsorted(ckeys, ck)]
+            keep = np.isin(nat, rn)
+            batch = batch.filter(pa.array(keep))
+            keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "o_orderkey": batch["o_orderkey"],
+                    "c_nation": pa.array(nat[keep]),
+                    "bucket": pa.array((keys % JOIN_BUCKETS).astype(np.int32)),
+                }
+            )
+
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ).map_batches(li_prep, batch_format="pyarrow").write_parquet(
+            li_dir, partition_cols=["bucket"]
+        )
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ).map_batches(od_prep, batch_format="pyarrow").write_parquet(
+            od_dir, partition_cols=["bucket"]
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    @ray.remote
+    def join_bucket(li_files: list, od_files: list) -> pa.Table:
+        import pyarrow.parquet as pqq
+
+        li_t = pa.concat_tables([pqq.read_table(f) for f in li_files]).to_pandas()
+        od_t = pa.concat_tables([pqq.read_table(f) for f in od_files]).to_pandas()
+        j = li_t.merge(od_t, left_on="l_orderkey", right_on="o_orderkey")
+        j = j[j["s_nation"] == j["c_nation"]]
+        g = j.groupby("s_nation", as_index=False)["revenue_cents"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def files_of(d: str) -> dict[int, list]:
+        out: dict[int, list] = {}
+        for f in glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True):
+            for part in f.split(os.sep):
+                if part.startswith("bucket="):
+                    out.setdefault(int(part.split("=")[1]), []).append(f)
+        return out
+
+    li_map, od_map = files_of(li_dir), files_of(od_dir)
+    parts = ray.get(
+        [
+            join_bucket.remote(li_map[b], od_map.get(b, []))
+            for b in sorted(li_map)
+            if od_map.get(b)
+        ]
+    )
+    merged = pa.concat_tables(parts).to_pandas()
+    out = merged.groupby("s_nation", as_index=False)["revenue_cents"].sum()
+    out["n_name"] = out["s_nation"].map(nation_names)
+    out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
+    out = out.sort_values(
+        ["revenue_cents", "n_name"], ascending=[False, True]
+    ).reset_index(drop=True)
+    return out[["n_name", "revenue_cents"]]
+
+
+LOCAL_SUPPLIER_REVENUE_Q5_SQL = f"""
+SELECT n.n_name,
+  CAST(sum(CAST(floor(l.l_extendedprice*(1.0::DOUBLE - l.l_discount)*100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey
+  AND r.r_name = '{Q5_REGION}'
+  AND o.o_orderdate >= TIMESTAMP '{Q5_YEAR_START} 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '{Q5_YEAR_END} 00:00:00'
+GROUP BY n.n_name
+ORDER BY revenue_cents DESC, n.n_name
+"""
