@@ -201,6 +201,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SUM() OVER (PARTITION BY user ORDER BY ts) window shape: one
         # shard exchange + vectorized grouped cumsum per shard
         "events_running_value": events.events_running_value,
+        # boolean AND/NOT retrieval over the pages index (conjunctive
+        # DAAT with exclusions; stored golden = serial set-algebra
+        # oracle over the fixed corpus)
+        "pages_boolean_search": fulltext.pages_boolean_search,
     }
 
 
@@ -291,4 +295,5 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority_q3": relational.SHIPPING_PRIORITY_Q3_SQL,
         "local_supplier_revenue_q5": relational.LOCAL_SUPPLIER_REVENUE_Q5_SQL,
         "events_running_value": events.EVENTS_RUNNING_VALUE_SQL,
+        "pages_boolean_search": pages_golden.PAGES_BOOLEAN_SEARCH_SQL,
     }

@@ -426,7 +426,13 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "events_props_stats": events.events_props_stats,
         "ann_cosine_topk_filtered": ann.ann_cosine_topk_filtered,
         "hybrid_search_rrf": fulltext.hybrid_search_rrf,
+        "shipping_priority_q3": relational.shipping_priority_q3,
+        "local_supplier_revenue_q5": relational.local_supplier_revenue_q5,
+        "events_running_value": events.events_running_value,
     }
+    # cold-time the Q5 bucketed layout write too (same convention as the
+    # cache rmtree above)
+    shutil.rmtree("/tmp/myaku_ray_join_q5", ignore_errors=True)
     import pandas as pd
     import pyarrow as pa
 

@@ -224,6 +224,27 @@ def pages_search_topk(sf_dir: str, k: int = 10):
     return pd.DataFrame(rows)
 
 
+def pages_boolean_search(sf_dir: str, k: int = 10):
+    """Boolean AND/NOT retrieval over the pages index: docs containing
+    every must term and none of the ``-``-prefixed terms, BM25-summed
+    over the must terms — the conjunctive query type the OR-by-default
+    WAND path doesn't express (Searcher.boolean_topk).  Ranked rows for
+    the corpus-derived boolean query set; stored golden = the serial
+    set-algebra oracle (oracle.oracle_boolean_topk)."""
+    from myaku_ray.oracle import boolean_query_set
+
+    s = _pages_searcher()
+    rows = {"query": [], "rank": [], "doc_id": [], "score": [], "url": []}
+    for q in boolean_query_set(_pages_dir()):
+        for rank, r in enumerate(s.boolean_search(q, k), start=1):
+            rows["query"].append(q)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r.doc_id)
+            rows["score"].append(round(r.score, 5))
+            rows["url"].append(r.url)
+    return pd.DataFrame(rows)
+
+
 def pages_search_altforms(sf_dir: str, k: int = 10):
     """Alt-form search over the pages index: the QueryType semantics the
     reference reserves but never implements (DEFINITE_ALT_FORMS /

@@ -979,6 +979,81 @@ class Searcher:
             for (d, s, w) in _ph.near_topk(self, query_str, window, k)
         ]
 
+    # -- boolean retrieval (AND / NOT) -------------------------------------
+
+    def _boolean_terms(self, query_str: str) -> tuple[list[str], list[str]]:
+        """Parse ``a b -c`` into (must_terms, not_terms): whitespace
+        tokens, a leading ``-`` marks exclusion; each token then runs
+        through the ordinary query analyzer (width-normalize + lemma
+        tokenize), so multi-term tokens contribute every term."""
+        must: list[str] = []
+        nots: list[str] = []
+        seen_m: set = set()
+        seen_n: set = set()
+        for token in query_str.split():
+            neg = token.startswith("-") and len(token) > 1
+            body = token[1:] if neg else token
+            for t in self.analyze_query(body):
+                if neg:
+                    if t not in seen_n:
+                        seen_n.add(t)
+                        nots.append(t)
+                elif t not in seen_m:
+                    seen_m.add(t)
+                    must.append(t)
+        return must, nots
+
+    def boolean_topk(self, query_str: str, k: int = 10) -> list[SearchResult]:
+        """Conjunctive search with exclusions: docs containing EVERY
+        must term and NONE of the ``-``-prefixed terms, scored as the
+        BM25 sum over the must terms, ranked (score, warc_us, doc_id)
+        DESC — the AND/NOT query type the OR-by-default WAND path
+        doesn't express.  All-array lists intersect vectorized
+        rarest-first; any list above DECODE_LIMIT streams through the
+        same DAAT loop with O(1) memory per list (no full-term decode)."""
+        memo_key = ("bool", query_str, k)
+        cached = self._query_memo.get(memo_key)
+        if cached is not None:
+            return [
+                SearchResult(doc_id=d, score=s, warc_us=w)
+                for (d, s, w) in cached
+            ]
+        must_terms, not_terms = self._boolean_terms(query_str)
+        out: list[SearchResult] = []
+        if must_terms and not (set(must_terms) & set(not_terms)):
+            iters = {}
+            for t in must_terms:
+                it = self.term_iterator(t)
+                if it is None:
+                    iters = None
+                    break
+                iters[t] = it
+            if iters is not None:
+                nots = [
+                    it
+                    for it in (self.term_iterator(t) for t in not_terms)
+                    if it is not None
+                ]
+                from myaku_ray.index.wand import boolean_topk as _boolean
+
+                out = [
+                    SearchResult(doc_id=d, score=s, warc_us=w)
+                    for (d, s, w) in _boolean(iters, nots, k)
+                ]
+        if len(self._query_memo) >= self._query_memo_cap:
+            self._query_memo.pop(next(iter(self._query_memo)))
+        self._query_memo[memo_key] = [
+            (r.doc_id, r.score, r.warc_us) for r in out
+        ]
+        return out
+
+    def boolean_search(self, query_str: str, k: int = 10) -> list[SearchResult]:
+        # hydrate/preview against the positive terms only
+        positive = " ".join(
+            tok for tok in query_str.split() if not tok.startswith("-")
+        )
+        return self.hydrate(self.boolean_topk(query_str, k), positive)
+
     def count(self, query_str: str, query_type: str = "exact") -> int:
         """Total matching docs (docs containing >= 1 query term) — the
         reference's per-query article count (index_search.py:52-66)."""

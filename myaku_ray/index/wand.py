@@ -125,3 +125,115 @@ def wand_topk(term_iters: dict, k: int) -> list[tuple[int, float, int]]:
 
     ranked = sorted(heap, reverse=True)
     return [(d, s, w) for (s, w, d) in ranked]
+
+
+# ---------------------------------------------------------------------------
+# Boolean retrieval: conjunctive (AND) top-k with exclusions (NOT)
+# ---------------------------------------------------------------------------
+
+def _member_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Membership mask of ``a``'s elements in SORTED-unique ``b``."""
+    if len(b) == 0:
+        return np.zeros(len(a), dtype=bool)
+    pos = np.searchsorted(b, a)
+    pos[pos == len(b)] = 0
+    return b[pos] == a
+
+
+def array_boolean_topk(
+    must: dict, nots: list, k: int
+) -> list[tuple[int, float, int]]:
+    """Vectorized AND/NOT top-k when every list is array-backed.
+
+    Intersection runs rarest-list-first (candidate set only shrinks);
+    score accumulation over the survivors runs in SORTED term order
+    (deterministic float64 summation, the array_topk convention)."""
+    terms = sorted(must)
+    by_df = sorted(terms, key=lambda t: must[t].n)
+    cand = must[by_df[0]].ids
+    for t in by_df[1:]:
+        cand = cand[_member_sorted(cand, must[t].ids)]
+        if len(cand) == 0:
+            return []
+    for nit in nots:
+        cand = cand[~_member_sorted(cand, nit.ids)]
+        if len(cand) == 0:
+            return []
+    acc = np.zeros(len(cand), dtype=np.float64)
+    warc = np.zeros(len(cand), dtype=np.uint64)
+    for t in terms:
+        it = must[t]
+        idx = np.searchsorted(it.ids, cand)
+        acc += it.scores[idx].astype(np.float64)
+        warc = it.warc[idx]
+    order = np.lexsort((cand, warc, acc))[::-1][:k]
+    return [(int(cand[i]), float(acc[i]), int(warc[i])) for i in order]
+
+
+def stream_boolean_topk(
+    must: dict, nots: list, k: int
+) -> list[tuple[int, float, int]]:
+    """Document-at-a-time AND/NOT over posting iterators (any mix of
+    array-backed and streaming block iterators — both expose
+    doc_id/seek/next/score/warc_us/exhausted).  Memory is O(1) per list:
+    no term's postings are ever concatenated.  The conjunction itself is
+    the skip structure — every iterator seeks to the current alignment
+    candidate, so a rare term drags the common ones through their block
+    metadata without decoding skipped blocks."""
+    import heapq
+
+    its = [must[t] for t in sorted(must)]
+    if any(it.exhausted for it in its):
+        return []
+    heap: list[tuple[float, int, int]] = []
+    doc = max(it.doc_id() for it in its)
+    while True:
+        aligned = True
+        for it in its:
+            if it.doc_id() < doc:
+                it.seek(doc)
+                if it.exhausted:
+                    return _ranked(heap)
+            if it.doc_id() > doc:
+                doc = it.doc_id()
+                aligned = False
+        if not aligned:
+            continue
+        excluded = False
+        for nit in nots:
+            if nit.exhausted:
+                continue
+            if nit.doc_id() < doc:
+                nit.seek(doc)
+            if not nit.exhausted and nit.doc_id() == doc:
+                excluded = True
+        if not excluded:
+            score = 0.0
+            warc = 0
+            for it in its:  # sorted-term order (its is term-sorted)
+                score += it.score()
+                warc = it.warc_us()
+            key = (score, warc, doc)
+            if len(heap) < k:
+                heapq.heappush(heap, key)
+            elif key > heap[0]:
+                heapq.heapreplace(heap, key)
+        its[0].next()
+        if its[0].exhausted:
+            return _ranked(heap)
+        doc = its[0].doc_id()
+
+
+def _ranked(heap: list) -> list[tuple[int, float, int]]:
+    return [(d, s, w) for (s, w, d) in sorted(heap, reverse=True)]
+
+
+def boolean_topk(must: dict, nots: list, k: int):
+    """Dispatch: all-array fast path, else streaming DAAT."""
+    from myaku_ray.index.codec import ArrayPostings
+
+    if all(isinstance(it, ArrayPostings) for it in must.values()) and all(
+        isinstance(it, ArrayPostings) for it in nots
+    ):
+        return array_boolean_topk(must, nots, k)
+    return stream_boolean_topk(must, nots, k)

@@ -553,3 +553,69 @@ def altform_query_set() -> list[str]:
         free,
         clean[1] + "の" + free,
     ]
+
+
+def oracle_boolean_topk(index: OracleIndex, query_str: str, k: int = 10):
+    """Serial reference for ``Searcher.boolean_topk``: AND over must
+    terms / NOT over ``-``-prefixed terms via Python set algebra over
+    the oracle postings (independent mechanism from the engine's
+    searchsorted-intersection / DAAT loop), scored and ranked by the
+    shared ``_score_docs`` rank key."""
+    must: list[str] = []
+    nots: list[str] = []
+    for token in query_str.split():
+        neg = token.startswith("-") and len(token) > 1
+        body = token[1:] if neg else token
+        for t in analyze_query(body):
+            target = nots if neg else must
+            if t not in target:
+                target.append(t)
+    if not must or (set(must) & set(nots)):
+        return []
+    docsets = []
+    for t in must:
+        s = {d for d, _tf in index.postings.get(t, [])}
+        if not s:
+            return []
+        docsets.append(s)
+    docs = set.intersection(*docsets)
+    for t in nots:
+        docs -= {d for d, _tf in index.postings.get(t, [])}
+    return _score_docs(index, must, sorted(docs))[:k]
+
+
+def boolean_query_set(pages_parquet: str) -> list[str]:
+    """Deterministic AND/NOT queries derived from the FIXED corpus in
+    URL order (content-stable, the phrase/near derivation rule): two
+    co-occurring terms (guaranteed hits), a 3-term AND, the same AND
+    minus docs containing a third co-occurring term, a nonsense NOT
+    (no-op exclusion), a nonsense MUST (empty), and a contradiction
+    (empty)."""
+    tok = get_tokenizer()
+    texts = _first_texts(pages_parquet, want=1, min_len=200)
+    if not texts:
+        return []
+    seen: dict[str, None] = {}
+    for t in tok.tokenize(texts[0]):
+        if len(t.base_form) > 1:
+            seen.setdefault(t.base_form, None)
+    bases = list(seen)
+    if len(bases) < 4:
+        return []
+    b0, b1, b2, b3 = bases[:4]
+    # the doc's two highest-tf terms (ties by term) — common corpus-wide,
+    # so their AND has a candidate set well past k and the NOT prunes
+    # partially instead of to zero
+    tfs = tok.find_term_tfs(texts[0])
+    m0, m1 = [t for _, t in sorted(((-c, t) for t, c in tfs.items()))[:2]]
+    return [
+        f"{b0} {b1}",
+        f"{b0} {b1} {b3}",
+        f"{b0} {b1} -{b2}",
+        f"{b0} -ぬりぺちら",
+        f"{b0} {b1} ぬりぺちら",
+        f"{b0} -{b0}",
+        f"{m0} {m1}",
+        f"{m0} {m1} -{b0}",
+        f"{m0} -{b0}",
+    ]

@@ -203,6 +203,29 @@ def main() -> None:
         + '\n) AS golden(query, rank, suggestion, dist, df)'
     )
 
+    # ---- boolean AND/NOT golden (serial set-algebra oracle) ------------
+    from myaku_ray.oracle import boolean_query_set, oracle_boolean_topk
+
+    bool_rows = []
+    for q in boolean_query_set(pages_dir):
+        for rank, (doc_id, score, _w) in enumerate(
+            oracle_boolean_topk(oi, q, k=10), start=1
+        ):
+            bool_rows.append(
+                (q, rank, doc_id, round(float(score), 5),
+                 oi.docs[doc_id]["url"])
+            )
+    bool_values = ",\n  ".join(
+        f"({_sql_str(q)}, {rank}::BIGINT, {doc_id}::BIGINT, "
+        f"{score!r}::DOUBLE, {_sql_str(url)})"
+        for q, rank, doc_id, score, url in bool_rows
+    )
+    bool_sql = (
+        "SELECT * FROM (VALUES\n  "
+        + bool_values
+        + "\n) AS golden(query, rank, doc_id, score, url)"
+    )
+
     # ---- FLI interp profile golden (serial tokenizer pass) -------------
     # Mirrors fulltext.pages_fli_interp_profile: same "interesting" filter
     # (multi-interp or meta-phrase) and the same struct shaping FliStage
@@ -261,13 +284,15 @@ def main() -> None:
             f"PAGES_PHRASE_SEARCH_SQL = '''\n{phrase_sql}\n'''\n\n"
             f"PAGES_NEAR_SEARCH_SQL = '''\n{near_sql}\n'''\n\n"
             f"PAGES_TERM_TREND_SQL = '''\n{trend_sql}\n'''\n\n"
-            f"PAGES_SUGGEST_SQL = '''\n{sug_sql}\n'''\n"
+            f"PAGES_SUGGEST_SQL = '''\n{sug_sql}\n'''\n\n"
+            f"PAGES_BOOLEAN_SEARCH_SQL = '''\n{bool_sql}\n'''\n"
         )
     print(
         f"wrote {out}: {len(stats)} stats rows, {len(rows)} search rows, "
         f"{len(alt_rows)} altform rows, {len(prof)} interp-profile rows, "
         f"{len(phrase_rows)} phrase rows, {len(near_rows)} near rows, "
-        f"{len(trend_rows)} trend rows, {len(sug_rows)} suggest rows"
+        f"{len(trend_rows)} trend rows, {len(sug_rows)} suggest rows, "
+        f"{len(bool_rows)} boolean rows"
     )
 
 
