@@ -205,6 +205,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DAAT with exclusions; stored golden = serial set-algebra
         # oracle over the fixed corpus)
         "pages_boolean_search": fulltext.pages_boolean_search,
+        # TPC-H Q9 shape: part-filtered profit per (nation, order year)
+        # — dim broadcasts into the lineitem scan, bucketed co-partition
+        # join for the orderkey->year attach
+        "part_type_profit_q9": relational.part_type_profit_q9,
     }
 
 
@@ -296,4 +300,5 @@ def oracle_sql() -> dict[str, str]:
         "local_supplier_revenue_q5": relational.LOCAL_SUPPLIER_REVENUE_Q5_SQL,
         "events_running_value": events.EVENTS_RUNNING_VALUE_SQL,
         "pages_boolean_search": pages_golden.PAGES_BOOLEAN_SEARCH_SQL,
+        "part_type_profit_q9": relational.PART_TYPE_PROFIT_Q9_SQL,
     }

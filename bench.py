@@ -428,11 +428,13 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "hybrid_search_rrf": fulltext.hybrid_search_rrf,
         "shipping_priority_q3": relational.shipping_priority_q3,
         "local_supplier_revenue_q5": relational.local_supplier_revenue_q5,
+        "part_type_profit_q9": relational.part_type_profit_q9,
         "events_running_value": events.events_running_value,
     }
-    # cold-time the Q5 bucketed layout write too (same convention as the
-    # cache rmtree above)
+    # cold-time the Q5/Q9 bucketed layout writes too (same convention as
+    # the cache rmtree above)
     shutil.rmtree("/tmp/myaku_ray_join_q5", ignore_errors=True)
+    shutil.rmtree("/tmp/myaku_ray_join_q9", ignore_errors=True)
     import pandas as pd
     import pyarrow as pa
 

@@ -661,3 +661,167 @@ WHERE c.c_nationkey = s.s_nationkey
 GROUP BY n.n_name
 ORDER BY revenue_cents DESC, n.n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# Part-filtered profit rollup (TPC-H Q9 shape): lineitem ⋈ part ⋈
+# supplier ⋈ orders, grouped by (nation, order-year)
+# ---------------------------------------------------------------------------
+
+Q9_PART_TYPE = "ECONOMY"
+
+
+def part_type_profit_q9(sf_dir: str):
+    """TPC-H Q9 analog: profit per (supplier nation, order year) for
+    parts of one type.
+
+    Same physical plan family as Q5: the part filter and the
+    supplier→nation attach are dimension-side broadcasts applied inside
+    the lineitem scan (the filtered-partkey set is ~1/6 of part — the
+    documented broadcast-limit switch applies past ~1e8 keys); the
+    orderkey→year attach is fact-sided, so both fact tables are written
+    once hive-partitioned by ``orderkey % B`` (lineitem leaves the scan
+    as per-(orderkey, nation) profit partials, orders as (orderkey,
+    year) pairs) and one task per bucket joins co-located slices.  No
+    groupby all-to-all ever sees a raw lineitem row.
+    """
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nation_names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    import pyarrow.dataset as pads
+
+    pk = pads.dataset(f"{sf_dir}/part.parquet").to_table(
+        columns=["p_partkey"], filter=pads.field("p_type") == Q9_PART_TYPE
+    )
+    partkeys = np.sort(pk["p_partkey"].to_numpy(zero_copy_only=False))
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas().sort_values("s_suppkey")
+    s_keys = supp["s_suppkey"].to_numpy()
+    s_nat = supp["s_nationkey"].to_numpy().astype(np.int32)
+    pk_ref = ray.put(partkeys)
+    s_ref = ray.put((s_keys, s_nat))
+
+    key = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    root = f"/tmp/myaku_ray_join_q9/{key}_{JOIN_BUCKETS}"
+    li_dir, od_dir = f"{root}/lineitem", f"{root}/orders"
+    marker = f"{root}/_SUCCESS"
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+
+        def li_prep(batch: pa.Table) -> pa.Table:
+            pks = ray.get(pk_ref)
+            skeys, snat = ray.get(s_ref)
+            lpk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+            if len(pks) == 0:
+                keep = np.zeros(len(lpk), dtype=bool)
+            else:
+                pos = np.searchsorted(pks, lpk)
+                pos[pos == len(pks)] = 0
+                keep = pks[pos] == lpk
+            batch = batch.filter(pa.array(keep))
+            sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+            nat = snat[np.searchsorted(skeys, sk)]
+            ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+            df = pd.DataFrame(
+                {
+                    "l_orderkey": ok,
+                    "nation": nat,
+                    "profit_cents": _cents(price * (1.0 - disc)),
+                }
+            )
+            g = df.groupby(["l_orderkey", "nation"], as_index=False)[
+                "profit_cents"
+            ].sum()
+            g["bucket"] = (g["l_orderkey"] % JOIN_BUCKETS).astype(np.int32)
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        def od_prep(batch: pa.Table) -> pa.Table:
+            od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+            year = od.astype("datetime64[Y]").astype(np.int64) + 1970
+            keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "o_orderkey": batch["o_orderkey"],
+                    "o_year": pa.array(year.astype(np.int32)),
+                    "bucket": pa.array((keys % JOIN_BUCKETS).astype(np.int32)),
+                }
+            )
+
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_orderkey", "l_partkey", "l_suppkey",
+                "l_extendedprice", "l_discount",
+            ],
+        ).map_batches(li_prep, batch_format="pyarrow").write_parquet(
+            li_dir, partition_cols=["bucket"]
+        )
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate"],
+        ).map_batches(od_prep, batch_format="pyarrow").write_parquet(
+            od_dir, partition_cols=["bucket"]
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    @ray.remote
+    def join_bucket(li_files: list, od_files: list) -> pa.Table:
+        import pyarrow.parquet as pqq
+
+        li_t = pa.concat_tables([pqq.read_table(f) for f in li_files]).to_pandas()
+        od_t = pa.concat_tables([pqq.read_table(f) for f in od_files]).to_pandas()
+        j = li_t.merge(od_t, left_on="l_orderkey", right_on="o_orderkey")
+        g = j.groupby(["nation", "o_year"], as_index=False)["profit_cents"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def files_of(d: str) -> dict[int, list]:
+        out: dict[int, list] = {}
+        for f in glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True):
+            for part in f.split(os.sep):
+                if part.startswith("bucket="):
+                    out.setdefault(int(part.split("=")[1]), []).append(f)
+        return out
+
+    li_map, od_map = files_of(li_dir), files_of(od_dir)
+    parts = ray.get(
+        [
+            join_bucket.remote(li_map[b], od_map.get(b, []))
+            for b in sorted(li_map)
+            if od_map.get(b)
+        ]
+    )
+    merged = pa.concat_tables(parts).to_pandas()
+    out = merged.groupby(["nation", "o_year"], as_index=False)[
+        "profit_cents"
+    ].sum()
+    out["n_name"] = out["nation"].map(nation_names)
+    out["o_year"] = out["o_year"].astype(np.int32)
+    out["profit_cents"] = out["profit_cents"].astype(np.int64)
+    out = out.sort_values(["n_name", "o_year"]).reset_index(drop=True)
+    return out[["n_name", "o_year", "profit_cents"]]
+
+
+PART_TYPE_PROFIT_Q9_SQL = f"""
+SELECT n.n_name,
+  CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+  CAST(sum(CAST(floor(l.l_extendedprice*(1.0::DOUBLE - l.l_discount)*100.0 + 0.5) AS BIGINT)) AS BIGINT) AS profit_cents
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_type = '{Q9_PART_TYPE}'
+GROUP BY n.n_name, o_year
+ORDER BY n.n_name, o_year
+"""

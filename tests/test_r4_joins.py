@@ -190,3 +190,26 @@ def test_events_running_value_matches_duckdb(ray_session):
     pd.testing.assert_series_equal(
         finals.sort_index(), totals.sort_index(), check_names=False
     )
+
+
+def test_part_type_profit_q9_matches_duckdb(ray_session):
+    import os
+    import shutil
+
+    from myaku_ray.functions.relational import (
+        JOIN_BUCKETS,
+        PART_TYPE_PROFIT_Q9_SQL,
+        part_type_profit_q9,
+    )
+
+    key = os.path.abspath(SF).strip("/").replace("/", "_")
+    shutil.rmtree(f"/tmp/myaku_ray_join_q9/{key}_{JOIN_BUCKETS}", ignore_errors=True)
+    got = _match(
+        part_type_profit_q9(SF),
+        PART_TYPE_PROFIT_Q9_SQL,
+        SF,
+        ["n_name", "o_year"],
+        tables=TABLES + ["part"],
+    )
+    assert len(got) > 0
+    assert (got["profit_cents"] > 0).all()
