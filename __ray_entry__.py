@@ -209,6 +209,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # — dim broadcasts into the lineitem scan, bucketed co-partition
         # join for the orderkey->year attach
         "part_type_profit_q9": relational.part_type_profit_q9,
+        # index-native facet counts per doc source over each query's
+        # matched set (doc_id->source sidecar, one searchsorted)
+        "pages_search_facets": fulltext.pages_search_facets,
     }
 
 
@@ -301,4 +304,5 @@ def oracle_sql() -> dict[str, str]:
         "events_running_value": events.EVENTS_RUNNING_VALUE_SQL,
         "pages_boolean_search": pages_golden.PAGES_BOOLEAN_SEARCH_SQL,
         "part_type_profit_q9": relational.PART_TYPE_PROFIT_Q9_SQL,
+        "pages_search_facets": pages_golden.PAGES_SEARCH_FACETS_SQL,
     }

@@ -325,6 +325,20 @@ def bench_phrase_serving(
             t0 = time.time()
             s.phrase_topk(q, 10)
             warm_ph.append((time.time() - t0) * 1000)
+    # boolean AND/NOT serving latency (query-memoized, so warm = memo)
+    from myaku_ray.oracle import boolean_query_set
+
+    bools = boolean_query_set(corpus_dir)
+    cold_bl, warm_bl = [], []
+    for q in bools:
+        t0 = time.time()
+        s.boolean_topk(q, 10)
+        cold_bl.append((time.time() - t0) * 1000)
+    for _ in range(QUERY_REPEATS):
+        for q in bools:
+            t0 = time.time()
+            s.boolean_topk(q, 10)
+            warm_bl.append((time.time() - t0) * 1000)
     preview = {}
     if plain_index is not None:
         from myaku_ray.oracle import reference_query_set
@@ -369,6 +383,10 @@ def bench_phrase_serving(
         "phrase_warm_p50_ms": round(_st.median(warm_ph), 2),
         "near_cold_p50_ms": round(_st.median(cold_nr), 2) if cold_nr else None,
         "near_cold_max_ms": round(max(cold_nr), 2) if cold_nr else None,
+        "n_bools": len(bools),
+        "bool_cold_p50_ms": round(_st.median(cold_bl), 2) if cold_bl else None,
+        "bool_cold_max_ms": round(max(cold_bl), 2) if cold_bl else None,
+        "bool_warm_p50_ms": round(_st.median(warm_bl), 2) if warm_bl else None,
         "phrase_qps": round(len(pqs) / phrase_qps_wall, 1),
         "phrase_qps_capacity": round(phrase_qps_capacity, 1),
         "phrase_qps_n": len(pqs),

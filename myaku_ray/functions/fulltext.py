@@ -245,6 +245,24 @@ def pages_boolean_search(sf_dir: str, k: int = 10):
     return pd.DataFrame(rows)
 
 
+def pages_search_facets(sf_dir: str):
+    """Index-native faceted search: matched-doc counts per doc source
+    for each reference query — computed from the count() matched set
+    and a doc_id->source sidecar (one vectorized searchsorted; no doc
+    text read).  Stored golden = serial union-postings + meta-source
+    count (oracle.oracle_facets)."""
+    from myaku_ray.oracle import reference_query_set
+
+    s = _pages_searcher()
+    rows = {"query": [], "source": [], "n_docs": []}
+    for q in reference_query_set():
+        for src_name, n in s.facets(q):
+            rows["query"].append(q)
+            rows["source"].append(src_name)
+            rows["n_docs"].append(n)
+    return pd.DataFrame(rows)
+
+
 def pages_search_altforms(sf_dir: str, k: int = 10):
     """Alt-form search over the pages index: the QueryType semantics the
     reference reserves but never implements (DEFINITE_ALT_FORMS /

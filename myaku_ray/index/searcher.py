@@ -454,6 +454,7 @@ class Searcher:
         self._phrase_tp_postings = 0
         self._phrase_sub_bytes = 0
         self._suggest_state = None  # vocab map derives from df/ contents
+        self._facet_state = None  # sidecar derives from docs/ contents
 
     def term_iterator(self, term: str):
         cached = self._term_arrays.get(term)
@@ -1054,9 +1055,9 @@ class Searcher:
         )
         return self.hydrate(self.boolean_topk(query_str, k), positive)
 
-    def count(self, query_str: str, query_type: str = "exact") -> int:
-        """Total matching docs (docs containing >= 1 query term) — the
-        reference's per-query article count (index_search.py:52-66)."""
+    def _matched_ids(self, query_str: str, query_type: str = "exact"):
+        """Sorted unique doc_ids containing >= 1 query term (the count()
+        / facets() matched-set contract)."""
         import numpy as np
 
         from myaku_ray.lexicon import expand_alt_forms
@@ -1080,5 +1081,79 @@ class Searcher:
                     it.next()
                 parts.append(np.asarray(ids, dtype=np.int64))
         if not parts:
-            return 0
-        return int(len(np.unique(np.concatenate(parts))))
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(parts))
+
+    def count(self, query_str: str, query_type: str = "exact") -> int:
+        """Total matching docs (docs containing >= 1 query term) — the
+        reference's per-query article count (index_search.py:52-66)."""
+        return int(len(self._matched_ids(query_str, query_type)))
+
+    # -- faceted search ----------------------------------------------------
+
+    def _docs_fingerprint(self) -> tuple:
+        """Sorted (name, mtime) of the docs store's parquet files — the
+        facet sidecar's staleness key (its read path never touches
+        segments, so the segment-mutation probe can't cover it; same
+        rule as the suggest map's df fingerprint)."""
+        docs_dir = os.path.join(self.index_dir, "docs")
+        try:
+            return tuple(
+                sorted(
+                    (f, os.path.getmtime(os.path.join(docs_dir, f)))
+                    for f in os.listdir(docs_dir)
+                    if f.endswith(".parquet")
+                )
+            )
+        except FileNotFoundError:
+            return ()
+
+    def _facet_arrays(self):
+        """Lazy doc_id -> source-code sidecar: sorted doc_id int64 array
+        + uint8 codes + the code -> name table, built from the docs
+        store's (doc_id, source) columns only.  ~9 B/doc resident — fine
+        to ~1e9 docs per serving process; past that the same counting
+        runs as a map_batches over the docs files with the matched-id
+        set broadcast (facets are additive per file)."""
+        import numpy as np
+
+        fp = self._docs_fingerprint()
+        state = getattr(self, "_facet_state", None)
+        if state is None or state[0] != fp:
+            docs_dir = os.path.join(self.index_dir, "docs")
+            tbl = pads.dataset(docs_dir, format="parquet").to_table(
+                columns=["doc_id", "source"]
+            )
+            ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+            src = tbl["source"].to_numpy(zero_copy_only=False)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            names, codes = np.unique(src[order], return_inverse=True)
+            state = (fp, ids, codes.astype(np.uint8), [str(n) for n in names])
+            self._facet_state = state
+        return state[1], state[2], state[3]
+
+    def facets(
+        self, query_str: str, query_type: str = "exact"
+    ) -> list[tuple[str, int]]:
+        """Matched-doc counts per doc ``source`` — index-native facet
+        aggregation over the count() matched set (union of query-term
+        postings), ranked (count DESC, source ASC).  One vectorized
+        searchsorted against the sidecar; no doc text is read."""
+        import numpy as np
+
+        matched = self._matched_ids(query_str, query_type)
+        if len(matched) == 0:
+            return []
+        ids, codes, names = self._facet_arrays()
+        if len(ids) == 0:
+            return []
+        pos = np.searchsorted(ids, matched)
+        pos[pos == len(ids)] = 0
+        valid = ids[pos] == matched
+        counts = np.bincount(codes[pos[valid]], minlength=len(names))
+        out = [
+            (names[i], int(counts[i])) for i in range(len(names)) if counts[i]
+        ]
+        out.sort(key=lambda kv: (-kv[1], kv[0]))
+        return out

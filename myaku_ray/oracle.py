@@ -81,6 +81,7 @@ def build_oracle_index(
                 "hash": text_hash(er.text),
                 "quality": quality,
                 "warc_us": warc_us_col[i],
+                "source": er.source,
             }
         )
 
@@ -106,6 +107,7 @@ def build_oracle_index(
             "warc_us": d["warc_us"],
             "url": d["url"],
             "text": d["text"],
+            "source": d["source"],
         }
         for it in items:
             postings.setdefault(it["term"], []).append((d["doc_id"], it["tf"]))
@@ -619,3 +621,25 @@ def boolean_query_set(pages_parquet: str) -> list[str]:
         f"{m0} {m1} -{b0}",
         f"{m0} -{b0}",
     ]
+
+
+def oracle_facets(
+    index: OracleIndex, query_str: str, query_type: str = "exact"
+) -> list[tuple[str, int]]:
+    """Serial reference for ``Searcher.facets``: matched docs = union of
+    the query terms' postings (the count() contract), counted per doc
+    ``source``, ranked (count DESC, source ASC)."""
+    from collections import Counter
+
+    from myaku_ray.lexicon import expand_alt_forms
+
+    terms = {
+        m
+        for t in analyze_query(query_str)
+        for m in expand_alt_forms(t, query_type)
+    }
+    matched: set = set()
+    for t in terms:
+        matched.update(d for d, _tf in index.postings.get(t, []))
+    counts = Counter(index.docs[d]["source"] for d in matched)
+    return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))

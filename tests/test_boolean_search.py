@@ -122,3 +122,16 @@ def test_boolean_rank_parity_on_built_index(ray_session, tmp_path):
         assert eng == ora, f"query {q!r}: engine {eng} != oracle {ora}"
         n_nonempty += bool(eng)
     assert n_nonempty >= 3  # the set exercises real hits, not just empties
+
+    # faceted search over the same built index: engine sidecar counts ==
+    # serial union-postings counts, and they partition the count() total
+    from myaku_ray.oracle import oracle_facets, reference_query_set
+
+    n_facet_hits = 0
+    for q in reference_query_set():
+        eng_f = s.facets(q)
+        ora_f = oracle_facets(oracle, q)
+        assert eng_f == ora_f, f"facets {q!r}: {eng_f} != {ora_f}"
+        assert sum(n for _, n in eng_f) == s.count(q)
+        n_facet_hits += bool(eng_f)
+    assert n_facet_hits >= 3

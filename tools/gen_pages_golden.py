@@ -226,6 +226,23 @@ def main() -> None:
         + "\n) AS golden(query, rank, doc_id, score, url)"
     )
 
+    # ---- facet golden (serial union-postings + meta-source count) ------
+    from myaku_ray.oracle import oracle_facets
+
+    facet_rows = []
+    for q in reference_query_set():
+        for src_name, n in oracle_facets(oi, q):
+            facet_rows.append((q, src_name, n))
+    facet_values = ",\n  ".join(
+        f"({_sql_str(q)}, {_sql_str(src_name)}, {n}::BIGINT)"
+        for q, src_name, n in facet_rows
+    )
+    facet_sql = (
+        "SELECT * FROM (VALUES\n  "
+        + facet_values
+        + "\n) AS golden(query, source, n_docs)"
+    )
+
     # ---- FLI interp profile golden (serial tokenizer pass) -------------
     # Mirrors fulltext.pages_fli_interp_profile: same "interesting" filter
     # (multi-interp or meta-phrase) and the same struct shaping FliStage
@@ -285,14 +302,15 @@ def main() -> None:
             f"PAGES_NEAR_SEARCH_SQL = '''\n{near_sql}\n'''\n\n"
             f"PAGES_TERM_TREND_SQL = '''\n{trend_sql}\n'''\n\n"
             f"PAGES_SUGGEST_SQL = '''\n{sug_sql}\n'''\n\n"
-            f"PAGES_BOOLEAN_SEARCH_SQL = '''\n{bool_sql}\n'''\n"
+            f"PAGES_BOOLEAN_SEARCH_SQL = '''\n{bool_sql}\n'''\n\n"
+            f"PAGES_SEARCH_FACETS_SQL = '''\n{facet_sql}\n'''\n"
         )
     print(
         f"wrote {out}: {len(stats)} stats rows, {len(rows)} search rows, "
         f"{len(alt_rows)} altform rows, {len(prof)} interp-profile rows, "
         f"{len(phrase_rows)} phrase rows, {len(near_rows)} near rows, "
         f"{len(trend_rows)} trend rows, {len(sug_rows)} suggest rows, "
-        f"{len(bool_rows)} boolean rows"
+        f"{len(bool_rows)} boolean rows, {len(facet_rows)} facet rows"
     )
 
 
