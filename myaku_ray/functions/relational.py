@@ -397,9 +397,12 @@ def shipping_priority_q3(sf_dir: str, k: int = 10):
         od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
         batch = batch.filter(pa.array(od < cutoff))
         ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(keys, ck)
-        pos[pos == len(keys)] = 0
-        hit = keys[pos] == ck
+        if len(keys) == 0:
+            hit = np.zeros(len(ck), dtype=bool)
+        else:
+            pos = np.searchsorted(keys, ck)
+            pos[pos == len(keys)] = 0
+            hit = keys[pos] == ck
         return batch.filter(pa.array(hit)).select(
             ["o_orderkey", "o_orderdate", "o_orderpriority"]
         )
@@ -429,9 +432,12 @@ def shipping_priority_q3(sf_dir: str, k: int = 10):
         ship = batch["l_shipdate"].to_numpy(zero_copy_only=False)
         batch = batch.filter(pa.array(ship > cutoff))
         ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(keys, ok)
-        pos[pos == len(keys)] = 0
-        hit = keys[pos] == ok
+        if len(keys) == 0:
+            hit = np.zeros(len(ok), dtype=bool)
+        else:
+            pos = np.searchsorted(keys, ok)
+            pos[pos == len(keys)] = 0
+            hit = keys[pos] == ok
         batch = batch.filter(pa.array(hit))
         ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
         price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)

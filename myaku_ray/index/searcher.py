@@ -1129,7 +1129,10 @@ class Searcher:
             order = np.argsort(ids, kind="stable")
             ids = ids[order]
             names, codes = np.unique(src[order], return_inverse=True)
-            state = (fp, ids, codes.astype(np.uint8), [str(n) for n in names])
+            # uint8 wraps silently past 255 distinct sources — pick the
+            # smallest dtype that actually fits
+            code_dt = np.uint8 if len(names) <= 256 else np.uint32
+            state = (fp, ids, codes.astype(code_dt), [str(n) for n in names])
             self._facet_state = state
         return state[1], state[2], state[3]
 
