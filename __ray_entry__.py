@@ -212,6 +212,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # index-native facet counts per doc source over each query's
         # matched set (doc_id->source sidecar, one searchsorted)
         "pages_search_facets": fulltext.pages_search_facets,
+        # EXACT percentiles with no distributed sort: selection-by-
+        # counting (quickselect) — count pass, deterministic hash-sample
+        # cuts, bucket-count pass, bounded target-bucket pull
+        "events_value_percentiles": events.events_value_percentiles,
     }
 
 
@@ -305,4 +309,5 @@ def oracle_sql() -> dict[str, str]:
         "pages_boolean_search": pages_golden.PAGES_BOOLEAN_SEARCH_SQL,
         "part_type_profit_q9": relational.PART_TYPE_PROFIT_Q9_SQL,
         "pages_search_facets": pages_golden.PAGES_SEARCH_FACETS_SQL,
+        "events_value_percentiles": events.EVENTS_VALUE_PERCENTILES_SQL,
     }

@@ -448,6 +448,7 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "local_supplier_revenue_q5": relational.local_supplier_revenue_q5,
         "part_type_profit_q9": relational.part_type_profit_q9,
         "events_running_value": events.events_running_value,
+        "events_value_percentiles": events.events_value_percentiles,
     }
     # cold-time the Q5/Q9 bucketed layout writes too (same convention as
     # the cache rmtree above)

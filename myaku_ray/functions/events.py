@@ -998,3 +998,154 @@ SELECT event_id, user_id,
              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_value_millis
 FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed percentiles without a sort (quickselect counting passes)
+# ---------------------------------------------------------------------------
+
+PCTL_QS = (0.25, 0.5, 0.9, 0.99)
+PCTL_SAMPLE_TARGET = 4096
+PCTL_CUTS = 256
+# max values pulled to the driver per refinement round; buckets above it
+# recurse with finer cuts instead of materializing
+PCTL_PULL_LIMIT = 5_000_000
+
+
+def events_value_percentiles(sf_dir: str):
+    """EXACT order-statistic percentiles of ``events.value`` with NO
+    distributed sort — the selection-by-counting (quickselect) plan:
+
+    1. one streaming count;
+    2. one streaming deterministic sample (md5(event_id) threshold —
+       row-order-independent) that supplies ~PCTL_SAMPLE_TARGET cut
+       candidates;
+    3. one streaming searchsorted-bincount pass that counts rows per
+       cut bucket, locating each target rank's bucket;
+    4. a bounded pull of ONLY the target buckets (np.partition on the
+       driver); a bucket larger than PCTL_PULL_LIMIT recurses with
+       finer cuts inside its bounds — ties collapse (lo == hi answers
+       immediately), so the loop strictly shrinks.
+
+    Every pass is a map-only scan of one float column; nothing
+    corpus-sized ever crosses an exchange or lands on the driver.
+    Unlike ``doc_length_band``'s integer bincount this makes no range /
+    dtype assumption.  Convention: quantile_disc = ascending order
+    statistic at ceil(q*n)-1 (0-based), pinned against DuckDB."""
+    import math
+
+    from myaku_ray.functions.hashkit import md5_u64
+
+    path = f"{sf_dir}/events.parquet"
+
+    def _vals(columns):
+        return rd.read_parquet(path, columns=columns)
+
+    n = _vals(["value"]).count()
+    if n == 0:
+        return pd.DataFrame({"q": pd.Series(PCTL_QS, dtype="float64"),
+                             "value": pd.Series([None] * len(PCTL_QS), dtype="float64")})
+    # exact streaming min/max so every bound below is finite (one tiny
+    # metadata-or-scan pass)
+    mm = _vals(["value"]).aggregate(
+        rd.aggregate.Min("value"), rd.aggregate.Max("value")
+    )
+    vmin, vmax = float(mm["min(value)"]), float(mm["max(value)"])
+
+    # pass 2: deterministic sample for cut candidates
+    p = min(1.0, PCTL_SAMPLE_TARGET / n)
+    # float rounding can push int(1.0 * (2**64-1)) to 2**64 — clamp
+    thresh = np.uint64(min(int(p * (2**64 - 1)), 2**64 - 1))
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        keep = md5_u64(ids) <= thresh
+        return pa.table({"value": batch["value"].filter(pa.array(keep))})
+
+    sampled = np.sort(
+        _vals(["event_id", "value"])
+        .map_batches(sample, batch_format="pyarrow")
+        .to_pandas()["value"]
+        .to_numpy()
+    )
+
+    ranks = {q: max(0, math.ceil(q * n) - 1) for q in PCTL_QS}
+    # (rank, lo, hi) work items; None bounds = open
+    out: dict[float, float] = {}
+    todo = [(q, ranks[q], vmin - 1.0, vmax, sampled) for q in PCTL_QS]
+
+    while todo:
+        q, rank, lo, hi, samp = todo.pop()
+        # cuts strictly inside (lo, hi); fall back to uniform when the
+        # sample is exhausted inside the bounds
+        inner = samp[(samp > lo) & (samp < hi)]
+        if len(inner) == 0:
+            inner = np.linspace(lo, hi, PCTL_CUTS + 2)[1:-1]
+        cuts = np.unique(inner)[:: max(1, len(np.unique(inner)) // PCTL_CUTS)]
+
+        def bucket_counts(batch: pa.Table, cuts=cuts, lo=lo, hi=hi) -> pa.Table:
+            v = batch["value"].to_numpy(zero_copy_only=False)
+            v = v[(v > lo) & (v <= hi)]
+            # bucket b = values in (cuts[b-1], cuts[b]] — searchsorted
+            # side="left" counts cuts STRICTLY below v, so v == cuts[b]
+            # lands in bucket b (right-inclusive); bucket len(cuts) =
+            # values above the last cut
+            idx = np.searchsorted(cuts, v, side="left")
+            c = np.bincount(idx, minlength=len(cuts) + 1)
+            return pa.table({"bucket": pa.array(np.arange(len(c), dtype=np.int64)),
+                             "n": pa.array(c.astype(np.int64))})
+
+        counts = (
+            _vals(["value"])
+            .map_batches(bucket_counts, batch_format="pyarrow")
+            .to_pandas()
+            .groupby("bucket")["n"]
+            .sum()
+            .reindex(range(len(cuts) + 1), fill_value=0)
+            .to_numpy()
+        )
+        # rank is RELATIVE to values > lo (global rank minus count <= lo)
+        cum = np.cumsum(counts)
+        b = int(np.searchsorted(cum, rank + 1))
+        in_bucket_rank = rank - (int(cum[b - 1]) if b > 0 else 0)
+        blo = lo if b == 0 else float(cuts[b - 1])
+        bhi = float(cuts[b]) if b < len(cuts) else hi
+        bn = int(counts[b])
+        if bn <= PCTL_PULL_LIMIT:
+            def pull(batch: pa.Table, blo=blo, bhi=bhi) -> pa.Table:
+                v = batch["value"].to_numpy(zero_copy_only=False)
+                return pa.table({"value": pa.array(v[(v > blo) & (v <= bhi)])})
+
+            vals = (
+                _vals(["value"]).map_batches(pull, batch_format="pyarrow")
+                .to_pandas()["value"].to_numpy()
+            )
+            out[q] = float(np.partition(vals, in_bucket_rank)[in_bucket_rank])
+        else:
+            # recurse inside the bucket; a fully-tied bucket answers now
+            if blo == bhi or np.nextafter(blo, bhi) == bhi:
+                # no representable value strictly between the bounds:
+                # every remaining row equals bhi
+                out[q] = bhi
+            else:
+                todo.append((q, in_bucket_rank, blo, bhi, samp))
+
+    return pd.DataFrame(
+        {
+            "q": pd.Series(PCTL_QS, dtype="float64"),
+            "value": pd.Series([out[q] for q in PCTL_QS], dtype="float64"),
+        }
+    )
+
+
+EVENTS_VALUE_PERCENTILES_SQL = """
+SELECT q, value FROM (
+  SELECT 0.25::DOUBLE AS q, quantile_disc(value, 0.25) AS value FROM events
+  UNION ALL
+  SELECT 0.5::DOUBLE, quantile_disc(value, 0.5) FROM events
+  UNION ALL
+  SELECT 0.9::DOUBLE, quantile_disc(value, 0.9) FROM events
+  UNION ALL
+  SELECT 0.99::DOUBLE, quantile_disc(value, 0.99) FROM events
+) ORDER BY q
+"""

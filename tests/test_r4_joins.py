@@ -213,3 +213,51 @@ def test_part_type_profit_q9_matches_duckdb(ray_session):
     )
     assert len(got) > 0
     assert (got["profit_cents"] > 0).all()
+
+
+def test_events_value_percentiles_matches_duckdb(ray_session):
+    from myaku_ray.functions.events import (
+        EVENTS_VALUE_PERCENTILES_SQL,
+        events_value_percentiles,
+    )
+
+    got = _match(
+        events_value_percentiles(SF), EVENTS_VALUE_PERCENTILES_SQL, SF, ["q"]
+    )
+    assert len(got) == 4
+    assert got.sort_values("q")["value"].is_monotonic_increasing
+
+
+def test_events_value_percentiles_recursion_and_ties(
+    ray_session, tmp_path, monkeypatch
+):
+    """Tiny pull limit forces the recursion path on a heavy-tie column;
+    the nextafter tie-collapse must answer exactly."""
+    import duckdb
+
+    import myaku_ray.functions.events as ev
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    # one huge tie run around the median + long tails
+    vals = np.concatenate(
+        [
+            np.full(n // 2, 7.77),
+            rng.random(n // 4) * 5,
+            5 + rng.random(n - n // 2 - n // 4) * 500,
+        ]
+    )
+    ids = np.arange(n, dtype=np.int64)
+    pq.write_table(
+        pa.table({"event_id": pa.array(ids), "value": pa.array(vals)}),
+        str(tmp_path / "events.parquet"),
+    )
+    monkeypatch.setattr(ev, "PCTL_PULL_LIMIT", 500)
+    monkeypatch.setattr(ev, "PCTL_SAMPLE_TARGET", 128)
+    got = ev.events_value_percentiles(str(tmp_path)).sort_values("q")
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.sql(ev.EVENTS_VALUE_PERCENTILES_SQL).df().sort_values("q")
+    assert got["value"].tolist() == want["value"].tolist()
