@@ -135,3 +135,49 @@ def test_boolean_rank_parity_on_built_index(ray_session, tmp_path):
         assert sum(n for _, n in eng_f) == s.count(q)
         n_facet_hits += bool(eng_f)
     assert n_facet_hits >= 3
+
+
+@pytest.mark.parametrize("seed", [20, 21, 22])
+def test_stream_path_with_real_block_iterators(seed):
+    """The streaming DAAT path over ENCODED PostingIterators (block
+    headers + seek skipping, not array cursors) must match the
+    array-path result on the same lists."""
+    from myaku_ray.index.codec import PostingIterator, encode_postings
+
+    rng = np.random.default_rng(seed)
+    universe = 8000
+    all_warc = rng.integers(1, 2**40, size=universe).astype(np.uint64)
+
+    def make(n):
+        ids = np.sort(rng.choice(universe, size=n, replace=False)).astype(
+            np.int64
+        )
+        scores = (rng.random(n) * 3).astype(np.float32)
+        tfs = rng.integers(1, 5, size=n).astype(np.uint64)
+        return ids, tfs, scores, all_warc[ids]
+
+    lists = {f"t{t}": make(int(rng.integers(2000, 3500))) for t in range(3)}
+    not_list = make(int(rng.integers(500, 1500)))
+
+    must_arr = {
+        t: ArrayPostings.from_arrays(ids, sc, wc, float(sc.max()))
+        for t, (ids, _tf, sc, wc) in lists.items()
+    }
+    nots_arr = [
+        ArrayPostings.from_arrays(
+            not_list[0], not_list[2], not_list[3], float(not_list[2].max())
+        )
+    ]
+    want = array_boolean_topk(must_arr, nots_arr, 10)
+
+    must_str = {
+        t: PostingIterator(encode_postings(ids, tfs, sc, wc))
+        for t, (ids, tfs, sc, wc) in lists.items()
+    }
+    nots_str = [
+        PostingIterator(
+            encode_postings(not_list[0], not_list[1], not_list[2], not_list[3])
+        )
+    ]
+    got = stream_boolean_topk(must_str, nots_str, 10)
+    assert got == want
