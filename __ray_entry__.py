@@ -216,6 +216,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # counting (quickselect) — count pass, deterministic hash-sample
         # cuts, bucket-count pass, bounded target-bucket pull
         "events_value_percentiles": events.events_value_percentiles,
+        # DSIR-style importance weights toward a target domain: hashed
+        # bag-of-unigram models (bucket-sized, one groupby(f) of B-row
+        # partials), broadcast log-ratio, vectorized per-doc scoring
+        "dsir_importance_weights": textops.dsir_importance_weights,
     }
 
 
@@ -310,4 +314,5 @@ def oracle_sql() -> dict[str, str]:
         "part_type_profit_q9": relational.PART_TYPE_PROFIT_Q9_SQL,
         "pages_search_facets": pages_golden.PAGES_SEARCH_FACETS_SQL,
         "events_value_percentiles": events.EVENTS_VALUE_PERCENTILES_SQL,
+        "dsir_importance_weights": textops.DSIR_IMPORTANCE_SQL,
     }

@@ -1948,3 +1948,122 @@ FROM pr, nn
 JOIN df fa ON fa.term = pr.term_a
 JOIN df fb ON fb.term = pr.term_b
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance_weights(sf_dir: str):
+    """Per-doc hashed-feature importance weight toward a target domain
+    — the DSIR data-selection signal: log p_target(doc) - log p_raw(doc)
+    under bag-of-hashed-unigram models with add-1 smoothing over
+    DSIR_BUCKETS buckets (target domain = lang == DSIR_TARGET_LANG).
+
+    Two streaming passes, same shape as ``doc_unigram_logppl``:
+    (1) per-batch B-sized (feature, raw, target) count partials through
+    ONE groupby(f) of B-row partials — the models are bucket-sized,
+    never vocab- or corpus-sized, which is the point of hashing;
+    (2) the log-ratio vector broadcasts (``ray.put``, B floats) and
+    scoring is vectorized (md5 feature hash of the batch dictionary +
+    per-doc bincount segment sums).  Rounded to 6 decimals so
+    summation-order float noise cannot flip the DuckDB comparison."""
+    from myaku_ray.functions.hashkit import md5_u64_str
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "f": pa.array([], pa.int64()),
+                    "raw_c": pa.array([], pa.int64()),
+                    "tgt_c": pa.array([], pa.int64()),
+                }
+            )
+        doc_idx, codes, tfs, dictionary = _doc_term_tfs(batch)
+        f_of_code = (md5_u64_str(dictionary) % DSIR_BUCKETS).astype(np.int64)
+        f = f_of_code[codes]
+        raw_c = np.bincount(f, weights=tfs, minlength=DSIR_BUCKETS)
+        is_tgt = (
+            batch["lang"].to_numpy(zero_copy_only=False) == DSIR_TARGET_LANG
+        )[doc_idx]
+        tgt_c = np.bincount(
+            f[is_tgt], weights=tfs[is_tgt], minlength=DSIR_BUCKETS
+        )
+        return pa.table(
+            {
+                "f": pa.array(np.arange(DSIR_BUCKETS, dtype=np.int64)),
+                "raw_c": pa.array(raw_c.astype(np.int64)),
+                "tgt_c": pa.array(tgt_c.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("f")
+        .aggregate(
+            Sum("raw_c", alias_name="raw_c"), Sum("tgt_c", alias_name="tgt_c")
+        )
+        .to_pandas()
+        .set_index("f")
+        .reindex(range(DSIR_BUCKETS), fill_value=0)
+    )
+    raw = counts["raw_c"].to_numpy().astype(np.float64)
+    tgt = counts["tgt_c"].to_numpy().astype(np.float64)
+    r = np.log((tgt + 1.0) / (tgt.sum() + DSIR_BUCKETS)) - np.log(
+        (raw + 1.0) / (raw.sum() + DSIR_BUCKETS)
+    )
+    r_ref = ray.put(r)
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "logw_r": pa.array([], pa.float64()),
+                }
+            )
+        rv = ray.get(r_ref)
+        doc_idx, codes, tfs, dictionary = _doc_term_tfs(batch)
+        f_of_code = (md5_u64_str(dictionary) % DSIR_BUCKETS).astype(np.int64)
+        contrib = tfs * rv[f_of_code[codes]]
+        logw = np.bincount(doc_idx, weights=contrib, minlength=batch.num_rows)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "logw_r": pa.array(np.round(logw, 6)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+DSIR_IMPORTANCE_SQL = f"""
+WITH words AS (
+  SELECT doc_id, lang,
+    ('0x' || substr(md5(term), 1, 16))::UBIGINT % {DSIR_BUCKETS} AS f
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+),
+raw AS (SELECT f, count(*)::BIGINT AS c FROM words GROUP BY f),
+tgt AS (SELECT f, count(*)::BIGINT AS c FROM words
+        WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY f),
+tot AS (SELECT (SELECT sum(c) FROM raw) AS R,
+               (SELECT coalesce(sum(c), 0) FROM tgt) AS T),
+ratio AS (
+  SELECT raw.f,
+    ln((coalesce(tgt.c, 0) + 1)::DOUBLE / (tot.T + {DSIR_BUCKETS})) -
+    ln((raw.c + 1)::DOUBLE / (tot.R + {DSIR_BUCKETS})) AS r
+  FROM raw LEFT JOIN tgt USING (f), tot
+)
+SELECT w.doc_id, round(sum(ratio.r), 6) AS logw_r
+FROM words w JOIN ratio ON ratio.f = w.f
+GROUP BY w.doc_id
+"""

@@ -261,3 +261,27 @@ def test_events_value_percentiles_recursion_and_ties(
     )
     want = con.sql(ev.EVENTS_VALUE_PERCENTILES_SQL).df().sort_values("q")
     assert got["value"].tolist() == want["value"].tolist()
+
+
+def test_dsir_importance_weights_match_duckdb_and_separate(ray_session):
+    from myaku_ray.functions.textops import (
+        DSIR_IMPORTANCE_SQL,
+        DSIR_TARGET_LANG,
+        dsir_importance_weights,
+    )
+
+    got = _match(
+        dsir_importance_weights(SF),
+        DSIR_IMPORTANCE_SQL,
+        SF,
+        ["doc_id"],
+        tables=TABLES + ["documents"],
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    assert len(got) == len(docs)
+    j = got.merge(docs, on="doc_id")
+    # the selection signal works: target-domain docs score higher on
+    # average than out-of-domain docs
+    tgt = j.loc[j["lang"] == DSIR_TARGET_LANG, "logw_r"].mean()
+    rest = j.loc[j["lang"] != DSIR_TARGET_LANG, "logw_r"].mean()
+    assert tgt > rest
