@@ -339,6 +339,19 @@ def bench_phrase_serving(
             t0 = time.time()
             s.boolean_topk(q, 10)
             warm_bl.append((time.time() - t0) * 1000)
+    # facet latency: first call pays the doc_id->source sidecar build
+    from myaku_ray.oracle import reference_query_set as _rqs
+
+    fqs = _rqs()
+    t0 = time.time()
+    s.facets(fqs[0])
+    facet_build_ms = (time.time() - t0) * 1000
+    warm_fc = []
+    for _ in range(QUERY_REPEATS):
+        for q in fqs:
+            t0 = time.time()
+            s.facets(q)
+            warm_fc.append((time.time() - t0) * 1000)
     preview = {}
     if plain_index is not None:
         from myaku_ray.oracle import reference_query_set
@@ -387,6 +400,8 @@ def bench_phrase_serving(
         "bool_cold_p50_ms": round(_st.median(cold_bl), 2) if cold_bl else None,
         "bool_cold_max_ms": round(max(cold_bl), 2) if cold_bl else None,
         "bool_warm_p50_ms": round(_st.median(warm_bl), 2) if warm_bl else None,
+        "facet_sidecar_build_ms": round(facet_build_ms, 1),
+        "facet_p50_ms": round(_st.median(warm_fc), 3) if warm_fc else None,
         "phrase_qps": round(len(pqs) / phrase_qps_wall, 1),
         "phrase_qps_capacity": round(phrase_qps_capacity, 1),
         "phrase_qps_n": len(pqs),
