@@ -220,6 +220,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bag-of-unigram models (bucket-sized, one groupby(f) of B-row
         # partials), broadcast log-ratio, vectorized per-doc scoring
         "dsir_importance_weights": textops.dsir_importance_weights,
+        # --- round-4 sixth-session additions (tail-placed, same rule) ---
+        # TPC-H Q18 shape: aggregate-then-semi-join — HAVING gate shrinks
+        # the lineitem aggregate to a broadcastable winner set that
+        # point-reads orders/customer
+        "large_volume_customers_q18": relational.large_volume_customers_q18,
+        # TPC-H Q10 shape: quarter-filtered orders broadcast into the
+        # returned-lineitem scan, customer-sized partials, tie-safe top-20
+        "returned_item_revenue_q10": relational.returned_item_revenue_q10,
+        # TPC-H Q13 shape: left-join count distribution incl. the
+        # zero-order bucket (two scalar counts, no customer join)
+        "customer_order_distribution_q13":
+            relational.customer_order_distribution_q13,
+        # RAG chunking: overlapping fixed-width windows, vectorized per
+        # chunk INDEX (not per row), md5-keyed for chunk-level dedup
+        "doc_chunk_overlap": textops.doc_chunk_overlap,
+        # MMR diversified re-ranking over the oracled brute-force pool
+        "mmr_diverse_rerank": ann.mmr_diverse_rerank,
     }
 
 
@@ -315,4 +332,10 @@ def oracle_sql() -> dict[str, str]:
         "pages_search_facets": pages_golden.PAGES_SEARCH_FACETS_SQL,
         "events_value_percentiles": events.EVENTS_VALUE_PERCENTILES_SQL,
         "dsir_importance_weights": textops.DSIR_IMPORTANCE_SQL,
+        "large_volume_customers_q18": relational.LARGE_VOLUME_Q18_SQL,
+        "returned_item_revenue_q10": relational.RETURNED_REVENUE_Q10_SQL,
+        "customer_order_distribution_q13":
+            relational.CUSTOMER_ORDER_DIST_Q13_SQL,
+        "doc_chunk_overlap": textops.DOC_CHUNK_OVERLAP_SQL,
+        "mmr_diverse_rerank": op_goldens.MMR_DIVERSE_RERANK_SQL,
     }

@@ -1069,3 +1069,98 @@ def pq_cosine_topk(sf_dir: str, k: int = TOPK):
     out = allc.groupby("query_vec_id", as_index=False).head(k).reset_index(drop=True)
     out["rank"] = (out.groupby("query_vec_id").cumcount() + 1).astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# MMR diverse re-ranking (Carbonell & Goldstein 1998): re-rank each
+# query's cosine top-N candidate pool so the final top-k trades
+# relevance against redundancy — the retrieval-side counterpart of
+# SemDeDup (which prunes the corpus; MMR diversifies per answer).
+# ---------------------------------------------------------------------------
+
+MMR_N_CAND = 50
+MMR_LAMBDA = 0.7
+MMR_TOPK = 10
+
+
+def _mmr_select(qsims: np.ndarray, S: np.ndarray, ids: np.ndarray,
+                k: int, lam: float):
+    """Greedy MMR over one query's candidate pool.  ``qsims`` are the
+    query-candidate cosines and ``S`` the candidate-candidate cosine
+    matrix, BOTH already rounded to 6 decimals (the library-wide
+    oracle-identity rule); ties break on vec_id ascending.  The first
+    pick is pure relevance (classic MMR: the diversity term is a max
+    over the selected set, empty at step 0); every later step scores
+    ``round(lam*qsim - (1-lam)*max_sel_sim, 6)``.  Shared verbatim by
+    the serial golden generator (tools/gen_op_goldens.py) so selection
+    float behavior is identical on both paths.  Returns (indices into
+    the candidate arrays, per-step mmr scores)."""
+    n = len(ids)
+    k = min(k, n)
+    avail = np.ones(n, dtype=bool)
+    maxsim = np.full(n, -np.inf)
+    picks = np.empty(k, dtype=np.int64)
+    scores = np.empty(k, dtype=np.float64)
+    for step in range(k):
+        if step == 0:
+            mmr = np.round(lam * qsims, 6)
+        else:
+            mmr = np.round(lam * qsims - (1.0 - lam) * maxsim, 6)
+        cand = np.flatnonzero(avail)
+        best = cand[np.lexsort((ids[cand], -mmr[cand]))[0]]
+        picks[step] = best
+        scores[step] = mmr[best]
+        avail[best] = False
+        maxsim = np.maximum(maxsim, S[:, best])
+    return picks, scores
+
+
+def mmr_diverse_rerank(sf_dir: str, k: int = MMR_TOPK,
+                       n_cand: int = MMR_N_CAND, lam: float = MMR_LAMBDA):
+    """MMR-diversified top-k per query vector.
+
+    Plan: the corpus-sized work is exactly the oracled brute-force scan
+    (``_brute_topk`` — broadcast query matrix, per-batch partial top-k,
+    result-sized finalize), widened to an ``n_cand`` pool per query.
+    The greedy re-rank then runs on the driver over N_QUERIES x n_cand
+    rows — result-sized by construction, O(k x n_cand) per query — with
+    candidate vectors fetched once via a pushed-down point-read (the
+    pool id set is tiny; at corpus scale this is the same
+    hydrate-the-winners shape as Q18).  No extra shuffle anywhere.
+    """
+    import pyarrow.dataset as pads
+
+    q_ref = ray.put(_load_query_matrix(sf_dir))
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    pool = _brute_topk(ds, q_ref, n_cand)
+
+    cand_ids = sorted(set(pool["neighbor_vec_id"].tolist()))
+    ctbl = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id").isin(cand_ids),
+    )
+    cids = ctbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    C = _matrix(ctbl["embedding"])
+    Cu = C / np.sqrt((C * C).sum(axis=1))[:, None]
+    order = np.argsort(cids)
+    cids, Cu = cids[order], Cu[order]
+
+    rows = {"query_vec_id": [], "rank": [], "neighbor_vec_id": [], "mmr_r": []}
+    for qid, g in pool.groupby("query_vec_id"):
+        ids = g["neighbor_vec_id"].to_numpy().astype(np.int64)
+        qs = g["sim_r"].to_numpy().astype(np.float64)
+        idx = np.searchsorted(cids, ids)
+        Xu = Cu[idx]
+        S = np.round(Xu @ Xu.T, 6)
+        picks, scores = _mmr_select(qs, S, ids, k, lam)
+        rows["query_vec_id"] += [int(qid)] * len(picks)
+        rows["rank"] += list(range(1, len(picks) + 1))
+        rows["neighbor_vec_id"] += ids[picks].tolist()
+        rows["mmr_r"] += scores.tolist()
+    out = pd.DataFrame(rows)
+    out["query_vec_id"] = out["query_vec_id"].astype(np.int64)
+    out["rank"] = out["rank"].astype(np.int64)
+    out["neighbor_vec_id"] = out["neighbor_vec_id"].astype(np.int64)
+    return out

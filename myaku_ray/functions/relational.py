@@ -831,3 +831,301 @@ WHERE p.p_type = '{Q9_PART_TYPE}'
 GROUP BY n.n_name, o_year
 ORDER BY n.n_name, o_year
 """
+
+
+# ---------------------------------------------------------------------------
+# Aggregate-then-semi-join (TPC-H Q18 shape): large-volume orders
+# ---------------------------------------------------------------------------
+
+Q18_QTY_THRESHOLD = 300
+# The HAVING filter is extremely selective (sum(l_quantity) > 300 keeps
+# ~0.08% of orders at TPC-H distributions), so the winner set is pulled
+# to the driver and its keys drive FILTERED parquet point-reads of
+# orders/customer.  Past this many winners the hydration side must
+# switch to the hive-bucketed co-partition join instead.
+Q18_WINNER_LIMIT = 2_000_000
+
+
+def large_volume_customers_q18(sf_dir: str, limit: int = 100):
+    """TPC-H Q18 analog: orders whose total quantity exceeds a threshold,
+    hydrated with the buying customer.
+
+    Plan (the 100-TB shape): the ONLY corpus-sized work is one scan of
+    lineitem's two relevant columns with a per-batch combiner, so the
+    groupby(orderkey) exchange carries (orderkey, qty) partials, not raw
+    rows.  The HAVING gate then shrinks the aggregate to a winner set
+    tiny enough to broadcast; orders and customer are never scanned —
+    they are read with pushed-down key filters (row-group pruning does
+    the pointy work), exactly how a fact->dim hydration should look when
+    the driving side is result-sized.
+    """
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"l_orderkey": key, "sum_qty": qty})
+        g = df.groupby("l_orderkey", as_index=False)["sum_qty"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    winners = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"))
+        .map_batches(
+            lambda b: b.filter(
+                pa.compute.greater(b["sum_qty"], Q18_QTY_THRESHOLD)
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    if len(winners) > Q18_WINNER_LIMIT:
+        raise NotImplementedError(
+            "Q18 winner set exceeds the broadcast limit — switch the "
+            "hydration to the hive-bucketed co-partition join"
+        )
+
+    import pyarrow.dataset as pads
+
+    orders = pads.dataset(f"{sf_dir}/orders.parquet").to_table(
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        filter=pads.field("o_orderkey").isin(winners["l_orderkey"].tolist()),
+    ).to_pandas()
+    cust = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
+        columns=["c_custkey", "c_name"],
+        filter=pads.field("c_custkey").isin(orders["o_custkey"].tolist()),
+    ).to_pandas()
+    out = winners.merge(
+        orders, left_on="l_orderkey", right_on="o_orderkey"
+    ).merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out["totalprice_cents"] = _cents(out["o_totalprice"].to_numpy())
+    out["sum_qty"] = out["sum_qty"].astype(np.int64)
+    out = out.sort_values(
+        ["totalprice_cents", "l_orderkey"], ascending=[False, True]
+    ).head(limit)
+    return out[
+        ["c_name", "c_custkey", "l_orderkey", "o_orderdate",
+         "totalprice_cents", "sum_qty"]
+    ].reset_index(drop=True)
+
+
+LARGE_VOLUME_Q18_SQL = f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey AS l_orderkey, o.o_orderdate,
+  CAST(floor(o.o_totalprice*100.0 + 0.5) AS BIGINT) AS totalprice_cents,
+  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING sum(l_quantity) > {Q18_QTY_THRESHOLD})
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY totalprice_cents DESC, l_orderkey
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Returned-item revenue (TPC-H Q10 shape): top customers by returned
+# revenue in one quarter
+# ---------------------------------------------------------------------------
+
+Q10_DATE_START = "1996-01-01"
+Q10_DATE_END = "1996-04-01"
+Q10_TOPK = 20
+# One quarter keeps ~1/26 of orders (TPC-H date range spans ~6.5y); the
+# surviving (orderkey, custkey) pairs broadcast into the lineitem scan.
+# Past this many survivors the plan switches to the bucketed
+# co-partition join, same switch as Q3.
+Q10_BROADCAST_LIMIT = 5_000_000
+
+
+def returned_item_revenue_q10(sf_dir: str, k: int = Q10_TOPK):
+    """TPC-H Q10 analog: top-k customers by revenue lost to returned
+    items in one quarter.
+
+    Plan: orders is scanned once (column-pruned, date-filtered map-side)
+    and its surviving (orderkey -> custkey) pairs — the selective side —
+    broadcast as sorted int64 arrays into the lineitem scan; lineitem
+    filters l_returnflag = 'R' map-side, attaches custkey by
+    searchsorted, and pre-aggregates revenue per custkey inside each
+    batch, so the single groupby exchange carries customer-sized
+    partials.  Tie-safe top-k via the kth-value threshold, then the k
+    winners hydrate customer + nation via filtered point-reads.
+    """
+    d0, d1 = np.datetime64(Q10_DATE_START), np.datetime64(Q10_DATE_END)
+
+    def orders_filter(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((od >= d0) & (od < d1))).select(
+            ["o_orderkey", "o_custkey"]
+        )
+
+    surviving = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        )
+        .map_batches(orders_filter, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(surviving) > Q10_BROADCAST_LIMIT:
+        raise NotImplementedError(
+            "filtered orders side exceeds the broadcast limit — switch to "
+            "the hive-bucketed co-partition join (revenue_by_priority_bucketed)"
+        )
+    surviving = surviving.sort_values("o_orderkey")
+    okeys = surviving["o_orderkey"].to_numpy()
+    ocust = surviving["o_custkey"].to_numpy()
+    ok_ref = ray.put((okeys, ocust))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        keys, custs = ray.get(ok_ref)
+        flag = batch["l_returnflag"].to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(flag == "R"))
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            hit = np.zeros(len(ok), dtype=bool)
+            pos = np.zeros(len(ok), dtype=np.int64)
+        else:
+            pos = np.searchsorted(keys, ok)
+            pos[pos == len(keys)] = 0
+            hit = keys[pos] == ok
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[hit]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[hit]
+        ck = custs[pos[hit]]
+        df = pd.DataFrame(
+            {"c_custkey": ck, "revenue_cents": _cents(price * (1.0 - disc))}
+        )
+        g = df.groupby("c_custkey", as_index=False)["revenue_cents"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount",
+            ],
+        )
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .materialize()
+    )
+    head = rev.sort("revenue_cents", descending=True).limit(k).to_pandas()
+    if len(head) >= k:
+        kth = int(head["revenue_cents"].iloc[-1])
+        head = rev.map_batches(
+            lambda b: b.filter(pa.compute.greater_equal(b["revenue_cents"], kth)),
+            batch_format="pyarrow",
+        ).to_pandas()
+    top = head.sort_values(
+        ["revenue_cents", "c_custkey"], ascending=[False, True]
+    ).head(k)
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    cust = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        filter=pads.field("c_custkey").isin(top["c_custkey"].tolist()),
+    ).to_pandas()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    out = top.merge(cust, on="c_custkey").merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    out["acctbal_cents"] = _cents(out["c_acctbal"].to_numpy())
+    out = out.sort_values(
+        ["revenue_cents", "c_custkey"], ascending=[False, True]
+    )
+    return out[
+        ["c_custkey", "c_name", "revenue_cents", "acctbal_cents", "n_name"]
+    ].reset_index(drop=True)
+
+
+RETURNED_REVENUE_Q10_SQL = f"""
+SELECT c.c_custkey, c.c_name,
+  CAST(sum(CAST(floor(l.l_extendedprice*(1.0::DOUBLE - l.l_discount)*100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+  CAST(floor(c.c_acctbal*100.0 + 0.5) AS BIGINT) AS acctbal_cents,
+  n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '{Q10_DATE_START} 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '{Q10_DATE_END} 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue_cents DESC, c.c_custkey
+LIMIT {Q10_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Left-join count distribution (TPC-H Q13 shape): customers by order count
+# ---------------------------------------------------------------------------
+
+
+def customer_order_distribution_q13(sf_dir: str):
+    """TPC-H Q13 analog: distribution of customers by how many orders
+    they placed, INCLUDING the zero-order bucket (the left-join
+    semantics that a plain inner groupby cannot express).
+
+    Plan: one scan of orders' custkey column with a per-batch combiner
+    feeds a groupby(custkey) count — customer-sized, 2 ints/row.  The
+    count-of-counts is a second exchange over THAT aggregate, so it is
+    distribution-sized (max orders per customer).  The zero bucket needs
+    only two scalars: |customer| (a count(*) over one column) and the
+    number of distinct ordering customers, already the first aggregate's
+    cardinality — no row of customer ever joins anything.
+    """
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"c_custkey": key})
+        g = df.groupby("c_custkey", as_index=False).size()
+        g = g.rename(columns={"size": "n_orders"})
+        g["n_orders"] = g["n_orders"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+        .materialize()
+    )
+    dist = (
+        per_cust.groupby("n_orders")
+        .aggregate(Count(alias_name="n_customers"))
+        .to_pandas()
+    )
+    n_customers_total = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).count()
+    n_with_orders = int(dist["n_customers"].sum())
+    zero = n_customers_total - n_with_orders
+    if zero > 0:
+        dist = pd.concat(
+            [dist, pd.DataFrame({"n_orders": [0], "n_customers": [zero]})],
+            ignore_index=True,
+        )
+    dist["n_orders"] = dist["n_orders"].astype(np.int64)
+    dist["n_customers"] = dist["n_customers"].astype(np.int64)
+    return dist.sort_values("n_orders").reset_index(drop=True)
+
+
+CUSTOMER_ORDER_DIST_Q13_SQL = """
+SELECT n_orders, count(*) AS n_customers
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey)
+GROUP BY n_orders
+ORDER BY n_orders
+"""

@@ -2067,3 +2067,88 @@ SELECT w.doc_id, round(sum(ratio.r), 6) AS logw_r
 FROM words w JOIN ratio ON ratio.f = w.f
 GROUP BY w.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# RAG/context chunking: fixed-size overlapping windows per document
+# ---------------------------------------------------------------------------
+
+CHUNK_WIDTH = 120
+CHUNK_STRIDE = 80
+
+
+def doc_chunk_overlap(sf_dir: str):
+    """Split every document into fixed-width character chunks with
+    overlapping stride (the RAG / context-window preprocessing step):
+    a chunk starts at every multiple of ``CHUNK_STRIDE`` below the text
+    length and spans ``CHUNK_WIDTH`` characters (shorter at the tail).
+
+    Purely map-side — no shuffle at any scale: each batch emits its own
+    chunk rows, and the expansion factor is bounded by
+    ``ceil(max_doc_len / CHUNK_STRIDE)``.  The slicing is vectorized per
+    CHUNK INDEX, not per row: iteration ``i`` slices every doc with
+    ``len > i*stride`` in one ``utf8_slice_codeunits`` kernel call, so
+    the Python loop runs ~``max_len/stride`` times per batch (single
+    digits here), never once per row.  Chunk identity is the usual
+    md5-prefix u64 (hashkit kernel == DuckDB md5), so downstream
+    chunk-level dedup/decontamination can key on ``chunk_hash``.
+    """
+    import pyarrow.compute as pc
+
+    from myaku_ray.functions.hashkit import md5_u64_str
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks()
+        lens = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_doc, out_idx, out_len, out_hash = [], [], [], []
+        i = 0
+        while True:
+            start = i * CHUNK_STRIDE
+            mask = lens > start
+            if not mask.any():
+                break
+            sel = pa.array(mask)
+            sliced = pc.utf8_slice_codeunits(
+                text.filter(sel), start=start, stop=start + CHUNK_WIDTH
+            )
+            out_doc.append(doc_ids[mask])
+            out_idx.append(np.full(int(mask.sum()), i, dtype=np.int64))
+            out_len.append(
+                pc.utf8_length(sliced).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            out_hash.append(md5_u64_str(sliced))
+            i += 1
+        if not out_doc:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "chunk_len": pa.array([], pa.int64()),
+                    "chunk_hash": pa.array([], pa.uint64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_doc)),
+                "chunk_idx": pa.array(np.concatenate(out_idx)),
+                "chunk_len": pa.array(np.concatenate(out_len)),
+                "chunk_hash": pa.array(np.concatenate(out_hash)),
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+DOC_CHUNK_OVERLAP_SQL = f"""
+WITH c AS (
+  SELECT d.doc_id, d.text,
+    unnest(generate_series(0, (length(d.text)-1)//{CHUNK_STRIDE})) AS chunk_idx
+  FROM documents d)
+SELECT doc_id, chunk_idx,
+  CAST(length(substr(text, CAST(chunk_idx*{CHUNK_STRIDE}+1 AS BIGINT), {CHUNK_WIDTH})) AS BIGINT) AS chunk_len,
+  ('0x' || substr(md5(substr(text, CAST(chunk_idx*{CHUNK_STRIDE}+1 AS BIGINT), {CHUNK_WIDTH})), 1, 16))::UBIGINT AS chunk_hash
+FROM c
+"""

@@ -1,0 +1,357 @@
+"""Round-4 sixth-session ops: Q18/Q10/Q13 join shapes, RAG chunking,
+MMR diverse re-ranking.
+
+Each SQL-expressible op is DuckDB-parity-tested at sf0.001 plus one
+adversarial case (planted threshold-boundary orders for Q18, planted
+revenue ties straddling the top-k cut for Q10, a planted zero-order
+customer for Q13, a multibyte-codepoint doc for the chunker).  The MMR
+kernel gets property tests (lambda=1 degenerates to pure relevance;
+a planted near-duplicate is demoted) and a serial-replica parity run.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "orders", "lineitem",
+    "events", "documents", "embeddings",
+]
+
+
+def _con(sf: str, tables=TABLES):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in tables:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    return con
+
+
+def _match(got, sql: str, sf: str, sort_key: list[str], tables=TABLES):
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    con = _con(sf, tables)
+    want = con.sql(sql).df()
+    got = got[sorted(got.columns)].sort_values(sort_key).reset_index(drop=True)
+    want = (
+        want[sorted(want.columns)]
+        .sort_values(sort_key)
+        .reset_index(drop=True)
+        .astype(got.dtypes.to_dict())
+    )
+    pd.testing.assert_frame_equal(got, want)
+    return got
+
+
+# ---------------------------------------------------------------------------
+# Q18: aggregate-then-semi-join
+# ---------------------------------------------------------------------------
+
+
+def test_large_volume_q18_matches_duckdb(ray_session):
+    from myaku_ray.functions.relational import (
+        LARGE_VOLUME_Q18_SQL,
+        Q18_QTY_THRESHOLD,
+        large_volume_customers_q18,
+    )
+
+    got = _match(
+        large_volume_customers_q18(SF), LARGE_VOLUME_Q18_SQL, SF, ["l_orderkey"]
+    )
+    assert len(got) > 0
+    assert (got["sum_qty"] > Q18_QTY_THRESHOLD).all()
+
+
+def test_large_volume_q18_threshold_boundary(ray_session, tmp_path):
+    """Planted orders at sum_qty == threshold (excluded) and
+    threshold+1 (included): the HAVING gate must be strict."""
+    from myaku_ray.functions.relational import (
+        Q18_QTY_THRESHOLD as T,
+        large_volume_customers_q18,
+    )
+
+    sf = str(tmp_path)
+    # order 1: three lines summing to exactly T; order 2: T+1; order 3: tiny
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 1, 2, 2, 3],
+            "l_quantity": [100.0, 100.0, float(T - 200), 300.0, float(T - 299), 5.0],
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_custkey": [10, 20, 30],
+            "o_orderdate": pd.to_datetime(["1996-01-01"] * 3),
+            "o_totalprice": [111.11, 222.22, 333.33],
+        }
+    )
+    cust = pd.DataFrame(
+        {"c_custkey": [10, 20, 30], "c_name": ["a", "b", "c"]}
+    )
+    pq.write_table(pa.Table.from_pandas(li), f"{sf}/lineitem.parquet")
+    pq.write_table(pa.Table.from_pandas(orders), f"{sf}/orders.parquet")
+    pq.write_table(pa.Table.from_pandas(cust), f"{sf}/customer.parquet")
+
+    got = large_volume_customers_q18(sf)
+    assert got["l_orderkey"].tolist() == [2]
+    assert got["sum_qty"].tolist() == [T + 1]
+    assert got["c_name"].tolist() == ["b"]
+
+
+# ---------------------------------------------------------------------------
+# Q10: returned-item revenue top-k
+# ---------------------------------------------------------------------------
+
+
+def test_returned_revenue_q10_matches_duckdb(ray_session):
+    from myaku_ray.functions.relational import (
+        Q10_TOPK,
+        RETURNED_REVENUE_Q10_SQL,
+        returned_item_revenue_q10,
+    )
+
+    got = _match(
+        returned_item_revenue_q10(SF), RETURNED_REVENUE_Q10_SQL, SF,
+        ["c_custkey"],
+    )
+    assert len(got) == Q10_TOPK
+    # total order holds: revenue desc, custkey asc
+    r = got.sort_values(
+        ["revenue_cents", "c_custkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.sort_values(["c_custkey"]).reset_index(drop=True),
+        r.sort_values(["c_custkey"]).reset_index(drop=True),
+    )
+
+
+def test_returned_revenue_q10_tie_window(ray_session, tmp_path):
+    """Planted revenue ties straddling the k boundary: the kth-value
+    threshold pull must keep the smallest custkeys among the tied."""
+    from myaku_ray.functions.relational import returned_item_revenue_q10
+
+    sf = str(tmp_path)
+    n = 30
+    # 30 customers, one order + one returned line each, all IDENTICAL
+    # revenue -> top-20 must be custkeys 1..20 by the tie-break
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(1, n + 1),
+            "o_custkey": range(1, n + 1),
+            "o_orderdate": pd.to_datetime(["1996-02-01"] * n),
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": range(1, n + 1),
+            "l_returnflag": ["R"] * n,
+            "l_extendedprice": [100.0] * n,
+            "l_discount": [0.0] * n,
+        }
+    )
+    cust = pd.DataFrame(
+        {
+            "c_custkey": range(1, n + 1),
+            "c_name": [f"c{i}" for i in range(1, n + 1)],
+            "c_acctbal": [1.0] * n,
+            "c_nationkey": [0] * n,
+        }
+    )
+    nation = pd.DataFrame({"n_nationkey": [0], "n_name": ["Z"]})
+    pq.write_table(pa.Table.from_pandas(orders), f"{sf}/orders.parquet")
+    pq.write_table(pa.Table.from_pandas(li), f"{sf}/lineitem.parquet")
+    pq.write_table(pa.Table.from_pandas(cust), f"{sf}/customer.parquet")
+    pq.write_table(pa.Table.from_pandas(nation), f"{sf}/nation.parquet")
+
+    got = returned_item_revenue_q10(sf)
+    assert got["c_custkey"].tolist() == list(range(1, 21))
+    assert (got["revenue_cents"] == 10000).all()
+
+
+# ---------------------------------------------------------------------------
+# Q13: left-join count distribution
+# ---------------------------------------------------------------------------
+
+
+def test_customer_order_dist_q13_matches_duckdb(ray_session):
+    from myaku_ray.functions.relational import (
+        CUSTOMER_ORDER_DIST_Q13_SQL,
+        customer_order_distribution_q13,
+    )
+
+    got = _match(
+        customer_order_distribution_q13(SF), CUSTOMER_ORDER_DIST_Q13_SQL, SF,
+        ["n_orders"],
+    )
+    # conservation: the distribution accounts for every customer
+    n_cust = len(pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey"]))
+    assert int(got["n_customers"].sum()) == n_cust
+
+
+def test_customer_order_dist_q13_zero_bucket(ray_session, tmp_path):
+    """A customer with no orders must appear in the n_orders=0 bucket
+    (the left-join semantics an inner groupby cannot express)."""
+    from myaku_ray.functions.relational import customer_order_distribution_q13
+
+    sf = str(tmp_path)
+    cust = pd.DataFrame({"c_custkey": [1, 2, 3, 4]})
+    orders = pd.DataFrame({"o_orderkey": [10, 11, 12], "o_custkey": [1, 1, 2]})
+    pq.write_table(pa.Table.from_pandas(cust), f"{sf}/customer.parquet")
+    pq.write_table(pa.Table.from_pandas(orders), f"{sf}/orders.parquet")
+
+    got = customer_order_distribution_q13(sf)
+    want = {0: 2, 1: 1, 2: 1}
+    assert dict(zip(got["n_orders"], got["n_customers"])) == want
+
+
+# ---------------------------------------------------------------------------
+# RAG chunking
+# ---------------------------------------------------------------------------
+
+
+def test_doc_chunk_overlap_matches_duckdb(ray_session):
+    from myaku_ray.functions.textops import (
+        CHUNK_STRIDE,
+        CHUNK_WIDTH,
+        DOC_CHUNK_OVERLAP_SQL,
+        doc_chunk_overlap,
+    )
+
+    got = _match(
+        doc_chunk_overlap(SF), DOC_CHUNK_OVERLAP_SQL, SF,
+        ["doc_id", "chunk_idx"],
+    )
+    # shape invariants: chunk count per doc == ceil(len / stride) and
+    # every chunk is exactly min(width, len - start) long
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    lens = dict(zip(docs["doc_id"], docs["text"].str.len()))
+    per_doc = got.groupby("doc_id")["chunk_idx"].max()
+    for doc_id, max_idx in per_doc.items():
+        assert max_idx == (lens[doc_id] - 1) // CHUNK_STRIDE
+    L = got["doc_id"].map(lens).to_numpy()
+    want_len = np.minimum(
+        CHUNK_WIDTH, L - got["chunk_idx"].to_numpy() * CHUNK_STRIDE
+    )
+    assert (got["chunk_len"].to_numpy() == want_len).all()
+
+
+def test_doc_chunk_overlap_multibyte(ray_session, tmp_path):
+    """Codepoint (not byte) slicing: a doc of multibyte chars must chunk
+    identically to DuckDB substr/length semantics."""
+    from myaku_ray.functions.textops import (
+        CHUNK_STRIDE,
+        DOC_CHUNK_OVERLAP_SQL,
+        doc_chunk_overlap,
+    )
+    import duckdb
+
+    sf = str(tmp_path)
+    text = ("日本語テキスト、" * 40)[:250]  # 250 codepoints, 3-byte chars
+    docs = pd.DataFrame({"doc_id": [7], "text": [text]})
+    pq.write_table(pa.Table.from_pandas(docs), f"{sf}/documents.parquet")
+
+    got = doc_chunk_overlap(sf).to_pandas().sort_values("chunk_idx")
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.sql(DOC_CHUNK_OVERLAP_SQL).df().sort_values("chunk_idx")
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.astype(got.dtypes.to_dict()).reset_index(drop=True),
+    )
+    assert got["chunk_idx"].tolist() == list(range((250 - 1) // CHUNK_STRIDE + 1))
+
+
+# ---------------------------------------------------------------------------
+# MMR re-ranking
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_select_pure_relevance_at_lambda_one():
+    from myaku_ray.functions.ann import _mmr_select
+
+    rng = np.random.default_rng(7)
+    n = 20
+    qsims = np.round(rng.uniform(-1, 1, n), 6)
+    S = np.round(rng.uniform(-1, 1, (n, n)), 6)
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    picks, scores = _mmr_select(qsims, S, ids, 8, 1.0)
+    # lambda=1: diversity term vanishes -> picks are sim-desc order
+    want = np.lexsort((ids, -np.round(qsims, 6)))[:8]
+    assert picks.tolist() == want.tolist()
+    assert np.allclose(scores, np.round(qsims, 6)[want])
+
+
+def test_mmr_select_demotes_near_duplicate():
+    from myaku_ray.functions.ann import _mmr_select
+
+    # candidate 1 is relevance-#2 but a near-clone of #1: with a
+    # diversity-heavy lambda it must lose rank 2 to the dissimilar #3
+    qsims = np.array([0.99, 0.98, 0.90])
+    S = np.array(
+        [
+            [1.0, 0.99, 0.0],
+            [0.99, 1.0, 0.0],
+            [0.0, 0.0, 1.0],
+        ]
+    )
+    ids = np.array([1, 2, 3], dtype=np.int64)
+    picks, _ = _mmr_select(qsims, S, ids, 3, 0.5)
+    assert ids[picks].tolist() == [1, 3, 2]
+    # sanity: pure relevance would keep the clone at rank 2
+    picks_rel, _ = _mmr_select(qsims, S, ids, 3, 1.0)
+    assert ids[picks_rel].tolist() == [1, 2, 3]
+
+
+def test_mmr_rerank_matches_serial_replica(ray_session):
+    """Distributed candidate pool + shared selection kernel == a pure
+    numpy full-matrix replica (the golden generator's path) at sf0.001."""
+    from myaku_ray.functions.ann import (
+        MMR_LAMBDA,
+        MMR_N_CAND,
+        MMR_TOPK,
+        _load_query_matrix,
+        _matrix,
+        _mmr_select,
+        mmr_diverse_rerank,
+    )
+
+    got = mmr_diverse_rerank(SF).sort_values(
+        ["query_vec_id", "rank"]
+    ).reset_index(drop=True)
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    X = _matrix(t["embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    xnorm = np.sqrt((X * X).sum(axis=1))
+    Xu = X / xnorm[:, None]
+    qids, Q, qnorm = _load_query_matrix(SF)
+    sims = np.round((Q @ X.T) / (qnorm[:, None] * xnorm[None, :]), 6)
+    rows = []
+    for qi, qid in enumerate(qids):
+        mask = ids != qid
+        cand_ids = ids[mask]
+        cand = sims[qi][mask]
+        order = np.lexsort((cand_ids, -cand))[:MMR_N_CAND]
+        S = np.round(Xu[mask][order] @ Xu[mask][order].T, 6)
+        picks, scores = _mmr_select(
+            cand[order], S, cand_ids[order], MMR_TOPK, MMR_LAMBDA
+        )
+        for rank, (j, sc) in enumerate(zip(picks, scores), start=1):
+            rows.append((int(qid), rank, int(cand_ids[order][j]), float(sc)))
+    want = pd.DataFrame(
+        rows, columns=["query_vec_id", "rank", "neighbor_vec_id", "mmr_r"]
+    ).sort_values(["query_vec_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))

@@ -357,6 +357,43 @@ def golden_pq() -> str:
     )
 
 
+def golden_mmr() -> str:
+    """Serial MMR replica: full-matrix cosine top-n_cand pools per query
+    (same 6-decimal rounding + (sim DESC, vec_id ASC) tie-break as the
+    distributed _brute_topk), then the SHARED greedy selection kernel
+    (_mmr_select — identical float behavior to the Ray path)."""
+    from myaku_ray.functions.ann import (
+        MMR_LAMBDA, MMR_N_CAND, MMR_TOPK, _load_query_matrix, _matrix,
+        _mmr_select,
+    )
+
+    src = f"{SF_DIR}/embeddings.parquet"
+    t = pq.read_table(src, columns=["vec_id", "embedding"])
+    X = _matrix(t["embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    xnorm = np.sqrt((X * X).sum(axis=1))
+    Xu = X / xnorm[:, None]
+    qids, Q, qnorm = _load_query_matrix(SF_DIR)
+    sims = np.round((Q @ X.T) / (qnorm[:, None] * xnorm[None, :]), 6)
+    rows = []
+    for qi, qid in enumerate(qids):
+        mask = ids != qid
+        cand_ids = ids[mask]
+        cand = sims[qi][mask]
+        order = np.lexsort((cand_ids, -cand))[:MMR_N_CAND]
+        pool_ids = cand_ids[order]
+        pool_sims = cand[order]
+        S = np.round(Xu[mask][order] @ Xu[mask][order].T, 6)
+        picks, scores = _mmr_select(pool_sims, S, pool_ids, MMR_TOPK, MMR_LAMBDA)
+        for rank, (j, sc) in enumerate(zip(picks, scores), start=1):
+            rows.append((int(qid), rank, int(pool_ids[j]), float(sc)))
+    return values_sql(
+        rows,
+        [("query_vec_id", "BIGINT"), ("rank", "BIGINT"),
+         ("neighbor_vec_id", "BIGINT"), ("mmr_r", "DOUBLE")],
+    )
+
+
 def golden_pages_fli() -> str:
     from myaku_ray.corpus import gen_blogs_table, write_pages_parquet
     from myaku_ray.functions.fulltext import PAGES_N, fli_payload_json
@@ -456,6 +493,7 @@ def main() -> None:
         "KMEANS_REPRESENTATIVES_SQL": reps_sql,
         "SEMDEDUP_PRUNE_SQL": golden_semdedup(),
         "PQ_COSINE_TOPK_SQL": golden_pq(),
+        "MMR_DIVERSE_RERANK_SQL": golden_mmr(),
         "PAGES_FLI_INTERPS_SQL": golden_pages_fli(),
         "MEDIA_FEATURES_SQL": golden_media_features(),
         "MEDIA_FRAME_SAMPLE_SQL": golden_media_frames(),
