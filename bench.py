@@ -464,6 +464,13 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "part_type_profit_q9": relational.part_type_profit_q9,
         "events_running_value": events.events_running_value,
         "events_value_percentiles": events.events_value_percentiles,
+        "dsir_importance_weights": textops.dsir_importance_weights,
+        "large_volume_customers_q18": relational.large_volume_customers_q18,
+        "returned_item_revenue_q10": relational.returned_item_revenue_q10,
+        "customer_order_distribution_q13":
+            relational.customer_order_distribution_q13,
+        "doc_chunk_overlap": textops.doc_chunk_overlap,
+        "mmr_diverse_rerank": ann.mmr_diverse_rerank,
     }
     # cold-time the Q5/Q9 bucketed layout writes too (same convention as
     # the cache rmtree above)

@@ -844,6 +844,13 @@ Q18_QTY_THRESHOLD = 300
 # orders/customer.  Past this many winners the hydration side must
 # switch to the hive-bucketed co-partition join instead.
 Q18_WINNER_LIMIT = 2_000_000
+# Below this many ORDERS the per-batch partials (2 ints per distinct
+# orderkey per batch — near-final when lineitem is clustered by order)
+# are merged on the driver with one pandas groupby instead of paying
+# Ray's all-to-all aggregate: same driver/distributed scale switch as
+# dedup_exact, equality-gated in tests/test_r4_session6.py.  Orders
+# cardinality comes from parquet metadata (exact, free).
+Q18_DRIVER_AGG_LIMIT = 20_000_000
 
 
 def large_volume_customers_q18(sf_dir: str, limit: int = 100):
@@ -852,13 +859,18 @@ def large_volume_customers_q18(sf_dir: str, limit: int = 100):
 
     Plan (the 100-TB shape): the ONLY corpus-sized work is one scan of
     lineitem's two relevant columns with a per-batch combiner, so the
-    groupby(orderkey) exchange carries (orderkey, qty) partials, not raw
-    rows.  The HAVING gate then shrinks the aggregate to a winner set
-    tiny enough to broadcast; orders and customer are never scanned —
-    they are read with pushed-down key filters (row-group pruning does
-    the pointy work), exactly how a fact->dim hydration should look when
-    the driving side is result-sized.
+    exchange carries (orderkey, qty) partials, not raw rows — and below
+    ``Q18_DRIVER_AGG_LIMIT`` orders there is NO exchange at all: the
+    partials stream to the driver and one pandas groupby finishes them
+    (order-cardinality, 2 ints/row).  The HAVING gate then shrinks the
+    aggregate to a winner set tiny enough to broadcast; orders and
+    customer are never scanned — they are read with pushed-down key
+    filters (row-group pruning does the pointy work), exactly how a
+    fact->dim hydration should look when the driving side is
+    result-sized.
     """
+    import pyarrow.parquet as _pq
+
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
     )
@@ -870,18 +882,26 @@ def large_volume_customers_q18(sf_dir: str, limit: int = 100):
         g = df.groupby("l_orderkey", as_index=False)["sum_qty"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    winners = (
-        li.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("sum_qty", alias_name="sum_qty"))
-        .map_batches(
-            lambda b: b.filter(
-                pa.compute.greater(b["sum_qty"], Q18_QTY_THRESHOLD)
-            ),
-            batch_format="pyarrow",
+    partials = li.map_batches(partial, batch_format="pyarrow")
+    n_orders = _pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    if n_orders <= Q18_DRIVER_AGG_LIMIT:
+        merged = partials.to_pandas()
+        sums = merged.groupby("l_orderkey", as_index=False)["sum_qty"].sum()
+        winners = sums[sums["sum_qty"] > Q18_QTY_THRESHOLD].reset_index(
+            drop=True
         )
-        .to_pandas()
-    )
+    else:
+        winners = (
+            partials.groupby("l_orderkey")
+            .aggregate(Sum("sum_qty", alias_name="sum_qty"))
+            .map_batches(
+                lambda b: b.filter(
+                    pa.compute.greater(b["sum_qty"], Q18_QTY_THRESHOLD)
+                ),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+        )
     if len(winners) > Q18_WINNER_LIMIT:
         raise NotImplementedError(
             "Q18 winner set exceeds the broadcast limit — switch the "

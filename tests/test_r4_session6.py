@@ -107,6 +107,21 @@ def test_large_volume_q18_threshold_boundary(ray_session, tmp_path):
     assert got["c_name"].tolist() == ["b"]
 
 
+def test_large_volume_q18_driver_vs_distributed_parity(
+    ray_session, monkeypatch
+):
+    """The driver-merge fast path and the Ray groupby path must return
+    identical rows (the documented Q18_DRIVER_AGG_LIMIT scale switch)."""
+    from myaku_ray.functions import relational
+
+    fast = relational.large_volume_customers_q18(SF)
+    monkeypatch.setattr(relational, "Q18_DRIVER_AGG_LIMIT", 0)
+    slow = relational.large_volume_customers_q18(SF)
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True), slow.reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q10: returned-item revenue top-k
 # ---------------------------------------------------------------------------
