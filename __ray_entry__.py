@@ -237,6 +237,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunk_overlap": textops.doc_chunk_overlap,
         # MMR diversified re-ranking over the oracled brute-force pool
         "mmr_diverse_rerank": ann.mmr_diverse_rerank,
+        # contrastive-training prep: most-similar DIFFERENT-label
+        # neighbors per query (broadcast queries, per-batch top-k)
+        "hard_negative_mining": ann.hard_negative_mining,
+        # A-Res weighted sampling w/o replacement — md5-uniform + ln-key
+        # via the embedded-DuckDB kernels, per-batch partial top-k
+        "weighted_sample_docs": textops.weighted_sample_docs,
+        # index-native related-document search (tf-idf seed terms ->
+        # disjunctive engine top-k, seed excluded); stored golden
+        "pages_more_like_this": fulltext.pages_more_like_this,
+        # per-hour K-sigma outliers with the z-test squared into exact
+        # int64 arithmetic (no float mean/stddev anywhere)
+        "events_hourly_anomalies": events.events_hourly_anomalies,
     }
 
 
@@ -338,4 +350,8 @@ def oracle_sql() -> dict[str, str]:
             relational.CUSTOMER_ORDER_DIST_Q13_SQL,
         "doc_chunk_overlap": textops.DOC_CHUNK_OVERLAP_SQL,
         "mmr_diverse_rerank": op_goldens.MMR_DIVERSE_RERANK_SQL,
+        "hard_negative_mining": ann.HARD_NEGATIVE_MINING_SQL,
+        "weighted_sample_docs": textops.WEIGHTED_SAMPLE_SQL,
+        "pages_more_like_this": pages_golden.PAGES_MORE_LIKE_THIS_SQL,
+        "events_hourly_anomalies": events.EVENTS_HOURLY_ANOMALIES_SQL,
     }

@@ -1164,3 +1164,88 @@ def mmr_diverse_rerank(sf_dir: str, k: int = MMR_TOPK,
     out["rank"] = out["rank"].astype(np.int64)
     out["neighbor_vec_id"] = out["neighbor_vec_id"].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data prep): for each query
+# vector, the most cosine-similar vectors with a DIFFERENT label — the
+# canonical "hard negatives" a retrieval/embedding trainer pairs with
+# each anchor.  Same brute-force shape as ann_cosine_topk (broadcast
+# query matrix + per-batch partial top-k), so the label exclusion is
+# the only semantic difference and tie-breaking/rounding cannot diverge.
+# ---------------------------------------------------------------------------
+
+
+def hard_negative_mining(sf_dir: str, k: int = TOPK):
+    """Top-k different-label cosine neighbors per query vector.
+
+    Plan: query (vec_id, label, vector) triples broadcast once; each
+    batch scores candidates against all queries in one matmul, masks
+    same-label rows per query, keeps a per-batch partial top-k; the
+    finalize is result-sized.  No shuffle; scales exactly like the
+    oracled brute-force scan it rides beside.
+    """
+    import pyarrow.dataset as pads
+
+    src = f"{sf_dir}/embeddings.parquet"
+    qtbl = pads.dataset(src).to_table(
+        columns=["vec_id", "embedding", "label"],
+        filter=pads.field("vec_id") < N_QUERIES,
+    )
+    qids = qtbl["vec_id"].to_numpy(zero_copy_only=False)
+    qlabels = qtbl["label"].to_numpy(zero_copy_only=False)
+    Q = _matrix(qtbl["embedding"])
+    q_ref = ray.put((qids, qlabels, Q, np.sqrt((Q * Q).sum(axis=1))))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids_l, qlabels_l, Q_l, qnorm_l = ray.get(q_ref)
+        rows = {"query_vec_id": [], "neighbor_vec_id": [], "sim_r": []}
+        if batch.num_rows:
+            X = _matrix(batch["embedding"])
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            labels = batch["label"].to_numpy(zero_copy_only=False)
+            xnorm = np.sqrt((X * X).sum(axis=1))
+            sims_r = np.round(
+                (Q_l @ X.T) / (qnorm_l[:, None] * xnorm[None, :]), 6
+            )
+            for qi, qid in enumerate(qids_l):
+                mask = labels != qlabels_l[qi]
+                cand_ids = ids[mask]
+                cand = sims_r[qi][mask]
+                order = np.lexsort((cand_ids, -cand))[:k]
+                rows["query_vec_id"] += [int(qid)] * len(order)
+                rows["neighbor_vec_id"] += cand_ids[order].astype(int).tolist()
+                rows["sim_r"] += cand[order].tolist()
+        return pa.table(
+            {
+                "query_vec_id": pa.array(rows["query_vec_id"], pa.int64()),
+                "neighbor_vec_id": pa.array(rows["neighbor_vec_id"], pa.int64()),
+                "sim_r": pa.array(rows["sim_r"], pa.float64()),
+            }
+        )
+
+    ds = rd.read_parquet(src, columns=["vec_id", "embedding", "label"])
+    allc = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    allc = allc.sort_values(
+        ["query_vec_id", "sim_r", "neighbor_vec_id"],
+        ascending=[True, False, True],
+    )
+    out = allc.groupby("query_vec_id", as_index=False).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_vec_id").cumcount() + 1
+    return out
+
+
+HARD_NEGATIVE_MINING_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+     b AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+     s AS (
+       SELECT q.qid AS query_vec_id, b.vec_id AS neighbor_vec_id,
+              round(list_dot_product(q.qv, b.v)
+                    / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim_r
+       FROM q, b WHERE b.label != q.qlabel)
+SELECT query_vec_id, neighbor_vec_id, sim_r,
+       CAST(row_number() OVER (PARTITION BY query_vec_id ORDER BY sim_r DESC, neighbor_vec_id) AS BIGINT) AS rank
+FROM s
+QUALIFY rank <= {TOPK}
+"""

@@ -14,6 +14,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
@@ -1148,4 +1149,124 @@ SELECT q, value FROM (
   UNION ALL
   SELECT 0.99::DOUBLE, quantile_disc(value, 0.99) FROM events
 ) ORDER BY q
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact z-score anomaly gate per hour bucket (integer arithmetic only)
+# ---------------------------------------------------------------------------
+
+ANOMALY_K = 3
+
+
+def events_hourly_anomalies(sf_dir: str):
+    """Events whose value deviates more than K sigma from their HOUR's
+    mean — the telemetry outlier gate — computed EXACTLY: the float
+    z-score test ``|v - mean| > K*sigma`` is algebraically squared into
+    pure int64 arithmetic on value millis,
+
+        (v*n - s)^2 > K^2 * (n*q - s^2)
+
+    with s = Σv, q = Σv², so there is no float mean/stddev to diverge
+    from the oracle by an ulp.  Two streaming passes: per-batch (hour,
+    n, s, q) partials -> one hour-cardinality groupby, stats broadcast
+    sorted -> a pure map-side filter attaches them by searchsorted.
+    Nothing corpus-sized leaves a worker.  Overflow bound asserted
+    loudly: max(|v|)*n per hour must stay under ~2^31 so the squares
+    fit int64 (at that scale the valve is millis -> centis).
+    """
+    cols = ["event_id", "ts", "value"]
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        # normalize to us explicitly: a ns-unit writer would otherwise
+        # shrink the "hour" to 3.6 ms (the testdata is us, but the op
+        # must not depend on that)
+        ts_us = (
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        v = _millis(batch["value"].to_numpy(zero_copy_only=False))
+        t = pa.table(
+            {
+                "hour_bucket": pa.array(ts_us // HOUR_US),
+                "n": pa.array(np.ones(len(v), dtype=np.int64)),
+                "s": pa.array(v),
+                "q": pa.array(v * v),
+            }
+        )
+        return t.group_by("hour_bucket").aggregate(
+            [("n", "sum"), ("s", "sum"), ("q", "sum")]
+        ).rename_columns(["hour_bucket", "n", "s", "q"])
+
+    stats = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("hour_bucket")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("q", alias_name="q"),
+        )
+        .to_pandas()
+        .sort_values("hour_bucket")
+    )
+    hours = stats["hour_bucket"].to_numpy()
+    n = stats["n"].to_numpy()
+    s = stats["s"].to_numpy()
+    q = stats["q"].to_numpy()
+    # loud int64-overflow guard: dev = v*n - s and n*q - s^2 get squared/
+    # multiplied — bound every factor under 2^31 so products fit
+    vmax_bound = 2**31
+    assert (np.abs(s) < vmax_bound).all() and (
+        n * q - s * s >= 0
+    ).all(), "hourly anomaly stats exceed the int64-exact envelope"
+    stats_ref = ray.put((hours, n, s, q))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        hrs, n_l, s_l, q_l = ray.get(stats_ref)
+        ts_us = (
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        hb = ts_us // HOUR_US
+        v = _millis(batch["value"].to_numpy(zero_copy_only=False))
+        pos = np.searchsorted(hrs, hb)
+        dev = v * n_l[pos] - s_l[pos]
+        var_n2 = n_l[pos] * q_l[pos] - s_l[pos] * s_l[pos]
+        keep = dev * dev > ANOMALY_K * ANOMALY_K * var_n2
+        return pa.table(
+            {
+                "event_id": batch["event_id"].filter(pa.array(keep)),
+                "hour_bucket": pa.array(hb[keep]),
+                "value_milli": pa.array(v[keep]),
+            }
+        )
+
+    out = ds.map_batches(flag, batch_format="pyarrow").materialize()
+    if out.count() == 0:
+        # all-empty datasets lose their schema through to_pandas —
+        # return the typed empty frame so the output contract holds
+        return pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype=np.int64),
+                "hour_bucket": pd.Series(dtype=np.int64),
+                "value_milli": pd.Series(dtype=np.int64),
+            }
+        )
+    return out
+
+
+EVENTS_HOURLY_ANOMALIES_SQL = f"""
+WITH e AS (
+  SELECT event_id, epoch_us(ts) // 3600000000 AS hour_bucket,
+    CAST(floor(value*1000.0 + 0.5) AS BIGINT) AS value_milli
+  FROM events),
+st AS (
+  SELECT hour_bucket, count(*) AS n, sum(value_milli) AS s,
+    sum(value_milli*value_milli) AS q
+  FROM e GROUP BY hour_bucket)
+SELECT e.event_id, e.hour_bucket, e.value_milli
+FROM e JOIN st USING (hour_bucket)
+WHERE (e.value_milli*st.n - st.s)*(e.value_milli*st.n - st.s)
+      > {ANOMALY_K * ANOMALY_K}*(st.n*st.q - st.s*st.s)
 """

@@ -561,3 +561,38 @@ SELECT query_id, doc_id, rrf_r,
 FROM f
 QUALIFY rank <= {k}
 """
+
+
+def pages_more_like_this(sf_dir: str, k: int = 10):
+    """Index-native related-document search: for each seed doc (the
+    content-stable URL-ordered seed set), tokenize its stored text, pick
+    the most salient terms by tf x idf, and rank other docs with the
+    standard disjunctive engine (Searcher.more_like_this) — the
+    "related articles" feature a serving stack builds on the same index
+    it searches.  Stored golden = serial seed-term selection + ranker
+    (oracle.oracle_more_like_this; the term-selection kernel
+    scoring.select_mlt_terms is shared verbatim)."""
+    from myaku_ray.oracle import mlt_seed_set
+
+    s = _pages_searcher()
+    rows = {"seed_doc_id": [], "rank": [], "doc_id": [], "score": [], "url": []}
+    for seed in mlt_seed_set(_pages_dir()):
+        results = s.more_like_this(seed, k)
+        urls: dict[int, str] = {}
+        if results:
+            docs = s._read_docs_by_id([r.doc_id for r in results])
+            best: dict[int, int] = {}
+            for d, u, w in zip(
+                docs["doc_id"], docs["url"], docs["warc_ts"].cast("int64")
+            ):
+                did, wv = d.as_py(), w.as_py()
+                if did not in best or wv > best[did]:
+                    best[did] = wv
+                    urls[did] = u.as_py()
+        for rank, r in enumerate(results, start=1):
+            rows["seed_doc_id"].append(seed)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r.doc_id)
+            rows["score"].append(round(r.score, 5))
+            rows["url"].append(urls.get(r.doc_id))
+    return pd.DataFrame(rows)

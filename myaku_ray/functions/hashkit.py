@@ -95,3 +95,35 @@ def md5_u64_str(strings: pa.Array, hexchars: int = 16) -> np.ndarray:
             dtype=np.uint64,
             count=len(strings),
         )
+
+
+def ares_key(h: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """A-Res weighted-sampling key ``ln((h+0.5)/2^64)/w`` for uint64 md5
+    values ``h`` and positive float weights ``w`` (Efraimidis & Spirakis
+    2006: rank by ``u^(1/w)`` ⇔ by ``ln(u)/w``; the +0.5 keeps u in
+    (0,1) exactly).  Computed through embedded DuckDB so the doubles
+    are BIT-IDENTICAL to the oracle's ``ln(...)/w`` expression — numpy's
+    libm ln differs from DuckDB's at the last ulp (measured ~1e-17),
+    which a hash compare would see.  numpy fallback without duckdb."""
+    if len(h) == 0:
+        return np.empty(0, dtype=np.float64)
+    global _DUCK
+    try:
+        import duckdb
+
+        if _DUCK is None:
+            _DUCK = duckdb.connect()
+        t = pa.table(
+            {
+                "h": pa.array(np.asarray(h, dtype=np.uint64), pa.uint64()),
+                "w": pa.array(np.asarray(w, dtype=np.float64), pa.float64()),
+            }
+        )  # noqa: F841
+        q = (
+            "SELECT ln((CAST(h AS DOUBLE)+0.5)/18446744073709551616.0)/w"
+            " AS k FROM t"
+        )
+        return _DUCK.execute(q).arrow()["k"].to_numpy(zero_copy_only=False)
+    except ImportError:
+        u = (np.asarray(h, dtype=np.float64) + 0.5) / 2.0**64
+        return np.log(u) / np.asarray(w, dtype=np.float64)

@@ -2152,3 +2152,66 @@ SELECT doc_id, chunk_idx,
   ('0x' || substr(md5(substr(text, CAST(chunk_idx*{CHUNK_STRIDE}+1 AS BIGINT), {CHUNK_WIDTH})), 1, 16))::UBIGINT AS chunk_hash
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis & Spirakis A-Res)
+# ---------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_K = 100
+
+
+def weighted_sample_docs(sf_dir: str, k: int = WEIGHTED_SAMPLE_K):
+    """Deterministic weighted sample WITHOUT replacement: the k docs
+    with the largest A-Res key ``ln(u)/w`` where ``u`` is the doc's
+    md5-uniform and ``w`` its char length — the exact distributed
+    equivalent of drawing k docs with probability proportional to
+    weight (Efraimidis & Spirakis 2006), and the weighted counterpart
+    of the unweighted md5-threshold ``sample_documents``.
+
+    Purely streaming: each batch keeps its own k best (no shuffle), the
+    driver merges result-sized partials.  Both the md5 and the ln-key
+    ride hashkit's embedded-DuckDB kernels, so every double is
+    bit-identical to the SQL oracle.
+    """
+    from myaku_ray.functions.hashkit import ares_key, md5_u64
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        w = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        key = ares_key(md5_u64(ids), w)
+        order = np.lexsort((ids, -key))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order]),
+                "n_chars": pa.array(
+                    batch["n_chars"].to_numpy(zero_copy_only=False)[order]
+                ),
+                "ares_key": pa.array(key[order], pa.float64()),
+            }
+        )
+
+    allc = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    allc = allc.sort_values(
+        ["ares_key", "doc_id"], ascending=[False, True]
+    ).head(k).reset_index(drop=True)
+    allc["rank"] = np.arange(1, len(allc) + 1, dtype=np.int64)
+    return allc
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH s AS (
+  SELECT doc_id, n_chars,
+    ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT AS DOUBLE)+0.5)/18446744073709551616.0)
+      / CAST(n_chars AS DOUBLE) AS ares_key
+  FROM documents)
+SELECT doc_id, n_chars, ares_key,
+  CAST(row_number() OVER (ORDER BY ares_key DESC, doc_id) AS BIGINT) AS rank
+FROM s
+ORDER BY ares_key DESC, doc_id
+LIMIT {WEIGHTED_SAMPLE_K}
+"""

@@ -876,6 +876,57 @@ class Searcher:
 
     # -- index-native analytics -------------------------------------------
 
+    def more_like_this(
+        self, doc_id: int, k: int = 10, n_terms: int | None = None
+    ) -> list[SearchResult]:
+        """Index-native related-document search: tokenize the seed doc's
+        stored text (the same dictionary the build used), pick its
+        ``n_terms`` most salient terms by tf x idf (shared kernel
+        ``scoring.select_mlt_terms`` — identical selection in the serial
+        oracle), and run the standard disjunctive engine top-k over
+        them, excluding the seed itself.  The seed read is the bounded
+        ``_read_docs_by_id`` point-lookup (latest warc_ts version wins,
+        same rule as ``hydrate``), so MLT costs one doc hydration plus
+        one ordinary k+1 query — no corpus scan anywhere."""
+        from myaku_ray.scoring import MLT_N_TERMS, select_mlt_terms
+
+        if n_terms is None:
+            n_terms = MLT_N_TERMS
+        docs = self._read_docs_by_id([doc_id])
+        text, best_warc = None, None
+        for d, x, w in zip(
+            docs["doc_id"], docs["text"], docs["warc_ts"].cast("int64")
+        ):
+            if d.as_py() == doc_id and (
+                best_warc is None or w.as_py() > best_warc
+            ):
+                text, best_warc = x.as_py(), w.as_py()
+        if text is None:
+            return []
+        items = self._tok.find_lexical_items(text)
+        tf_by_term = {it["term"]: it["tf"] for it in items}
+        terms = select_mlt_terms(
+            tf_by_term, self.term_df, self.stats["n_docs"], n_terms
+        )
+        iters: dict[str, object] = {}
+        for t in terms:
+            it = self._group_iterator([t])
+            if it is not None:
+                iters[t] = it
+        if not iters:
+            return []
+        from myaku_ray.index.wand import array_topk, wand_topk
+
+        if all(isinstance(it, ArrayPostings) for it in iters.values()):
+            hits = array_topk(iters, k + 1)
+        else:
+            hits = wand_topk(iters, k + 1)
+        return [
+            SearchResult(doc_id=d, score=s, warc_us=w)
+            for (d, s, w) in hits
+            if d != doc_id
+        ][:k]
+
     def term_trend(self, query_str: str, query_type: str = "exact"):
         """Matched-doc counts per (query term, UTC month) — crawl-time
         trend analytics computed ENTIRELY from the posting payload's

@@ -643,3 +643,61 @@ def oracle_facets(
         matched.update(d for d, _tf in index.postings.get(t, []))
     counts = Counter(index.docs[d]["source"] for d in matched)
     return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def oracle_more_like_this(
+    index: OracleIndex, doc_id: int, k: int = 10, n_terms: int | None = None
+) -> list[tuple[int, float, int]]:
+    """Serial reference for ``Searcher.more_like_this``: tokenize the
+    seed doc's text, select terms with the SHARED kernel
+    (scoring.select_mlt_terms — identical tf x idf rounding), then plain
+    multi-term disjunctive scoring over those terms with the seed doc
+    excluded, ranked by the engine's (score, warc_us, doc_id) DESC key."""
+    from myaku_ray.scoring import select_mlt_terms
+
+    meta = index.docs.get(doc_id)
+    if meta is None:
+        return []
+    tok = get_tokenizer()
+    items = tok.find_lexical_items(meta["text"])
+    tf_by_term = {it["term"]: it["tf"] for it in items}
+    terms = select_mlt_terms(
+        tf_by_term, lambda t: index.df.get(t, 0), index.n_docs,
+        *([n_terms] if n_terms is not None else []),
+    )
+    per_doc: dict[int, float] = {}
+    for t in terms:
+        for d, tf in index.postings.get(t, []):
+            m = index.docs[d]
+            per_doc[d] = per_doc.get(d, 0.0) + posting_score(
+                tf, m["doclen"], m["quality"], index.df[t], index.n_docs,
+                index.avgdl,
+            )
+    scored = [
+        (s, index.docs[d]["warc_us"], d)
+        for d, s in per_doc.items()
+        if d != doc_id
+    ]
+    scored.sort(reverse=True)
+    return [(d, s, w) for (s, w, d) in scored[:k]]
+
+
+def mlt_seed_set(pages_parquet: str, n: int = 5) -> list[int]:
+    """Seed doc_ids for the more-like-this golden: the first ``n``
+    extractable ja docs in URL order (the content-stable derivation
+    every pages query set uses — never raw row order)."""
+    import numpy as np
+
+    table = pq.read_table(pages_parquet, columns=["url", "html", "lang"])
+    order = np.argsort(np.asarray(table["url"].to_pylist(), dtype=object))
+    out: list[int] = []
+    for i in order:
+        if table["lang"][i].as_py() != "ja":
+            continue
+        url = table["url"][i].as_py()
+        er = extract_page(table["html"][i].as_py(), url)
+        if er.ok and len(er.text) <= MAX_ARTICLE_LEN:
+            out.append(doc_id_for_url(url))
+            if len(out) >= n:
+                break
+    return out

@@ -189,3 +189,31 @@ def posting_score(
     base = bm25(float(tf), df, float(doclen), n_docs, avgdl)
     total = base + QUALITY_WEIGHT * (float(quality) + float(tf_modifier(tf)))
     return float(np.float32(total))
+
+
+# ---------------------------------------------------------------------------
+# More-like-this term selection (shared by Searcher.more_like_this and
+# the serial oracle so selection float behavior is identical)
+# ---------------------------------------------------------------------------
+
+MLT_N_TERMS = 8
+
+
+def mlt_term_score(tf: int, df: int, n_docs: int) -> float:
+    """Seed-term salience for more-like-this: tf x BM25-idf, rounded to
+    6 decimals (the library-wide oracle-identity rule)."""
+    return round(tf * idf(df, n_docs), 6)
+
+
+def select_mlt_terms(
+    tf_by_term: dict, df_of, n_docs: int, n_terms: int = MLT_N_TERMS
+) -> list:
+    """Top ``n_terms`` seed-document terms by (mlt_term_score DESC,
+    term ASC); terms absent from the index (df 0) are skipped."""
+    scored = []
+    for term, tf in tf_by_term.items():
+        df = df_of(term)
+        if df and df > 0:
+            scored.append((-mlt_term_score(tf, df, n_docs), term))
+    scored.sort()
+    return [t for (_, t) in scored[:n_terms]]

@@ -370,3 +370,140 @@ def test_mmr_rerank_matches_serial_replica(ray_session):
         rows, columns=["query_vec_id", "rank", "neighbor_vec_id", "mmr_r"]
     ).sort_values(["query_vec_id", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining / weighted sampling / more-like-this
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negative_mining_matches_duckdb_and_excludes_label(ray_session):
+    from myaku_ray.functions.ann import (
+        HARD_NEGATIVE_MINING_SQL,
+        N_QUERIES,
+        hard_negative_mining,
+    )
+
+    got = _match(
+        hard_negative_mining(SF), HARD_NEGATIVE_MINING_SQL, SF,
+        ["query_vec_id", "rank"],
+    )
+    # no neighbor shares its query's label
+    emb = pq.read_table(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "label"]
+    ).to_pandas()
+    labels = dict(zip(emb["vec_id"], emb["label"]))
+    for _, r in got.iterrows():
+        assert labels[r["query_vec_id"]] != labels[r["neighbor_vec_id"]]
+    assert got["query_vec_id"].nunique() == N_QUERIES
+
+
+def test_weighted_sample_docs_matches_duckdb_and_weight_bias(ray_session):
+    from myaku_ray.functions.textops import (
+        WEIGHTED_SAMPLE_K,
+        WEIGHTED_SAMPLE_SQL,
+        weighted_sample_docs,
+    )
+
+    got = _match(
+        weighted_sample_docs(SF), WEIGHTED_SAMPLE_SQL, SF, ["rank"]
+    )
+    assert len(got) == WEIGHTED_SAMPLE_K
+    # A-Res with w = n_chars: the sample must skew long — its mean
+    # length exceeds the corpus mean
+    corpus = pq.read_table(
+        f"{SF}/documents.parquet", columns=["n_chars"]
+    ).to_pandas()
+    assert got["n_chars"].mean() > corpus["n_chars"].mean()
+
+
+def test_ares_key_kernel_bit_identity():
+    """hashkit.ares_key must equal DuckDB's ln-expression bitwise (the
+    oracle-identity contract the op's hash compare rests on)."""
+    import duckdb
+    import pyarrow as pa
+
+    from myaku_ray.functions.hashkit import ares_key
+
+    rng = np.random.default_rng(3)
+    h = rng.integers(0, 2**63, 1000).astype(np.uint64)
+    w = rng.uniform(1, 1000, 1000)
+    got = ares_key(h, w)
+    t = pa.table({"h": pa.array(h, pa.uint64()), "w": pa.array(w)})
+    want = (
+        duckdb.sql(
+            "SELECT ln((CAST(h AS DOUBLE)+0.5)/18446744073709551616.0)/w"
+            " AS k FROM t"
+        )
+        .arrow()["k"]
+        .to_numpy(zero_copy_only=False)
+    )
+    assert np.array_equal(got, want)
+
+
+def test_more_like_this_engine_matches_serial_oracle(ray_session):
+    """Rank identity (docIDs AND scores) engine vs serial oracle on the
+    fixed pages corpus, plus seed exclusion."""
+    from myaku_ray.functions.fulltext import _pages_dir, _pages_searcher
+    from myaku_ray.oracle import (
+        build_oracle_index, mlt_seed_set, oracle_more_like_this,
+    )
+    from myaku_ray.corpus import gen_blogs_table
+
+    s = _pages_searcher()
+    blogs = gen_blogs_table()
+    ratings = dict(zip(blogs["blog_url"], blogs["rating"]))
+    oi = build_oracle_index(_pages_dir(), blog_ratings=ratings)
+    seeds = mlt_seed_set(_pages_dir())
+    assert seeds
+    for seed in seeds:
+        got = [(r.doc_id, round(r.score, 5)) for r in s.more_like_this(seed)]
+        want = [
+            (d, round(sc, 5))
+            for (d, sc, _w) in oracle_more_like_this(oi, seed)
+        ]
+        assert got == want
+        assert seed not in [d for d, _ in got]
+
+
+def test_more_like_this_unknown_seed_empty(ray_session):
+    from myaku_ray.functions.fulltext import _pages_searcher
+
+    s = _pages_searcher()
+    assert s.more_like_this(123456789123) == []
+
+
+def test_events_hourly_anomalies_matches_duckdb(ray_session):
+    from myaku_ray.functions.events import (
+        EVENTS_HOURLY_ANOMALIES_SQL,
+        events_hourly_anomalies,
+    )
+
+    got = _match(
+        events_hourly_anomalies(SF), EVENTS_HOURLY_ANOMALIES_SQL, SF,
+        ["event_id"],
+    )
+    assert len(got) >= 0
+
+
+def test_events_hourly_anomalies_planted_outlier(ray_session, tmp_path):
+    """One wild value inside an otherwise-flat hour must be flagged;
+    the flat events and a flat neighboring hour must not."""
+    from myaku_ray.functions.events import events_hourly_anomalies
+
+    sf = str(tmp_path)
+    base = pd.Timestamp("2024-01-01")
+    n = 50
+    ev = pd.DataFrame(
+        {
+            "event_id": range(n + 1),
+            "ts": [base + pd.Timedelta(seconds=30 * i) for i in range(n)]
+            + [base + pd.Timedelta(hours=2)],
+            "value": [10.0 + (i % 2) * 0.02 for i in range(n)] + [10.01],
+        }
+    )
+    ev.loc[7, "value"] = 500.0  # the outlier, inside hour 0
+    pq.write_table(pa.Table.from_pandas(ev), f"{sf}/events.parquet")
+
+    got = events_hourly_anomalies(sf).to_pandas()
+    assert got["event_id"].tolist() == [7]

@@ -284,6 +284,29 @@ def main() -> None:
         " n, sum_tf, n_terms)"
     )
 
+    # ---- more-like-this golden (serial seed-term selection + ranker) ----
+    from myaku_ray.oracle import mlt_seed_set, oracle_more_like_this
+
+    mlt_rows = []
+    for seed in mlt_seed_set(pages_dir):
+        for rank, (doc_id, score, _w) in enumerate(
+            oracle_more_like_this(oi, seed, k=10), start=1
+        ):
+            mlt_rows.append(
+                (seed, rank, doc_id, round(float(score), 5),
+                 oi.docs[doc_id]["url"])
+            )
+    mlt_values = ",\n  ".join(
+        f"({seed}::BIGINT, {rank}::BIGINT, {doc_id}::BIGINT, "
+        f"{score!r}::DOUBLE, {_sql_str(url)})"
+        for seed, rank, doc_id, score, url in mlt_rows
+    )
+    mlt_sql = (
+        "SELECT * FROM (VALUES\n  "
+        + mlt_values
+        + "\n) AS golden(seed_doc_id, rank, doc_id, score, url)"
+    )
+
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "myaku_ray", "functions", "pages_golden.py",
@@ -303,7 +326,8 @@ def main() -> None:
             f"PAGES_TERM_TREND_SQL = '''\n{trend_sql}\n'''\n\n"
             f"PAGES_SUGGEST_SQL = '''\n{sug_sql}\n'''\n\n"
             f"PAGES_BOOLEAN_SEARCH_SQL = '''\n{bool_sql}\n'''\n\n"
-            f"PAGES_SEARCH_FACETS_SQL = '''\n{facet_sql}\n'''\n"
+            f"PAGES_SEARCH_FACETS_SQL = '''\n{facet_sql}\n'''\n\n"
+            f"PAGES_MORE_LIKE_THIS_SQL = '''\n{mlt_sql}\n'''\n"
         )
     print(
         f"wrote {out}: {len(stats)} stats rows, {len(rows)} search rows, "
