@@ -471,6 +471,9 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
             relational.customer_order_distribution_q13,
         "doc_chunk_overlap": textops.doc_chunk_overlap,
         "mmr_diverse_rerank": ann.mmr_diverse_rerank,
+        "hard_negative_mining": ann.hard_negative_mining,
+        "weighted_sample_docs": textops.weighted_sample_docs,
+        "events_hourly_anomalies": events.events_hourly_anomalies,
     }
     # cold-time the Q5/Q9 bucketed layout writes too (same convention as
     # the cache rmtree above)
