@@ -249,6 +249,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-hour K-sigma outliers with the z-test squared into exact
         # int64 arithmetic (no float mean/stddev anywhere)
         "events_hourly_anomalies": events.events_hourly_anomalies,
+        # TPC-H Q4 shape: EXISTS-with-inequality semi-join collapsed to
+        # max(shipdate) partials + broadcast compare in the orders scan
+        "late_shipment_orders_q4": relational.late_shipment_orders_q4,
     }
 
 
@@ -354,4 +357,5 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_docs": textops.WEIGHTED_SAMPLE_SQL,
         "pages_more_like_this": pages_golden.PAGES_MORE_LIKE_THIS_SQL,
         "events_hourly_anomalies": events.EVENTS_HOURLY_ANOMALIES_SQL,
+        "late_shipment_orders_q4": relational.LATE_SHIPMENT_Q4_SQL,
     }

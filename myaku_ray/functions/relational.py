@@ -17,7 +17,7 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 Q1_CUTOFF = "1998-09-01"
 
@@ -1148,4 +1148,108 @@ FROM (
   GROUP BY c.c_custkey)
 GROUP BY n_orders
 ORDER BY n_orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# EXISTS semi-join with inequality (TPC-H Q4 shape): late-shipment orders
+# ---------------------------------------------------------------------------
+
+Q4_LATE_DAYS = 60
+Q4_LATE_US = Q4_LATE_DAYS * 86_400_000_000
+# Same driver/distributed switch as Q18: below this many orders the
+# per-batch (orderkey, max_shipdate) partials merge driver-side; above
+# it a Ray groupby(orderkey).max finishes them.
+Q4_DRIVER_AGG_LIMIT = 20_000_000
+
+
+def late_shipment_orders_q4(sf_dir: str):
+    """TPC-H Q4 analog: orders per priority having AT LEAST ONE lineitem
+    shipped more than ``Q4_LATE_DAYS`` after the order date — the
+    EXISTS-with-inequality semi-join shape.
+
+    The EXISTS collapses exactly: ``EXISTS(l.shipdate > o.date + T)``
+    ⇔ ``max(l.shipdate) > o.date + T``, so the corpus-sized work is one
+    2-column lineitem scan with a per-batch max combiner (the exchange
+    carries (orderkey, max_ship) partials — or nothing at all below the
+    driver-merge limit), and the orders scan consumes the result as a
+    broadcast sorted array: searchsorted attach, vectorized date
+    compare, per-batch priority-count partials, 5-row driver merge.
+    Neither fact table ever enters an all-to-all.
+    """
+    import pyarrow.parquet as _pq
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        key = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        ship = (
+            batch["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        df = pd.DataFrame({"l_orderkey": key, "max_ship_us": ship})
+        g = df.groupby("l_orderkey", as_index=False)["max_ship_us"].max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = li.map_batches(li_partial, batch_format="pyarrow")
+    n_orders = _pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    if n_orders <= Q4_DRIVER_AGG_LIMIT:
+        merged = partials.to_pandas()
+        ship = merged.groupby("l_orderkey", as_index=False)["max_ship_us"].max()
+    else:
+        ship = (
+            partials.groupby("l_orderkey")
+            .aggregate(Max("max_ship_us", alias_name="max_ship_us"))
+            .to_pandas()
+        )
+    ship = ship.sort_values("l_orderkey")
+    okeys = ship["l_orderkey"].to_numpy()
+    maxship = ship["max_ship_us"].to_numpy()
+    ship_ref = ray.put((okeys, maxship))
+
+    def od_partial(batch: pa.Table) -> pa.Table:
+        keys, ms = ray.get(ship_ref)
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        od = (
+            batch["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        if len(keys) == 0:
+            late = np.zeros(len(ok), dtype=bool)
+        else:
+            pos = np.searchsorted(keys, ok)
+            pos[pos == len(keys)] = 0
+            hit = keys[pos] == ok
+            late = hit & (ms[pos] > od + Q4_LATE_US)
+        pr = batch["o_orderpriority"].to_numpy(zero_copy_only=False)[late]
+        df = pd.DataFrame({"o_orderpriority": pr})
+        g = df.groupby("o_orderpriority", as_index=False).size()
+        g = g.rename(columns={"size": "n_late"})
+        g["n_late"] = g["n_late"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        )
+        .map_batches(od_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = parts.groupby("o_orderpriority", as_index=False)["n_late"].sum()
+    out["n_late"] = out["n_late"].astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+LATE_SHIPMENT_Q4_SQL = f"""
+SELECT o.o_orderpriority, count(*) AS n_late
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
 """

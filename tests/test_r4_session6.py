@@ -507,3 +507,70 @@ def test_events_hourly_anomalies_planted_outlier(ray_session, tmp_path):
 
     got = events_hourly_anomalies(sf).to_pandas()
     assert got["event_id"].tolist() == [7]
+
+
+def test_late_shipment_q4_matches_duckdb(ray_session):
+    from myaku_ray.functions.relational import (
+        LATE_SHIPMENT_Q4_SQL,
+        late_shipment_orders_q4,
+    )
+
+    got = _match(
+        late_shipment_orders_q4(SF), LATE_SHIPMENT_Q4_SQL, SF,
+        ["o_orderpriority"],
+    )
+    assert len(got) > 0
+
+
+def test_late_shipment_q4_exists_boundary(ray_session, tmp_path):
+    """EXISTS must be strict: one lineitem shipped EXACTLY at the
+    threshold does not qualify; one microsecond past it does; an order
+    with several on-time lines and one late line counts once."""
+    from myaku_ray.functions.relational import (
+        Q4_LATE_DAYS,
+        late_shipment_orders_q4,
+    )
+
+    sf = str(tmp_path)
+    base = pd.Timestamp("1996-01-01")
+    t = pd.Timedelta(days=Q4_LATE_DAYS)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_orderdate": [base] * 3,
+            "o_orderpriority": ["1-URGENT", "1-URGENT", "2-HIGH"],
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 2, 3, 3, 3],
+            "l_shipdate": [
+                base + t,                                # exactly at: NOT late
+                base + t + pd.Timedelta(microseconds=1),  # just past: late
+                base,                                    # on time
+                base + pd.Timedelta(days=1),             # on time
+                base + t + pd.Timedelta(days=5),         # late -> order 3 once
+            ],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(orders), f"{sf}/orders.parquet")
+    pq.write_table(pa.Table.from_pandas(li), f"{sf}/lineitem.parquet")
+
+    got = late_shipment_orders_q4(sf)
+    assert dict(zip(got["o_orderpriority"], got["n_late"])) == {
+        "1-URGENT": 1,
+        "2-HIGH": 1,
+    }
+
+
+def test_late_shipment_q4_driver_vs_distributed_parity(
+    ray_session, monkeypatch
+):
+    from myaku_ray.functions import relational
+
+    fast = relational.late_shipment_orders_q4(SF)
+    monkeypatch.setattr(relational, "Q4_DRIVER_AGG_LIMIT", 0)
+    slow = relational.late_shipment_orders_q4(SF)
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True), slow.reset_index(drop=True)
+    )
