@@ -88,6 +88,11 @@ def main(argv: list[str] | None = None) -> int:
         help="proximity mode: every term within WINDOW chars",
     )
 
+    ml = sub.add_parser("mlt", help="more-like-this: related docs for a seed doc_id")
+    ml.add_argument("index_dir")
+    ml.add_argument("doc_id", type=int)
+    ml.add_argument("--k", type=int, default=10)
+
     d = sub.add_parser("delete")
     d.add_argument("index_dir")
     d.add_argument("urls", nargs="+")
@@ -183,6 +188,23 @@ def main(argv: list[str] | None = None) -> int:
             else s_.phrase_topk(args.query, args.k)
         )
         for h in s_.hydrate(hits, args.query):
+            print(
+                json.dumps(
+                    {
+                        "doc_id": h.doc_id,
+                        "score": round(h.score, 5),
+                        "url": h.url,
+                        "title": h.title,
+                    },
+                    ensure_ascii=False,
+                )
+            )
+    elif args.cmd == "mlt":
+        from myaku_ray.index.searcher import Searcher
+
+        s_ = Searcher(args.index_dir)
+        hits = s_.more_like_this(args.doc_id, args.k)
+        for h in s_.hydrate(hits, ""):
             print(
                 json.dumps(
                     {
