@@ -252,6 +252,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q4 shape: EXISTS-with-inequality semi-join collapsed to
         # max(shipdate) partials + broadcast compare in the orders scan
         "late_shipment_orders_q4": relational.late_shipment_orders_q4,
+        # semantic curation gate: vectors in their cluster's distance
+        # tail (kmeans fit + exact-int mean thresholds); stored golden
+        "embedding_outliers": ann.embedding_outliers,
     }
 
 
@@ -358,4 +361,5 @@ def oracle_sql() -> dict[str, str]:
         "pages_more_like_this": pages_golden.PAGES_MORE_LIKE_THIS_SQL,
         "events_hourly_anomalies": events.EVENTS_HOURLY_ANOMALIES_SQL,
         "late_shipment_orders_q4": relational.LATE_SHIPMENT_Q4_SQL,
+        "embedding_outliers": op_goldens.EMBEDDING_OUTLIERS_SQL,
     }

@@ -1249,3 +1249,92 @@ SELECT query_vec_id, neighbor_vec_id, sim_r,
 FROM s
 QUALIFY rank <= {TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier gate (curation): vectors far from their k-means
+# centroid — the semantic counterpart of the lexical quality filters
+# (mislabeled/off-distribution examples sit in their cluster's tail).
+# ---------------------------------------------------------------------------
+
+EMB_OUTLIER_FACTOR = 1.05
+
+
+def embedding_outliers(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+    """Vectors whose squared distance to their assigned centroid exceeds
+    ``EMB_OUTLIER_FACTOR`` x their cluster's mean squared distance.
+
+    One distributed Lloyd's fit (the oracled ``kmeans_fit`` — Q20
+    fixed-point reduces, bit-identical at any blocking), then TWO
+    streaming passes sharing the broadcast centroids: per-cluster
+    (size, Σd2_q) partials -> k-row driver merge -> per-cluster
+    thresholds ``round(F * mean_d2_r, 6)`` broadcast -> a pure map-side
+    flag pass emitting (vec_id, cluster_id, d2_r).  The d2 comparison
+    happens on 6-decimal-rounded values derived from exact int64 sums,
+    so the gate is blocking-independent on both engine and golden.
+    """
+    C, _ = kmeans_fit(sf_dir, k=k, iters=iters)
+    c_ref = ray.put(C)
+    src = f"{sf_dir}/embeddings.parquet"
+
+    def stats(batch: pa.Table) -> pa.Table:
+        Cl = ray.get(c_ref)
+        X = _matrix(batch["embedding"])
+        scores = X @ Cl.T - 0.5 * (Cl * Cl).sum(axis=1)[None, :]
+        assign = scores.argmax(axis=1)
+        d2 = (X * X).sum(axis=1) - 2.0 * scores[np.arange(len(X)), assign]
+        d2q = np.round(d2 * KMEANS_FP_SCALE).astype(np.int64)
+        t = pa.table(
+            {
+                "cluster_id": pa.array(assign.astype(np.int64)),
+                "n": pa.array(np.ones(len(assign), dtype=np.int64)),
+                "sum_d2_q": pa.array(d2q),
+            }
+        )
+        return t.group_by("cluster_id").aggregate(
+            [("n", "sum"), ("sum_d2_q", "sum")]
+        ).rename_columns(["cluster_id", "n", "sum_d2_q"])
+
+    ds = rd.read_parquet(src, columns=["vec_id", "embedding"])
+    st = (
+        ds.map_batches(stats, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("cluster_id", as_index=False)
+        .sum()
+    )
+    mean_d2_r = (st["sum_d2_q"] / KMEANS_FP_SCALE / st["n"]).round(6)
+    thr = np.full(k, np.inf)
+    thr[st["cluster_id"].to_numpy()] = np.round(
+        EMB_OUTLIER_FACTOR * mean_d2_r.to_numpy(), 6
+    )
+    thr_ref = ray.put(thr)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        Cl = ray.get(c_ref)
+        th = ray.get(thr_ref)
+        X = _matrix(batch["embedding"])
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        scores = X @ Cl.T - 0.5 * (Cl * Cl).sum(axis=1)[None, :]
+        assign = scores.argmax(axis=1)
+        d2_r = np.round(
+            (X * X).sum(axis=1) - 2.0 * scores[np.arange(len(X)), assign], 6
+        )
+        keep = d2_r > th[assign]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep].astype(np.int64)),
+                "cluster_id": pa.array(assign[keep].astype(np.int64)),
+                "d2_r": pa.array(d2_r[keep], pa.float64()),
+            }
+        )
+
+    out = ds.map_batches(flag, batch_format="pyarrow").materialize()
+    if out.count() == 0:
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype=np.int64),
+                "cluster_id": pd.Series(dtype=np.int64),
+                "d2_r": pd.Series(dtype=np.float64),
+            }
+        )
+    return out

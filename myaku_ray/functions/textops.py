@@ -2146,7 +2146,11 @@ DOC_CHUNK_OVERLAP_SQL = f"""
 WITH c AS (
   SELECT d.doc_id, d.text,
     unnest(generate_series(0, (length(d.text)-1)//{CHUNK_STRIDE})) AS chunk_idx
-  FROM documents d)
+  FROM documents d
+  -- DuckDB // truncates toward zero, so an empty text would get
+  -- (0-1)//S = 0 and emit one empty chunk the Ray side (correctly)
+  -- skips; gate it out explicitly
+  WHERE length(d.text) > 0)
 SELECT doc_id, chunk_idx,
   CAST(length(substr(text, CAST(chunk_idx*{CHUNK_STRIDE}+1 AS BIGINT), {CHUNK_WIDTH})) AS BIGINT) AS chunk_len,
   ('0x' || substr(md5(substr(text, CAST(chunk_idx*{CHUNK_STRIDE}+1 AS BIGINT), {CHUNK_WIDTH})), 1, 16))::UBIGINT AS chunk_hash

@@ -273,10 +273,13 @@ def test_doc_chunk_overlap_multibyte(ray_session, tmp_path):
 
     sf = str(tmp_path)
     text = ("日本語テキスト、" * 40)[:250]  # 250 codepoints, 3-byte chars
-    docs = pd.DataFrame({"doc_id": [7], "text": [text]})
+    # the empty-text doc must produce ZERO chunks on both sides (DuckDB's
+    # truncating // would otherwise emit one empty chunk — SQL gated)
+    docs = pd.DataFrame({"doc_id": [7, 8], "text": [text, ""]})
     pq.write_table(pa.Table.from_pandas(docs), f"{sf}/documents.parquet")
 
     got = doc_chunk_overlap(sf).to_pandas().sort_values("chunk_idx")
+    assert (got["doc_id"] == 7).all()
     con = duckdb.connect()
     con.sql(
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
@@ -574,3 +577,48 @@ def test_late_shipment_q4_driver_vs_distributed_parity(
     pd.testing.assert_frame_equal(
         fast.reset_index(drop=True), slow.reset_index(drop=True)
     )
+
+
+def test_embedding_outliers_matches_serial_replica(ray_session):
+    """Distributed fit + two-pass gate == the serial numpy replica (the
+    golden generator's path) at sf0.001, plus tail-fraction sanity."""
+    from myaku_ray.functions.ann import (
+        EMB_OUTLIER_FACTOR,
+        KMEANS_FP_SCALE,
+        KMEANS_ITERS,
+        KMEANS_K,
+        _matrix,
+        embedding_outliers,
+        kmeans_fit,
+    )
+
+    res = embedding_outliers(SF)
+    got = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
+    got = got.sort_values("vec_id").reset_index(drop=True)
+
+    C, _ = kmeans_fit(SF, k=KMEANS_K, iters=KMEANS_ITERS)
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    X = _matrix(t["embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    scores = X @ C.T - 0.5 * (C * C).sum(axis=1)[None, :]
+    assign = scores.argmax(axis=1)
+    d2 = (X * X).sum(axis=1) - 2.0 * scores[np.arange(len(X)), assign]
+    d2q = np.round(d2 * KMEANS_FP_SCALE).astype(np.int64)
+    thr = {}
+    for c in np.unique(assign):
+        m = assign == c
+        mean_r = round(d2q[m].sum() / KMEANS_FP_SCALE / m.sum(), 6)
+        thr[c] = round(EMB_OUTLIER_FACTOR * mean_r, 6)
+    d2_r = np.round(d2, 6)
+    mask = d2_r > np.vectorize(thr.get)(assign)
+    want = pd.DataFrame(
+        {
+            "vec_id": ids[mask],
+            "cluster_id": assign[mask].astype(np.int64),
+            "d2_r": d2_r[mask],
+        }
+    ).sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    # the gate keeps a strict tail, never everything
+    n_total = len(ids)
+    assert 0 < len(got) < n_total * 0.5

@@ -394,6 +394,40 @@ def golden_mmr() -> str:
     )
 
 
+def golden_embedding_outliers() -> str:
+    """Serial replica of embedding_outliers: serial kmeans (bit-identical
+    centroids via Q20 reduces), per-cluster exact-int mean d2, the same
+    rounded threshold compare."""
+    from myaku_ray.functions.ann import (
+        EMB_OUTLIER_FACTOR, KMEANS_FP_SCALE, KMEANS_ITERS, KMEANS_K,
+    )
+
+    src = f"{SF_DIR}/embeddings.parquet"
+    X, C = _serial_kmeans(src, KMEANS_K, KMEANS_ITERS)
+    ids = np.asarray(
+        pq.read_table(src, columns=["vec_id"])["vec_id"].to_pylist(),
+        dtype=np.int64,
+    )
+    scores = X @ C.T - 0.5 * (C * C).sum(axis=1)[None, :]
+    assign = scores.argmax(axis=1)
+    d2 = (X * X).sum(axis=1) - 2.0 * scores[np.arange(len(X)), assign]
+    d2q = np.round(d2 * KMEANS_FP_SCALE).astype(np.int64)
+    rows = []
+    thr = {}
+    for c in np.unique(assign):
+        m = assign == c
+        mean_r = round(d2q[m].sum() / KMEANS_FP_SCALE / m.sum(), 6)
+        thr[c] = round(EMB_OUTLIER_FACTOR * mean_r, 6)
+    d2_r = np.round(d2, 6)
+    for i in np.flatnonzero(d2_r > np.vectorize(thr.get)(assign)):
+        rows.append((int(ids[i]), int(assign[i]), float(d2_r[i])))
+    rows.sort()
+    return values_sql(
+        rows,
+        [("vec_id", "BIGINT"), ("cluster_id", "BIGINT"), ("d2_r", "DOUBLE")],
+    )
+
+
 def golden_pages_fli() -> str:
     from myaku_ray.corpus import gen_blogs_table, write_pages_parquet
     from myaku_ray.functions.fulltext import PAGES_N, fli_payload_json
@@ -494,6 +528,7 @@ def main() -> None:
         "SEMDEDUP_PRUNE_SQL": golden_semdedup(),
         "PQ_COSINE_TOPK_SQL": golden_pq(),
         "MMR_DIVERSE_RERANK_SQL": golden_mmr(),
+        "EMBEDDING_OUTLIERS_SQL": golden_embedding_outliers(),
         "PAGES_FLI_INTERPS_SQL": golden_pages_fli(),
         "MEDIA_FEATURES_SQL": golden_media_features(),
         "MEDIA_FRAME_SAMPLE_SQL": golden_media_frames(),
