@@ -255,6 +255,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semantic curation gate: vectors in their cluster's distance
         # tail (kmeans fit + exact-int mean thresholds); stored golden
         "embedding_outliers": ann.embedding_outliers,
+        # keyword extraction: per-source over-represented terms by the
+        # EXACT integer 2x2 cross-product (no float statistic)
+        "distinctive_terms_per_source": textops.distinctive_terms_per_source,
     }
 
 
@@ -362,4 +365,5 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_anomalies": events.EVENTS_HOURLY_ANOMALIES_SQL,
         "late_shipment_orders_q4": relational.LATE_SHIPMENT_Q4_SQL,
         "embedding_outliers": op_goldens.EMBEDDING_OUTLIERS_SQL,
+        "distinctive_terms_per_source": textops.DISTINCTIVE_TERMS_SQL,
     }

@@ -476,6 +476,7 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "events_hourly_anomalies": events.events_hourly_anomalies,
         "late_shipment_orders_q4": relational.late_shipment_orders_q4,
         "embedding_outliers": ann.embedding_outliers,
+        "distinctive_terms_per_source": textops.distinctive_terms_per_source,
     }
     # cold-time the Q5/Q9 bucketed layout writes too (same convention as
     # the cache rmtree above)

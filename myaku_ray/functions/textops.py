@@ -2219,3 +2219,114 @@ FROM s
 ORDER BY ares_key DESC, doc_id
 LIMIT {WEIGHTED_SAMPLE_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Keyword extraction: terms over-represented in one source (exact
+# cross-product association, no float statistic anywhere)
+# ---------------------------------------------------------------------------
+
+DISTINCTIVE_TOPK = 5
+
+
+def distinctive_terms_per_source(sf_dir: str, k: int = DISTINCTIVE_TOPK):
+    """Top-k terms most associated with each source — keyword
+    extraction over the corpus.  Association uses the 2x2 contingency
+    table's EXACT integer cross-product ``a*d - b*c`` (a = source docs
+    with the term, b = source docs without, c = other docs with,
+    d = other docs without) — monotone in the odds-ratio direction,
+    with none of chi-square's float math to diverge by an ulp.  int64
+    envelope: doc counts up to ~3e9 keep both products under 2^63
+    (asserted loudly).
+
+    Plan: per-batch DISTINCT (doc, term) pairs via dictionary codes +
+    one np.unique (the doc_token_stats kernel — no row loop), counted
+    into ONE groupby(source, term) exchange of partials; the final
+    score/rank runs on the driver over the vocab x sources aggregate —
+    vocab-sized, the same bound as the tf-idf df table.
+    """
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        enc = pc.list_flatten(toks).dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        vocab = len(enc.dictionary)
+        keys = parents * vocab + codes
+        uniq = np.unique(keys)
+        row = uniq // vocab
+        code = uniq % vocab
+        terms = enc.dictionary.take(pa.array(code))
+        src = batch["source"].combine_chunks().take(pa.array(row))
+        t = pa.table(
+            {
+                "source": src,
+                "term": terms,
+                "a": pa.array(np.ones(len(uniq), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["source", "term"]).aggregate(
+            [("a", "sum")]
+        ).rename_columns(["source", "term", "a"])
+
+    st = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["source", "term"])
+        .aggregate(Sum("a", alias_name="a"))
+        .to_pandas()
+    )
+    n_s = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+        .groupby("source")
+        .aggregate(Count(alias_name="n_s"))
+        .to_pandas()
+    )
+    n_total = int(n_s["n_s"].sum())
+    assert n_total < 3_000_000_000, (
+        "distinctive-terms int64 envelope exceeded — scale counts down"
+    )
+    df_t = st.groupby("term", as_index=False)["a"].sum().rename(
+        columns={"a": "df"}
+    )
+    m = st.merge(df_t, on="term").merge(n_s, on="source")
+    a = m["a"].to_numpy()
+    b = m["n_s"].to_numpy() - a
+    c = m["df"].to_numpy() - a
+    d = (n_total - m["n_s"].to_numpy()) - c
+    m["score"] = a * d - b * c
+    m = m.sort_values(
+        ["source", "score", "term"], ascending=[True, False, True]
+    )
+    out = m.groupby("source", as_index=False).head(k).copy()
+    out["rank"] = out.groupby("source").cumcount() + 1
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["source", "rank", "term", "a", "score"]].reset_index(drop=True)
+
+
+DISTINCTIVE_TERMS_SQL = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS term
+  FROM documents),
+st AS (SELECT source, term, count(*) AS a FROM dt GROUP BY source, term),
+tt AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+ns AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+n AS (SELECT count(*) AS n_total FROM documents),
+scored AS (
+  SELECT st.source, st.term, st.a,
+    st.a*((n.n_total - ns.n_s) - (tt.df - st.a))
+      - (ns.n_s - st.a)*(tt.df - st.a) AS score
+  FROM st JOIN tt USING (term) JOIN ns USING (source) CROSS JOIN n),
+ranked AS (
+  SELECT source, term, a, score,
+    CAST(row_number() OVER (
+      PARTITION BY source ORDER BY score DESC, term) AS BIGINT) AS rank
+  FROM scored)
+SELECT source, rank, term, a, score
+FROM ranked
+WHERE rank <= {DISTINCTIVE_TOPK}
+"""

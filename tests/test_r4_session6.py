@@ -622,3 +622,38 @@ def test_embedding_outliers_matches_serial_replica(ray_session):
     # the gate keeps a strict tail, never everything
     n_total = len(ids)
     assert 0 < len(got) < n_total * 0.5
+
+
+def test_distinctive_terms_matches_duckdb(ray_session):
+    from myaku_ray.functions.textops import (
+        DISTINCTIVE_TERMS_SQL,
+        DISTINCTIVE_TOPK,
+        distinctive_terms_per_source,
+    )
+
+    got = _match(
+        distinctive_terms_per_source(SF), DISTINCTIVE_TERMS_SQL, SF,
+        ["source", "rank"],
+    )
+    assert (got.groupby("source")["rank"].max() <= DISTINCTIVE_TOPK).all()
+
+
+def test_distinctive_terms_planted_marker(ray_session, tmp_path):
+    """A term appearing in every doc of one source and nowhere else must
+    rank first for that source."""
+    from myaku_ray.functions.textops import distinctive_terms_per_source
+
+    sf = str(tmp_path)
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "source": ["srcA"] * 4 + ["srcB"] * 4,
+            "text": ["zebra common word"] * 4 + ["common word other"] * 4,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs), f"{sf}/documents.parquet")
+    got = distinctive_terms_per_source(sf)
+    top_a = got[(got["source"] == "srcA") & (got["rank"] == 1)]
+    assert top_a["term"].tolist() == ["zebra"]
+    # a*d - b*c = 4*4 - 0*0 = 16 for the exclusive marker
+    assert top_a["score"].tolist() == [16]
