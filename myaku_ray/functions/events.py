@@ -1011,22 +1011,37 @@ PCTL_CUTS = 256
 # max values pulled to the driver per refinement round; buckets above it
 # recurse with finer cuts instead of materializing
 PCTL_PULL_LIMIT = 5_000_000
+# below this many rows the whole float column is pulled once and every
+# rank answered with a single multi-kth np.partition — ONE Ray execution
+# instead of the counting rounds (the dedup_exact/Q18 driver/distributed
+# scale-switch idiom); the distributed path is equality-gated against
+# this one in tests/test_r4_session7.py
+PCTL_DRIVER_LIMIT = 30_000_000
 
 
-def events_value_percentiles(sf_dir: str):
+def events_value_percentiles(
+    sf_dir: str, *, driver_limit: int = PCTL_DRIVER_LIMIT
+):
     """EXACT order-statistic percentiles of ``events.value`` with NO
-    distributed sort — the selection-by-counting (quickselect) plan:
+    distributed sort.  Row count comes from parquet metadata (exact,
+    free).  Below ``driver_limit`` rows the single float column is
+    pulled once and all ranks are answered with one multi-kth
+    ``np.partition`` (8 bytes/row on the driver — the documented
+    driver/distributed scale switch).  Above it, the
+    selection-by-counting (quickselect) plan runs:
 
-    1. one streaming count;
-    2. one streaming deterministic sample (md5(event_id) threshold —
+    1. one streaming deterministic sample (md5(event_id) threshold —
        row-order-independent) that supplies ~PCTL_SAMPLE_TARGET cut
        candidates;
-    3. one streaming searchsorted-bincount pass that counts rows per
-       cut bucket, locating each target rank's bucket;
-    4. a bounded pull of ONLY the target buckets (np.partition on the
-       driver); a bucket larger than PCTL_PULL_LIMIT recurses with
-       finer cuts inside its bounds — ties collapse (lo == hi answers
-       immediately), so the loop strictly shrinks.
+    2. per round, ONE streaming searchsorted-bincount pass counts rows
+       per cut bucket for EVERY still-open quantile (the items share
+       the scan — a fixed number of Ray executions per round, not per
+       quantile);
+    3. a single bounded pull of ONLY the target buckets
+       (np.partition on the driver); a bucket larger than
+       PCTL_PULL_LIMIT recurses with finer cuts inside its bounds —
+       ties collapse (lo == hi answers immediately), so the loop
+       strictly shrinks.
 
     Every pass is a map-only scan of one float column; nothing
     corpus-sized ever crosses an exchange or lands on the driver.
@@ -1035,6 +1050,8 @@ def events_value_percentiles(sf_dir: str):
     statistic at ceil(q*n)-1 (0-based), pinned against DuckDB."""
     import math
 
+    import pyarrow.parquet as _pq
+
     from myaku_ray.functions.hashkit import md5_u64
 
     path = f"{sf_dir}/events.parquet"
@@ -1042,10 +1059,26 @@ def events_value_percentiles(sf_dir: str):
     def _vals(columns):
         return rd.read_parquet(path, columns=columns)
 
-    n = _vals(["value"]).count()
+    n = _pq.read_metadata(path).num_rows
     if n == 0:
         return pd.DataFrame({"q": pd.Series(PCTL_QS, dtype="float64"),
                              "value": pd.Series([None] * len(PCTL_QS), dtype="float64")})
+    ranks = {q: max(0, math.ceil(q * n) - 1) for q in PCTL_QS}
+
+    if n <= driver_limit:
+        vals = _vals(["value"]).to_pandas()["value"].to_numpy()
+        kth = sorted(set(ranks.values()))
+        part = np.partition(vals, kth)
+        return pd.DataFrame(
+            {
+                "q": pd.Series(PCTL_QS, dtype="float64"),
+                "value": pd.Series(
+                    [float(part[ranks[q]]) for q in PCTL_QS], dtype="float64"
+                ),
+            }
+        )
+
+    # ---- distributed counting path ----
     # exact streaming min/max so every bound below is finite (one tiny
     # metadata-or-scan pass)
     mm = _vals(["value"]).aggregate(
@@ -1053,7 +1086,7 @@ def events_value_percentiles(sf_dir: str):
     )
     vmin, vmax = float(mm["min(value)"]), float(mm["max(value)"])
 
-    # pass 2: deterministic sample for cut candidates
+    # deterministic sample for cut candidates
     p = min(1.0, PCTL_SAMPLE_TARGET / n)
     # float rounding can push int(1.0 * (2**64-1)) to 2**64 — clamp
     thresh = np.uint64(min(int(p * (2**64 - 1)), 2**64 - 1))
@@ -1070,66 +1103,95 @@ def events_value_percentiles(sf_dir: str):
         .to_numpy()
     )
 
-    ranks = {q: max(0, math.ceil(q * n) - 1) for q in PCTL_QS}
-    # (rank, lo, hi) work items; None bounds = open
     out: dict[float, float] = {}
-    todo = [(q, ranks[q], vmin - 1.0, vmax, sampled) for q in PCTL_QS]
+    todo = [(q, ranks[q], vmin - 1.0, vmax) for q in PCTL_QS]
 
     while todo:
-        q, rank, lo, hi, samp = todo.pop()
-        # cuts strictly inside (lo, hi); fall back to uniform when the
-        # sample is exhausted inside the bounds
-        inner = samp[(samp > lo) & (samp < hi)]
-        if len(inner) == 0:
-            inner = np.linspace(lo, hi, PCTL_CUTS + 2)[1:-1]
-        cuts = np.unique(inner)[:: max(1, len(np.unique(inner)) // PCTL_CUTS)]
+        # fix this round's work items and their cuts; ONE counting scan
+        # serves them all (loop over <=len(PCTL_QS) items with vector
+        # ops inside — the accepted idiom)
+        items = []
+        for q, rank, lo, hi in todo:
+            inner = sampled[(sampled > lo) & (sampled < hi)]
+            if len(inner) == 0:
+                inner = np.linspace(lo, hi, PCTL_CUTS + 2)[1:-1]
+            u = np.unique(inner)
+            cuts = u[:: max(1, len(u) // PCTL_CUTS)]
+            items.append((q, rank, lo, hi, cuts))
+        todo = []
 
-        def bucket_counts(batch: pa.Table, cuts=cuts, lo=lo, hi=hi) -> pa.Table:
-            v = batch["value"].to_numpy(zero_copy_only=False)
-            v = v[(v > lo) & (v <= hi)]
-            # bucket b = values in (cuts[b-1], cuts[b]] — searchsorted
-            # side="left" counts cuts STRICTLY below v, so v == cuts[b]
-            # lands in bucket b (right-inclusive); bucket len(cuts) =
-            # values above the last cut
-            idx = np.searchsorted(cuts, v, side="left")
-            c = np.bincount(idx, minlength=len(cuts) + 1)
-            return pa.table({"bucket": pa.array(np.arange(len(c), dtype=np.int64)),
-                             "n": pa.array(c.astype(np.int64))})
+        def bucket_counts(batch: pa.Table, items=items) -> pa.Table:
+            v_all = batch["value"].to_numpy(zero_copy_only=False)
+            ids, buckets, ns = [], [], []
+            for i, (_q, _rank, lo, hi, cuts) in enumerate(items):
+                # bucket b = values in (cuts[b-1], cuts[b]] —
+                # searchsorted side="left" counts cuts STRICTLY below
+                # v, so v == cuts[b] lands in bucket b
+                # (right-inclusive); bucket len(cuts) = values above
+                # the last cut
+                v = v_all[(v_all > lo) & (v_all <= hi)]
+                idx = np.searchsorted(cuts, v, side="left")
+                c = np.bincount(idx, minlength=len(cuts) + 1)
+                ids.append(np.full(len(c), i, dtype=np.int64))
+                buckets.append(np.arange(len(c), dtype=np.int64))
+                ns.append(c.astype(np.int64))
+            return pa.table({"item": pa.array(np.concatenate(ids)),
+                             "bucket": pa.array(np.concatenate(buckets)),
+                             "n": pa.array(np.concatenate(ns))})
 
-        counts = (
+        cdf = (
             _vals(["value"])
             .map_batches(bucket_counts, batch_format="pyarrow")
             .to_pandas()
-            .groupby("bucket")["n"]
+            .groupby(["item", "bucket"])["n"]
             .sum()
-            .reindex(range(len(cuts) + 1), fill_value=0)
-            .to_numpy()
         )
-        # rank is RELATIVE to values > lo (global rank minus count <= lo)
-        cum = np.cumsum(counts)
-        b = int(np.searchsorted(cum, rank + 1))
-        in_bucket_rank = rank - (int(cum[b - 1]) if b > 0 else 0)
-        blo = lo if b == 0 else float(cuts[b - 1])
-        bhi = float(cuts[b]) if b < len(cuts) else hi
-        bn = int(counts[b])
-        if bn <= PCTL_PULL_LIMIT:
-            def pull(batch: pa.Table, blo=blo, bhi=bhi) -> pa.Table:
-                v = batch["value"].to_numpy(zero_copy_only=False)
-                return pa.table({"value": pa.array(v[(v > blo) & (v <= bhi)])})
-
-            vals = (
-                _vals(["value"]).map_batches(pull, batch_format="pyarrow")
-                .to_pandas()["value"].to_numpy()
+        pulls = []
+        for i, (q, rank, lo, hi, cuts) in enumerate(items):
+            counts = (
+                cdf.loc[i]
+                .reindex(range(len(cuts) + 1), fill_value=0)
+                .to_numpy()
             )
-            out[q] = float(np.partition(vals, in_bucket_rank)[in_bucket_rank])
-        else:
-            # recurse inside the bucket; a fully-tied bucket answers now
-            if blo == bhi or np.nextafter(blo, bhi) == bhi:
+            # rank is RELATIVE to values > lo (global rank minus
+            # count <= lo)
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, rank + 1))
+            in_bucket_rank = rank - (int(cum[b - 1]) if b > 0 else 0)
+            blo = lo if b == 0 else float(cuts[b - 1])
+            bhi = float(cuts[b]) if b < len(cuts) else hi
+            bn = int(counts[b])
+            if bn <= PCTL_PULL_LIMIT:
+                pulls.append((q, in_bucket_rank, blo, bhi))
+            elif blo == bhi or np.nextafter(blo, bhi) == bhi:
                 # no representable value strictly between the bounds:
                 # every remaining row equals bhi
                 out[q] = bhi
             else:
-                todo.append((q, in_bucket_rank, blo, bhi, samp))
+                todo.append((q, in_bucket_rank, blo, bhi))
+
+        if pulls:
+            # ONE bounded pull covers every resolved item this round
+            def pull(batch: pa.Table, pulls=pulls) -> pa.Table:
+                v_all = batch["value"].to_numpy(zero_copy_only=False)
+                ids, vs = [], []
+                for i, (_q, _r, blo, bhi) in enumerate(pulls):
+                    v = v_all[(v_all > blo) & (v_all <= bhi)]
+                    ids.append(np.full(len(v), i, dtype=np.int64))
+                    vs.append(v)
+                return pa.table({"item": pa.array(np.concatenate(ids)),
+                                 "value": pa.array(np.concatenate(vs))})
+
+            pdf = (
+                _vals(["value"])
+                .map_batches(pull, batch_format="pyarrow")
+                .to_pandas()
+            )
+            for i, (q, in_bucket_rank, _blo, _bhi) in enumerate(pulls):
+                vals = pdf.loc[pdf["item"] == i, "value"].to_numpy()
+                out[q] = float(
+                    np.partition(vals, in_bucket_rank)[in_bucket_rank]
+                )
 
     return pd.DataFrame(
         {

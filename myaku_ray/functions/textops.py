@@ -1958,44 +1958,93 @@ DSIR_BUCKETS = 4096
 DSIR_TARGET_LANG = "en"
 
 
-def dsir_importance_weights(sf_dir: str):
+# driver-merge bound for the bucket totals: each ~1k-doc batch emits one
+# dense DSIR_BUCKETS-row partial, so the driver merge holds roughly
+# ceil(n_docs/1024) x DSIR_BUCKETS rows; past this bound the merge falls
+# back to Ray's groupby exchange (same switch idiom as dedup_exact/Q18,
+# equality-gated in tests/test_r4_session7.py)
+DSIR_DRIVER_MERGE_ROWS = 50_000_000
+
+
+def dsir_importance_weights(sf_dir: str, *, driver_merge_rows: int = DSIR_DRIVER_MERGE_ROWS):
     """Per-doc hashed-feature importance weight toward a target domain
     — the DSIR data-selection signal: log p_target(doc) - log p_raw(doc)
     under bag-of-hashed-unigram models with add-1 smoothing over
     DSIR_BUCKETS buckets (target domain = lang == DSIR_TARGET_LANG).
 
-    Two streaming passes, same shape as ``doc_unigram_logppl``:
-    (1) per-batch B-sized (feature, raw, target) count partials through
-    ONE groupby(f) of B-row partials — the models are bucket-sized,
-    never vocab- or corpus-sized, which is the point of hashing;
-    (2) the log-ratio vector broadcasts (``ray.put``, B floats) and
-    scoring is vectorized (md5 feature hash of the batch dictionary +
-    per-doc bincount segment sums).  Rounded to 6 decimals so
-    summation-order float noise cannot flip the DuckDB comparison."""
+    The text is tokenized + feature-hashed ONCE: the first pass
+    materializes a per-doc sparse histogram (doc_id, is_tgt, list<f>,
+    list<c>) — strictly smaller than the text it summarizes
+    (min(distinct terms, DSIR_BUCKETS) int64 pairs per doc) and
+    list-typed, so a block boundary can never split a document.  The
+    bucket-total reduction and the scoring pass both read that
+    intermediate instead of re-tokenizing the corpus (tokenize+md5 IS
+    the cost at scale; the old shape paid it twice).  Totals merge
+    dense B-sized per-batch partials on the driver below
+    ``driver_merge_rows``, else through Ray's groupby.  The log-ratio
+    vector broadcasts (``ray.put``, B floats) and scoring is a flat
+    per-doc dot product (list_flatten + bincount by parent).  Rounded
+    to 6 decimals so summation-order float noise cannot flip the
+    DuckDB comparison.  Bucket tallies ride float64 bincount weights:
+    exact below 2**53 total tokens per bucket (~9e15 — beyond a
+    100 TB corpus)."""
+    import math
+
+    import pyarrow.compute as pc
+
     from myaku_ray.functions.hashkit import md5_u64_str
 
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
     )
 
-    def partials(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
+    def featurize(batch: pa.Table) -> pa.Table:
+        nrows = batch.num_rows
+        if nrows == 0:
             return pa.table(
                 {
-                    "f": pa.array([], pa.int64()),
-                    "raw_c": pa.array([], pa.int64()),
-                    "tgt_c": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "is_tgt": pa.array([], pa.bool_()),
+                    "f": pa.array([], pa.large_list(pa.int64())),
+                    "c": pa.array([], pa.large_list(pa.int64())),
                 }
             )
         doc_idx, codes, tfs, dictionary = _doc_term_tfs(batch)
         f_of_code = (md5_u64_str(dictionary) % DSIR_BUCKETS).astype(np.int64)
-        f = f_of_code[codes]
-        raw_c = np.bincount(f, weights=tfs, minlength=DSIR_BUCKETS)
-        is_tgt = (
-            batch["lang"].to_numpy(zero_copy_only=False) == DSIR_TARGET_LANG
-        )[doc_idx]
+        keys = doc_idx * DSIR_BUCKETS + f_of_code[codes]
+        uk, inv = np.unique(keys, return_inverse=True)
+        c = np.bincount(inv, weights=tfs).astype(np.int64)
+        row = uk // DSIR_BUCKETS
+        f_id = uk % DSIR_BUCKETS
+        per_doc = np.bincount(row, minlength=nrows)
+        offsets = np.zeros(nrows + 1, dtype=np.int64)
+        np.cumsum(per_doc, out=offsets[1:])
+        off = pa.array(offsets)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "is_tgt": pc.equal(
+                    batch["lang"], pa.scalar(DSIR_TARGET_LANG)
+                ),
+                "f": pa.LargeListArray.from_arrays(off, pa.array(f_id)),
+                "c": pa.LargeListArray.from_arrays(off, pa.array(c)),
+            }
+        )
+
+    hist = ds.map_batches(featurize, batch_format="pyarrow").materialize()
+
+    def totals(batch: pa.Table) -> pa.Table:
+        fa = batch["f"].combine_chunks()
+        f_flat = pc.list_flatten(fa).to_numpy(zero_copy_only=False)
+        c_flat = pc.list_flatten(batch["c"].combine_chunks()).to_numpy(
+            zero_copy_only=False
+        )
+        parent = pc.list_parent_indices(fa).to_numpy(zero_copy_only=False)
+        tgt = batch["is_tgt"].to_numpy(zero_copy_only=False)
+        m = tgt[parent] if len(parent) else np.zeros(0, dtype=bool)
+        raw_c = np.bincount(f_flat, weights=c_flat, minlength=DSIR_BUCKETS)
         tgt_c = np.bincount(
-            f[is_tgt], weights=tfs[is_tgt], minlength=DSIR_BUCKETS
+            f_flat[m], weights=c_flat[m], minlength=DSIR_BUCKETS
         )
         return pa.table(
             {
@@ -2005,16 +2054,28 @@ def dsir_importance_weights(sf_dir: str):
             }
         )
 
-    counts = (
-        ds.map_batches(partials, batch_format="pyarrow")
-        .groupby("f")
-        .aggregate(
-            Sum("raw_c", alias_name="raw_c"), Sum("tgt_c", alias_name="tgt_c")
+    n_docs = hist.count()
+    est_rows = math.ceil(max(n_docs, 1) / 1024) * DSIR_BUCKETS
+    if est_rows <= driver_merge_rows:
+        counts = (
+            hist.map_batches(totals, batch_format="pyarrow")
+            .to_pandas()
+            .groupby("f")[["raw_c", "tgt_c"]]
+            .sum()
+            .reindex(range(DSIR_BUCKETS), fill_value=0)
         )
-        .to_pandas()
-        .set_index("f")
-        .reindex(range(DSIR_BUCKETS), fill_value=0)
-    )
+    else:
+        counts = (
+            hist.map_batches(totals, batch_format="pyarrow")
+            .groupby("f")
+            .aggregate(
+                Sum("raw_c", alias_name="raw_c"),
+                Sum("tgt_c", alias_name="tgt_c"),
+            )
+            .to_pandas()
+            .set_index("f")
+            .reindex(range(DSIR_BUCKETS), fill_value=0)
+        )
     raw = counts["raw_c"].to_numpy().astype(np.float64)
     tgt = counts["tgt_c"].to_numpy().astype(np.float64)
     r = np.log((tgt + 1.0) / (tgt.sum() + DSIR_BUCKETS)) - np.log(
@@ -2031,10 +2092,14 @@ def dsir_importance_weights(sf_dir: str):
                 }
             )
         rv = ray.get(r_ref)
-        doc_idx, codes, tfs, dictionary = _doc_term_tfs(batch)
-        f_of_code = (md5_u64_str(dictionary) % DSIR_BUCKETS).astype(np.int64)
-        contrib = tfs * rv[f_of_code[codes]]
-        logw = np.bincount(doc_idx, weights=contrib, minlength=batch.num_rows)
+        fa = batch["f"].combine_chunks()
+        f_flat = pc.list_flatten(fa).to_numpy(zero_copy_only=False)
+        c_flat = pc.list_flatten(batch["c"].combine_chunks()).to_numpy(
+            zero_copy_only=False
+        )
+        parent = pc.list_parent_indices(fa).to_numpy(zero_copy_only=False)
+        contrib = c_flat * rv[f_flat]
+        logw = np.bincount(parent, weights=contrib, minlength=batch.num_rows)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -2042,7 +2107,7 @@ def dsir_importance_weights(sf_dir: str):
             }
         )
 
-    return ds.map_batches(score, batch_format="pyarrow")
+    return hist.map_batches(score, batch_format="pyarrow")
 
 
 DSIR_IMPORTANCE_SQL = f"""
