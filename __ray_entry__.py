@@ -258,6 +258,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # keyword extraction: per-source over-represented terms by the
         # EXACT integer 2x2 cross-product (no float statistic)
         "distinctive_terms_per_source": textops.distinctive_terms_per_source,
+        # Q14 shape: conditional aggregate over a broadcast dimension
+        "promo_revenue_q14": relational.promo_revenue_q14,
+        # Q17 shape: aggregate -> broadcast -> re-scan with an exact
+        # integer 20%-of-average predicate
+        "small_quantity_revenue_q17": relational.small_quantity_revenue_q17,
+        # Q22 shape: scalar subquery + anti-join (exact integer mean)
+        "idle_customer_balance_q22": relational.idle_customer_balance_q22,
     }
 
 
@@ -366,4 +373,7 @@ def oracle_sql() -> dict[str, str]:
         "late_shipment_orders_q4": relational.LATE_SHIPMENT_Q4_SQL,
         "embedding_outliers": op_goldens.EMBEDDING_OUTLIERS_SQL,
         "distinctive_terms_per_source": textops.DISTINCTIVE_TERMS_SQL,
+        "promo_revenue_q14": relational.PROMO_REVENUE_Q14_SQL,
+        "small_quantity_revenue_q17": relational.SMALL_QUANTITY_Q17_SQL,
+        "idle_customer_balance_q22": relational.IDLE_CUSTOMER_Q22_SQL,
     }

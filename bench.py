@@ -477,6 +477,9 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "late_shipment_orders_q4": relational.late_shipment_orders_q4,
         "embedding_outliers": ann.embedding_outliers,
         "distinctive_terms_per_source": textops.distinctive_terms_per_source,
+        "promo_revenue_q14": relational.promo_revenue_q14,
+        "small_quantity_revenue_q17": relational.small_quantity_revenue_q17,
+        "idle_customer_balance_q22": relational.idle_customer_balance_q22,
     }
     # cold-time the Q5/Q9 bucketed layout writes too (same convention as
     # the cache rmtree above)

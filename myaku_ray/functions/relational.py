@@ -1253,3 +1253,367 @@ WHERE EXISTS (
 GROUP BY o.o_orderpriority
 ORDER BY o.o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregate over a broadcast dimension (TPC-H Q14 shape):
+# promotion revenue share per ship month
+# ---------------------------------------------------------------------------
+
+Q14_START = "1996-01-01"
+Q14_END = "1997-01-01"
+Q14_PROMO_TYPE = "PROMO"
+
+
+def promo_revenue_q14(sf_dir: str):
+    """TPC-H Q14 analog: per ship month of one year, the revenue from
+    promo-type parts vs all parts (the CASE-WHEN conditional aggregate).
+
+    Plan: the promo partkey set (one part-type slice of a dimension
+    table) broadcasts once as a sorted int64 array; ONE column-pruned
+    lineitem scan filters the ship window map-side, marks promo
+    membership by searchsorted, and pre-aggregates (promo, total)
+    revenue per month inside each batch — so the only exchange is
+    <=12-row partials merged on the driver.  Revenue rides exact int64
+    millis; the share is the one float, computed once per output row
+    from exact sums and rounded to 6 decimals.
+    """
+    import pyarrow.dataset as pads
+
+    pk = pads.dataset(f"{sf_dir}/part.parquet").to_table(
+        columns=["p_partkey"],
+        filter=pads.field("p_type") == Q14_PROMO_TYPE,
+    )
+    promo = np.sort(pk["p_partkey"].to_numpy(zero_copy_only=False))
+    p_ref = ray.put(promo)
+    d0, d1 = np.datetime64(Q14_START), np.datetime64(Q14_END)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pks = ray.get(p_ref)
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array((sd >= d0) & (sd < d1)))
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        month = (sd.astype("datetime64[M]").astype(np.int64) % 12) + 1
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        if len(pks):
+            pos = np.searchsorted(pks, lpk)
+            pos[pos == len(pks)] = 0
+            is_promo = pks[pos] == lpk
+        else:
+            is_promo = np.zeros(len(lpk), dtype=bool)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev = _millis(price * (1.0 - disc))
+        df = pd.DataFrame(
+            {
+                "month": month,
+                "promo_millis": np.where(is_promo, rev, 0),
+                "total_millis": rev,
+            }
+        )
+        g = df.groupby("month", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = (
+        parts.groupby("month", as_index=False)[["promo_millis", "total_millis"]]
+        .sum()
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    out["month"] = out["month"].astype(np.int64)
+    out["promo_millis"] = out["promo_millis"].astype(np.int64)
+    out["total_millis"] = out["total_millis"].astype(np.int64)
+    out["promo_share_r"] = np.round(
+        out["promo_millis"].to_numpy() / out["total_millis"].to_numpy(), 6
+    )
+    return out
+
+
+PROMO_REVENUE_Q14_SQL = f"""
+WITH w AS (
+  SELECT CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS month,
+    CAST(floor(l_extendedprice*(1.0-l_discount)*1000.0 + 0.5) AS BIGINT)
+      AS rev,
+    (p_type = '{Q14_PROMO_TYPE}') AS is_promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= DATE '{Q14_START}' AND l_shipdate < DATE '{Q14_END}')
+SELECT month,
+  sum(CASE WHEN is_promo THEN rev ELSE 0 END)::BIGINT AS promo_millis,
+  sum(rev)::BIGINT AS total_millis,
+  round(sum(CASE WHEN is_promo THEN rev ELSE 0 END)::DOUBLE
+        / sum(rev)::DOUBLE, 6) AS promo_share_r
+FROM w GROUP BY month ORDER BY month
+"""
+
+
+# ---------------------------------------------------------------------------
+# Aggregate -> broadcast -> re-scan (TPC-H Q17 shape): revenue from
+# small-quantity orders of one brand
+# ---------------------------------------------------------------------------
+
+Q17_BRAND = "Brand#23"
+# per-part (count, sum) stats for one brand are brand-slice-sized
+# (~|part|/|brands| rows); past this many parts the stats side must move
+# to a partkey-bucketed co-partition join instead of a broadcast
+Q17_BROADCAST_LIMIT = 5_000_000
+
+
+def small_quantity_revenue_q17(sf_dir: str):
+    """TPC-H Q17 analog: total revenue from lineitems of one brand
+    whose quantity is below 20% of that part's average quantity —
+    the aggregate -> broadcast -> re-scan shape (the inner aggregate
+    must complete before any row can be judged).
+
+    The 20%-of-average predicate is evaluated in EXACT integer
+    arithmetic: quantities are integral, so ``qty < 0.2 * (sum/n)``
+    is ``qty * 5 * n < sum`` — no float division anywhere (integer
+    thresholds beat float ones).  Scan 1 computes per-part (n, sum)
+    restricted to the broadcast brand partkeys with per-batch
+    combiners; the brand-slice-sized stats broadcast back; scan 2
+    re-filters and sums revenue cents.  Nothing corpus-sized crosses
+    an exchange — both scans emit bounded partials.
+    """
+    import pyarrow.dataset as pads
+
+    pk = pads.dataset(f"{sf_dir}/part.parquet").to_table(
+        columns=["p_partkey"], filter=pads.field("p_brand") == Q17_BRAND
+    )
+    brand_keys = np.sort(pk["p_partkey"].to_numpy(zero_copy_only=False))
+    bk_ref = ray.put(brand_keys)
+
+    def _member(lpk: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(len(lpk), dtype=bool)
+        pos = np.searchsorted(keys, lpk)
+        pos[pos == len(keys)] = 0
+        return keys[pos] == lpk
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(bk_ref)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(_member(lpk, keys)))
+        df = pd.DataFrame(
+            {
+                "l_partkey": batch["l_partkey"].to_numpy(zero_copy_only=False),
+                "n": np.ones(batch.num_rows, dtype=np.int64),
+                "sq": batch["l_quantity"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        g = df.groupby("l_partkey", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
+        )
+        .map_batches(stats_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("l_partkey", as_index=False)
+        .sum()
+        .sort_values("l_partkey")
+    )
+    if len(stats) > Q17_BROADCAST_LIMIT:
+        raise NotImplementedError(
+            "brand stats side exceeds the broadcast limit — switch to the "
+            "partkey-bucketed co-partition join (part_type_profit_q9)"
+        )
+    st_ref = ray.put(
+        (
+            stats["l_partkey"].to_numpy(),
+            stats["n"].to_numpy(),
+            stats["sq"].to_numpy(),
+        )
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        keys, n, sq = ray.get(st_ref)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        m = _member(lpk, keys)
+        batch = batch.filter(pa.array(m))
+        lpk = lpk[m]
+        pos = np.searchsorted(keys, lpk)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = qty * 5 * n[pos] < sq[pos]
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "n_rows": pa.array([np.int64(keep.sum())]),
+                "revenue_cents": pa.array([_cents(price).sum()]),
+            }
+        )
+
+    parts = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(rev_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_rows": pd.Series([parts["n_rows"].sum()], dtype="int64"),
+            "revenue_cents": pd.Series(
+                [parts["revenue_cents"].sum()], dtype="int64"
+            ),
+        }
+    )
+
+
+SMALL_QUANTITY_Q17_SQL = f"""
+WITH pb AS (SELECT p_partkey FROM part WHERE p_brand = '{Q17_BRAND}'),
+s AS (
+  SELECT l_partkey, count(*)::BIGINT AS n,
+         sum(CAST(l_quantity AS BIGINT)) AS sq
+  FROM lineitem JOIN pb ON l_partkey = p_partkey
+  GROUP BY l_partkey)
+SELECT count(*)::BIGINT AS n_rows,
+  coalesce(sum(CAST(floor(l.l_extendedprice*100.0 + 0.5) AS BIGINT)),
+           0)::BIGINT AS revenue_cents
+FROM lineitem l JOIN s ON l.l_partkey = s.l_partkey
+WHERE CAST(l.l_quantity AS BIGINT) * 5 * s.n < s.sq
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery + anti-join (TPC-H Q22 shape): high-balance customers
+# with no recent orders
+# ---------------------------------------------------------------------------
+
+Q22_CUTOFF = "1998-01-01"
+# the anti-join side (distinct custkeys with a recent order) is
+# customer-bounded; past this many keys it must become a custkey-bucketed
+# co-partition anti-join instead of a broadcast set
+Q22_BROADCAST_LIMIT = 20_000_000
+
+
+def idle_customer_balance_q22(sf_dir: str):
+    """TPC-H Q22 analog: count + total balance, per market segment, of
+    customers whose account balance is above the mean positive balance
+    AND who placed no order since ``Q22_CUTOFF`` — the scalar-subquery +
+    anti-join shape.
+
+    The above-average predicate is exact integer arithmetic:
+    ``acctbal > sum/n`` over positive balances is
+    ``acctbal_cents * n > sum_cents`` — no float mean to diverge by an
+    ulp.  Plan: (1) one customer scan reduces (count, sum) of positive
+    balances to two scalars; (2) one date-filtered orders scan emits
+    per-batch DISTINCT custkeys, unioned on the driver (customer-
+    bounded, with the documented broadcast-limit switch); (3) the
+    second customer scan applies both predicates map-side (searchsorted
+    membership for the anti-join) and pre-aggregates per segment, so
+    the final exchange is <=|segments| partial rows.
+    """
+    cust_cols = ["c_custkey", "c_mktsegment", "c_acctbal"]
+
+    def pos_partial(batch: pa.Table) -> pa.Table:
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        pos = bal[bal > 0.0]
+        return pa.table(
+            {
+                "n": pa.array([np.int64(len(pos))]),
+                "s": pa.array([_cents(pos).sum()]),
+            }
+        )
+
+    tot = (
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_acctbal"])
+        .map_batches(pos_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    n_pos, s_pos = int(tot["n"].sum()), int(tot["s"].sum())
+
+    cutoff = np.datetime64(Q22_CUTOFF)
+
+    def active_partial(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)[od >= cutoff]
+        return pa.table({"o_custkey": pa.array(np.unique(keys))})
+
+    active = np.unique(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+        )
+        .map_batches(active_partial, batch_format="pyarrow")
+        .to_pandas()["o_custkey"]
+        .to_numpy()
+    )
+    if len(active) > Q22_BROADCAST_LIMIT:
+        raise NotImplementedError(
+            "active-customer set exceeds the broadcast limit — switch to a "
+            "custkey-bucketed co-partition anti-join"
+        )
+    a_ref = ray.put(active)
+
+    def seg_partial(batch: pa.Table) -> pa.Table:
+        act = ray.get(a_ref)
+        cents = _cents(batch["c_acctbal"].to_numpy(zero_copy_only=False))
+        keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        if len(act):
+            pos = np.searchsorted(act, keys)
+            pos[pos == len(act)] = 0
+            idle = act[pos] != keys
+        else:
+            idle = np.ones(len(keys), dtype=bool)
+        keep = idle & (cents * n_pos > s_pos)
+        df = pd.DataFrame(
+            {
+                "c_mktsegment": batch["c_mktsegment"]
+                .to_numpy(zero_copy_only=False)[keep],
+                "n_custs": np.ones(int(keep.sum()), dtype=np.int64),
+                "acctbal_cents": cents[keep],
+            }
+        )
+        g = df.groupby("c_mktsegment", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=cust_cols)
+        .map_batches(seg_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {
+                "c_mktsegment": pd.Series([], dtype="object"),
+                "n_custs": pd.Series([], dtype="int64"),
+                "acctbal_cents": pd.Series([], dtype="int64"),
+            }
+        )
+    out = (
+        parts.groupby("c_mktsegment", as_index=False)[["n_custs", "acctbal_cents"]]
+        .sum()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    out["n_custs"] = out["n_custs"].astype(np.int64)
+    out["acctbal_cents"] = out["acctbal_cents"].astype(np.int64)
+    return out
+
+
+IDLE_CUSTOMER_Q22_SQL = f"""
+WITH tot AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CAST(floor(c_acctbal*100.0 + 0.5) AS BIGINT)) AS s
+  FROM customer WHERE c_acctbal > 0),
+active AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= DATE '{Q22_CUTOFF}')
+SELECT c_mktsegment, count(*)::BIGINT AS n_custs,
+  sum(CAST(floor(c_acctbal*100.0 + 0.5) AS BIGINT))::BIGINT AS acctbal_cents
+FROM customer, tot
+WHERE CAST(floor(c_acctbal*100.0 + 0.5) AS BIGINT) * tot.n > tot.s
+  AND c_custkey NOT IN (SELECT o_custkey FROM active)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

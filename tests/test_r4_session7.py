@@ -70,3 +70,171 @@ def test_dsir_driver_merge_equals_ray_groupby(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Session-7 relational shapes: Q14 / Q17 / Q22 analogs
+# ---------------------------------------------------------------------------
+
+TABLES = ["customer", "orders", "lineitem", "part", "supplier",
+          "nation", "region"]
+
+
+def _match(got, sql: str, sf: str, sort_key: list[str]):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    want = con.sql(sql).df()
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    a = got[sorted(got.columns)].sort_values(sort_key).reset_index(drop=True)
+    b = want[sorted(want.columns)].sort_values(sort_key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    return got
+
+
+def test_promo_revenue_q14_matches_duckdb(ray_session):
+    from myaku_ray.functions.relational import (
+        PROMO_REVENUE_Q14_SQL,
+        promo_revenue_q14,
+    )
+
+    got = _match(promo_revenue_q14(SF), PROMO_REVENUE_Q14_SQL, SF, ["month"])
+    assert (got["promo_millis"] <= got["total_millis"]).all()
+
+
+def test_promo_revenue_q14_window_edges(ray_session, tmp_path):
+    """Ship dates exactly at the window bounds: start inclusive, end
+    exclusive; promo membership flips the conditional column only."""
+    from myaku_ray.functions.relational import promo_revenue_q14
+
+    sf = str(tmp_path)
+    part = pd.DataFrame(
+        {
+            "p_partkey": [1, 2],
+            "p_name": ["a", "b"],
+            "p_brand": ["Brand#1", "Brand#1"],
+            "p_type": ["PROMO", "STANDARD"],
+            "p_size": [1, 1],
+            "p_retailprice": [1.0, 1.0],
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_partkey": [1, 2, 1],
+            "l_extendedprice": [100.0, 200.0, 400.0],
+            "l_discount": [0.0, 0.0, 0.0],
+            "l_shipdate": pd.to_datetime(
+                ["1996-01-01", "1996-01-15", "1997-01-01"]
+            ).astype("datetime64[us]"),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(part), f"{sf}/part.parquet")
+    pq.write_table(pa.Table.from_pandas(li), f"{sf}/lineitem.parquet")
+    got = promo_revenue_q14(sf)
+    # the 1997-01-01 row is excluded (end-exclusive); both January rows
+    # aggregate into month 1
+    assert got["month"].tolist() == [1]
+    assert got["promo_millis"].tolist() == [100_000]
+    assert got["total_millis"].tolist() == [300_000]
+
+
+def test_small_quantity_q17_matches_duckdb(ray_session):
+    from myaku_ray.functions.relational import (
+        SMALL_QUANTITY_Q17_SQL,
+        small_quantity_revenue_q17,
+    )
+
+    _match(
+        small_quantity_revenue_q17(SF), SMALL_QUANTITY_Q17_SQL, SF, ["n_rows"]
+    )
+
+
+def test_small_quantity_q17_boundary_strict(ray_session, tmp_path):
+    """qty * 5 * n == sum sits exactly AT 20% of average — the strict
+    < must exclude it; one qty strictly below is kept."""
+    from myaku_ray.functions.relational import small_quantity_revenue_q17
+
+    sf = str(tmp_path)
+    part = pd.DataFrame(
+        {
+            "p_partkey": [1, 2],
+            "p_name": ["a", "b"],
+            "p_brand": ["Brand#23", "Brand#23"],
+            "p_type": ["STANDARD", "STANDARD"],
+            "p_size": [1, 1],
+            "p_retailprice": [1.0, 1.0],
+        }
+    )
+    # part 1: qtys [2, 18] -> sum 20, n 2; qty*10 vs 20: 2 -> 20 (AT the
+    # bound, excluded).  part 2: qtys [1, 19] -> qty 1 -> 10 < 20 kept.
+    li = pd.DataFrame(
+        {
+            "l_partkey": [1, 1, 2, 2],
+            "l_quantity": [2.0, 18.0, 1.0, 19.0],
+            "l_extendedprice": [10.0, 20.0, 40.0, 80.0],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(part), f"{sf}/part.parquet")
+    pq.write_table(pa.Table.from_pandas(li), f"{sf}/lineitem.parquet")
+    got = small_quantity_revenue_q17(sf)
+    assert got["n_rows"].tolist() == [1]
+    assert got["revenue_cents"].tolist() == [4000]
+
+
+def test_idle_customer_q22_matches_duckdb(ray_session):
+    from myaku_ray.functions.relational import (
+        IDLE_CUSTOMER_Q22_SQL,
+        idle_customer_balance_q22,
+    )
+
+    _match(
+        idle_customer_balance_q22(SF),
+        IDLE_CUSTOMER_Q22_SQL,
+        SF,
+        ["c_mktsegment"],
+    )
+
+
+def test_idle_customer_q22_planted(ray_session, tmp_path):
+    """Strict > mean excludes the customer AT the mean; the anti-join
+    drops customers with a post-cutoff order but keeps pre-cutoff-only
+    ones."""
+    from myaku_ray.functions.relational import idle_customer_balance_q22
+
+    sf = str(tmp_path)
+    # positive balances 100, 200, 300 -> mean 200; negative ignored for
+    # the mean but still scanned
+    cust = pd.DataFrame(
+        {
+            "c_custkey": [1, 2, 3, 4],
+            "c_name": ["a", "b", "c", "d"],
+            "c_nationkey": np.array([0, 0, 0, 0], dtype=np.int32),
+            "c_acctbal": [100.0, 200.0, 300.0, -50.0],
+            "c_mktsegment": ["SEG"] * 4,
+        }
+    )
+    # cust 3 (above mean) has only a PRE-cutoff order -> idle, kept;
+    # cust 2 (at mean) excluded by strict >; cust 1 below mean
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [10, 11],
+            "o_custkey": [3, 1],
+            "o_orderstatus": ["F", "F"],
+            "o_totalprice": [1.0, 1.0],
+            "o_orderdate": pd.to_datetime(
+                ["1997-06-01", "1999-06-01"]
+            ).astype("datetime64[us]"),
+            "o_orderpriority": ["1-URGENT", "1-URGENT"],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(cust), f"{sf}/customer.parquet")
+    pq.write_table(pa.Table.from_pandas(orders), f"{sf}/orders.parquet")
+    got = idle_customer_balance_q22(sf)
+    assert got["c_mktsegment"].tolist() == ["SEG"]
+    assert got["n_custs"].tolist() == [1]
+    assert got["acctbal_cents"].tolist() == [30000]
