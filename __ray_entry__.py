@@ -265,6 +265,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_quantity_revenue_q17": relational.small_quantity_revenue_q17,
         # Q22 shape: scalar subquery + anti-join (exact integer mean)
         "idle_customer_balance_q22": relational.idle_customer_balance_q22,
+        # per-doc novel-content fraction: shingles first seen in the doc
+        "shingle_novelty": dedup.shingle_novelty,
+        # smallest tf-descending vocab covering 90% of token mass
+        "vocab_coverage": textops.vocab_coverage,
     }
 
 
@@ -376,4 +380,6 @@ def oracle_sql() -> dict[str, str]:
         "promo_revenue_q14": relational.PROMO_REVENUE_Q14_SQL,
         "small_quantity_revenue_q17": relational.SMALL_QUANTITY_Q17_SQL,
         "idle_customer_balance_q22": relational.IDLE_CUSTOMER_Q22_SQL,
+        "shingle_novelty": dedup.SHINGLE_NOVELTY_SQL,
+        "vocab_coverage": textops.VOCAB_COVERAGE_SQL,
     }

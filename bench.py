@@ -480,6 +480,8 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "promo_revenue_q14": relational.promo_revenue_q14,
         "small_quantity_revenue_q17": relational.small_quantity_revenue_q17,
         "idle_customer_balance_q22": relational.idle_customer_balance_q22,
+        "shingle_novelty": dedup.shingle_novelty,
+        "vocab_coverage": textops.vocab_coverage,
     }
     # cold-time the Q5/Q9 bucketed layout writes too (same convention as
     # the cache rmtree above)

@@ -950,3 +950,139 @@ reach(a, b) AS (
 SELECT a AS doc_id, least(a, min(b)) AS cluster_id
 FROM reach GROUP BY a
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-doc novelty: fraction of a doc's shingles first seen in that doc
+# ---------------------------------------------------------------------------
+
+NOVELTY_WIDTH = 5
+
+
+def shingle_novelty(sf_dir: str, width: int = NOVELTY_WIDTH):
+    """Per document: how many distinct word-``width``-gram shingles it
+    contains, and how many of those are NOVEL — first seen (by min
+    doc_id) in this document.  The curriculum/dedup signal: a doc whose
+    shingles all appeared earlier adds no new content.
+
+    Scale shape (same bound as ``duplicate_spans``): the map side emits
+    one row per DISTINCT (shingle_hash, doc_id) — stride-1 windows,
+    in-batch deduped via lexsort — materialized ONCE so the two
+    aggregates that need them (per-doc counts; per-shingle first-doc)
+    do not re-tokenize the corpus.  Exchange 1 is a
+    ``groupby(span_hash) -> Min(doc_id)`` over 16-byte rows; exchange 2
+    re-keys THAT aggregate (shingle-vocabulary-sized) by winner doc.
+    Shingle identity is the md5-prefix 63-bit hash of the span string,
+    so the DuckDB oracle's DISTINCT-on-string agrees up to 64-bit
+    collisions (~2^-64 per pair).  Docs shorter than ``width`` tokens
+    emit no shingles and are absent from the output — matching the
+    oracle's empty generate_series.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Min
+
+    from myaku_ray.functions.hashkit import md5_u64_str
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "span_hash": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        flat = toks.flatten()
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        offsets = np.concatenate([[0], np.cumsum(n_tok)])[:-1]
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n_win = np.maximum(n_tok - width + 1, 0)
+        total = int(n_win.sum())
+        if total == 0:
+            return empty
+        win_doc = np.repeat(np.arange(len(n_tok)), n_win)
+        first = np.concatenate([[0], np.cumsum(n_win)])[:-1]
+        local = np.arange(total) - np.repeat(first, n_win)
+        starts = offsets[win_doc] + local
+        idx = starts[:, None] + np.arange(width)[None, :]
+        words = flat.take(pa.array(idx.ravel(), pa.int64()))
+        offs64 = np.arange(total + 1, dtype=np.int64) * width
+        if offs64[-1] > np.iinfo(np.int32).max:
+            raise ValueError(
+                f"shingle_novelty batch too large: {total} windows x "
+                f"width {width} overflows int32 list offsets — lower "
+                "the map_batches batch_size"
+            )
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs64.astype(np.int32), pa.int32()), words
+        )
+        span_strs = pc.binary_join(lists, " ")
+        hashes = (
+            md5_u64_str(span_strs) & np.uint64(0x7FFF_FFFF_FFFF_FFFF)
+        ).astype(np.int64)
+        key_doc = doc_ids[win_doc]
+        order = np.lexsort((key_doc, hashes))
+        h_s, d_s = hashes[order], key_doc[order]
+        new = np.empty(total, dtype=bool)
+        new[0] = True
+        new[1:] = (h_s[1:] != h_s[:-1]) | (d_s[1:] != d_s[:-1])
+        return pa.table(
+            {
+                "span_hash": pa.array(h_s[new]),
+                "doc_id": pa.array(d_s[new]),
+            }
+        )
+
+    # the pairs ARE the working set for both aggregates; materialize so
+    # the corpus is tokenized once (the rows are the same 16-byte stream
+    # duplicate_spans ships through its exchange)
+    p = ds.map_batches(pairs, batch_format="pyarrow").materialize()
+
+    per_doc = (
+        p.groupby("doc_id")
+        .aggregate(Count(alias_name="n_shingles"))
+        .to_pandas()
+    )
+    novel = (
+        p.groupby("span_hash")
+        .aggregate(Min("doc_id", alias_name="first_doc"))
+        .groupby("first_doc")
+        .aggregate(Count(alias_name="n_novel"))
+        .to_pandas()
+        .rename(columns={"first_doc": "doc_id"})
+    )
+    out = per_doc.merge(novel, on="doc_id", how="left")
+    out["n_novel"] = out["n_novel"].fillna(0).astype(np.int64)
+    out["n_shingles"] = out["n_shingles"].astype(np.int64)
+    return (
+        out[["doc_id", "n_shingles", "n_novel"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+SHINGLE_NOVELTY_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(a[i:i+{NOVELTY_WIDTH - 1}], ' ') AS s
+  FROM docs,
+    unnest(generate_series(1, greatest(len(a) - {NOVELTY_WIDTH - 1}, 0)))
+      AS t(i)),
+ds AS (SELECT DISTINCT doc_id, s FROM sh),
+firsts AS (SELECT s, min(doc_id) AS fd FROM ds GROUP BY s),
+per AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM ds
+        GROUP BY doc_id),
+nov AS (SELECT fd AS doc_id, count(*)::BIGINT AS n_novel FROM firsts
+        GROUP BY fd)
+SELECT per.doc_id, per.n_shingles,
+       coalesce(nov.n_novel, 0)::BIGINT AS n_novel
+FROM per LEFT JOIN nov USING (doc_id)
+ORDER BY per.doc_id
+"""

@@ -2395,3 +2395,94 @@ SELECT source, rank, term, a, score
 FROM ranked
 WHERE rank <= {DISTINCTIVE_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-design signal: smallest vocabulary covering X% of token mass
+# ---------------------------------------------------------------------------
+
+VOCAB_COVERAGE_PCT = 90
+
+
+def vocab_coverage(sf_dir: str, pct: int = VOCAB_COVERAGE_PCT):
+    """Smallest tf-descending vocabulary prefix covering >= ``pct``% of
+    the corpus token mass — the vocabulary-size-vs-coverage signal a
+    tokenizer design sweep needs.  Rank order is (tf DESC, term ASC)
+    and the threshold is EXACT integer arithmetic
+    (``cum_before * 100 < pct * total`` keeps a term), so no float
+    boundary can flip membership.
+
+    Plan: per-batch (term, tf) partials via the dictionary-code kernel
+    feed ONE groupby(term) exchange; the finale (sort + cumsum) runs on
+    the driver over the vocab-sized aggregate — the same bound as the
+    tf-idf df table.
+    """
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        enc = pc.list_flatten(toks).dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        tf = np.bincount(codes, minlength=len(enc.dictionary))
+        return pa.table(
+            {
+                "term": enc.dictionary,
+                "tf": pa.array(tf.astype(np.int64)),
+            }
+        )
+
+    vocab = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("tf", alias_name="tf"))
+        .to_pandas()
+    )
+    if len(vocab) == 0:
+        return pd.DataFrame(
+            {
+                "vocab_size": pd.Series([0], dtype="int64"),
+                "covered_tf": pd.Series([0], dtype="int64"),
+                "total_tf": pd.Series([0], dtype="int64"),
+            }
+        )
+    vocab = vocab.sort_values(
+        ["tf", "term"], ascending=[False, True]
+    ).reset_index(drop=True)
+    tf = vocab["tf"].to_numpy()
+    total = int(tf.sum())
+    cum_before = np.cumsum(tf) - tf
+    keep = cum_before * 100 < pct * total
+    return pd.DataFrame(
+        {
+            "vocab_size": pd.Series([int(keep.sum())], dtype="int64"),
+            "covered_tf": pd.Series([int(tf[keep].sum())], dtype="int64"),
+            "total_tf": pd.Series([total], dtype="int64"),
+        }
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH c AS (
+  SELECT term, count(*)::BIGINT AS tf
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term),
+o AS (
+  SELECT tf,
+    sum(tf) OVER (ORDER BY tf DESC, term ROWS UNBOUNDED PRECEDING) - tf
+      AS cum_before,
+    (SELECT sum(tf) FROM c) AS total
+  FROM c)
+SELECT count(*)::BIGINT AS vocab_size,
+       coalesce(sum(tf), 0)::BIGINT AS covered_tf,
+       coalesce(any_value(total), 0)::BIGINT AS total_tf
+FROM o WHERE cum_before * 100 < {VOCAB_COVERAGE_PCT} * total
+"""

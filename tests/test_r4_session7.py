@@ -238,3 +238,99 @@ def test_idle_customer_q22_planted(ray_session, tmp_path):
     assert got["c_mktsegment"].tolist() == ["SEG"]
     assert got["n_custs"].tolist() == [1]
     assert got["acctbal_cents"].tolist() == [30000]
+
+
+# ---------------------------------------------------------------------------
+# Session-7 LLM-data ops: shingle novelty + vocab coverage
+# ---------------------------------------------------------------------------
+
+DOC_TABLES = ["documents"]
+
+
+def _match_docs(got, sql: str, sf: str, sort_key: list[str]):
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.sql(sql).df()
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    a = got[sorted(got.columns)].sort_values(sort_key).reset_index(drop=True)
+    b = want[sorted(want.columns)].sort_values(sort_key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    return got
+
+
+def test_shingle_novelty_matches_duckdb(ray_session):
+    from myaku_ray.functions.dedup import (
+        SHINGLE_NOVELTY_SQL,
+        shingle_novelty,
+    )
+
+    got = _match_docs(shingle_novelty(SF), SHINGLE_NOVELTY_SQL, SF, ["doc_id"])
+    assert (got["n_novel"] <= got["n_shingles"]).all()
+    # novelty is conserved: every distinct shingle is novel in exactly
+    # one doc, so the novel total across docs counts the global
+    # distinct-shingle vocabulary, which the per-doc maximum bounds
+    assert got["n_novel"].sum() > 0
+
+
+def test_shingle_novelty_planted(ray_session, tmp_path):
+    """A doc that repeats an earlier doc's text verbatim has zero novel
+    shingles; a short doc (< width tokens) is absent from the output."""
+    from myaku_ray.functions.dedup import shingle_novelty
+
+    sf = str(tmp_path)
+    text_a = "one two three four five six seven"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [text_a, text_a, "tiny doc"],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs), f"{sf}/documents.parquet")
+    got = shingle_novelty(sf)
+    assert got["doc_id"].tolist() == [1, 2]
+    # doc 1: 3 distinct 5-gram windows, all novel; doc 2: same windows,
+    # none novel
+    assert got["n_shingles"].tolist() == [3, 3]
+    assert got["n_novel"].tolist() == [3, 0]
+
+
+def test_vocab_coverage_matches_duckdb(ray_session):
+    from myaku_ray.functions.textops import (
+        VOCAB_COVERAGE_SQL,
+        vocab_coverage,
+    )
+
+    got = _match_docs(vocab_coverage(SF), VOCAB_COVERAGE_SQL, SF, ["vocab_size"])
+    row = got.iloc[0]
+    assert 0 < row["vocab_size"]
+    assert row["covered_tf"] * 100 >= VOCAB_PCT * row["total_tf"]
+
+
+VOCAB_PCT = 90
+
+
+def test_vocab_coverage_exact_boundary(ray_session, tmp_path):
+    """A corpus engineered so the threshold lands exactly on a term
+    boundary: cum_before*100 == pct*total must EXCLUDE the next term."""
+    from myaku_ray.functions.textops import vocab_coverage
+
+    sf = str(tmp_path)
+    # tfs 9, 1: total 10; pct 90 -> term 1 has cum_before 0 < 900 (in),
+    # term 2 has cum_before 9*100 == 900 (NOT < , out)
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1],
+            "text": [" ".join(["alpha"] * 9 + ["beta"])],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs), f"{sf}/documents.parquet")
+    got = vocab_coverage(sf)
+    assert got["vocab_size"].tolist() == [1]
+    assert got["covered_tf"].tolist() == [9]
+    assert got["total_tf"].tolist() == [10]
