@@ -269,6 +269,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shingle_novelty": dedup.shingle_novelty,
         # smallest tf-descending vocab covering 90% of token mass
         "vocab_coverage": textops.vocab_coverage,
+        # Q7 shape: two-sided dimension attach (supplier AND customer
+        # nations) with a cross-pair filter
+        "nation_trade_volume_q7": relational.nation_trade_volume_q7,
     }
 
 
@@ -382,4 +385,5 @@ def oracle_sql() -> dict[str, str]:
         "idle_customer_balance_q22": relational.IDLE_CUSTOMER_Q22_SQL,
         "shingle_novelty": dedup.SHINGLE_NOVELTY_SQL,
         "vocab_coverage": textops.VOCAB_COVERAGE_SQL,
+        "nation_trade_volume_q7": relational.NATION_TRADE_Q7_SQL,
     }

@@ -482,6 +482,7 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "idle_customer_balance_q22": relational.idle_customer_balance_q22,
         "shingle_novelty": dedup.shingle_novelty,
         "vocab_coverage": textops.vocab_coverage,
+        "nation_trade_volume_q7": relational.nation_trade_volume_q7,
     }
     # cold-time the Q5/Q9 bucketed layout writes too (same convention as
     # the cache rmtree above)

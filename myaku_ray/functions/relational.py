@@ -1617,3 +1617,196 @@ WHERE CAST(floor(c_acctbal*100.0 + 0.5) AS BIGINT) * tot.n > tot.s
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# Two-sided dimension attach (TPC-H Q7 shape): bilateral trade volume
+# ---------------------------------------------------------------------------
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+Q7_START = "1996-01-01"
+Q7_END = "1998-01-01"
+# the orders side carries only custkeys of the two nations (~2/25 of
+# orders); past this many surviving orders the attach must switch to the
+# orderkey-bucketed co-partition join (part_type_profit_q9)
+Q7_BROADCAST_LIMIT = 5_000_000
+
+
+def nation_trade_volume_q7(sf_dir: str):
+    """TPC-H Q7 analog: shipped revenue between two nations per
+    (supplier nation, customer nation, ship year) — the two-sided
+    dimension attach: every lineitem needs BOTH its supplier's nation
+    and (through orders) its customer's nation before the pair filter
+    can run.
+
+    Plan: supplier->nation and customer->nation (filtered to the two
+    nations) broadcast as sorted arrays; ONE orders scan attaches the
+    customer nation and emits only surviving (orderkey -> cust_nation)
+    pairs — the selective side, broadcast with the documented limit
+    switch; ONE lineitem scan filters the ship window map-side,
+    attaches both nations by searchsorted, keeps cross pairs, and
+    pre-aggregates revenue per (supp_nation, cust_nation, year) inside
+    each batch, so the exchange is <=8 partial rows per batch merged on
+    the driver.  Revenue rides exact int64 millis.
+    """
+    import pyarrow.parquet as _pq
+
+    nation = _pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    keys_ab = nation.loc[
+        nation["n_name"].isin([Q7_NATION_A, Q7_NATION_B]), "n_nationkey"
+    ]
+    nk_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    ab = set(keys_ab.tolist())
+
+    supp = (
+        _pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+        .to_pandas()
+        .sort_values("s_suppkey")
+    )
+    supp = supp[supp["s_nationkey"].isin(ab)]
+    s_ref = ray.put(
+        (supp["s_suppkey"].to_numpy(), supp["s_nationkey"].to_numpy())
+    )
+    cust = (
+        _pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        .to_pandas()
+        .sort_values("c_custkey")
+    )
+    cust = cust[cust["c_nationkey"].isin(ab)]
+    c_ref = ray.put(
+        (cust["c_custkey"].to_numpy(), cust["c_nationkey"].to_numpy())
+    )
+
+    def _attach(keys: np.ndarray, table_keys: np.ndarray,
+                table_vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(member_mask, value_for_members) by searchsorted."""
+        if len(table_keys) == 0:
+            return np.zeros(len(keys), dtype=bool), np.empty(0, np.int64)
+        pos = np.searchsorted(table_keys, keys)
+        pos[pos == len(table_keys)] = 0
+        m = table_keys[pos] == keys
+        return m, table_vals[pos[m]]
+
+    def orders_pairs(batch: pa.Table) -> pa.Table:
+        ck, cn = ray.get(c_ref)
+        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        m, nat = _attach(keys, ck, cn)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].filter(pa.array(m)),
+                "cust_nat": pa.array(nat.astype(np.int32)),
+            }
+        )
+
+    surviving = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        )
+        .map_batches(orders_pairs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(surviving) > Q7_BROADCAST_LIMIT:
+        raise NotImplementedError(
+            "surviving orders side exceeds the broadcast limit — switch to "
+            "the orderkey-bucketed co-partition join (part_type_profit_q9)"
+        )
+    surviving = surviving.sort_values("o_orderkey")
+    o_ref = ray.put(
+        (
+            surviving["o_orderkey"].to_numpy(),
+            surviving["cust_nat"].to_numpy().astype(np.int64),
+        )
+    )
+    d0, d1 = np.datetime64(Q7_START), np.datetime64(Q7_END)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        sk, sn = ray.get(s_ref)
+        ok, on = ray.get(o_ref)
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array((sd >= d0) & (sd < d1)))
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        ms, supp_nat = _attach(lsk, sk, sn)
+        batch = batch.filter(pa.array(ms))
+        lok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        mo, cust_nat = _attach(lok, ok, on)
+        batch = batch.filter(pa.array(mo))
+        supp_nat = supp_nat[mo]
+        cross = supp_nat != cust_nat
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False)[cross]
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[cross]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[cross]
+        year = sd.astype("datetime64[Y]").astype(np.int64) + 1970
+        df = pd.DataFrame(
+            {
+                "supp_nat": supp_nat[cross],
+                "cust_nat": cust_nat[cross],
+                "l_year": year,
+                "revenue_millis": _millis(price * (1.0 - disc)),
+            }
+        )
+        g = df.groupby(
+            ["supp_nat", "cust_nat", "l_year"], as_index=False
+        ).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount", "l_shipdate",
+            ],
+        )
+        .map_batches(li_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {
+                "supp_nation": pd.Series([], dtype="object"),
+                "cust_nation": pd.Series([], dtype="object"),
+                "l_year": pd.Series([], dtype="int64"),
+                "revenue_millis": pd.Series([], dtype="int64"),
+            }
+        )
+    out = (
+        parts.groupby(["supp_nat", "cust_nat", "l_year"], as_index=False)[
+            "revenue_millis"
+        ]
+        .sum()
+        .reset_index(drop=True)
+    )
+    out["supp_nation"] = out["supp_nat"].map(nk_name)
+    out["cust_nation"] = out["cust_nat"].map(nk_name)
+    out["l_year"] = out["l_year"].astype(np.int64)
+    out["revenue_millis"] = out["revenue_millis"].astype(np.int64)
+    return (
+        out[["supp_nation", "cust_nation", "l_year", "revenue_millis"]]
+        .sort_values(["supp_nation", "cust_nation", "l_year"])
+        .reset_index(drop=True)
+    )
+
+
+NATION_TRADE_Q7_SQL = f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+  sum(CAST(floor(l_extendedprice*(1.0-l_discount)*1000.0 + 0.5)
+      AS BIGINT))::BIGINT AS revenue_millis
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ns ON ns.n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation nc ON nc.n_nationkey = c_nationkey
+WHERE ns.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+  AND nc.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+  AND ns.n_name <> nc.n_name
+  AND l_shipdate >= DATE '{Q7_START}' AND l_shipdate < DATE '{Q7_END}'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""

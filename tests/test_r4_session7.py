@@ -334,3 +334,86 @@ def test_vocab_coverage_exact_boundary(ray_session, tmp_path):
     assert got["vocab_size"].tolist() == [1]
     assert got["covered_tf"].tolist() == [9]
     assert got["total_tf"].tolist() == [10]
+
+
+def test_nation_trade_q7_matches_duckdb(ray_session):
+    from myaku_ray.functions.relational import (
+        NATION_TRADE_Q7_SQL,
+        nation_trade_volume_q7,
+    )
+
+    got = _match(
+        nation_trade_volume_q7(SF),
+        NATION_TRADE_Q7_SQL,
+        SF,
+        ["supp_nation", "cust_nation", "l_year"],
+    )
+    # the pair filter keeps CROSS pairs only
+    assert (got["supp_nation"] != got["cust_nation"]).all()
+
+
+def test_nation_trade_q7_pair_filter(ray_session, tmp_path):
+    """Same-nation trade is excluded; only the two chosen nations'
+    cross pairs survive; the ship window is end-exclusive."""
+    from myaku_ray.functions.relational import nation_trade_volume_q7
+
+    sf = str(tmp_path)
+    nation = pd.DataFrame(
+        {
+            "n_nationkey": np.array([1, 2, 3], dtype=np.int32),
+            "n_name": ["NATION_1", "NATION_2", "NATION_3"],
+            "n_regionkey": np.array([0, 0, 0], dtype=np.int32),
+        }
+    )
+    supplier = pd.DataFrame(
+        {
+            "s_suppkey": [10, 11, 12],
+            "s_name": ["s", "t", "u"],
+            "s_nationkey": np.array([1, 2, 3], dtype=np.int32),
+            "s_acctbal": [0.0, 0.0, 0.0],
+        }
+    )
+    customer = pd.DataFrame(
+        {
+            "c_custkey": [20, 21],
+            "c_name": ["c", "d"],
+            "c_nationkey": np.array([2, 1], dtype=np.int32),
+            "c_acctbal": [0.0, 0.0],
+            "c_mktsegment": ["SEG", "SEG"],
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [30, 31],
+            "o_custkey": [20, 21],
+            "o_orderstatus": ["F", "F"],
+            "o_totalprice": [1.0, 1.0],
+            "o_orderdate": pd.to_datetime(
+                ["1996-02-01", "1996-02-01"]
+            ).astype("datetime64[us]"),
+            "o_orderpriority": ["1-URGENT", "1-URGENT"],
+        }
+    )
+    li = pd.DataFrame(
+        {
+            # rows: cross pair kept; same-nation dropped; third-nation
+            # supplier dropped; end-date-exclusive dropped
+            "l_orderkey": [30, 30, 30, 30],
+            "l_suppkey": [10, 11, 12, 10],
+            "l_extendedprice": [100.0, 200.0, 400.0, 800.0],
+            "l_discount": [0.0, 0.0, 0.0, 0.0],
+            "l_shipdate": pd.to_datetime(
+                ["1996-03-01", "1996-03-01", "1996-03-01", "1998-01-01"]
+            ).astype("datetime64[us]"),
+        }
+    )
+    for name, df in [
+        ("nation", nation), ("supplier", supplier), ("customer", customer),
+        ("orders", orders), ("lineitem", li),
+    ]:
+        pq.write_table(pa.Table.from_pandas(df), f"{sf}/{name}.parquet")
+    got = nation_trade_volume_q7(sf)
+    assert got["supp_nation"].tolist() == ["NATION_1"]
+    assert got["cust_nation"].tolist() == ["NATION_2"]
+    assert got["l_year"].tolist() == [1996]
+    assert got["revenue_millis"].tolist() == [100_000]
