@@ -272,6 +272,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Q7 shape: two-sided dimension attach (supplier AND customer
         # nations) with a cross-pair filter
         "nation_trade_volume_q7": relational.nation_trade_volume_q7,
+        # grouped exact percentiles: (group, quantile) work items share
+        # each counting scan — executions constant in groups x quantiles
+        "events_value_percentiles_by_type":
+            events.events_value_percentiles_by_type,
     }
 
 
@@ -386,4 +390,5 @@ def oracle_sql() -> dict[str, str]:
         "shingle_novelty": dedup.SHINGLE_NOVELTY_SQL,
         "vocab_coverage": textops.VOCAB_COVERAGE_SQL,
         "nation_trade_volume_q7": relational.NATION_TRADE_Q7_SQL,
+        "events_value_percentiles_by_type": events.EVENTS_PCTL_BY_TYPE_SQL,
     }

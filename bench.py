@@ -483,6 +483,8 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "shingle_novelty": dedup.shingle_novelty,
         "vocab_coverage": textops.vocab_coverage,
         "nation_trade_volume_q7": relational.nation_trade_volume_q7,
+        "events_value_percentiles_by_type":
+            events.events_value_percentiles_by_type,
     }
     # cold-time the Q5/Q9 bucketed layout writes too (same convention as
     # the cache rmtree above)

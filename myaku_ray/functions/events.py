@@ -1332,3 +1332,255 @@ FROM e JOIN st USING (hour_bucket)
 WHERE (e.value_milli*st.n - st.s)*(e.value_milli*st.n - st.s)
       > {ANOMALY_K * ANOMALY_K}*(st.n*st.q - st.s*st.s)
 """
+
+
+# ---------------------------------------------------------------------------
+# Grouped exact percentiles (per event_type) — no distributed sort
+# ---------------------------------------------------------------------------
+
+
+def events_value_percentiles_by_type(
+    sf_dir: str, *, driver_limit: int = PCTL_DRIVER_LIMIT
+):
+    """EXACT order-statistic percentiles of ``events.value`` PER
+    event_type — the grouped generalization of
+    ``events_value_percentiles``, with the same two paths:
+
+    Below ``driver_limit`` total rows, one scan pulls (event_type,
+    value) and each group's ranks are answered with one multi-kth
+    ``np.partition``.  Above it, the batched selection-by-counting plan
+    runs with (group, quantile) WORK ITEMS: one scan reduces per-group
+    (n, min, max); one streaming per-group-thresholded sample supplies
+    cut candidates; then per round ONE counting scan and ONE bounded
+    pull serve every still-open (group, quantile) — executions stay
+    constant in the number of groups AND quantiles.  Group count is
+    assumed result-sized (event-type vocabularies are; the per-item
+    loop inside the batch fn is groups x quantiles with vector ops
+    inside).  Convention: per-group quantile_disc = ascending order
+    statistic at ceil(q*n_g)-1, pinned against DuckDB."""
+    import math
+
+    import pyarrow.parquet as _pq
+
+    from myaku_ray.functions.hashkit import md5_u64
+
+    path = f"{sf_dir}/events.parquet"
+
+    def _empty():
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype="object"),
+                "q": pd.Series([], dtype="float64"),
+                "value": pd.Series([], dtype="float64"),
+            }
+        )
+
+    n = _pq.read_metadata(path).num_rows
+    if n == 0:
+        return _empty()
+
+    def _scan(columns):
+        return rd.read_parquet(path, columns=columns)
+
+    def _finish(rows):
+        out = pd.DataFrame(rows, columns=["event_type", "q", "value"])
+        out["q"] = out["q"].astype(np.float64)
+        out["value"] = out["value"].astype(np.float64)
+        return (
+            out.sort_values(["event_type", "q"]).reset_index(drop=True)
+        )
+
+    if n <= driver_limit:
+        df = _scan(["event_type", "value"]).to_pandas()
+        rows = []
+        for g, sub in df.groupby("event_type", sort=True):
+            vals = sub["value"].to_numpy()
+            ranks = {
+                q: max(0, math.ceil(q * len(vals)) - 1) for q in PCTL_QS
+            }
+            part = np.partition(vals, sorted(set(ranks.values())))
+            rows.extend((g, q, float(part[ranks[q]])) for q in PCTL_QS)
+        return _finish(rows)
+
+    # ---- distributed counting path ----
+    def gstats(batch: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "value": batch["value"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = (
+            pdf.groupby("event_type")["value"]
+            .agg(n="count", mn="min", mx="max")
+            .reset_index()
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats = (
+        _scan(["event_type", "value"])
+        .map_batches(gstats, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("event_type")
+        .agg(n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+        .sort_index()
+    )
+    groups = list(stats.index)
+    g_n = dict(stats["n"])
+    # per-group sample thresholds (row-order-independent md5 gate)
+    thr = {
+        g: np.uint64(
+            min(
+                int(min(1.0, PCTL_SAMPLE_TARGET / g_n[g]) * (2**64 - 1)),
+                2**64 - 1,
+            )
+        )
+        for g in groups
+    }
+    thr_ref = ray.put(thr)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        th = ray.get(thr_ref)
+        t = batch["event_type"].to_numpy(zero_copy_only=False)
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lim = np.array([th.get(x, np.uint64(0)) for x in t], dtype=np.uint64)
+        keep = md5_u64(ids) <= lim
+        return pa.table(
+            {
+                "event_type": batch["event_type"].filter(pa.array(keep)),
+                "value": batch["value"].filter(pa.array(keep)),
+            }
+        )
+
+    sdf = (
+        _scan(["event_id", "event_type", "value"])
+        .map_batches(sample, batch_format="pyarrow")
+        .to_pandas()
+    )
+    samp = {
+        g: np.sort(sub["value"].to_numpy())
+        for g, sub in sdf.groupby("event_type")
+    }
+
+    out: dict[tuple, float] = {}
+    todo = []
+    for g in groups:
+        ng = int(g_n[g])
+        for q in PCTL_QS:
+            todo.append(
+                (
+                    g,
+                    q,
+                    max(0, math.ceil(q * ng) - 1),
+                    float(stats.loc[g, "mn"]) - 1.0,
+                    float(stats.loc[g, "mx"]),
+                )
+            )
+
+    while todo:
+        items = []
+        for g, q, rank, lo, hi in todo:
+            sg = samp.get(g, np.empty(0))
+            inner = sg[(sg > lo) & (sg < hi)]
+            if len(inner) == 0:
+                inner = np.linspace(lo, hi, PCTL_CUTS + 2)[1:-1]
+            u = np.unique(inner)
+            cuts = u[:: max(1, len(u) // PCTL_CUTS)]
+            items.append((g, q, rank, lo, hi, cuts))
+        todo = []
+
+        def bucket_counts(batch: pa.Table, items=items) -> pa.Table:
+            t = batch["event_type"].to_numpy(zero_copy_only=False)
+            v_all = batch["value"].to_numpy(zero_copy_only=False)
+            gmask = {g: t == g for g in {it[0] for it in items}}
+            ids, buckets, ns = [], [], []
+            for i, (g, _q, _rank, lo, hi, cuts) in enumerate(items):
+                v = v_all[gmask[g] & (v_all > lo) & (v_all <= hi)]
+                idx = np.searchsorted(cuts, v, side="left")
+                c = np.bincount(idx, minlength=len(cuts) + 1)
+                ids.append(np.full(len(c), i, dtype=np.int64))
+                buckets.append(np.arange(len(c), dtype=np.int64))
+                ns.append(c.astype(np.int64))
+            return pa.table(
+                {
+                    "item": pa.array(np.concatenate(ids)),
+                    "bucket": pa.array(np.concatenate(buckets)),
+                    "n": pa.array(np.concatenate(ns)),
+                }
+            )
+
+        cdf = (
+            _scan(["event_type", "value"])
+            .map_batches(bucket_counts, batch_format="pyarrow")
+            .to_pandas()
+            .groupby(["item", "bucket"])["n"]
+            .sum()
+        )
+        pulls = []
+        for i, (g, q, rank, lo, hi, cuts) in enumerate(items):
+            counts = (
+                cdf.loc[i]
+                .reindex(range(len(cuts) + 1), fill_value=0)
+                .to_numpy()
+            )
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, rank + 1))
+            in_rank = rank - (int(cum[b - 1]) if b > 0 else 0)
+            blo = lo if b == 0 else float(cuts[b - 1])
+            bhi = float(cuts[b]) if b < len(cuts) else hi
+            bn = int(counts[b])
+            if bn <= PCTL_PULL_LIMIT:
+                pulls.append((g, q, in_rank, blo, bhi))
+            elif blo == bhi or np.nextafter(blo, bhi) == bhi:
+                out[(g, q)] = bhi
+            else:
+                todo.append((g, q, in_rank, blo, bhi))
+
+        if pulls:
+
+            def pull(batch: pa.Table, pulls=pulls) -> pa.Table:
+                t = batch["event_type"].to_numpy(zero_copy_only=False)
+                v_all = batch["value"].to_numpy(zero_copy_only=False)
+                gmask = {g: t == g for g in {p[0] for p in pulls}}
+                ids, vs = [], []
+                for i, (g, _q, _r, blo, bhi) in enumerate(pulls):
+                    v = v_all[gmask[g] & (v_all > blo) & (v_all <= bhi)]
+                    ids.append(np.full(len(v), i, dtype=np.int64))
+                    vs.append(v)
+                return pa.table(
+                    {
+                        "item": pa.array(np.concatenate(ids)),
+                        "value": pa.array(np.concatenate(vs)),
+                    }
+                )
+
+            pdf = (
+                _scan(["event_type", "value"])
+                .map_batches(pull, batch_format="pyarrow")
+                .to_pandas()
+            )
+            for i, (g, q, in_rank, _blo, _bhi) in enumerate(pulls):
+                vals = pdf.loc[pdf["item"] == i, "value"].to_numpy()
+                out[(g, q)] = float(np.partition(vals, in_rank)[in_rank])
+
+    return _finish([(g, q, out[(g, q)]) for g in groups for q in PCTL_QS])
+
+
+EVENTS_PCTL_BY_TYPE_SQL = """
+SELECT event_type, q, value FROM (
+  SELECT event_type, 0.25::DOUBLE AS q,
+         quantile_disc(value, 0.25) AS value FROM events GROUP BY 1
+  UNION ALL
+  SELECT event_type, 0.5::DOUBLE, quantile_disc(value, 0.5)
+  FROM events GROUP BY 1
+  UNION ALL
+  SELECT event_type, 0.9::DOUBLE, quantile_disc(value, 0.9)
+  FROM events GROUP BY 1
+  UNION ALL
+  SELECT event_type, 0.99::DOUBLE, quantile_disc(value, 0.99)
+  FROM events GROUP BY 1
+) ORDER BY event_type, q
+"""

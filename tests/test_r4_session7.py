@@ -417,3 +417,65 @@ def test_nation_trade_q7_pair_filter(ray_session, tmp_path):
     assert got["cust_nation"].tolist() == ["NATION_2"]
     assert got["l_year"].tolist() == [1996]
     assert got["revenue_millis"].tolist() == [100_000]
+
+
+def test_grouped_percentiles_matches_duckdb(ray_session):
+    from myaku_ray.functions.events import (
+        EVENTS_PCTL_BY_TYPE_SQL,
+        events_value_percentiles_by_type,
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF}/events.parquet')"
+    )
+    want = con.sql(EVENTS_PCTL_BY_TYPE_SQL).df()
+    got = events_value_percentiles_by_type(SF)
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+
+
+def test_grouped_percentiles_driver_equals_distributed(ray_session):
+    from myaku_ray.functions.events import events_value_percentiles_by_type
+
+    a = events_value_percentiles_by_type(SF)
+    b = events_value_percentiles_by_type(SF, driver_limit=0)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_grouped_percentiles_skewed_groups(ray_session, tmp_path):
+    """Wildly different group sizes (3 rows vs 10k rows, one group all
+    ties) through the distributed path must match a plain per-group
+    sort."""
+    import math
+
+    from myaku_ray.functions.events import events_value_percentiles_by_type
+
+    rng = np.random.RandomState(11)
+    t = ["tiny"] * 3 + ["ties"] * 1000 + ["big"] * 10000
+    v = np.concatenate(
+        [np.array([3.0, 1.0, 2.0]), np.full(1000, 7.5),
+         rng.exponential(50.0, 10000)]
+    )
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(len(v), dtype=np.int64)),
+                "event_type": pa.array(t),
+                "value": pa.array(v),
+            }
+        ),
+        f"{sf}/events.parquet",
+    )
+    got = events_value_percentiles_by_type(sf, driver_limit=0)
+    df = pd.DataFrame({"t": t, "v": v})
+    for g, sub in df.groupby("t"):
+        srt = np.sort(sub["v"].to_numpy())
+        for q in (0.25, 0.5, 0.9, 0.99):
+            want = float(srt[max(0, math.ceil(q * len(srt)) - 1)])
+            have = got.loc[
+                (got["event_type"] == g) & (got["q"] == q), "value"
+            ].iloc[0]
+            assert have == want, (g, q, have, want)
