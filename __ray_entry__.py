@@ -276,6 +276,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # each counting scan — executions constant in groups x quantiles
         "events_value_percentiles_by_type":
             events.events_value_percentiles_by_type,
+        # Q15 shape: aggregate -> global max -> tie-keeping filter
+        "top_supplier_revenue_q15": relational.top_supplier_revenue_q15,
     }
 
 
@@ -391,4 +393,5 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": textops.VOCAB_COVERAGE_SQL,
         "nation_trade_volume_q7": relational.NATION_TRADE_Q7_SQL,
         "events_value_percentiles_by_type": events.EVENTS_PCTL_BY_TYPE_SQL,
+        "top_supplier_revenue_q15": relational.TOP_SUPPLIER_Q15_SQL,
     }

@@ -485,6 +485,7 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "nation_trade_volume_q7": relational.nation_trade_volume_q7,
         "events_value_percentiles_by_type":
             events.events_value_percentiles_by_type,
+        "top_supplier_revenue_q15": relational.top_supplier_revenue_q15,
     }
     # cold-time the Q5/Q9 bucketed layout writes too (same convention as
     # the cache rmtree above)

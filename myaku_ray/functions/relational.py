@@ -1810,3 +1810,102 @@ WHERE ns.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
 """
+
+
+# ---------------------------------------------------------------------------
+# Aggregate -> global max -> tie-keeping filter (TPC-H Q15 shape):
+# top supplier(s) by shipped revenue in a quarter
+# ---------------------------------------------------------------------------
+
+Q15_START = "1996-01-01"
+Q15_END = "1996-04-01"
+
+
+def top_supplier_revenue_q15(sf_dir: str):
+    """TPC-H Q15 analog: the supplier(s) with the highest shipped
+    revenue in one quarter — ALL of them on a tie (the view + max
+    subquery semantics, which a plain top-1 truncation would break).
+
+    Plan: one column-pruned lineitem scan filters the window map-side
+    and pre-aggregates revenue per suppkey inside each batch, so the
+    one exchange carries supplier-sized partials; the global max and
+    the tie-keeping filter run on the driver over that supplier-sized
+    aggregate, then the winners hydrate supplier by filtered point-read.
+    Revenue rides exact int64 millis — ties are exact, not
+    float-approximate.
+    """
+    d0, d1 = np.datetime64(Q15_START), np.datetime64(Q15_END)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array((sd >= d0) & (sd < d1)))
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "s_suppkey": batch["l_suppkey"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "total_revenue_millis": _millis(price * (1.0 - disc)),
+            }
+        )
+        g = df.groupby("s_suppkey", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate",
+            ],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("total_revenue_millis", alias_name="total_revenue_millis"))
+        .to_pandas()
+    )
+    if len(rev) == 0:
+        return pd.DataFrame(
+            {
+                "s_suppkey": pd.Series([], dtype="int64"),
+                "s_name": pd.Series([], dtype="object"),
+                "total_revenue_millis": pd.Series([], dtype="int64"),
+            }
+        )
+    best = int(rev["total_revenue_millis"].max())
+    win = rev[rev["total_revenue_millis"] == best].copy()
+    import pyarrow.dataset as pads
+
+    sup = (
+        pads.dataset(f"{sf_dir}/supplier.parquet")
+        .to_table(
+            columns=["s_suppkey", "s_name"],
+            filter=pads.field("s_suppkey").isin(
+                win["s_suppkey"].tolist()
+            ),
+        )
+        .to_pandas()
+    )
+    out = win.merge(sup, on="s_suppkey")
+    out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
+    out["total_revenue_millis"] = out["total_revenue_millis"].astype(np.int64)
+    return (
+        out[["s_suppkey", "s_name", "total_revenue_millis"]]
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+
+
+TOP_SUPPLIER_Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+    sum(CAST(floor(l_extendedprice*(1.0-l_discount)*1000.0 + 0.5)
+        AS BIGINT))::BIGINT AS total_revenue_millis
+  FROM lineitem
+  WHERE l_shipdate >= DATE '{Q15_START}' AND l_shipdate < DATE '{Q15_END}'
+  GROUP BY 1)
+SELECT rev.s_suppkey, s.s_name, rev.total_revenue_millis
+FROM rev JOIN supplier s USING (s_suppkey)
+WHERE rev.total_revenue_millis = (SELECT max(total_revenue_millis) FROM rev)
+ORDER BY rev.s_suppkey
+"""

@@ -479,3 +479,45 @@ def test_grouped_percentiles_skewed_groups(ray_session, tmp_path):
                 (got["event_type"] == g) & (got["q"] == q), "value"
             ].iloc[0]
             assert have == want, (g, q, have, want)
+
+
+def test_top_supplier_q15_matches_duckdb(ray_session):
+    from myaku_ray.functions.relational import (
+        TOP_SUPPLIER_Q15_SQL,
+        top_supplier_revenue_q15,
+    )
+
+    _match(
+        top_supplier_revenue_q15(SF), TOP_SUPPLIER_Q15_SQL, SF, ["s_suppkey"]
+    )
+
+
+def test_top_supplier_q15_keeps_ties(ray_session, tmp_path):
+    """Two suppliers with exactly-equal max revenue must BOTH appear —
+    the view+max semantics a top-1 truncation would break."""
+    from myaku_ray.functions.relational import top_supplier_revenue_q15
+
+    sf = str(tmp_path)
+    supplier = pd.DataFrame(
+        {
+            "s_suppkey": [1, 2, 3],
+            "s_name": ["sa", "sb", "sc"],
+            "s_nationkey": np.array([0, 0, 0], dtype=np.int32),
+            "s_acctbal": [0.0, 0.0, 0.0],
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_suppkey": [1, 2, 2, 3],
+            "l_extendedprice": [100.0, 60.0, 40.0, 99.0],
+            "l_discount": [0.0, 0.0, 0.0, 0.0],
+            "l_shipdate": pd.to_datetime(["1996-02-01"] * 4).astype(
+                "datetime64[us]"
+            ),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(supplier), f"{sf}/supplier.parquet")
+    pq.write_table(pa.Table.from_pandas(li), f"{sf}/lineitem.parquet")
+    got = top_supplier_revenue_q15(sf)
+    assert got["s_suppkey"].tolist() == [1, 2]
+    assert got["total_revenue_millis"].tolist() == [100_000, 100_000]
