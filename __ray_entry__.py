@@ -278,6 +278,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             events.events_value_percentiles_by_type,
         # Q15 shape: aggregate -> global max -> tie-keeping filter
         "top_supplier_revenue_q15": relational.top_supplier_revenue_q15,
+        # prefix (trailing-wildcard) search: df-ordered capped expansion
+        # scored as one max-group; stored golden vs the serial scan
+        "pages_prefix_search": fulltext.pages_prefix_search,
     }
 
 
@@ -394,4 +397,5 @@ def oracle_sql() -> dict[str, str]:
         "nation_trade_volume_q7": relational.NATION_TRADE_Q7_SQL,
         "events_value_percentiles_by_type": events.EVENTS_PCTL_BY_TYPE_SQL,
         "top_supplier_revenue_q15": relational.TOP_SUPPLIER_Q15_SQL,
+        "pages_prefix_search": pages_golden.PAGES_PREFIX_SEARCH_SQL,
     }

@@ -289,6 +289,28 @@ def pages_search_altforms(sf_dir: str, k: int = 10):
     return pd.DataFrame(rows)
 
 
+def pages_prefix_search(sf_dir: str, k: int = 10):
+    """Prefix (trailing-wildcard) search over the pages index: each
+    corpus-derived prefix expands to the vocabulary terms that start
+    with it — capped to the highest-df ``Searcher.PREFIX_MAX_TERMS``
+    members in deterministic (-df, term) order — and the members score
+    as ONE alt-form-style group (per-doc max).  Stored golden = the
+    serial full-vocabulary prefix scan (oracle.oracle_prefix_topk)."""
+    from myaku_ray.oracle import prefix_query_set
+
+    s = _pages_searcher()
+    rows = {"query": [], "rank": [], "doc_id": [], "score": [], "url": []}
+    for p in prefix_query_set(_pages_dir()):
+        hits = s.prefix_topk(p, k)
+        for rank, r in enumerate(s.hydrate(hits, p) if hits else [], start=1):
+            rows["query"].append(p)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r.doc_id)
+            rows["score"].append(round(r.score, 5))
+            rows["url"].append(r.url)
+    return pd.DataFrame(rows)
+
+
 def pages_term_trend(sf_dir: str):
     """Crawl-time trend analytics: matched-doc counts per (query term,
     UTC month), computed entirely from the posting payload's warc_us

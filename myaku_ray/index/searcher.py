@@ -320,6 +320,7 @@ class Searcher:
         self._query_memo_cap = 10_000
         # Lazy fuzzy-suggestion state: (max_dist, terms, dfs, nbhd map)
         self._suggest_state: tuple | None = None
+        self._prefix_vocab_state: tuple | None = None
         # Hot-term warm list: decode the particle-class terms (df above
         # preload_hot_df_frac of the corpus, capped) into the array cache
         # ONCE at init — a serving process loads its hot postings with
@@ -926,6 +927,80 @@ class Searcher:
             for (d, s, w) in hits
             if d != doc_id
         ][:k]
+
+    # -- prefix (trailing-wildcard) search --------------------------------
+
+    PREFIX_MAX_TERMS = 24
+
+    def prefix_topk(
+        self, prefix: str, k: int = 10, max_terms: int | None = None
+    ) -> list[SearchResult]:
+        """Prefix (trailing-wildcard) search: the query matches every
+        vocabulary term starting with the width-normalized prefix,
+        capped to the ``max_terms`` highest-df members in deterministic
+        (-df, term) order — the standard wildcard-expansion valve (a
+        one-char prefix over a web-scale vocabulary would otherwise
+        union thousands of posting lists).  The members form ONE
+        alt-form-style group (per-doc score = max over members,
+        SynonymMaxIterator semantics), so ranking rides the same
+        array/WAND engine as every other query; rank identity vs the
+        serial oracle's full-vocabulary scan is pytest-gated.
+
+        The vocabulary is the df stage's (term, df) table, cached
+        SORTED under the same mtime fingerprint key as the suggest map
+        (an in-place update/refresh rewrites df/ and invalidates both).
+        """
+        import bisect
+
+        if max_terms is None:
+            max_terms = self.PREFIX_MAX_TERMS
+        q = normalize_char_width(prefix.strip())
+        if not q:
+            return []
+        fp = self._df_fingerprint()
+        state = self._prefix_vocab_state
+        if state is None or state[0] != fp:
+            df_dir = os.path.join(self.index_dir, "df")
+            if os.path.isdir(df_dir):
+                tbl = pads.dataset(df_dir, format="parquet").to_table(
+                    columns=["term", "df"]
+                )
+                pairs = sorted(
+                    zip(
+                        tbl["term"].to_pylist(),
+                        tbl["df"].to_numpy(zero_copy_only=False).tolist(),
+                    )
+                )
+                terms = [t for t, _ in pairs]
+                dfs = [d for _, d in pairs]
+            else:
+                terms, dfs = [], []
+            state = (fp, terms, dfs)
+            self._prefix_vocab_state = state
+        _, terms, dfs = state
+        lo = bisect.bisect_left(terms, q)
+        cand = []
+        i = lo
+        while i < len(terms) and terms[i].startswith(q):
+            cand.append((-dfs[i], terms[i]))
+            i += 1
+        cand.sort()
+        members = [t for _, t in cand[:max_terms]]
+        if not members:
+            return []
+        it = self._group_iterator(members)
+        if it is None:
+            return []
+        from myaku_ray.index.wand import array_topk, wand_topk
+
+        iters = {q: it}
+        if isinstance(it, ArrayPostings):
+            hits = array_topk(iters, k)
+        else:
+            hits = wand_topk(iters, k)
+        return [
+            SearchResult(doc_id=d, score=s, warc_us=w) for (d, s, w) in hits
+        ]
 
     def term_trend(self, query_str: str, query_type: str = "exact"):
         """Matched-doc counts per (query term, UTC month) — crawl-time

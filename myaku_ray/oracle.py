@@ -701,3 +701,70 @@ def mlt_seed_set(pages_parquet: str, n: int = 5) -> list[int]:
             if len(out) >= n:
                 break
     return out
+
+
+# ---------------------------------------------------------------------------
+# Prefix (trailing-wildcard) search oracle
+# ---------------------------------------------------------------------------
+
+PREFIX_MAX_TERMS = 24  # mirrors Searcher.PREFIX_MAX_TERMS
+
+
+def oracle_prefix_topk(
+    index: OracleIndex,
+    prefix: str,
+    k: int = 10,
+    max_terms: int = PREFIX_MAX_TERMS,
+):
+    """Serial prefix search: every vocabulary term starting with the
+    width-normalized prefix, capped to the ``max_terms`` highest-df
+    members in (-df, term) order — the engine's exact expansion rule —
+    scored as ONE group (per-doc contribution = max over members),
+    ranked (score, warc_us, doc_id) DESC."""
+    q = normalize_char_width(prefix.strip())
+    if not q:
+        return []
+    members = sorted(
+        (t for t in index.df if t.startswith(q)),
+        key=lambda t: (-index.df[t], t),
+    )[:max_terms]
+    best: dict[int, float] = {}
+    for m in members:
+        dfv = index.df[m]
+        for doc_id, tf in index.postings[m]:
+            meta = index.docs[doc_id]
+            contrib = posting_score(
+                tf, meta["doclen"], meta["quality"], dfv, index.n_docs,
+                index.avgdl,
+            )
+            if doc_id not in best or contrib > best[doc_id]:
+                best[doc_id] = contrib
+    scored = sorted(
+        ((s, index.docs[d]["warc_us"], d) for d, s in best.items()),
+        reverse=True,
+    )
+    return [(d, s, w) for (s, w, d) in scored[:k]]
+
+
+def prefix_query_set(pages_parquet: str) -> list[str]:
+    """Deterministic prefixes derived from corpus content (URL order,
+    the _first_texts rule): the 1- and 2-char prefixes of the first
+    few multi-char terms in the first long docs, plus a zero-hit
+    prefix."""
+    texts = _first_texts(pages_parquet, want=2, min_len=200)
+    out: list[str] = []
+    seen: set[str] = set()
+    for tx in texts:
+        for t in analyze_query(tx[:400]):
+            if len(t) < 2 or t.isascii():
+                continue
+            for p in (t[:1], t[:2]):
+                if p not in seen:
+                    seen.add(p)
+                    out.append(p)
+            if len(out) >= 6:
+                break
+        if len(out) >= 6:
+            break
+    out.append("ゑゐぬ")  # zero-hit prefix
+    return out

@@ -521,3 +521,67 @@ def test_top_supplier_q15_keeps_ties(ray_session, tmp_path):
     got = top_supplier_revenue_q15(sf)
     assert got["s_suppkey"].tolist() == [1, 2]
     assert got["total_revenue_millis"].tolist() == [100_000, 100_000]
+
+
+# ---------------------------------------------------------------------------
+# Prefix (trailing-wildcard) search: engine vs serial oracle
+# ---------------------------------------------------------------------------
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def prefix_built(ray_session, tmp_path_factory):
+    from myaku_ray.corpus import gen_blogs_table, write_pages_parquet
+    from myaku_ray.oracle import build_oracle_index
+    from myaku_ray.pipelines.build import build_index
+
+    base = tmp_path_factory.mktemp("pfx")
+    pages = str(base / "pages")
+    index_dir = str(base / "index")
+    write_pages_parquet(pages, 400)
+    blogs = gen_blogs_table()
+    ratings = dict(zip(blogs["blog_url"], blogs["rating"]))
+    build_index(pages, index_dir, blog_ratings=ratings)
+    oracle = build_oracle_index(pages, blog_ratings=ratings)
+    return pages, index_dir, oracle
+
+
+def test_prefix_rank_identity(prefix_built):
+    """docIDs AND scores rank-identical to the serial full-vocabulary
+    prefix scan on the corpus-derived prefix set (incl. the zero-hit
+    tail prefix)."""
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.oracle import oracle_prefix_topk, prefix_query_set
+
+    pages, index_dir, oracle = prefix_built
+    s = Searcher(index_dir)
+    qs = prefix_query_set(pages)
+    assert len(qs) >= 3
+    n_nonempty = 0
+    for p in qs:
+        eng = [(r.doc_id, r.score) for r in s.prefix_topk(p, 10)]
+        ora = [(d, sc) for (d, sc, _w) in oracle_prefix_topk(oracle, p, 10)]
+        assert eng == ora, f"prefix {p!r}: engine {eng} != oracle {ora}"
+        n_nonempty += bool(eng)
+    assert n_nonempty >= 2  # the set must actually exercise matches
+    assert s.prefix_topk("ゑゐぬ", 10) == []
+
+
+def test_prefix_cap_determinism(prefix_built):
+    """max_terms=1 must pick exactly the highest-df (-df, term) member
+    on both sides — the deterministic wildcard-expansion valve."""
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.oracle import oracle_prefix_topk, prefix_query_set
+
+    pages, index_dir, oracle = prefix_built
+    s = Searcher(index_dir)
+    for p in prefix_query_set(pages)[:3]:
+        eng = [
+            (r.doc_id, r.score) for r in s.prefix_topk(p, 10, max_terms=1)
+        ]
+        ora = [
+            (d, sc)
+            for (d, sc, _w) in oracle_prefix_topk(oracle, p, 10, max_terms=1)
+        ]
+        assert eng == ora

@@ -307,6 +307,29 @@ def main() -> None:
         + "\n) AS golden(seed_doc_id, rank, doc_id, score, url)"
     )
 
+    # ---- prefix (trailing-wildcard) search golden -----------------------
+    from myaku_ray.oracle import oracle_prefix_topk, prefix_query_set
+
+    pfx_rows = []
+    for p in prefix_query_set(pages_dir):
+        for rank, (doc_id, score, _w) in enumerate(
+            oracle_prefix_topk(oi, p, k=10), start=1
+        ):
+            pfx_rows.append(
+                (p, rank, doc_id, round(float(score), 5),
+                 oi.docs[doc_id]["url"])
+            )
+    pfx_values = ",\n  ".join(
+        f"({_sql_str(p)}, {rank}::BIGINT, {doc_id}::BIGINT, "
+        f"{score!r}::DOUBLE, {_sql_str(url)})"
+        for p, rank, doc_id, score, url in pfx_rows
+    )
+    pfx_sql = (
+        "SELECT * FROM (VALUES\n  "
+        + pfx_values
+        + "\n) AS golden(query, rank, doc_id, score, url)"
+    )
+
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "myaku_ray", "functions", "pages_golden.py",
@@ -327,14 +350,16 @@ def main() -> None:
             f"PAGES_SUGGEST_SQL = '''\n{sug_sql}\n'''\n\n"
             f"PAGES_BOOLEAN_SEARCH_SQL = '''\n{bool_sql}\n'''\n\n"
             f"PAGES_SEARCH_FACETS_SQL = '''\n{facet_sql}\n'''\n\n"
-            f"PAGES_MORE_LIKE_THIS_SQL = '''\n{mlt_sql}\n'''\n"
+            f"PAGES_MORE_LIKE_THIS_SQL = '''\n{mlt_sql}\n'''\n\n"
+            f"PAGES_PREFIX_SEARCH_SQL = '''\n{pfx_sql}\n'''\n"
         )
     print(
         f"wrote {out}: {len(stats)} stats rows, {len(rows)} search rows, "
         f"{len(alt_rows)} altform rows, {len(prof)} interp-profile rows, "
         f"{len(phrase_rows)} phrase rows, {len(near_rows)} near rows, "
         f"{len(trend_rows)} trend rows, {len(sug_rows)} suggest rows, "
-        f"{len(bool_rows)} boolean rows, {len(facet_rows)} facet rows"
+        f"{len(bool_rows)} boolean rows, {len(facet_rows)} facet rows, "
+        f"{len(pfx_rows)} prefix rows"
     )
 
 
