@@ -281,6 +281,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # prefix (trailing-wildcard) search: df-ordered capped expansion
         # scored as one max-group; stored golden vs the serial scan
         "pages_prefix_search": fulltext.pages_prefix_search,
+        # LTV segmentation: tie-deterministic decile bucketing
+        "user_value_deciles": events.user_value_deciles,
+        # 'users who do A also do B': distinct type pairs per user
+        "event_type_affinity": events.event_type_affinity,
     }
 
 
@@ -398,4 +402,6 @@ def oracle_sql() -> dict[str, str]:
         "events_value_percentiles_by_type": events.EVENTS_PCTL_BY_TYPE_SQL,
         "top_supplier_revenue_q15": relational.TOP_SUPPLIER_Q15_SQL,
         "pages_prefix_search": pages_golden.PAGES_PREFIX_SEARCH_SQL,
+        "user_value_deciles": events.USER_VALUE_DECILES_SQL,
+        "event_type_affinity": events.EVENT_TYPE_AFFINITY_SQL,
     }

@@ -486,6 +486,8 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "events_value_percentiles_by_type":
             events.events_value_percentiles_by_type,
         "top_supplier_revenue_q15": relational.top_supplier_revenue_q15,
+        "user_value_deciles": events.user_value_deciles,
+        "event_type_affinity": events.event_type_affinity,
     }
     # cold-time the Q5/Q9 bucketed layout writes too (same convention as
     # the cache rmtree above)

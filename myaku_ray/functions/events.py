@@ -1584,3 +1584,171 @@ SELECT event_type, q, value FROM (
   FROM events GROUP BY 1
 ) ORDER BY event_type, q
 """
+
+
+# ---------------------------------------------------------------------------
+# User lifetime-value deciles (exact rank rule, no NTILE tie lottery)
+# ---------------------------------------------------------------------------
+
+LTV_BUCKETS = 10
+
+
+def user_value_deciles(sf_dir: str, buckets: int = LTV_BUCKETS):
+    """Users bucketed into value deciles by total event value — the
+    LTV-segmentation report.  The bucket rule is EXACT and
+    tie-deterministic: users totally ordered by (total_millis, user_id)
+    ascending, 0-based rank r, bucket = floor(r * buckets / n) — NTILE's
+    arbitrary tie placement replaced by an explicit total order both
+    sides compute identically.
+
+    Plan: per-batch (user, millis) partials feed ONE groupby(user_id)
+    exchange (user-sized, 2 ints/row); the rank/bucket finale runs on
+    the driver over that user-sized aggregate — the same result-bound
+    idiom as top_users_by_value (past ~1e8 users the finale becomes a
+    distributed sort + partition-offset prefix sum, the pack_training
+    _chunks pattern)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "total_millis": _millis(
+                    batch["value"].to_numpy(zero_copy_only=False)
+                ),
+            }
+        )
+        g = df.groupby("user_id", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_user = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("total_millis", alias_name="total_millis"))
+        .to_pandas()
+    )
+    if len(per_user) == 0:
+        return pd.DataFrame(
+            {
+                "decile": pd.Series([], dtype="int64"),
+                "n_users": pd.Series([], dtype="int64"),
+                "total_value_millis": pd.Series([], dtype="int64"),
+            }
+        )
+    per_user = per_user.sort_values(
+        ["total_millis", "user_id"]
+    ).reset_index(drop=True)
+    n = len(per_user)
+    r = np.arange(n, dtype=np.int64)
+    per_user["decile"] = (r * buckets) // n
+    out = (
+        per_user.groupby("decile", as_index=False)
+        .agg(
+            n_users=("user_id", "size"),
+            total_value_millis=("total_millis", "sum"),
+        )
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    out["decile"] = out["decile"].astype(np.int64)
+    out["n_users"] = out["n_users"].astype(np.int64)
+    out["total_value_millis"] = out["total_value_millis"].astype(np.int64)
+    return out
+
+
+USER_VALUE_DECILES_SQL = f"""
+WITH per AS (
+  SELECT user_id,
+    sum(CAST(floor(value*1000.0 + 0.5) AS BIGINT))::BIGINT AS total_millis
+  FROM events GROUP BY user_id),
+ranked AS (
+  SELECT total_millis,
+    row_number() OVER (ORDER BY total_millis, user_id) - 1 AS r,
+    (SELECT count(*) FROM per) AS n
+  FROM per)
+SELECT CAST((r * {LTV_BUCKETS}) // n AS BIGINT) AS decile,
+  count(*)::BIGINT AS n_users,
+  sum(total_millis)::BIGINT AS total_value_millis
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event-type affinity: distinct type pairs co-occurring per user
+# ---------------------------------------------------------------------------
+
+
+def event_type_affinity(sf_dir: str):
+    """How often two event types co-occur in the SAME user's history —
+    the affinity matrix behind 'users who do A also do B'.  Counts
+    DISTINCT users per unordered type pair (a < b).
+
+    Plan: map-side dedup to distinct (user_id, event_type) rows (a
+    per-batch groupby — users x types bounded), ONE exchange keyed by
+    user_id co-locates each user's type set, pairs are emitted inside
+    ``map_groups`` (type vocabularies are tiny; pairs per user <=
+    C(|types|, 2)), and the final pair count is an exchange over
+    pair-vocabulary-sized rows."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def dedup(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "event_type": batch["event_type"].to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.drop_duplicates(), preserve_index=False
+        )
+
+    def pairs_of_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = sorted(set(g["event_type"]))
+        rows = [
+            (a, b) for i, a in enumerate(ts) for b in ts[i + 1:]
+        ]
+        if not rows:
+            return pd.DataFrame({"type_a": [], "type_b": []}).astype(
+                {"type_a": "object", "type_b": "object"}
+            )
+        return pd.DataFrame(rows, columns=["type_a", "type_b"])
+
+    pairs = (
+        ds.map_batches(dedup, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(pairs_of_user)
+    )
+    out = (
+        pairs.groupby(["type_a", "type_b"])
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "type_a": pd.Series([], dtype="object"),
+                "type_b": pd.Series([], dtype="object"),
+                "n_users": pd.Series([], dtype="int64"),
+            }
+        )
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return (
+        out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+    )
+
+
+EVENT_TYPE_AFFINITY_SQL = """
+WITH dt AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*)::BIGINT AS n_users
+FROM dt a JOIN dt b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -585,3 +585,104 @@ def test_prefix_cap_determinism(prefix_built):
             for (d, sc, _w) in oracle_prefix_topk(oracle, p, 10, max_terms=1)
         ]
         assert eng == ora
+
+
+# ---------------------------------------------------------------------------
+# Session-7 events ops: LTV deciles + type affinity
+# ---------------------------------------------------------------------------
+
+
+def _match_events(got, sql: str, sf: str, sort_key: list[str]):
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    want = con.sql(sql).df()
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    a = got[sorted(got.columns)].sort_values(sort_key).reset_index(drop=True)
+    b = want[sorted(want.columns)].sort_values(sort_key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    return got
+
+
+def test_user_value_deciles_matches_duckdb(ray_session):
+    from myaku_ray.functions.events import (
+        USER_VALUE_DECILES_SQL,
+        user_value_deciles,
+    )
+
+    got = _match_events(
+        user_value_deciles(SF), USER_VALUE_DECILES_SQL, SF, ["decile"]
+    )
+    # deciles partition the user set
+    assert got["decile"].between(0, 9).all()
+
+
+def test_user_value_deciles_tie_rule(ray_session, tmp_path):
+    """All-equal totals: the explicit (total, user_id) rank rule must
+    split ties by user_id — 4 users, 2 buckets -> users {1,2} low,
+    {3,4} high."""
+    from myaku_ray.functions.events import user_value_deciles
+
+    sf = str(tmp_path)
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(["2024-01-01"] * 4).astype(
+                "datetime64[us]"
+            ),
+            "user_id": [4, 3, 2, 1],
+            "event_type": ["view"] * 4,
+            "value": [5.0, 5.0, 5.0, 5.0],
+            "props": ["{}"] * 4,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(ev), f"{sf}/events.parquet")
+    got = user_value_deciles(sf, buckets=2)
+    assert got["decile"].tolist() == [0, 1]
+    assert got["n_users"].tolist() == [2, 2]
+    assert got["total_value_millis"].tolist() == [10000, 10000]
+
+
+def test_event_type_affinity_matches_duckdb(ray_session):
+    from myaku_ray.functions.events import (
+        EVENT_TYPE_AFFINITY_SQL,
+        event_type_affinity,
+    )
+
+    got = _match_events(
+        event_type_affinity(SF),
+        EVENT_TYPE_AFFINITY_SQL,
+        SF,
+        ["type_a", "type_b"],
+    )
+    assert (got["type_a"] < got["type_b"]).all()
+
+
+def test_event_type_affinity_counts_users_once(ray_session, tmp_path):
+    """A user repeating the same pair many times counts ONCE; a
+    single-type user contributes no pair."""
+    from myaku_ray.functions.events import event_type_affinity
+
+    sf = str(tmp_path)
+    ev = pd.DataFrame(
+        {
+            "event_id": range(6),
+            "ts": pd.to_datetime(["2024-01-01"] * 6).astype(
+                "datetime64[us]"
+            ),
+            "user_id": [1, 1, 1, 1, 2, 3],
+            "event_type": ["a", "b", "a", "b", "a", "b"],
+            "value": [1.0] * 6,
+            "props": ["{}"] * 6,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(ev), f"{sf}/events.parquet")
+    got = event_type_affinity(sf)
+    assert got["type_a"].tolist() == ["a"]
+    assert got["type_b"].tolist() == ["b"]
+    assert got["n_users"].tolist() == [1]
