@@ -93,6 +93,13 @@ def main(argv: list[str] | None = None) -> int:
     ml.add_argument("doc_id", type=int)
     ml.add_argument("--k", type=int, default=10)
 
+    px = sub.add_parser(
+        "prefix", help="trailing-wildcard search: terms starting with PREFIX"
+    )
+    px.add_argument("index_dir")
+    px.add_argument("prefix")
+    px.add_argument("--k", type=int, default=10)
+
     d = sub.add_parser("delete")
     d.add_argument("index_dir")
     d.add_argument("urls", nargs="+")
@@ -205,6 +212,23 @@ def main(argv: list[str] | None = None) -> int:
         s_ = Searcher(args.index_dir)
         hits = s_.more_like_this(args.doc_id, args.k)
         for h in s_.hydrate(hits, ""):
+            print(
+                json.dumps(
+                    {
+                        "doc_id": h.doc_id,
+                        "score": round(h.score, 5),
+                        "url": h.url,
+                        "title": h.title,
+                    },
+                    ensure_ascii=False,
+                )
+            )
+    elif args.cmd == "prefix":
+        from myaku_ray.index.searcher import Searcher
+
+        s_ = Searcher(args.index_dir)
+        hits = s_.prefix_topk(args.prefix, args.k)
+        for h in s_.hydrate(hits, args.prefix):
             print(
                 json.dumps(
                     {
