@@ -285,6 +285,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_deciles": events.user_value_deciles,
         # 'users who do A also do B': distinct type pairs per user
         "event_type_affinity": events.event_type_affinity,
+        # web-search site collapse: <=2 results per source in rank order
+        "pages_search_diverse": fulltext.pages_search_diverse,
     }
 
 
@@ -404,4 +406,5 @@ def oracle_sql() -> dict[str, str]:
         "pages_prefix_search": pages_golden.PAGES_PREFIX_SEARCH_SQL,
         "user_value_deciles": events.USER_VALUE_DECILES_SQL,
         "event_type_affinity": events.EVENT_TYPE_AFFINITY_SQL,
+        "pages_search_diverse": pages_golden.PAGES_SEARCH_DIVERSE_SQL,
     }

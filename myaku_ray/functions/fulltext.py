@@ -311,6 +311,27 @@ def pages_prefix_search(sf_dir: str, k: int = 10):
     return pd.DataFrame(rows)
 
 
+def pages_search_diverse(sf_dir: str, k: int = 10):
+    """Host-collapse (source-diversified) search over the pages index:
+    the first k global-rank docs with at most 2 per source — web
+    search's site collapse (``Searcher.topk_diverse``; source lookup
+    is the facet sidecar, no doc read).  Stored golden = the serial
+    full-ranked-list walk (oracle.oracle_topk_diverse)."""
+    from myaku_ray.oracle import reference_query_set
+
+    s = _pages_searcher()
+    rows = {"query": [], "rank": [], "doc_id": [], "score": [], "url": []}
+    for q in reference_query_set():
+        hits = s.topk_diverse(q, k, per_source_cap=2)
+        for rank, r in enumerate(s.hydrate(hits, q) if hits else [], start=1):
+            rows["query"].append(q)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r.doc_id)
+            rows["score"].append(round(r.score, 5))
+            rows["url"].append(r.url)
+    return pd.DataFrame(rows)
+
+
 def pages_term_trend(sf_dir: str):
     """Crawl-time trend analytics: matched-doc counts per (query term,
     UTC month), computed entirely from the posting payload's warc_us

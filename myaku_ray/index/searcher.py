@@ -1262,6 +1262,55 @@ class Searcher:
             self._facet_state = state
         return state[1], state[2], state[3]
 
+    def topk_diverse(
+        self,
+        query_str: str,
+        k: int = 10,
+        per_source_cap: int = 2,
+        query_type: str = "exact",
+    ) -> list[SearchResult]:
+        """Host-collapse (source-diversified) top-k — web search's
+        site collapse: the first ``k`` docs of the GLOBAL rank order
+        whose source has not yet exhausted ``per_source_cap`` slots.
+        Deterministic: collapse is a pure filter over the total rank
+        order, so ties resolve exactly as in ``topk``.
+
+        Source lookup is one searchsorted against the facet sidecar
+        (no doc text read).  The engine fetches rank pages of doubling
+        size until k survivors accumulate or the matched set is
+        exhausted — bounded by O(k x sources/cap) candidates in the
+        adversarial case, k x small-constant in practice.  Rank
+        identity vs the serial oracle's full-ranked-list walk is
+        pytest-gated."""
+        import numpy as np
+
+        ids, codes, names = self._facet_arrays()
+
+        def source_code(doc_id: int) -> int:
+            if len(ids) == 0:
+                return -1
+            p = int(np.searchsorted(ids, doc_id))
+            if p < len(ids) and ids[p] == doc_id:
+                return int(codes[p])
+            return -1
+
+        n = max(k * 4, 16)
+        while True:
+            hits = self.topk(query_str, n, query_type)
+            used: dict[int, int] = {}
+            out = []
+            for h in hits:
+                c = source_code(h.doc_id)
+                if used.get(c, 0) >= per_source_cap:
+                    continue
+                used[c] = used.get(c, 0) + 1
+                out.append(h)
+                if len(out) == k:
+                    return out
+            if len(hits) < n:
+                return out  # matched set exhausted
+            n *= 2
+
     def facets(
         self, query_str: str, query_type: str = "exact"
     ) -> list[tuple[str, int]]:

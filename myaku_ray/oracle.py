@@ -768,3 +768,28 @@ def prefix_query_set(pages_parquet: str) -> list[str]:
             break
     out.append("ゑゐぬ")  # zero-hit prefix
     return out
+
+
+def oracle_topk_diverse(
+    index: OracleIndex,
+    query_str: str,
+    k: int = 10,
+    per_source_cap: int = 2,
+    query_type: str = "exact",
+):
+    """Serial host-collapse: walk the FULL ranked matched list in
+    (score, warc_us, doc_id) DESC order, keeping a doc only while its
+    source has used fewer than ``per_source_cap`` slots — the engine's
+    exact collapse contract."""
+    full = oracle_topk(index, query_str, k=len(index.docs), query_type=query_type)
+    used: dict[str, int] = {}
+    out = []
+    for doc_id, score, warc in full:
+        src = index.docs[doc_id]["source"]
+        if used.get(src, 0) >= per_source_cap:
+            continue
+        used[src] = used.get(src, 0) + 1
+        out.append((doc_id, score, warc))
+        if len(out) == k:
+            break
+    return out

@@ -686,3 +686,49 @@ def test_event_type_affinity_counts_users_once(ray_session, tmp_path):
     assert got["type_a"].tolist() == ["a"]
     assert got["type_b"].tolist() == ["b"]
     assert got["n_users"].tolist() == [1]
+
+
+def test_diverse_rank_identity(prefix_built):
+    """Host-collapse top-k: docIDs AND scores identical to the serial
+    full-ranked-list walk, and no source exceeds its cap."""
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.oracle import oracle_topk_diverse, reference_query_set
+
+    pages, index_dir, oracle = prefix_built
+    s = Searcher(index_dir)
+    checked = 0
+    for q in reference_query_set():
+        for cap in (1, 2):
+            eng = [
+                (r.doc_id, r.score)
+                for r in s.topk_diverse(q, 10, per_source_cap=cap)
+            ]
+            ora = [
+                (d, sc)
+                for (d, sc, _w) in oracle_topk_diverse(
+                    oracle, q, 10, per_source_cap=cap
+                )
+            ]
+            assert eng == ora, f"{q!r} cap={cap}: {eng} != {ora}"
+            checked += bool(eng)
+            # cap invariant via the oracle's doc->source map
+            srcs = [oracle.docs[d]["source"] for d, _ in eng]
+            assert all(srcs.count(x) <= cap for x in set(srcs))
+    assert checked >= 8
+
+
+def test_diverse_cap_changes_results(prefix_built):
+    """On a corpus dominated by few sources, cap=1 must actually
+    displace some plain-top-k results (the feature does something)."""
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.oracle import reference_query_set
+
+    _pages, index_dir, _oracle = prefix_built
+    s = Searcher(index_dir)
+    changed = 0
+    for q in reference_query_set():
+        plain = [r.doc_id for r in s.topk(q, 10)]
+        div = [r.doc_id for r in s.topk_diverse(q, 10, per_source_cap=1)]
+        if plain and div != plain:
+            changed += 1
+    assert changed >= 1

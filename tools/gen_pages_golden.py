@@ -330,6 +330,29 @@ def main() -> None:
         + "\n) AS golden(query, rank, doc_id, score, url)"
     )
 
+    # ---- host-collapse (source-diversified) search golden ---------------
+    from myaku_ray.oracle import oracle_topk_diverse
+
+    div_rows = []
+    for q in reference_query_set():
+        for rank, (doc_id, score, _w) in enumerate(
+            oracle_topk_diverse(oi, q, k=10, per_source_cap=2), start=1
+        ):
+            div_rows.append(
+                (q, rank, doc_id, round(float(score), 5),
+                 oi.docs[doc_id]["url"])
+            )
+    div_values = ",\n  ".join(
+        f"({_sql_str(q)}, {rank}::BIGINT, {doc_id}::BIGINT, "
+        f"{score!r}::DOUBLE, {_sql_str(url)})"
+        for q, rank, doc_id, score, url in div_rows
+    )
+    div_sql = (
+        "SELECT * FROM (VALUES\n  "
+        + div_values
+        + "\n) AS golden(query, rank, doc_id, score, url)"
+    )
+
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "myaku_ray", "functions", "pages_golden.py",
@@ -351,7 +374,8 @@ def main() -> None:
             f"PAGES_BOOLEAN_SEARCH_SQL = '''\n{bool_sql}\n'''\n\n"
             f"PAGES_SEARCH_FACETS_SQL = '''\n{facet_sql}\n'''\n\n"
             f"PAGES_MORE_LIKE_THIS_SQL = '''\n{mlt_sql}\n'''\n\n"
-            f"PAGES_PREFIX_SEARCH_SQL = '''\n{pfx_sql}\n'''\n"
+            f"PAGES_PREFIX_SEARCH_SQL = '''\n{pfx_sql}\n'''\n\n"
+            f"PAGES_SEARCH_DIVERSE_SQL = '''\n{div_sql}\n'''\n",
         )
     print(
         f"wrote {out}: {len(stats)} stats rows, {len(rows)} search rows, "
