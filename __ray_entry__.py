@@ -287,6 +287,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_affinity": events.event_type_affinity,
         # web-search site collapse: <=2 results per source in rank order
         "pages_search_diverse": fulltext.pages_search_diverse,
+        # ANN quality eval: IVF recall@k against the exact brute leg
+        "ivf_recall_eval": ann.ivf_recall_eval,
     }
 
 
@@ -407,4 +409,5 @@ def oracle_sql() -> dict[str, str]:
         "user_value_deciles": events.USER_VALUE_DECILES_SQL,
         "event_type_affinity": events.EVENT_TYPE_AFFINITY_SQL,
         "pages_search_diverse": pages_golden.PAGES_SEARCH_DIVERSE_SQL,
+        "ivf_recall_eval": ann._ivf_recall_sql(),
     }

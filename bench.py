@@ -488,6 +488,7 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "top_supplier_revenue_q15": relational.top_supplier_revenue_q15,
         "user_value_deciles": events.user_value_deciles,
         "event_type_affinity": events.event_type_affinity,
+        "ivf_recall_eval": ann.ivf_recall_eval,
     }
     # cold-time the Q5/Q9 bucketed layout writes too (same convention as
     # the cache rmtree above)

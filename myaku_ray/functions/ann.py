@@ -1338,3 +1338,60 @@ def embedding_outliers(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
             }
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: IVF recall@k against the exact brute-force leg
+# ---------------------------------------------------------------------------
+
+
+def ivf_recall_eval(sf_dir: str):
+    """Recall@k of the IVF approximate top-k against the exact
+    brute-force cosine top-k, per query vector — the eval every ANN
+    deployment needs before trading exactness for pruned reads.
+
+    Both legs are the ALREADY-ORACLED ops (``ivf_cosine_topk``,
+    ``ann_cosine_topk``); this op joins their result-sized outputs on
+    the driver and counts per-query intersection — integers, with the
+    one ratio computed from exact ints and rounded once.  The SQL
+    oracle composes the same two oracle queries, so the eval is
+    verified end to end, not re-derived."""
+    ivf = ivf_cosine_topk(sf_dir)
+    brute = ann_cosine_topk(sf_dir)
+    if not isinstance(ivf, pd.DataFrame):
+        ivf = ivf.to_pandas()
+    if not isinstance(brute, pd.DataFrame):
+        brute = brute.to_pandas()
+    m = ivf.merge(
+        brute[["query_vec_id", "neighbor_vec_id"]].assign(hit=1),
+        on=["query_vec_id", "neighbor_vec_id"],
+        how="left",
+    )
+    g = (
+        m.groupby("query_vec_id", as_index=False)
+        .agg(n_hits=("hit", lambda s: int(s.notna().sum())))
+        .sort_values("query_vec_id")
+        .reset_index(drop=True)
+    )
+    g["n_hits"] = g["n_hits"].astype(np.int64)
+    g["k"] = np.int64(TOPK)
+    g["recall_r"] = np.round(g["n_hits"].to_numpy() / float(TOPK), 6)
+    return g[["query_vec_id", "n_hits", "k", "recall_r"]]
+
+
+def _ivf_recall_sql() -> str:
+    from myaku_ray.functions import op_goldens
+
+    return f"""
+WITH ivf AS ({op_goldens.IVF_COSINE_TOPK_SQL}),
+brute AS ({ANN_COSINE_TOPK_SQL})
+SELECT ivf.query_vec_id,
+  count(brute.neighbor_vec_id)::BIGINT AS n_hits,
+  {TOPK}::BIGINT AS k,
+  round(count(brute.neighbor_vec_id)::DOUBLE / {TOPK}, 6) AS recall_r
+FROM ivf LEFT JOIN brute
+  ON brute.query_vec_id = ivf.query_vec_id
+  AND brute.neighbor_vec_id = ivf.neighbor_vec_id
+GROUP BY ivf.query_vec_id
+ORDER BY ivf.query_vec_id
+"""

@@ -732,3 +732,32 @@ def test_diverse_cap_changes_results(prefix_built):
         if plain and div != plain:
             changed += 1
     assert changed >= 1
+
+
+def test_ivf_recall_eval_replicates_intersection(ray_session):
+    """n_hits must equal an independent set-intersection of the two
+    legs' outputs, recall in [0,1], one row per query."""
+    from myaku_ray.functions.ann import (
+        N_QUERIES,
+        TOPK,
+        ann_cosine_topk,
+        ivf_cosine_topk,
+        ivf_recall_eval,
+    )
+
+    got = ivf_recall_eval(SF)
+    assert len(got) == N_QUERIES
+    ivf = ivf_cosine_topk(SF)
+    brute = ann_cosine_topk(SF)
+    if not isinstance(ivf, pd.DataFrame):
+        ivf = ivf.to_pandas()
+    if not isinstance(brute, pd.DataFrame):
+        brute = brute.to_pandas()
+    for q in got["query_vec_id"]:
+        a = set(ivf.loc[ivf["query_vec_id"] == q, "neighbor_vec_id"])
+        b = set(brute.loc[brute["query_vec_id"] == q, "neighbor_vec_id"])
+        want = len(a & b)
+        have = int(got.loc[got["query_vec_id"] == q, "n_hits"].iloc[0])
+        assert have == want
+    assert got["recall_r"].between(0.0, 1.0).all()
+    assert (got["k"] == TOPK).all()
