@@ -289,6 +289,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_search_diverse": fulltext.pages_search_diverse,
         # ANN quality eval: IVF recall@k against the exact brute leg
         "ivf_recall_eval": ann.ivf_recall_eval,
+        # curation funnel: doc counts surviving each successive gate
+        "curation_funnel": textops.curation_funnel,
     }
 
 
@@ -410,4 +412,5 @@ def oracle_sql() -> dict[str, str]:
         "event_type_affinity": events.EVENT_TYPE_AFFINITY_SQL,
         "pages_search_diverse": pages_golden.PAGES_SEARCH_DIVERSE_SQL,
         "ivf_recall_eval": ann._ivf_recall_sql(),
+        "curation_funnel": textops.CURATION_FUNNEL_SQL,
     }

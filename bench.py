@@ -489,6 +489,7 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "user_value_deciles": events.user_value_deciles,
         "event_type_affinity": events.event_type_affinity,
         "ivf_recall_eval": ann.ivf_recall_eval,
+        "curation_funnel": textops.curation_funnel,
     }
     # cold-time the Q5/Q9 bucketed layout writes too (same convention as
     # the cache rmtree above)

@@ -2486,3 +2486,128 @@ SELECT count(*)::BIGINT AS vocab_size,
        coalesce(any_value(total), 0)::BIGINT AS total_tf
 FROM o WHERE cum_before * 100 < {VOCAB_COVERAGE_PCT} * total
 """
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel: doc counts surviving each gate, in gate order
+# ---------------------------------------------------------------------------
+
+
+def curation_funnel(sf_dir: str):
+    """The curation FUNNEL report: how many documents survive each
+    successive gate of the ``curate_documents`` pipeline — total ->
+    exact-dedup winner -> language -> quality.  The numbers a data
+    curator reads before touching any threshold.
+
+    Same gate definitions as ``curate_documents`` (one signals pass,
+    ONE content-hash exchange for winner resolution); after the winner
+    flag exists the funnel reduces to four counters summed from
+    per-batch partials — nothing but 4-int rows reach the driver."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang"],
+    )
+    stop = set(STOPWORDS)
+
+    def signals(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].combine_chunks()
+        toks = pc.split_pattern(texts, " ")
+        n_tok = (
+            pc.list_value_length(toks)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        is_stop = pc.is_in(
+            flat, value_set=pa.array(sorted(stop))
+        ).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(
+            parents, weights=is_stop, minlength=batch.num_rows
+        )
+        keep_q = (n_tok >= CURATE_MIN_TOKENS) & (
+            n_stop / n_tok <= CURATE_MAX_STOPWORD_RATIO
+        )
+        hs = [
+            hashlib.sha256(t.encode()).hexdigest() for t in texts.to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "h": pa.array(hs, pa.string()),
+                "lang_ok": pc.equal(batch["lang"], pa.scalar("en")),
+                "keep_q": pa.array(keep_q),
+            }
+        )
+
+    def winner_flag(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "winner", pa.array(ids == int(ids.min()))
+        )
+
+    def counters(batch: pa.Table) -> pa.Table:
+        w = batch["winner"].to_numpy(zero_copy_only=False)
+        l = batch["lang_ok"].to_numpy(zero_copy_only=False)
+        q = batch["keep_q"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_total": pa.array([np.int64(len(w))]),
+                "n_dedup": pa.array([np.int64(w.sum())]),
+                "n_lang": pa.array([np.int64((w & l).sum())]),
+                "n_quality": pa.array([np.int64((w & l & q).sum())]),
+            }
+        )
+
+    parts = (
+        ds.map_batches(signals, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(winner_flag, batch_format="pyarrow")
+        .map_batches(counters, batch_format="pyarrow")
+        .to_pandas()
+        .sum()
+    )
+    return pd.DataFrame(
+        {
+            "stage": pd.Series([1, 2, 3, 4], dtype="int64"),
+            "gate": ["total", "exact_dedup", "lang", "quality"],
+            "n_docs": pd.Series(
+                [
+                    int(parts["n_total"]),
+                    int(parts["n_dedup"]),
+                    int(parts["n_lang"]),
+                    int(parts["n_quality"]),
+                ],
+                dtype="int64",
+            ),
+        }
+    )
+
+
+CURATION_FUNNEL_SQL = f"""
+WITH sig AS (
+  SELECT doc_id, lang,
+    len(string_split(text, ' ')) AS n_tokens,
+    CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+         AS DOUBLE) / len(string_split(text, ' ')) AS sw_ratio,
+    min(doc_id) OVER (PARTITION BY text) AS winner
+  FROM documents),
+f AS (
+  SELECT (doc_id = winner) AS w, (lang = 'en') AS l,
+    (n_tokens >= {CURATE_MIN_TOKENS}
+     AND sw_ratio <= {CURATE_MAX_STOPWORD_RATIO}) AS q
+  FROM sig)
+SELECT stage, gate, n_docs FROM (
+  SELECT 1::BIGINT AS stage, 'total' AS gate, count(*)::BIGINT AS n_docs
+  FROM f
+  UNION ALL
+  SELECT 2::BIGINT, 'exact_dedup', count(*) FILTER (WHERE w)::BIGINT FROM f
+  UNION ALL
+  SELECT 3::BIGINT, 'lang', count(*) FILTER (WHERE w AND l)::BIGINT FROM f
+  UNION ALL
+  SELECT 4::BIGINT, 'quality',
+    count(*) FILTER (WHERE w AND l AND q)::BIGINT FROM f
+) ORDER BY stage
+"""

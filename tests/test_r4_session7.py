@@ -761,3 +761,34 @@ def test_ivf_recall_eval_replicates_intersection(ray_session):
         assert have == want
     assert got["recall_r"].between(0.0, 1.0).all()
     assert (got["k"] == TOPK).all()
+
+
+def test_curation_funnel_matches_duckdb(ray_session):
+    from myaku_ray.functions.textops import (
+        CURATION_FUNNEL_SQL,
+        curation_funnel,
+    )
+
+    got = _match_docs(curation_funnel(SF), CURATION_FUNNEL_SQL, SF, ["stage"])
+    # the funnel is monotone non-increasing
+    assert (got["n_docs"].diff().dropna() <= 0).all()
+
+
+def test_curation_funnel_planted_gates(ray_session, tmp_path):
+    """One doc trips each gate: a duplicate, a non-en doc, a too-short
+    doc — the funnel must drop exactly one at each stage."""
+    from myaku_ray.functions.textops import curation_funnel
+
+    sf = str(tmp_path)
+    long_text = " ".join(["tok"] * 40)
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [long_text, long_text, " ".join(["tok"] * 35), "short"],
+            "lang": ["en", "en", "de", "en"],
+            "source": ["s"] * 4,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs), f"{sf}/documents.parquet")
+    got = curation_funnel(sf)
+    assert got["n_docs"].tolist() == [4, 3, 2, 1]
