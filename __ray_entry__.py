@@ -291,6 +291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_recall_eval": ann.ivf_recall_eval,
         # curation funnel: doc counts surviving each successive gate
         "curation_funnel": textops.curation_funnel,
+        # token-mass inequality: exact-integer Gini via counting histogram
+        "token_mass_gini": textops.token_mass_gini,
     }
 
 
@@ -413,4 +415,5 @@ def oracle_sql() -> dict[str, str]:
         "pages_search_diverse": pages_golden.PAGES_SEARCH_DIVERSE_SQL,
         "ivf_recall_eval": ann._ivf_recall_sql(),
         "curation_funnel": textops.CURATION_FUNNEL_SQL,
+        "token_mass_gini": textops.TOKEN_MASS_GINI_SQL,
     }

@@ -490,6 +490,7 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "event_type_affinity": events.event_type_affinity,
         "ivf_recall_eval": ann.ivf_recall_eval,
         "curation_funnel": textops.curation_funnel,
+        "token_mass_gini": textops.token_mass_gini,
     }
     # cold-time the Q5/Q9 bucketed layout writes too (same convention as
     # the cache rmtree above)

@@ -2611,3 +2611,93 @@ SELECT stage, gate, n_docs FROM (
     count(*) FILTER (WHERE w AND l AND q)::BIGINT FROM f
 ) ORDER BY stage
 """
+
+
+# ---------------------------------------------------------------------------
+# Token-mass inequality: exact-integer Gini over per-doc token counts
+# ---------------------------------------------------------------------------
+
+
+def token_mass_gini(sf_dir: str):
+    """How unevenly token mass is spread across documents — the Gini
+    coefficient of per-doc token counts, the skew-at-a-glance number a
+    curator checks before sharding or packing.  Convention (pinned vs
+    DuckDB in a driver experiment): ascending 1-based ranks,
+    ``gini = (2*Σ i*x_(i) - (n+1)*Σx) / (n*Σx)`` — tie order is
+    irrelevant because equal values contribute equally under any
+    permutation.
+
+    Plan: per-doc token counts are bounded (doc length cap), so ONE
+    scan reduces to per-batch COUNTING HISTOGRAMS (sparse (value,
+    count) rows) merged on the driver — histogram-sized, never
+    corpus-sized; no distributed sort.  The rank-weighted sum is then
+    computed per histogram block in arbitrary-precision Python ints
+    (a 100-TB corpus overflows int64 in Σ i*x_i; the histogram finale
+    does not care), and only the final rounded ratio is a float."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"v": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        n_tok = (
+            pc.list_value_length(toks)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        c = np.bincount(n_tok)
+        nz = np.flatnonzero(c)
+        return pa.table(
+            {
+                "v": pa.array(nz.astype(np.int64)),
+                "c": pa.array(c[nz].astype(np.int64)),
+            }
+        )
+
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("v")["c"]
+        .sum()
+        .sort_index()
+    )
+    n = int(h.sum())
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "n_docs": pd.Series([], dtype="int64"),
+                "total_tokens": pd.Series([], dtype="int64"),
+                "gini_r": pd.Series([], dtype="float64"),
+            }
+        )
+    sv = 0
+    siv = 0
+    start = 0  # ranks consumed so far (python ints: no overflow at any n)
+    for v, c in h.items():
+        v, c = int(v), int(c)
+        sv += v * c
+        siv += v * (c * start + c * (c + 1) // 2)
+        start += c
+    num = 2 * siv - (n + 1) * sv
+    den = n * sv
+    return pd.DataFrame(
+        {
+            "n_docs": pd.Series([n], dtype="int64"),
+            "total_tokens": pd.Series([sv], dtype="int64"),
+            "gini_r": pd.Series([round(num / den, 6)], dtype="float64"),
+        }
+    )
+
+
+TOKEN_MASS_GINI_SQL = """
+WITH d AS (SELECT len(string_split(text, ' ')) AS v FROM documents),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS i FROM d),
+t AS (SELECT sum(v) AS sv, count(*) AS n, sum(i * v) AS siv FROM r)
+SELECT n::BIGINT AS n_docs, sv::BIGINT AS total_tokens,
+  round((2*siv - (n+1)*sv)::DOUBLE / (n*sv), 6) AS gini_r
+FROM t
+"""

@@ -792,3 +792,35 @@ def test_curation_funnel_planted_gates(ray_session, tmp_path):
     pq.write_table(pa.Table.from_pandas(docs), f"{sf}/documents.parquet")
     got = curation_funnel(sf)
     assert got["n_docs"].tolist() == [4, 3, 2, 1]
+
+
+def test_token_mass_gini_matches_duckdb(ray_session):
+    from myaku_ray.functions.textops import (
+        TOKEN_MASS_GINI_SQL,
+        token_mass_gini,
+    )
+
+    got = _match_docs(token_mass_gini(SF), TOKEN_MASS_GINI_SQL, SF, ["n_docs"])
+    assert 0.0 <= got["gini_r"].iloc[0] < 1.0
+
+
+def test_token_mass_gini_known_values(ray_session, tmp_path):
+    """Perfect equality -> 0; the pinned [3,1,4,1,5] example -> 22/70."""
+    from myaku_ray.functions.textops import token_mass_gini
+
+    sf = str(tmp_path)
+    eq = pd.DataFrame({"doc_id": [1, 2], "text": ["a b", "c d"]})
+    pq.write_table(pa.Table.from_pandas(eq), f"{sf}/documents.parquet")
+    assert token_mass_gini(sf)["gini_r"].tolist() == [0.0]
+    ex = pd.DataFrame(
+        {
+            "doc_id": range(5),
+            "text": [
+                "a b c", "a", "a b c d", "b", "a b c d e",
+            ],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(ex), f"{sf}/documents.parquet")
+    got = token_mass_gini(sf)
+    assert got["gini_r"].tolist() == [round(22 / 70, 6)]
+    assert got["total_tokens"].tolist() == [14]
