@@ -293,6 +293,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_funnel": textops.curation_funnel,
         # token-mass inequality: exact-integer Gini via counting histogram
         "token_mass_gini": textops.token_mass_gini,
+        # LAG-window shape: per-user inter-event gaps with exact medians
+        "user_interarrival_stats": events.user_interarrival_stats,
     }
 
 
@@ -416,4 +418,5 @@ def oracle_sql() -> dict[str, str]:
         "ivf_recall_eval": ann._ivf_recall_sql(),
         "curation_funnel": textops.CURATION_FUNNEL_SQL,
         "token_mass_gini": textops.TOKEN_MASS_GINI_SQL,
+        "user_interarrival_stats": events.USER_INTERARRIVAL_SQL,
     }

@@ -1752,3 +1752,82 @@ FROM dt a JOIN dt b
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-user inter-arrival gaps (the LAG window shape) with exact medians
+# ---------------------------------------------------------------------------
+
+
+def user_interarrival_stats(sf_dir: str):
+    """Per-user inter-event gap statistics: number of gaps, exact
+    median gap (ascending order statistic at ceil(n/2)-1 — the pinned
+    quantile_disc convention), and max gap, all in integer
+    microseconds.  The LAG-window shape: each user's events must be
+    ordered (ts, event_id) before adjacent differences exist.
+
+    Plan: ONE exchange keyed by user_id co-locates each user's rows
+    (the user_sessions idiom); gaps, the order statistic and the max
+    are computed vectorized inside ``map_groups``.  Users with fewer
+    than two events have no gap and are absent — matching the SQL's
+    NULL-dropping aggregate."""
+    import math
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    def gaps_of_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if len(ts) < 2:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_gaps": pd.Series([], dtype="int64"),
+                    "median_gap_us": pd.Series([], dtype="int64"),
+                    "max_gap_us": pd.Series([], dtype="int64"),
+                }
+            )
+        d = np.sort(np.diff(ts))
+        n = len(d)
+        med = int(d[max(0, math.ceil(0.5 * n) - 1)])
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([int(g["user_id"].iloc[0])], dtype="int64"),
+                "n_gaps": pd.Series([n], dtype="int64"),
+                "median_gap_us": pd.Series([med], dtype="int64"),
+                "max_gap_us": pd.Series([int(d[-1])], dtype="int64"),
+            }
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(gaps_of_user)
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "n_gaps": pd.Series([], dtype="int64"),
+                "median_gap_us": pd.Series([], dtype="int64"),
+                "max_gap_us": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+USER_INTERARRIVAL_SQL = """
+WITH g AS (
+  SELECT user_id,
+    epoch_us(ts) - lag(epoch_us(ts))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT user_id, count(gap)::BIGINT AS n_gaps,
+  quantile_disc(gap, 0.5)::BIGINT AS median_gap_us,
+  max(gap)::BIGINT AS max_gap_us
+FROM g WHERE gap IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""

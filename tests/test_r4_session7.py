@@ -824,3 +824,45 @@ def test_token_mass_gini_known_values(ray_session, tmp_path):
     got = token_mass_gini(sf)
     assert got["gini_r"].tolist() == [round(22 / 70, 6)]
     assert got["total_tokens"].tolist() == [14]
+
+
+def test_user_interarrival_matches_duckdb(ray_session):
+    from myaku_ray.functions.events import (
+        USER_INTERARRIVAL_SQL,
+        user_interarrival_stats,
+    )
+
+    got = _match_events(
+        user_interarrival_stats(SF), USER_INTERARRIVAL_SQL, SF, ["user_id"]
+    )
+    assert (got["median_gap_us"] <= got["max_gap_us"]).all()
+
+
+def test_user_interarrival_single_event_excluded(ray_session, tmp_path):
+    """A one-event user has no gap and must be absent; even-count gaps
+    take the LOWER middle (ceil(n/2)-1 convention)."""
+    from myaku_ray.functions.events import user_interarrival_stats
+
+    sf = str(tmp_path)
+    base = pd.Timestamp("2024-01-01")
+    ev = pd.DataFrame(
+        {
+            "event_id": range(5),
+            "ts": pd.Series(
+                [base, base, base + pd.Timedelta(seconds=10),
+                 base + pd.Timedelta(seconds=40),
+                 base + pd.Timedelta(seconds=41)],
+            ).astype("datetime64[us]"),
+            "user_id": [9, 1, 1, 1, 1],
+            "event_type": ["view"] * 5,
+            "value": [1.0] * 5,
+            "props": ["{}"] * 5,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(ev), f"{sf}/events.parquet")
+    got = user_interarrival_stats(sf)
+    # user 9 has one event -> absent; user 1 gaps = [10s, 30s, 1s]
+    assert got["user_id"].tolist() == [1]
+    assert got["n_gaps"].tolist() == [3]
+    assert got["median_gap_us"].tolist() == [10_000_000]
+    assert got["max_gap_us"].tolist() == [30_000_000]
