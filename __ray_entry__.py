@@ -295,6 +295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_mass_gini": textops.token_mass_gini,
         # LAG-window shape: per-user inter-event gaps with exact medians
         "user_interarrival_stats": events.user_interarrival_stats,
+        # FULL OUTER of two filtered aggregates as ONE conditional agg
+        "user_value_week_delta": events.user_value_week_delta,
     }
 
 
@@ -419,4 +421,5 @@ def oracle_sql() -> dict[str, str]:
         "curation_funnel": textops.CURATION_FUNNEL_SQL,
         "token_mass_gini": textops.TOKEN_MASS_GINI_SQL,
         "user_interarrival_stats": events.USER_INTERARRIVAL_SQL,
+        "user_value_week_delta": events.USER_VALUE_WOW_SQL,
     }

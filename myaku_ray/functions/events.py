@@ -1831,3 +1831,104 @@ FROM g WHERE gap IS NOT NULL
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Week-over-week user value delta: FULL OUTER JOIN of two filtered
+# aggregates, collapsed into ONE conditional aggregate
+# ---------------------------------------------------------------------------
+
+WOW_A_START, WOW_A_END = "2024-01-01", "2024-01-08"
+WOW_B_START, WOW_B_END = "2024-01-15", "2024-01-22"
+
+
+def user_value_week_delta(sf_dir: str):
+    """Per-user event count + value for two week windows and the
+    value delta — the week-over-week cohort report.  Logically a FULL
+    OUTER JOIN of two filtered aggregates (users active in EITHER
+    window appear, absent sides zero-filled); physically ONE scan with
+    per-batch CONDITIONAL partials and one groupby(user) exchange —
+    the join never exists as a join, which is the point of the shape:
+    a self-FULL-OUTER over one fact table is always a conditional
+    aggregate.  Presence semantics ride the integer event counts
+    (a user with events summing to 0 millis still appears), exact
+    int64 end to end."""
+    a0, a1 = np.datetime64(WOW_A_START), np.datetime64(WOW_A_END)
+    b0, b1 = np.datetime64(WOW_B_START), np.datetime64(WOW_B_END)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        in_a = (ts >= a0) & (ts < a1)
+        in_b = (ts >= b0) & (ts < b1)
+        keep = in_a | in_b
+        users = batch["user_id"].to_numpy(zero_copy_only=False)[keep]
+        mil = _millis(batch["value"].to_numpy(zero_copy_only=False)[keep])
+        ia, ib = in_a[keep], in_b[keep]
+        df = pd.DataFrame(
+            {
+                "user_id": users,
+                "a_n": ia.astype(np.int64),
+                "a_millis": np.where(ia, mil, 0),
+                "b_n": ib.astype(np.int64),
+                "b_millis": np.where(ib, mil, 0),
+            }
+        )
+        g = df.groupby("user_id", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("a_n", alias_name="a_n"),
+            Sum("a_millis", alias_name="a_millis"),
+            Sum("b_n", alias_name="b_n"),
+            Sum("b_millis", alias_name="b_millis"),
+        )
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "a_n": pd.Series([], dtype="int64"),
+                "a_millis": pd.Series([], dtype="int64"),
+                "b_n": pd.Series([], dtype="int64"),
+                "b_millis": pd.Series([], dtype="int64"),
+                "delta_millis": pd.Series([], dtype="int64"),
+            }
+        )
+    for c in ["a_n", "a_millis", "b_n", "b_millis"]:
+        out[c] = out[c].astype(np.int64)
+    out["delta_millis"] = out["b_millis"] - out["a_millis"]
+    return (
+        out[["user_id", "a_n", "a_millis", "b_n", "b_millis", "delta_millis"]]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+USER_VALUE_WOW_SQL = f"""
+WITH a AS (
+  SELECT user_id, count(*)::BIGINT AS n,
+    sum(CAST(floor(value*1000.0 + 0.5) AS BIGINT))::BIGINT AS m
+  FROM events
+  WHERE ts >= TIMESTAMP '{WOW_A_START}' AND ts < TIMESTAMP '{WOW_A_END}'
+  GROUP BY user_id),
+b AS (
+  SELECT user_id, count(*)::BIGINT AS n,
+    sum(CAST(floor(value*1000.0 + 0.5) AS BIGINT))::BIGINT AS m
+  FROM events
+  WHERE ts >= TIMESTAMP '{WOW_B_START}' AND ts < TIMESTAMP '{WOW_B_END}'
+  GROUP BY user_id)
+SELECT user_id,
+  coalesce(a.n, 0)::BIGINT AS a_n, coalesce(a.m, 0)::BIGINT AS a_millis,
+  coalesce(b.n, 0)::BIGINT AS b_n, coalesce(b.m, 0)::BIGINT AS b_millis,
+  (coalesce(b.m, 0) - coalesce(a.m, 0))::BIGINT AS delta_millis
+FROM a FULL OUTER JOIN b USING (user_id)
+ORDER BY user_id
+"""

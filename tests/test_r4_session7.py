@@ -866,3 +866,44 @@ def test_user_interarrival_single_event_excluded(ray_session, tmp_path):
     assert got["n_gaps"].tolist() == [3]
     assert got["median_gap_us"].tolist() == [10_000_000]
     assert got["max_gap_us"].tolist() == [30_000_000]
+
+
+def test_user_value_week_delta_matches_duckdb(ray_session):
+    from myaku_ray.functions.events import (
+        USER_VALUE_WOW_SQL,
+        user_value_week_delta,
+    )
+
+    got = _match_events(
+        user_value_week_delta(SF), USER_VALUE_WOW_SQL, SF, ["user_id"]
+    )
+    assert (
+        got["delta_millis"] == got["b_millis"] - got["a_millis"]
+    ).all()
+
+
+def test_user_value_week_delta_presence(ray_session, tmp_path):
+    """FULL OUTER semantics: a user active only in window A appears
+    with zero B side (and vice versa); a zero-value event still counts
+    as presence; users outside both windows are absent."""
+    from myaku_ray.functions.events import user_value_week_delta
+
+    sf = str(tmp_path)
+    ev = pd.DataFrame(
+        {
+            "event_id": range(4),
+            "ts": pd.to_datetime(
+                ["2024-01-02", "2024-01-16", "2024-01-25", "2024-01-03"]
+            ).astype("datetime64[us]"),
+            "user_id": [1, 2, 3, 4],
+            "event_type": ["view"] * 4,
+            "value": [5.0, 7.0, 9.0, 0.0],
+            "props": ["{}"] * 4,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(ev), f"{sf}/events.parquet")
+    got = user_value_week_delta(sf)
+    assert got["user_id"].tolist() == [1, 2, 4]  # user 3 outside both
+    assert got["a_n"].tolist() == [1, 0, 1]
+    assert got["b_n"].tolist() == [0, 1, 0]
+    assert got["delta_millis"].tolist() == [-5000, 7000, 0]
