@@ -297,6 +297,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_interarrival_stats": events.user_interarrival_stats,
         # FULL OUTER of two filtered aggregates as ONE conditional agg
         "user_value_week_delta": events.user_value_week_delta,
+        # deterministic round-robin training order, position computed
+        # arithmetically from broadcast source counts (no global sort)
+        "interleave_by_source": textops.interleave_by_source,
     }
 
 
@@ -422,4 +425,5 @@ def oracle_sql() -> dict[str, str]:
         "token_mass_gini": textops.TOKEN_MASS_GINI_SQL,
         "user_interarrival_stats": events.USER_INTERARRIVAL_SQL,
         "user_value_week_delta": events.USER_VALUE_WOW_SQL,
+        "interleave_by_source": textops.INTERLEAVE_BY_SOURCE_SQL,
     }

@@ -493,6 +493,7 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "token_mass_gini": textops.token_mass_gini,
         "user_interarrival_stats": events.user_interarrival_stats,
         "user_value_week_delta": events.user_value_week_delta,
+        "interleave_by_source": textops.interleave_by_source,
     }
     # cold-time the Q5/Q9 bucketed layout writes too (same convention as
     # the cache rmtree above)

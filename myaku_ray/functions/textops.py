@@ -2701,3 +2701,73 @@ SELECT n::BIGINT AS n_docs, sv::BIGINT AS total_tokens,
   round((2*siv - (n+1)*sv)::DOUBLE / (n*sv), 6) AS gini_r
 FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic source-interleaved training order (no global sort)
+# ---------------------------------------------------------------------------
+
+
+def interleave_by_source(sf_dir: str):
+    """Deterministic round-robin training order over sources: docs are
+    ranked (doc_id ASC) within their source, and the global position
+    interleaves rank-1 docs of every source, then rank-2, ... — the
+    curriculum/data-mixing order a trainer consumes so no source
+    dominates any window of the stream.
+
+    The position is computed ARITHMETICALLY, not by a global sort:
+    ``pos(rk, src) = Σ_s min(count_s, rk-1) + |{s' < src :
+    count_s' >= rk}|`` with the source-count table (source-vocabulary-
+    sized) broadcast — so the only exchange is the groupby(source)
+    that co-locates each source's rows for ranking.  Exact ints end to
+    end; returned unsorted (position is a column; consumers
+    ``sort('position')`` or shard by range)."""
+    counts = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+        .groupby("source")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    src_names = counts["source"].tolist()
+    src_counts = counts["n"].to_numpy().astype(np.int64)
+    c_ref = ray.put((src_names, src_counts))
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        names, cnts = ray.get(c_ref)
+        src = g["source"].iloc[0]
+        si = names.index(src)
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        rk = np.arange(1, len(g) + 1, dtype=np.int64)
+        # pairs with strictly smaller rank, over every source
+        pos = np.zeros(len(g), dtype=np.int64)
+        for c in cnts:
+            pos += np.minimum(c, rk - 1)
+        # same rank, earlier source ordinal
+        for c in cnts[:si]:
+            pos += (c >= rk).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "position": pos,
+                "doc_id": g["doc_id"].to_numpy(),
+                "source": g["source"].to_numpy(),
+            }
+        )
+
+    return ds.groupby("source").map_groups(rank_group)
+
+
+INTERLEAVE_BY_SOURCE_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+  FROM documents)
+SELECT CAST(row_number() OVER (ORDER BY rk, source) - 1 AS BIGINT)
+  AS position, doc_id, source
+FROM r
+"""

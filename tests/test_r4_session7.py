@@ -907,3 +907,42 @@ def test_user_value_week_delta_presence(ray_session, tmp_path):
     assert got["a_n"].tolist() == [1, 0, 1]
     assert got["b_n"].tolist() == [0, 1, 0]
     assert got["delta_millis"].tolist() == [-5000, 7000, 0]
+
+
+def test_interleave_by_source_matches_duckdb(ray_session):
+    from myaku_ray.functions.textops import (
+        INTERLEAVE_BY_SOURCE_SQL,
+        interleave_by_source,
+    )
+
+    got = _match_docs(
+        interleave_by_source(SF), INTERLEAVE_BY_SOURCE_SQL, SF, ["position"]
+    )
+    # positions are a permutation of 0..n-1
+    pos = np.sort(got["position"].to_numpy())
+    assert (pos == np.arange(len(got))).all()
+
+
+def test_interleave_round_robin_property(ray_session, tmp_path):
+    """Unequal source sizes: the stream starts with one doc of each
+    source (rank-1 round), and a source that runs out just drops from
+    later rounds."""
+    from myaku_ray.functions.textops import interleave_by_source
+
+    sf = str(tmp_path)
+    docs = pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12, 20, 30, 31],
+            "source": ["a", "a", "a", "b", "c", "c"],
+            "text": ["x"] * 6,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs), f"{sf}/documents.parquet")
+    got = (
+        interleave_by_source(sf)
+        .to_pandas()
+        .sort_values("position")
+        .reset_index(drop=True)
+    )
+    # rounds: (10,a)(20,b)(30,c) | (11,a)(31,c) | (12,a)
+    assert got["doc_id"].tolist() == [10, 20, 30, 11, 31, 12]
