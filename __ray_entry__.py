@@ -300,6 +300,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic round-robin training order, position computed
         # arithmetically from broadcast source counts (no global sort)
         "interleave_by_source": textops.interleave_by_source,
+        # categorical LAG shape: (prev, next) event-type Markov counts
+        "event_transition_counts": events.event_transition_counts,
+        # growth accounting: weekly actives split new vs returning
+        "weekly_active_breakdown": events.weekly_active_breakdown,
+        # rolling COUNT(DISTINCT) via the window-expansion trick
+        "rolling_7d_active_users": events.rolling_7d_active_users,
     }
 
 
@@ -426,4 +432,7 @@ def oracle_sql() -> dict[str, str]:
         "user_interarrival_stats": events.USER_INTERARRIVAL_SQL,
         "user_value_week_delta": events.USER_VALUE_WOW_SQL,
         "interleave_by_source": textops.INTERLEAVE_BY_SOURCE_SQL,
+        "event_transition_counts": events.EVENT_TRANSITION_SQL,
+        "weekly_active_breakdown": events.WEEKLY_ACTIVE_SQL,
+        "rolling_7d_active_users": events.ROLLING_7D_ACTIVE_SQL,
     }

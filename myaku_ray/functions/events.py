@@ -1932,3 +1932,224 @@ SELECT user_id,
 FROM a FULL OUTER JOIN b USING (user_id)
 ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Markov transition counts between consecutive event types (LAG shape)
+# ---------------------------------------------------------------------------
+
+
+def event_transition_counts(sf_dir: str):
+    """Global (prev_type -> next_type) transition counts over each
+    user's time-ordered event stream — the categorical LAG-window shape
+    (the numeric one is ``user_interarrival_stats``).
+
+    Plan: ONE exchange keyed by user_id co-locates each user's rows;
+    adjacent pairs are formed vectorized inside ``map_groups`` and
+    collapsed to per-user (prev, next, n) partials (<= |types|^2 rows
+    per user), so the second groupby shuffles type-pair partials, not
+    event rows.  Users with one event emit nothing — matching the
+    SQL's NULL-dropping LAG.
+    """
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def pairs_of_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        t = g["event_type"].to_numpy()
+        if len(t) < 2:
+            return pd.DataFrame(
+                {
+                    "prev_type": pd.Series([], dtype="object"),
+                    "next_type": pd.Series([], dtype="object"),
+                    "pair_count": pd.Series([], dtype="int64"),
+                }
+            )
+        df = pd.DataFrame({"prev_type": t[:-1], "next_type": t[1:]})
+        out = df.groupby(["prev_type", "next_type"], as_index=False).size()
+        return out.rename(columns={"size": "pair_count"}).astype(
+            {"pair_count": "int64"}
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(pairs_of_user)
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("pair_count", alias_name="pair_count"))
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "prev_type": pd.Series([], dtype="object"),
+                "next_type": pd.Series([], dtype="object"),
+                "pair_count": pd.Series([], dtype="int64"),
+            }
+        )
+    out["pair_count"] = out["pair_count"].astype(np.int64)
+    return out.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+
+
+EVENT_TRANSITION_SQL = """
+WITH o AS (
+  SELECT event_type,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_type
+  FROM events)
+SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS pair_count
+FROM o WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+ORDER BY prev_type, next_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weekly active users split new vs returning (growth accounting)
+# ---------------------------------------------------------------------------
+
+
+def weekly_active_breakdown(sf_dir: str):
+    """Per epoch-aligned week: active users split into NEW (first-ever
+    active week) vs RETURNING — the growth-accounting shape behind
+    every DAU/WAU dashboard.
+
+    Plan: map-side (user, week) dedup shrinks each batch to distinct
+    pairs before the ONE user-keyed exchange; inside ``map_groups``
+    the user's first week is a vectorized min and each active week
+    emits a 1-row (week, is_new) partial, so the final week groupby
+    sums user-count partials (weeks-sized, tiny).  Week buckets are
+    integer ``epoch_us // WEEK_US`` like ``user_retention_cohorts`` —
+    no timestamp arithmetic in the compare.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def dedup_batch(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "week_bucket": pa.array(ts_us // WEEK_US),
+            }
+        )
+        return t.group_by(["user_id", "week_bucket"]).aggregate([])
+
+    def weeks_of_user(g: pd.DataFrame) -> pd.DataFrame:
+        w = np.unique(g["week_bucket"].to_numpy())
+        if len(w) == 0:
+            return pd.DataFrame(
+                {
+                    "week_bucket": pd.Series([], dtype="int64"),
+                    "new_users": pd.Series([], dtype="int64"),
+                    "returning_users": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "week_bucket": w,
+                "new_users": (w == w[0]).astype(np.int64),
+                "returning_users": (w > w[0]).astype(np.int64),
+            }
+        )
+
+    out = (
+        ds.map_batches(dedup_batch, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(weeks_of_user)
+        .groupby("week_bucket")
+        .aggregate(
+            Sum("new_users", alias_name="new_users"),
+            Sum("returning_users", alias_name="returning_users"),
+        )
+        .to_pandas()
+    )
+    for c in ("week_bucket", "new_users", "returning_users"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("week_bucket").reset_index(drop=True)
+
+
+WEEKLY_ACTIVE_SQL = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {WEEK_US} AS week_bucket
+  FROM events),
+fw AS (
+  SELECT user_id, min(week_bucket) AS first_week FROM uw GROUP BY user_id)
+SELECT week_bucket,
+  count(*) FILTER (WHERE uw.week_bucket = fw.first_week)::BIGINT AS new_users,
+  count(*) FILTER (WHERE uw.week_bucket > fw.first_week)::BIGINT
+    AS returning_users
+FROM uw JOIN fw USING (user_id)
+GROUP BY week_bucket ORDER BY week_bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Trailing 7-day rolling distinct active users (window-expansion trick)
+# ---------------------------------------------------------------------------
+
+DAY_US = 24 * 3_600_000_000
+
+
+def rolling_7d_active_users(sf_dir: str):
+    """For every day bucket, the count of distinct users active in the
+    trailing 7-day window [d-6, d] — rolling COUNT(DISTINCT), which no
+    window aggregate expresses cheaply at scale.
+
+    Plan: the window-expansion trick.  A user active on day d is
+    active-in-window for exactly the 7 buckets d..d+6, so map-side
+    (user, day) dedup + a per-user expansion to distinct contributed
+    buckets turns rolling-distinct into a plain day-bucket count.
+    ONE user-keyed exchange; the day groupby sums per-user 0/1
+    partials.  Day buckets are integer ``epoch_us // DAY_US``; buckets
+    past the last activity day are kept (the window is still defined
+    there), matching the SQL expansion exactly.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def dedup_batch(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "day_bucket": pa.array(ts_us // DAY_US),
+            }
+        )
+        return t.group_by(["user_id", "day_bucket"]).aggregate([])
+
+    def windows_of_user(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.unique(g["day_bucket"].to_numpy())
+        exp = (
+            np.unique((d[:, None] + np.arange(7, dtype=np.int64)).ravel())
+            if len(d)
+            else np.array([], dtype=np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "day_bucket": exp,
+                "n": np.ones(len(exp), dtype=np.int64),
+            }
+        )
+
+    out = (
+        ds.map_batches(dedup_batch, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(windows_of_user)
+        .groupby("day_bucket")
+        .aggregate(Sum("n", alias_name="active_7d"))
+        .to_pandas()
+    )
+    for c in ("day_bucket", "active_7d"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("day_bucket").reset_index(drop=True)
+
+
+ROLLING_7D_ACTIVE_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS day_bucket
+  FROM events),
+ex AS (
+  SELECT DISTINCT user_id, day_bucket + i AS day_bucket
+  FROM ud, generate_series(0, 6) AS t(i))
+SELECT day_bucket, count(*)::BIGINT AS active_7d
+FROM ex GROUP BY day_bucket ORDER BY day_bucket
+"""
