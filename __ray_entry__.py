@@ -306,6 +306,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_active_breakdown": events.weekly_active_breakdown,
         # rolling COUNT(DISTINCT) via the window-expansion trick
         "rolling_7d_active_users": events.rolling_7d_active_users,
+        # Q6 shape: pushdown-only scan, zero shuffles, scalar partials
+        "forecast_revenue_q6": relational.forecast_revenue_q6,
+        # Q8 shape: conditional market-share ratio over the join tree
+        "nation_market_share_q8": relational.nation_market_share_q8,
     }
 
 
@@ -435,4 +439,6 @@ def oracle_sql() -> dict[str, str]:
         "event_transition_counts": events.EVENT_TRANSITION_SQL,
         "weekly_active_breakdown": events.WEEKLY_ACTIVE_SQL,
         "rolling_7d_active_users": events.ROLLING_7D_ACTIVE_SQL,
+        "forecast_revenue_q6": relational.FORECAST_REVENUE_Q6_SQL,
+        "nation_market_share_q8": relational.NATION_MARKET_SHARE_Q8_SQL,
     }

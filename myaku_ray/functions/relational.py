@@ -1909,3 +1909,285 @@ FROM rev JOIN supplier s USING (s_suppkey)
 WHERE rev.total_revenue_millis = (SELECT max(total_revenue_millis) FROM rev)
 ORDER BY rev.s_suppkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Pushdown-only conditional aggregate (TPC-H Q6 shape): forecast revenue
+# ---------------------------------------------------------------------------
+
+Q6_START = "1996-01-01"
+Q6_END = "1997-01-01"
+Q6_DISC_LO, Q6_DISC_HI = 5, 7  # discount band in exact integer percent
+Q6_QTY_CAP = 24
+
+
+def forecast_revenue_q6(sf_dir: str):
+    """TPC-H Q6 analog: revenue delta from lifting discounts in a band —
+    the pure predicate-pushdown shape: one column-pruned scan, three
+    vectorized row predicates, a scalar sum.  ZERO shuffles; each batch
+    collapses to a 2-int partial and the driver adds ~|blocks| rows.
+
+    The discount-band predicate is exact integer percent
+    (``floor(d*100+0.5) BETWEEN 5 AND 7``) and quantities are integral,
+    so no float boundary can flake the hash compare; revenue rides
+    int64 millis of ``price * discount``.
+    """
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    d0, d1 = np.datetime64(Q6_START), np.datetime64(Q6_END)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        dpct = np.floor(disc * 100.0 + 0.5).astype(np.int64)
+        keep = (
+            (sd >= d0) & (sd < d1)
+            & (dpct >= Q6_DISC_LO) & (dpct <= Q6_DISC_HI)
+            & (qty < Q6_QTY_CAP)
+        )
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        rev = _millis(price * disc[keep])
+        return pa.table(
+            {
+                "revenue_millis": pa.array([int(rev.sum())], type=pa.int64()),
+                "n_rows": pa.array([int(keep.sum())], type=pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "revenue_millis": pd.Series(
+                [int(parts["revenue_millis"].sum())], dtype="int64"
+            ),
+            "n_rows": pd.Series([int(parts["n_rows"].sum())], dtype="int64"),
+        }
+    )
+
+
+FORECAST_REVENUE_Q6_SQL = f"""
+SELECT
+  coalesce(sum(CAST(floor(l_extendedprice*l_discount*1000.0 + 0.5)
+               AS BIGINT)), 0)::BIGINT AS revenue_millis,
+  count(*)::BIGINT AS n_rows
+FROM lineitem
+WHERE l_shipdate >= DATE '{Q6_START}' AND l_shipdate < DATE '{Q6_END}'
+  AND CAST(floor(l_discount*100.0 + 0.5) AS BIGINT)
+        BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+  AND l_quantity < {Q6_QTY_CAP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# National market share (TPC-H Q8 shape): conditional ratio per year
+# ---------------------------------------------------------------------------
+
+Q8_REGION = "ASIA"
+Q8_PART_TYPE = "STANDARD"
+Q8_NATION = "NATION_2"
+
+
+def nation_market_share_q8(sf_dir: str):
+    """TPC-H Q8 analog: within the market "customers of one region
+    buying one part type", the per-order-year revenue share supplied by
+    one nation — the conditional-ratio-over-a-join-tree shape.
+
+    Plan: every dimension side (type-filtered partkeys, supplier→
+    nationkey, region-filtered custkeys) broadcasts once and applies
+    INSIDE the two fact scans (documented broadcast-limit switch past
+    ~1e8 keys).  Lineitem leaves its scan as per-(orderkey) partials
+    carrying (nation_millis, total_millis); orders leaves as
+    region-filtered (orderkey, year) pairs; both are written once
+    hive-partitioned by ``orderkey % JOIN_BUCKETS`` and one task per
+    bucket inner-joins co-located slices (the Q9 plan).  The share is
+    the one float, computed per output year from exact int64 sums and
+    rounded to 6 decimals.
+    """
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    rkey = int(region.loc[region["r_name"] == Q8_REGION, "r_regionkey"].iloc[0])
+    nkey = int(nation.loc[nation["n_name"] == Q8_NATION, "n_nationkey"].iloc[0])
+    region_nations = set(
+        nation.loc[nation["n_regionkey"] == rkey, "n_nationkey"].astype(int)
+    )
+
+    pk = pads.dataset(f"{sf_dir}/part.parquet").to_table(
+        columns=["p_partkey"], filter=pads.field("p_type") == Q8_PART_TYPE
+    )
+    partkeys = np.sort(pk["p_partkey"].to_numpy(zero_copy_only=False))
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas().sort_values("s_suppkey")
+    s_keys = supp["s_suppkey"].to_numpy()
+    s_is_nation = (supp["s_nationkey"].to_numpy().astype(int) == nkey)
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    region_custkeys = np.sort(
+        cust.loc[
+            cust["c_nationkey"].astype(int).isin(region_nations), "c_custkey"
+        ].to_numpy()
+    )
+
+    pk_ref = ray.put(partkeys)
+    s_ref = ray.put((s_keys, s_is_nation))
+    c_ref = ray.put(region_custkeys)
+
+    key = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    root = f"/tmp/myaku_ray_join_q8/{key}_{JOIN_BUCKETS}"
+    li_dir, od_dir = f"{root}/lineitem", f"{root}/orders"
+    marker = f"{root}/_SUCCESS"
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+
+        def li_prep(batch: pa.Table) -> pa.Table:
+            pks = ray.get(pk_ref)
+            skeys, snat = ray.get(s_ref)
+            lpk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+            if len(pks) == 0:
+                keep = np.zeros(len(lpk), dtype=bool)
+            else:
+                pos = np.searchsorted(pks, lpk)
+                pos[pos == len(pks)] = 0
+                keep = pks[pos] == lpk
+            batch = batch.filter(pa.array(keep))
+            sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+            is_nat = snat[np.searchsorted(skeys, sk)]
+            ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+            rev = _millis(price * (1.0 - disc))
+            df = pd.DataFrame(
+                {
+                    "l_orderkey": ok,
+                    "nation_millis": np.where(is_nat, rev, 0),
+                    "total_millis": rev,
+                }
+            )
+            g = df.groupby("l_orderkey", as_index=False).sum()
+            g["bucket"] = (g["l_orderkey"] % JOIN_BUCKETS).astype(np.int32)
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        def od_prep(batch: pa.Table) -> pa.Table:
+            cks = ray.get(c_ref)
+            ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            if len(cks) == 0:
+                keep = np.zeros(len(ck), dtype=bool)
+            else:
+                pos = np.searchsorted(cks, ck)
+                pos[pos == len(cks)] = 0
+                keep = cks[pos] == ck
+            batch = batch.filter(pa.array(keep))
+            od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+            year = od.astype("datetime64[Y]").astype(np.int64) + 1970
+            keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "o_orderkey": batch["o_orderkey"],
+                    "o_year": pa.array(year.astype(np.int32)),
+                    "bucket": pa.array((keys % JOIN_BUCKETS).astype(np.int32)),
+                }
+            )
+
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_orderkey", "l_partkey", "l_suppkey",
+                "l_extendedprice", "l_discount",
+            ],
+        ).map_batches(li_prep, batch_format="pyarrow").write_parquet(
+            li_dir, partition_cols=["bucket"]
+        )
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ).map_batches(od_prep, batch_format="pyarrow").write_parquet(
+            od_dir, partition_cols=["bucket"]
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    @ray.remote
+    def join_bucket(li_files: list, od_files: list) -> pa.Table:
+        import pyarrow.parquet as pqq
+
+        li_t = pa.concat_tables([pqq.read_table(f) for f in li_files]).to_pandas()
+        od_t = pa.concat_tables([pqq.read_table(f) for f in od_files]).to_pandas()
+        j = li_t.merge(od_t, left_on="l_orderkey", right_on="o_orderkey")
+        g = j.groupby("o_year", as_index=False)[
+            ["nation_millis", "total_millis"]
+        ].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def files_of(d: str) -> dict[int, list]:
+        out: dict[int, list] = {}
+        for f in glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True):
+            for part in f.split(os.sep):
+                if part.startswith("bucket="):
+                    out.setdefault(int(part.split("=")[1]), []).append(f)
+        return out
+
+    li_map, od_map = files_of(li_dir), files_of(od_dir)
+    parts = ray.get(
+        [
+            join_bucket.remote(li_map[b], od_map.get(b, []))
+            for b in sorted(li_map)
+            if od_map.get(b)
+        ]
+    )
+    if not parts:
+        return pd.DataFrame(
+            {
+                "o_year": pd.Series([], dtype="int32"),
+                "nation_millis": pd.Series([], dtype="int64"),
+                "total_millis": pd.Series([], dtype="int64"),
+                "share_r": pd.Series([], dtype="float64"),
+            }
+        )
+    merged = pa.concat_tables(parts).to_pandas()
+    out = merged.groupby("o_year", as_index=False)[
+        ["nation_millis", "total_millis"]
+    ].sum()
+    out["o_year"] = out["o_year"].astype(np.int32)
+    out["nation_millis"] = out["nation_millis"].astype(np.int64)
+    out["total_millis"] = out["total_millis"].astype(np.int64)
+    out["share_r"] = np.round(
+        out["nation_millis"].to_numpy() / out["total_millis"].to_numpy(), 6
+    )
+    return out.sort_values("o_year").reset_index(drop=True)
+
+
+NATION_MARKET_SHARE_Q8_SQL = f"""
+WITH w AS (
+  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+    CAST(floor(l.l_extendedprice*(1.0::DOUBLE - l.l_discount)*1000.0 + 0.5)
+         AS BIGINT) AS rev,
+    (ns.n_name = '{Q8_NATION}') AS is_nation
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = nc.n_regionkey
+  WHERE p.p_type = '{Q8_PART_TYPE}' AND r.r_name = '{Q8_REGION}')
+SELECT o_year,
+  sum(CASE WHEN is_nation THEN rev ELSE 0 END)::BIGINT AS nation_millis,
+  sum(rev)::BIGINT AS total_millis,
+  round(sum(CASE WHEN is_nation THEN rev ELSE 0 END)::DOUBLE
+        / sum(rev)::DOUBLE, 6) AS share_r
+FROM w GROUP BY o_year ORDER BY o_year
+"""
