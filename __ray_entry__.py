@@ -310,6 +310,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forecast_revenue_q6": relational.forecast_revenue_q6,
         # Q8 shape: conditional market-share ratio over the join tree
         "nation_market_share_q8": relational.nation_market_share_q8,
+        # exact all-pairs k-NN graph via bounded tile-pair exchange
+        "knn_graph": ann.knn_graph,
     }
 
 
@@ -441,4 +443,5 @@ def oracle_sql() -> dict[str, str]:
         "rolling_7d_active_users": events.ROLLING_7D_ACTIVE_SQL,
         "forecast_revenue_q6": relational.FORECAST_REVENUE_Q6_SQL,
         "nation_market_share_q8": relational.NATION_MARKET_SHARE_Q8_SQL,
+        "knn_graph": ann.KNN_GRAPH_SQL,
     }

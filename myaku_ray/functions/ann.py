@@ -1395,3 +1395,139 @@ FROM ivf LEFT JOIN brute
 GROUP BY ivf.query_vec_id
 ORDER BY ivf.query_vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact k-NN graph (all-pairs top-k) via bounded tile-pair exchange
+# ---------------------------------------------------------------------------
+
+KNN_GRAPH_K = 5
+# Per-task tile width: a (tile x tile) float64 similarity block is
+# ~128 MB at 4096, the worker-heap budget used by near_dup_embeddings.
+KNN_GRAPH_TILE = 4096
+
+
+def knn_graph(sf_dir: str, k: int = KNN_GRAPH_K, tile: int = KNN_GRAPH_TILE):
+    """Exact cosine k-NN graph over ALL vectors (top-k neighbors per
+    node, self excluded) — the all-pairs analog of ``ann_cosine_topk``,
+    which only serves a broadcastable query set.
+
+    Plan: with n vectors and ``nt = ceil(n / tile)`` tiles
+    (``tile_of = vec_id % nt``), every (i, j) tile pair must meet once,
+    so each row is expanded to nt query-role copies keyed (t, j) and nt
+    base-role copies keyed (i, t) — 2·nt-fold duplication of (id, vec)
+    rows, the price of EXACT all-pairs; the approximate scale path is
+    the IVF layout (probe-local candidate sets).  One groupby((i, j))
+    co-locates each block; inside, a single matmul + per-query partial
+    top-k emits <= |tile|·k rows, and a second groupby(query) merges
+    per-block partials into the global top-k.  Ranking uses the rounded
+    sim with neighbor-id tie-breaks (the module's exactness contract),
+    so partial-merge order can never diverge from the oracle.  The
+    n·k-row result streams from the final groupby — the production
+    sink is ``write_parquet``, not the driver.
+    """
+    import math
+
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    nt = max(1, math.ceil(n / tile))
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        t = (ids % nt).astype(np.int32)
+        pieces = []
+        for j in range(nt):
+            pieces.append(
+                batch.append_column(
+                    "gi", pa.array(t)
+                ).append_column(
+                    "gj", pa.array(np.full(len(ids), j, dtype=np.int32))
+                ).append_column(
+                    "role", pa.array(np.zeros(len(ids), dtype=np.int8))
+                )
+            )
+        for i in range(nt):
+            pieces.append(
+                batch.append_column(
+                    "gi", pa.array(np.full(len(ids), i, dtype=np.int32))
+                ).append_column(
+                    "gj", pa.array(t)
+                ).append_column(
+                    "role", pa.array(np.ones(len(ids), dtype=np.int8))
+                )
+            )
+        return pa.concat_tables(pieces)
+
+    def block_topk(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_vec_id": pd.Series([], dtype="int64"),
+                "neighbor_vec_id": pd.Series([], dtype="int64"),
+                "sim_r": pd.Series([], dtype="float64"),
+            }
+        )
+        qs = g[g["role"] == 0]
+        bs = g[g["role"] == 1]
+        if len(qs) == 0 or len(bs) == 0:
+            return empty
+        Q = np.stack([np.asarray(v, dtype=np.float64) for v in qs["embedding"]])
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in bs["embedding"]])
+        qids = qs["vec_id"].to_numpy()
+        bids = bs["vec_id"].to_numpy()
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        xn = np.sqrt((X * X).sum(axis=1))
+        sims = np.round((Q @ X.T) / (qn[:, None] * xn[None, :]), 6)
+        out = {"query_vec_id": [], "neighbor_vec_id": [], "sim_r": []}
+        for qi, qid in enumerate(qids):
+            mask = bids != qid
+            cand_ids = bids[mask]
+            cand = sims[qi][mask]
+            order = np.lexsort((cand_ids, -cand))[:k]
+            out["query_vec_id"] += [int(qid)] * len(order)
+            out["neighbor_vec_id"] += cand_ids[order].astype(int).tolist()
+            out["sim_r"] += cand[order].tolist()
+        return pd.DataFrame(out).astype(
+            {"query_vec_id": "int64", "neighbor_vec_id": "int64",
+             "sim_r": "float64"}
+        )
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return g.assign(rank=pd.Series([], dtype="int64"))
+        g = g.sort_values(
+            ["sim_r", "neighbor_vec_id"], ascending=[False, True]
+        ).head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby(["gi", "gj"])
+        .map_groups(block_topk)
+        .groupby("query_vec_id")
+        .map_groups(merge_topk)
+        .to_pandas()
+    )
+    return out.sort_values(["query_vec_id", "rank"]).reset_index(drop=True)
+
+
+KNN_GRAPH_SQL = f"""
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+     s AS (
+       SELECT a.vec_id AS query_vec_id, c.vec_id AS neighbor_vec_id,
+              round(list_dot_product(a.v, c.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(c.v, c.v))), 6) AS sim_r
+       FROM b a, b c WHERE c.vec_id != a.vec_id)
+SELECT query_vec_id, neighbor_vec_id, sim_r,
+       CAST(row_number() OVER (PARTITION BY query_vec_id
+                               ORDER BY sim_r DESC, neighbor_vec_id)
+            AS BIGINT) AS rank
+FROM s
+QUALIFY rank <= {KNN_GRAPH_K}
+"""
