@@ -312,6 +312,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_market_share_q8": relational.nation_market_share_q8,
         # exact all-pairs k-NN graph via bounded tile-pair exchange
         "knn_graph": ann.knn_graph,
+        # end-to-end near-dedup gate: pairs -> clusters -> survivors
+        "near_dedup_survivors": dedup.near_dedup_survivors,
     }
 
 
@@ -444,4 +446,5 @@ def oracle_sql() -> dict[str, str]:
         "forecast_revenue_q6": relational.FORECAST_REVENUE_Q6_SQL,
         "nation_market_share_q8": relational.NATION_MARKET_SHARE_Q8_SQL,
         "knn_graph": ann.KNN_GRAPH_SQL,
+        "near_dedup_survivors": dedup.NEAR_DEDUP_SURVIVORS_SQL,
     }

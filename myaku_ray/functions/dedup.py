@@ -1086,3 +1086,80 @@ SELECT per.doc_id, per.n_shingles,
 FROM per LEFT JOIN nov USING (doc_id)
 ORDER BY per.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Near-dedup survivor materialization (the end-to-end cleaning gate)
+# ---------------------------------------------------------------------------
+
+# Loser doc_ids broadcast as a sorted array into the survivor scan; in a
+# heavily duplicated corpus the loser set is corpus-fraction-sized, so
+# past this bound the filter must switch to a doc_id-keyed semi-join
+# (one hash-bucket exchange) instead of a broadcast.
+SURVIVOR_BROADCAST_LIMIT = 50_000_000
+
+
+def near_dedup_survivors(sf_dir: str):
+    """Documents remaining after near-duplicate removal: from every
+    n-gram-Jaccard duplicate cluster keep only the minimum doc_id (the
+    cluster representative); all unclustered docs survive untouched.
+    This is the composition a training-data pipeline actually runs —
+    ``ngram_jaccard_pairs`` -> ``dup_clusters`` -> anti-join — exposed
+    as one operator so the end-to-end gate itself is oracled.
+
+    Plan: the cluster table is pair-participant-sized (result-sized at
+    sane dup rates); its losers broadcast once as a sorted int64 array
+    and ONE column-pruned documents scan drops them map-side (see
+    SURVIVOR_BROADCAST_LIMIT for the semi-join switch).  No shuffle
+    beyond what the pair mining already does.
+    """
+    clusters = dup_clusters(sf_dir)
+    losers = np.sort(
+        clusters.loc[
+            clusters["doc_id"] != clusters["cluster_id"], "doc_id"
+        ].to_numpy(np.int64)
+    )
+    l_ref = ray.put(losers)
+
+    def keep_survivors(batch: pa.Table) -> pa.Table:
+        lo = ray.get(l_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if len(lo):
+            pos = np.searchsorted(lo, ids)
+            pos[pos == len(lo)] = 0
+            drop = lo[pos] == ids
+        else:
+            drop = np.zeros(len(ids), dtype=bool)
+        return batch.filter(pa.array(~drop))
+
+    out = (
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "n_chars"],
+        )
+        .map_batches(keep_survivors, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+NEAR_DEDUP_SURVIVORS_SQL = f"""
+WITH RECURSIVE {_NGRAM_PAIRS_CTE},
+und AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION
+  SELECT doc_id_b, doc_id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+clusters AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+ORDER BY d.doc_id
+"""
