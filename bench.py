@@ -494,10 +494,18 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "user_interarrival_stats": events.user_interarrival_stats,
         "user_value_week_delta": events.user_value_week_delta,
         "interleave_by_source": textops.interleave_by_source,
+        "event_transition_counts": events.event_transition_counts,
+        "weekly_active_breakdown": events.weekly_active_breakdown,
+        "rolling_7d_active_users": events.rolling_7d_active_users,
+        "forecast_revenue_q6": relational.forecast_revenue_q6,
+        "nation_market_share_q8": relational.nation_market_share_q8,
+        "knn_graph": ann.knn_graph,
+        "near_dedup_survivors": dedup.near_dedup_survivors,
     }
     # cold-time the Q5/Q9 bucketed layout writes too (same convention as
     # the cache rmtree above)
     shutil.rmtree("/tmp/myaku_ray_join_q5", ignore_errors=True)
+    shutil.rmtree("/tmp/myaku_ray_join_q8", ignore_errors=True)
     shutil.rmtree("/tmp/myaku_ray_join_q9", ignore_errors=True)
     import pandas as pd
     import pyarrow as pa
