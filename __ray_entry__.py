@@ -314,6 +314,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": ann.knn_graph,
         # end-to-end near-dedup gate: pairs -> clusters -> survivors
         "near_dedup_survivors": dedup.near_dedup_survivors,
+        # date-filtered BM25 (Lucene filter semantics inside the scan)
+        "pages_search_dated": fulltext.pages_search_dated,
     }
 
 
@@ -447,4 +449,5 @@ def oracle_sql() -> dict[str, str]:
         "nation_market_share_q8": relational.NATION_MARKET_SHARE_Q8_SQL,
         "knn_graph": ann.KNN_GRAPH_SQL,
         "near_dedup_survivors": dedup.NEAR_DEDUP_SURVIVORS_SQL,
+        "pages_search_dated": pages_golden.PAGES_SEARCH_DATED_SQL,
     }

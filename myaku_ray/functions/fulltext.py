@@ -332,6 +332,35 @@ def pages_search_diverse(sf_dir: str, k: int = 10):
     return pd.DataFrame(rows)
 
 
+def pages_search_dated(sf_dir: str, k: int = 10):
+    """Date-filtered (crawl-time range) search over the pages index:
+    the ordinary BM25 ranking restricted to docs whose warc_us falls in
+    [t_lo, t_hi] — Lucene filter semantics, applied INSIDE the ranked
+    scan (``Searcher.topk_in_range``: array mask / WAND candidate check
+    over the posting payload's own warc column; no sidecar, no doc read,
+    no over-fetch).  Ranked rows for the corpus-derived
+    (query, range) set; stored golden = the serial filtered ranking
+    (oracle.oracle_topk_in_range)."""
+    from myaku_ray.oracle import date_range_query_set
+
+    s = _pages_searcher()
+    rows = {
+        "query": [], "t_lo": [], "t_hi": [], "rank": [], "doc_id": [],
+        "score": [], "url": [],
+    }
+    for q, lo, hi in date_range_query_set(_pages_dir()):
+        hits = s.topk_in_range(q, lo, hi, k)
+        for rank, r in enumerate(s.hydrate(hits, q) if hits else [], start=1):
+            rows["query"].append(q)
+            rows["t_lo"].append(lo)
+            rows["t_hi"].append(hi)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r.doc_id)
+            rows["score"].append(round(r.score, 5))
+            rows["url"].append(r.url)
+    return pd.DataFrame(rows)
+
+
 def pages_term_trend(sf_dir: str):
     """Crawl-time trend analytics: matched-doc counts per (query term,
     UTC month), computed entirely from the posting payload's warc_us

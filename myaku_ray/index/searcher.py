@@ -586,6 +586,62 @@ class Searcher:
             SearchResult(doc_id=d, score=s, warc_us=w) for (d, s, w) in hits
         ]
 
+    def topk_in_range(
+        self,
+        query_str: str,
+        t_lo: int,
+        t_hi: int,
+        k: int = 10,
+        query_type: str = "exact",
+    ) -> list[SearchResult]:
+        """Date-filtered top-k: the ordinary BM25 ranking restricted to
+        docs whose crawl time (warc_us, the posting payload's own column)
+        falls in [t_lo, t_hi] — Lucene filter semantics: the mask changes
+        WHICH docs qualify, never their scores, so the result is exactly
+        the global rank order with out-of-range docs removed.  The filter
+        is applied inside the ranked scan (array mask / WAND candidate
+        check), not by over-fetching and post-filtering, so a narrow
+        range over a common term still costs one pass over its postings
+        rather than k x (selectivity^-1) rank pages.  Bypasses the
+        first-page cache (it stores unfiltered rankings); memoized in
+        the ordinary query memo with the range in the key."""
+        from myaku_ray.lexicon import expand_alt_forms
+
+        if t_hi < t_lo:
+            return []
+        memo_key = (query_str, k, query_type, int(t_lo), int(t_hi))
+        cached = self._query_memo.get(memo_key)
+        if cached is not None:
+            return [
+                SearchResult(doc_id=d, score=s, warc_us=w)
+                for (d, s, w) in cached
+            ]
+        terms = self.analyze_query(query_str)
+        groups = {t: expand_alt_forms(t, query_type) for t in terms}
+        iters: dict[str, MergedIterator] = {}
+        for t in terms:
+            it = self._group_iterator(groups[t])
+            if it is not None:
+                iters[t] = it
+        if not iters:
+            return []
+        from myaku_ray.index.wand import array_topk, wand_topk
+
+        rng = (int(t_lo), int(t_hi))
+        if all(isinstance(it, ArrayPostings) for it in iters.values()):
+            hits = array_topk(iters, k, warc_range=rng)
+        else:
+            hits = wand_topk(iters, k, warc_range=rng)
+        out = [
+            SearchResult(doc_id=d, score=s, warc_us=w) for (d, s, w) in hits
+        ]
+        if len(self._query_memo) >= self._query_memo_cap:
+            self._query_memo.pop(next(iter(self._query_memo)))
+        self._query_memo[memo_key] = [
+            (r.doc_id, r.score, r.warc_us) for r in out
+        ]
+        return out
+
     # -- hydration (J1-analog: bounded doc_id-filtered read) --------------
 
     def _read_docs_by_id(self, ids: list[int]):

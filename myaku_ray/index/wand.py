@@ -21,12 +21,18 @@ import heapq
 import numpy as np
 
 
-def array_topk(iters: dict, k: int) -> list[tuple[int, float, int]]:
+def array_topk(
+    iters: dict, k: int, warc_range: tuple[int, int] | None = None
+) -> list[tuple[int, float, int]]:
     """Vectorized multi-term top-k when every term is array-backed.
 
     Accumulates per-doc scores with ``acc[doc] += contributions`` one term
     at a time in SORTED term order — float64 over float32 contributions,
-    exactly the serial oracle's summation order."""
+    exactly the serial oracle's summation order.
+
+    ``warc_range=(lo, hi)`` applies Lucene-filter semantics: docs whose
+    crawl time falls outside [lo, hi] are masked out AFTER accumulation
+    (scores of the survivors are unchanged — a filter, not a boost)."""
     terms = sorted(iters)
     all_ids = np.unique(np.concatenate([iters[t].ids for t in terms]))
     acc = np.zeros(len(all_ids), dtype=np.float64)
@@ -36,6 +42,12 @@ def array_topk(iters: dict, k: int) -> list[tuple[int, float, int]]:
         idx = np.searchsorted(all_ids, it.ids)
         acc[idx] += it.scores.astype(np.float64)
         warc[idx] = it.warc
+    if warc_range is not None:
+        lo, hi = warc_range
+        keep = (warc >= np.uint64(max(lo, 0))) & (warc <= np.uint64(hi))
+        all_ids, acc, warc = all_ids[keep], acc[keep], warc[keep]
+        if len(all_ids) == 0:
+            return []
     if len(all_ids) > k * 8:
         part = np.argpartition(acc, -min(k * 8, len(acc) - 1))[-k * 8 :]
         cutoff = acc[part].min()
@@ -47,8 +59,16 @@ def array_topk(iters: dict, k: int) -> list[tuple[int, float, int]]:
     return [(int(all_ids[i]), float(acc[i]), int(warc[i])) for i in sel]
 
 
-def wand_topk(term_iters: dict, k: int) -> list[tuple[int, float, int]]:
-    """Top-k (doc_id, score, warc_us) from {term: MergedIterator}."""
+def wand_topk(
+    term_iters: dict, k: int, warc_range: tuple[int, int] | None = None
+) -> list[tuple[int, float, int]]:
+    """Top-k (doc_id, score, warc_us) from {term: MergedIterator}.
+
+    ``warc_range=(lo, hi)`` filters candidates by crawl time at the
+    aligned-pivot evaluation (scores unchanged).  Block-max pruning stays
+    valid: the per-block bounds are upper bounds for ANY subset of the
+    block's docs, so skipping a block that cannot reach theta never skips
+    an in-range doc that could."""
     heap: list[tuple[float, int, int]] = []  # min-heap of (score, warc, doc)
     live = [(t, it) for t, it in term_iters.items() if it is not None and not it.exhausted]
 
@@ -112,7 +132,11 @@ def wand_topk(term_iters: dict, k: int) -> list[tuple[int, float, int]]:
             for _, s in sorted(contribs):
                 score += s
             key = (score, warc, pivot_doc)
-            if len(heap) < k:
+            if warc_range is not None and not (
+                warc_range[0] <= warc <= warc_range[1]
+            ):
+                pass  # out-of-range doc: advance cursors, never enters heap
+            elif len(heap) < k:
                 heapq.heappush(heap, key)
             elif key > heap[0]:
                 heapq.heapreplace(heap, key)

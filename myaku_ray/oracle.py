@@ -170,6 +170,44 @@ def oracle_topk(
     return [(d, s, w) for (s, w, d) in scored[:k]]
 
 
+def oracle_topk_in_range(
+    index: OracleIndex,
+    query_str: str,
+    t_lo: int,
+    t_hi: int,
+    k: int = 10,
+    query_type: str = "exact",
+):
+    """Serial date-filtered top-k: oracle_topk's exact ranking restricted
+    to docs with t_lo <= warc_us <= t_hi (filter semantics — scores of
+    the survivors are identical to the unfiltered ranking)."""
+    full = oracle_topk(index, query_str, k=len(index.docs), query_type=query_type)
+    out = [(d, s, w) for (d, s, w) in full if t_lo <= w <= t_hi]
+    return out[:k]
+
+
+def date_range_query_set(pages_parquet: str) -> list[tuple[str, int, int]]:
+    """Deterministic (query, t_lo, t_hi) triples for the date-filtered
+    search gate, derived from the corpus' own warc_ts span: for each
+    reference query, the early half, the late half, and the middle third
+    of [min(warc_us), max(warc_us)].  Pure function of the fixed corpus —
+    both the engine op and the stored-golden generator call it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    col = pq_mod.read_table(pages_parquet, columns=["warc_ts"])["warc_ts"]
+    us = col.cast(pa.int64()).to_pylist()
+    mn, mx = min(us), max(us)
+    mid = (mn + mx) // 2
+    third = (mx - mn) // 3
+    out = []
+    for q in reference_query_set():
+        out.append((q, mn, mid))
+        out.append((q, mid + 1, mx))
+        out.append((q, mn + third, mx - third))
+    return out
+
+
 def _oracle_phrase_chain(query_str: str) -> list[str] | None:
     """Query -> contiguous base-form chain (oracle copy of the engine's
     contract: symbol tokens or gaps mean no chain)."""

@@ -61,6 +61,35 @@ def test_rank_identity_topk(built):
         assert eng == ora, f"query {q!r}: engine {eng} != oracle {ora}"
 
 
+def test_rank_identity_topk_in_range(built):
+    """Date-filtered search: docIDs AND scores rank-identical to the
+    serial filtered oracle on corpus-derived (query, range) triples;
+    full range == unfiltered topk; inverted/empty range == []."""
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.oracle import date_range_query_set, oracle_topk_in_range
+
+    pages, index_dir, _, oracle, _ = built
+    s = Searcher(index_dir)
+    triples = date_range_query_set(pages)
+    assert triples, "query set must be non-empty"
+    for q, lo, hi in triples:
+        eng = [(r.doc_id, round(r.score, 9)) for r in s.topk_in_range(q, lo, hi, 10)]
+        ora = [
+            (d, round(sc, 9))
+            for (d, sc, _) in oracle_topk_in_range(oracle, q, lo, hi, 10)
+        ]
+        assert eng == ora, f"({q!r}, {lo}, {hi}): {eng} != {ora}"
+    # filter semantics: the full range reproduces the unfiltered ranking
+    all_w = [m["warc_us"] for m in oracle.docs.values()]
+    lo, hi = min(all_w), max(all_w)
+    for q in reference_query_set()[:3]:
+        full = [(r.doc_id, r.score) for r in s.topk_in_range(q, lo, hi, 10)]
+        plain = [(r.doc_id, r.score) for r in s.topk(q, 10)]
+        assert full == plain
+        assert s.topk_in_range(q, hi + 1, hi + 2, 10) == []
+        assert s.topk_in_range(q, hi, lo, 10) == []
+
+
 def test_postings_file_fanout_bounded(built):
     """min_rows_per_file bundling must keep postings files per bucket dir
     bounded by write TASKS (~est_rows/min_rows), never input blocks — the
@@ -536,6 +565,30 @@ def test_streaming_wand_path_parity(built, monkeypatch):
         got = [(r.doc_id, round(r.score, 5)) for r in s.topk(q, 10)]
         want = [(d, round(sc, 5)) for d, sc, *_ in oracle_topk(oracle, q, k=10)]
         assert got == want, f"streaming-path mismatch for {q!r}"
+
+
+def test_streaming_wand_path_parity_in_range(built, monkeypatch):
+    """Date-filtered search on the FORCED streaming WAND path (the
+    at-scale branch for terms above DECODE_LIMIT): warc_range candidate
+    filtering must preserve rank identity vs the serial filtered oracle."""
+    import myaku_ray.index.searcher as searcher_mod
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.oracle import date_range_query_set, oracle_topk_in_range
+
+    pages, index_dir, _, oracle, _ = built
+    monkeypatch.setattr(searcher_mod, "DECODE_LIMIT", -1)
+    s = Searcher(index_dir)
+    s._first_page = None
+    for q, lo, hi in date_range_query_set(pages):
+        got = [
+            (r.doc_id, round(r.score, 5))
+            for r in s.topk_in_range(q, lo, hi, 10)
+        ]
+        want = [
+            (d, round(sc, 5))
+            for d, sc, *_ in oracle_topk_in_range(oracle, q, lo, hi, k=10)
+        ]
+        assert got == want, f"streaming in-range mismatch for ({q!r},{lo},{hi})"
 
 
 def test_pagination_and_count(built):

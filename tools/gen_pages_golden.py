@@ -353,6 +353,29 @@ def main() -> None:
         + "\n) AS golden(query, rank, doc_id, score, url)"
     )
 
+    # ---- date-filtered (crawl-time range) search golden ------------------
+    from myaku_ray.oracle import date_range_query_set, oracle_topk_in_range
+
+    dated_rows = []
+    for q, lo, hi in date_range_query_set(pages_dir):
+        for rank, (doc_id, score, _w) in enumerate(
+            oracle_topk_in_range(oi, q, lo, hi, k=10), start=1
+        ):
+            dated_rows.append(
+                (q, lo, hi, rank, doc_id, round(float(score), 5),
+                 oi.docs[doc_id]["url"])
+            )
+    dated_values = ",\n  ".join(
+        f"({_sql_str(q)}, {lo}::BIGINT, {hi}::BIGINT, {rank}::BIGINT, "
+        f"{doc_id}::BIGINT, {score!r}::DOUBLE, {_sql_str(url)})"
+        for q, lo, hi, rank, doc_id, score, url in dated_rows
+    )
+    dated_sql = (
+        "SELECT * FROM (VALUES\n  "
+        + dated_values
+        + "\n) AS golden(query, t_lo, t_hi, rank, doc_id, score, url)"
+    )
+
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "myaku_ray", "functions", "pages_golden.py",
@@ -375,7 +398,8 @@ def main() -> None:
             f"PAGES_SEARCH_FACETS_SQL = '''\n{facet_sql}\n'''\n\n"
             f"PAGES_MORE_LIKE_THIS_SQL = '''\n{mlt_sql}\n'''\n\n"
             f"PAGES_PREFIX_SEARCH_SQL = '''\n{pfx_sql}\n'''\n\n"
-            f"PAGES_SEARCH_DIVERSE_SQL = '''\n{div_sql}\n'''\n",
+            f"PAGES_SEARCH_DIVERSE_SQL = '''\n{div_sql}\n'''\n\n"
+            f"PAGES_SEARCH_DATED_SQL = '''\n{dated_sql}\n'''\n",
         )
     print(
         f"wrote {out}: {len(stats)} stats rows, {len(rows)} search rows, "
