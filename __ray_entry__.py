@@ -316,6 +316,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_survivors": dedup.near_dedup_survivors,
         # date-filtered BM25 (Lucene filter semantics inside the scan)
         "pages_search_dated": fulltext.pages_search_dated,
+        # Q19 shape: disjunctive brand/size/qty bands, zero shuffles
+        "brand_band_revenue_q19": relational.brand_band_revenue_q19,
+        # Q21 shape: EXISTS + NOT EXISTS double self-join via one
+        # per-(order, supplier) aggregate in the bucketed exchange
+        "waiting_suppliers_q21": relational.waiting_suppliers_q21,
     }
 
 
@@ -450,4 +455,6 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": ann.KNN_GRAPH_SQL,
         "near_dedup_survivors": dedup.NEAR_DEDUP_SURVIVORS_SQL,
         "pages_search_dated": pages_golden.PAGES_SEARCH_DATED_SQL,
+        "brand_band_revenue_q19": relational.BRAND_BAND_REVENUE_Q19_SQL,
+        "waiting_suppliers_q21": relational.WAITING_SUPPLIERS_Q21_SQL,
     }

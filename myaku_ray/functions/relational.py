@@ -14,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -2190,4 +2191,324 @@ SELECT o_year,
   round(sum(CASE WHEN is_nation THEN rev ELSE 0 END)::DOUBLE
         / sum(rev)::DOUBLE, 6) AS share_r
 FROM w GROUP BY o_year ORDER BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Disjunctive multi-predicate join (TPC-H Q19 shape): discounted revenue
+# from three brand/size/quantity bands
+# ---------------------------------------------------------------------------
+
+# (brand, size_lo, size_hi, qty_lo, qty_hi) — OR-of-ANDs bands.  The
+# reference Q19 keys the bands on container classes the synthetic part
+# table doesn't carry; size bands stand in for them (same plan shape).
+Q19_BANDS = (
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#23", 1, 10, 10, 20),
+    ("Brand#3", 1, 15, 20, 30),
+)
+
+
+def brand_band_revenue_q19(sf_dir: str):
+    """TPC-H Q19 analog: revenue per brand from lineitems matching ANY of
+    three (brand, part-size band, quantity band) conjunctions — the
+    disjunctive-predicate join shape.
+
+    The entire OR-of-ANDs collapses dimension-side: each band's
+    qualifying partkeys are one filtered 1-column part read, broadcast
+    as a sorted array (documented broadcast-limit: part is ~1/30 of
+    lineitem; past ~1e8 surviving keys per band the attach flips to the
+    hive-bucketed join).  The lineitem scan then evaluates the three
+    bands as vectorized (membership AND quantity-range) masks — integer
+    quantity bounds over integral quantities, no float boundaries — and
+    each batch collapses to <=3 per-brand partial rows.  ZERO shuffles;
+    neither fact row set ever leaves its scan task.
+    """
+    import pyarrow.dataset as pads
+
+    part_ds = pads.dataset(f"{sf_dir}/part.parquet")
+    band_keys = []
+    for brand, slo, shi, _qlo, _qhi in Q19_BANDS:
+        t = part_ds.to_table(
+            columns=["p_partkey"],
+            filter=(
+                (pads.field("p_brand") == brand)
+                & (pads.field("p_size") >= slo)
+                & (pads.field("p_size") <= shi)
+            ),
+        )
+        band_keys.append(
+            np.sort(t["p_partkey"].to_numpy(zero_copy_only=False))
+        )
+    bands_ref = ray.put(band_keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(bands_ref)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        brands, revs, ns = [], [], []
+        for (brand, _slo, _shi, qlo, qhi), pks in zip(Q19_BANDS, keys):
+            if len(pks) == 0:
+                continue
+            pos = np.searchsorted(pks, lpk)
+            pos[pos == len(pks)] = 0
+            hit = (pks[pos] == lpk) & (qty >= qlo) & (qty <= qhi)
+            if not hit.any():
+                continue
+            brands.append(brand)
+            revs.append(int(_cents(price[hit] * (1.0 - disc[hit])).sum()))
+            ns.append(int(hit.sum()))
+        return pa.table(
+            {
+                "p_brand": pa.array(brands, type=pa.string()),
+                "revenue_cents": pa.array(revs, type=pa.int64()),
+                "n_items": pa.array(ns, type=pa.int64()),
+            }
+        )
+
+    parts = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_partkey", "l_quantity", "l_extendedprice", "l_discount",
+            ],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {
+                "p_brand": pd.Series([], dtype=object),
+                "revenue_cents": pd.Series([], dtype="int64"),
+                "n_items": pd.Series([], dtype="int64"),
+            }
+        )
+    out = parts.groupby("p_brand", as_index=False)[
+        ["revenue_cents", "n_items"]
+    ].sum()
+    out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
+    out["n_items"] = out["n_items"].astype(np.int64)
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def _q19_where() -> str:
+    return " OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
+        f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in Q19_BANDS
+    )
+
+
+BRAND_BAND_REVENUE_Q19_SQL = f"""
+SELECT p.p_brand,
+  sum(CAST(floor(l.l_extendedprice*(1.0::DOUBLE - l.l_discount)*100.0 + 0.5)
+      AS BIGINT))::BIGINT AS revenue_cents,
+  count(*)::BIGINT AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE {_q19_where()}
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semi + anti self-join (TPC-H Q21 shape): suppliers who kept orders waiting
+# ---------------------------------------------------------------------------
+
+Q21_LATE_DAYS = 60
+Q21_LATE_US = Q21_LATE_DAYS * 86_400 * 10**6
+Q21_TOPK = 20
+
+
+def waiting_suppliers_q21(sf_dir: str):
+    """TPC-H Q21 analog: for finalized (status 'F') multi-supplier
+    orders, the suppliers who were the ONLY late supplier on the order —
+    the EXISTS(other supplier) + NOT EXISTS(other late supplier) double
+    self-join shape.  Lateness stands in as shipdate > orderdate +
+    Q21_LATE_DAYS (the synthetic lineitem carries no receipt/commit
+    dates), and the reference's nation filter is dropped: the synthetic
+    supplier table is 100 rows, so it would be a trivial mask on the
+    final supplier-sized aggregate, not a plan change.
+
+    Both EXISTS collapse to one per-(orderkey, suppkey) max-shipdate
+    aggregate: "some other supplier" == distinct-supplier count >= 2,
+    "no other late supplier" == late-supplier count == 1 with the
+    candidate the unique late one.  Plan: the lineitem scan emits
+    (orderkey, suppkey, max_ship) per-batch partials and the F-filtered
+    orders scan emits (orderkey, orderdate); both are written ONCE
+    hive-partitioned by ``orderkey % JOIN_BUCKETS`` (the Q9 co-partition
+    idiom) and one task per bucket finishes the per-order verdicts and
+    collapses to supplier-count partials.  The driver merges
+    supplier-sized rows only; no raw fact row crosses an all-to-all.
+    """
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    key = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    root = f"/tmp/myaku_ray_join_q21/{key}_{JOIN_BUCKETS}"
+    li_dir, od_dir = f"{root}/lineitem", f"{root}/orders"
+    marker = f"{root}/_SUCCESS"
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+
+        def li_prep(batch: pa.Table) -> pa.Table:
+            ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+            ship = (
+                batch["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            df = pd.DataFrame(
+                {"l_orderkey": ok, "l_suppkey": sk, "max_ship_us": ship}
+            )
+            g = df.groupby(["l_orderkey", "l_suppkey"], as_index=False)[
+                "max_ship_us"
+            ].max()
+            g["bucket"] = (g["l_orderkey"] % JOIN_BUCKETS).astype(np.int32)
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        def od_prep(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(batch["o_orderstatus"], pa.scalar("F"))
+            batch = batch.filter(keep)
+            keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+            od = (
+                batch["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            return pa.table(
+                {
+                    "o_orderkey": pa.array(keys, type=pa.int64()),
+                    "o_date_us": pa.array(od, type=pa.int64()),
+                    "bucket": pa.array(
+                        (keys % JOIN_BUCKETS).astype(np.int32)
+                    ),
+                }
+            )
+
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+        ).map_batches(li_prep, batch_format="pyarrow").write_parquet(
+            li_dir, partition_cols=["bucket"]
+        )
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+        ).map_batches(od_prep, batch_format="pyarrow").write_parquet(
+            od_dir, partition_cols=["bucket"]
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    @ray.remote
+    def join_bucket(li_files: list, od_files: list) -> pa.Table:
+        import pyarrow.parquet as pqq
+
+        li_t = pa.concat_tables(
+            [pqq.read_table(f) for f in li_files]
+        ).to_pandas()
+        od_t = pa.concat_tables(
+            [pqq.read_table(f) for f in od_files]
+        ).to_pandas()
+        # merge cross-batch partials to true per-(order, supplier) maxima
+        li_t = li_t.groupby(["l_orderkey", "l_suppkey"], as_index=False)[
+            "max_ship_us"
+        ].max()
+        j = li_t.merge(od_t, left_on="l_orderkey", right_on="o_orderkey")
+        if len(j) == 0:
+            return pa.table(
+                {
+                    "l_suppkey": pa.array([], type=pa.int64()),
+                    "numwait": pa.array([], type=pa.int64()),
+                }
+            )
+        j["late"] = j["max_ship_us"] > j["o_date_us"] + Q21_LATE_US
+        agg = j.groupby("l_orderkey", as_index=False).agg(
+            n_supp=("l_suppkey", "size"), n_late=("late", "sum")
+        )
+        wins = agg[(agg["n_supp"] >= 2) & (agg["n_late"] == 1)][
+            ["l_orderkey"]
+        ]
+        winners = j[j["late"]].merge(wins, on="l_orderkey")
+        cnt = winners.groupby("l_suppkey", as_index=False).size()
+        return pa.table(
+            {
+                "l_suppkey": pa.array(
+                    cnt["l_suppkey"].to_numpy(), type=pa.int64()
+                ),
+                "numwait": pa.array(
+                    cnt["size"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    def files_of(d: str) -> dict[int, list]:
+        out: dict[int, list] = {}
+        for f in glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True):
+            for part in f.split(os.sep):
+                if part.startswith("bucket="):
+                    out.setdefault(int(part.split("=")[1]), []).append(f)
+        return out
+
+    li_map, od_map = files_of(li_dir), files_of(od_dir)
+    parts = ray.get(
+        [
+            join_bucket.remote(li_map[b], od_map.get(b, []))
+            for b in sorted(li_map)
+            if od_map.get(b)
+        ]
+    )
+    empty = pd.DataFrame(
+        {
+            "s_name": pd.Series([], dtype=object),
+            "numwait": pd.Series([], dtype="int64"),
+        }
+    )
+    if not parts:
+        return empty
+    merged = pa.concat_tables(parts).to_pandas()
+    if len(merged) == 0:
+        return empty
+    cnt = merged.groupby("l_suppkey", as_index=False)["numwait"].sum()
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    out = cnt.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    out = out.sort_values(
+        ["numwait", "s_name"], ascending=[False, True]
+    ).head(Q21_TOPK)
+    out["numwait"] = out["numwait"].astype(np.int64)
+    return out[["s_name", "numwait"]].reset_index(drop=True)
+
+
+WAITING_SUPPLIERS_Q21_SQL = f"""
+WITH lat AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS max_ship
+  FROM lineitem GROUP BY 1, 2
+), flags AS (
+  SELECT lat.l_orderkey, lat.l_suppkey,
+         (lat.max_ship > o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY)
+           AS late
+  FROM lat JOIN orders o ON o.o_orderkey = lat.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey, count(*) AS n_supp,
+         sum(CASE WHEN late THEN 1 ELSE 0 END) AS n_late,
+         max(CASE WHEN late THEN l_suppkey END) AS late_supp
+  FROM flags GROUP BY 1
+)
+SELECT s.s_name, count(*)::BIGINT AS numwait
+FROM per_order p
+JOIN supplier s ON s.s_suppkey = p.late_supp
+WHERE p.n_supp >= 2 AND p.n_late = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT {Q21_TOPK}
 """
