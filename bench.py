@@ -339,6 +339,21 @@ def bench_phrase_serving(
             t0 = time.time()
             s.boolean_topk(q, 10)
             warm_bl.append((time.time() - t0) * 1000)
+    # date-filtered serving latency (filter inside the ranked scan; warm
+    # = the range-keyed query memo)
+    from myaku_ray.oracle import date_range_query_set
+
+    dated = date_range_query_set(corpus_dir)
+    cold_dt, warm_dt = [], []
+    for q, lo, hi in dated:
+        t0 = time.time()
+        s.topk_in_range(q, lo, hi, 10)
+        cold_dt.append((time.time() - t0) * 1000)
+    for _ in range(QUERY_REPEATS):
+        for q, lo, hi in dated:
+            t0 = time.time()
+            s.topk_in_range(q, lo, hi, 10)
+            warm_dt.append((time.time() - t0) * 1000)
     # facet latency: first call pays the doc_id->source sidecar build
     from myaku_ray.oracle import reference_query_set as _rqs
 
@@ -400,6 +415,10 @@ def bench_phrase_serving(
         "bool_cold_p50_ms": round(_st.median(cold_bl), 2) if cold_bl else None,
         "bool_cold_max_ms": round(max(cold_bl), 2) if cold_bl else None,
         "bool_warm_p50_ms": round(_st.median(warm_bl), 2) if warm_bl else None,
+        "n_dated": len(dated),
+        "dated_cold_p50_ms": round(_st.median(cold_dt), 2) if cold_dt else None,
+        "dated_cold_max_ms": round(max(cold_dt), 2) if cold_dt else None,
+        "dated_warm_p50_ms": round(_st.median(warm_dt), 3) if warm_dt else None,
         "facet_sidecar_build_ms": round(facet_build_ms, 1),
         "facet_p50_ms": round(_st.median(warm_fc), 3) if warm_fc else None,
         "phrase_qps": round(len(pqs) / phrase_qps_wall, 1),
@@ -501,12 +520,15 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "nation_market_share_q8": relational.nation_market_share_q8,
         "knn_graph": ann.knn_graph,
         "near_dedup_survivors": dedup.near_dedup_survivors,
+        "brand_band_revenue_q19": relational.brand_band_revenue_q19,
+        "waiting_suppliers_q21": relational.waiting_suppliers_q21,
     }
     # cold-time the Q5/Q9 bucketed layout writes too (same convention as
     # the cache rmtree above)
     shutil.rmtree("/tmp/myaku_ray_join_q5", ignore_errors=True)
     shutil.rmtree("/tmp/myaku_ray_join_q8", ignore_errors=True)
     shutil.rmtree("/tmp/myaku_ray_join_q9", ignore_errors=True)
+    shutil.rmtree("/tmp/myaku_ray_join_q21", ignore_errors=True)
     import pandas as pd
     import pyarrow as pa
 

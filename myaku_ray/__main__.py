@@ -78,6 +78,14 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("query")
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--page", type=int, default=None)
+    s.add_argument(
+        "--since", default=None, metavar="YYYY-MM-DD",
+        help="only docs crawled on/after this UTC date (filter semantics)",
+    )
+    s.add_argument(
+        "--until", default=None, metavar="YYYY-MM-DD",
+        help="only docs crawled before this UTC date (exclusive)",
+    )
 
     ph = sub.add_parser("phrase")
     ph.add_argument("index_dir")
@@ -167,11 +175,26 @@ def main(argv: list[str] | None = None) -> int:
         from myaku_ray.index.searcher import Searcher
 
         s_ = Searcher(args.index_dir)
-        hits = (
-            s_.search_page(args.query, args.page)
-            if args.page
-            else s_.search(args.query, k=args.k)
-        )
+        if args.since or args.until:
+            import datetime as _dt
+
+            def _us(d: str | None, default: int) -> int:
+                if d is None:
+                    return default
+                t = _dt.datetime.strptime(d, "%Y-%m-%d")
+                return int(t.replace(tzinfo=_dt.timezone.utc).timestamp()) * 10**6
+
+            lo = _us(args.since, 0)
+            hi = _us(args.until, 2**62) - (1 if args.until else 0)
+            hits = s_.hydrate(
+                s_.topk_in_range(args.query, lo, hi, args.k), args.query
+            )
+        else:
+            hits = (
+                s_.search_page(args.query, args.page)
+                if args.page
+                else s_.search(args.query, k=args.k)
+            )
         for h in hits:
             print(
                 json.dumps(
