@@ -321,6 +321,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Q21 shape: EXISTS + NOT EXISTS double self-join via one
         # per-(order, supplier) aggregate in the bucketed exchange
         "waiting_suppliers_q21": relational.waiting_suppliers_q21,
+        # full serving contract: ranked hits WITH preview strings and
+        # matched-term lists (K5 sample selection, M19 collapse)
+        "pages_search_previews": fulltext.pages_search_previews,
     }
 
 
@@ -457,4 +460,5 @@ def oracle_sql() -> dict[str, str]:
         "pages_search_dated": pages_golden.PAGES_SEARCH_DATED_SQL,
         "brand_band_revenue_q19": relational.BRAND_BAND_REVENUE_Q19_SQL,
         "waiting_suppliers_q21": relational.WAITING_SUPPLIERS_Q21_SQL,
+        "pages_search_previews": pages_golden.PAGES_SEARCH_PREVIEWS_SQL,
     }

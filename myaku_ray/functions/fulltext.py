@@ -361,6 +361,31 @@ def pages_search_dated(sf_dir: str, k: int = 10):
     return pd.DataFrame(rows)
 
 
+def pages_search_previews(sf_dir: str, k: int = 5):
+    """Full serving contract for the reference query set: ranked results
+    WITH the assembled preview strings and matched-term lists — the K5
+    sample-selection + M19 whitespace-collapse output the reference's
+    API returns per hit (article_preview.py semantics).  Previously only
+    pytest-gated (byte-identity engine-vs-rescan); the stored golden
+    pins the exact strings as a driver row.  matched_terms is
+    '|'-joined (find_lexical_items yields term-sorted items)."""
+    from myaku_ray.oracle import reference_query_set
+
+    s = _pages_searcher()
+    rows = {
+        "query": [], "rank": [], "doc_id": [], "matched_terms": [],
+        "preview": [],
+    }
+    for q in reference_query_set():
+        for rank, r in enumerate(s.search(q, k), start=1):
+            rows["query"].append(q)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r.doc_id)
+            rows["matched_terms"].append("|".join(r.matched_terms))
+            rows["preview"].append(r.preview)
+    return pd.DataFrame(rows)
+
+
 def pages_term_trend(sf_dir: str):
     """Crawl-time trend analytics: matched-doc counts per (query term,
     UTC month), computed entirely from the posting payload's warc_us

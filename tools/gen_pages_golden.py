@@ -376,6 +376,41 @@ def main() -> None:
         + "\n) AS golden(query, t_lo, t_hi, rank, doc_id, score, url)"
     )
 
+    # ---- serving previews golden (serial preview assembly) ---------------
+    from myaku_ray.oracle import analyze_query, get_tokenizer
+    from myaku_ray.preview import build_preview
+
+    tok = get_tokenizer()
+    prev_rows = []
+    for q in reference_query_set():
+        qterms = set(analyze_query(q))
+        for rank, (doc_id, _score, _w) in enumerate(
+            oracle_topk(oi, q, k=5), start=1
+        ):
+            text = oi.docs[doc_id]["text"]
+            items = tok.find_lexical_items(text)
+            matched = [it for it in items if it["term"] in qterms]
+            if not matched:
+                mt, preview = "", text[:100]
+            else:
+                positions = sorted(
+                    {tuple(p) for it in matched for p in it["positions"]}
+                )
+                samples = build_preview(text, positions)
+                preview = " … ".join(s.text for s in samples)
+                mt = "|".join(it["term"] for it in matched)
+            prev_rows.append((q, rank, doc_id, mt, preview))
+    prev_values = ",\n  ".join(
+        f"({_sql_str(q)}, {rank}::BIGINT, {doc_id}::BIGINT, "
+        f"{_sql_str(mt)}, {_sql_str(pv)})"
+        for q, rank, doc_id, mt, pv in prev_rows
+    )
+    prev_sql = (
+        "SELECT * FROM (VALUES\n  "
+        + prev_values
+        + "\n) AS golden(query, rank, doc_id, matched_terms, preview)"
+    )
+
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "myaku_ray", "functions", "pages_golden.py",
@@ -399,7 +434,8 @@ def main() -> None:
             f"PAGES_MORE_LIKE_THIS_SQL = '''\n{mlt_sql}\n'''\n\n"
             f"PAGES_PREFIX_SEARCH_SQL = '''\n{pfx_sql}\n'''\n\n"
             f"PAGES_SEARCH_DIVERSE_SQL = '''\n{div_sql}\n'''\n\n"
-            f"PAGES_SEARCH_DATED_SQL = '''\n{dated_sql}\n'''\n",
+            f"PAGES_SEARCH_DATED_SQL = '''\n{dated_sql}\n'''\n\n"
+            f"PAGES_SEARCH_PREVIEWS_SQL = '''\n{prev_sql}\n'''\n",
         )
     print(
         f"wrote {out}: {len(stats)} stats rows, {len(rows)} search rows, "
@@ -407,7 +443,7 @@ def main() -> None:
         f"{len(phrase_rows)} phrase rows, {len(near_rows)} near rows, "
         f"{len(trend_rows)} trend rows, {len(sug_rows)} suggest rows, "
         f"{len(bool_rows)} boolean rows, {len(facet_rows)} facet rows, "
-        f"{len(pfx_rows)} prefix rows"
+        f"{len(pfx_rows)} prefix rows, {len(prev_rows)} preview rows"
     )
 
 
