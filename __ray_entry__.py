@@ -324,6 +324,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full serving contract: ranked hits WITH preview strings and
         # matched-term lists (K5 sample selection, M19 collapse)
         "pages_search_previews": fulltext.pages_search_previews,
+        # Q12 shape: two-sided derived GROUP BY key over the bucketed
+        # co-partition join (delay bucket x priority conditional counts)
+        "ship_delay_priority_q12": relational.ship_delay_priority_q12,
     }
 
 
@@ -461,4 +464,5 @@ def oracle_sql() -> dict[str, str]:
         "brand_band_revenue_q19": relational.BRAND_BAND_REVENUE_Q19_SQL,
         "waiting_suppliers_q21": relational.WAITING_SUPPLIERS_Q21_SQL,
         "pages_search_previews": pages_golden.PAGES_SEARCH_PREVIEWS_SQL,
+        "ship_delay_priority_q12": relational.SHIP_DELAY_PRIORITY_Q12_SQL,
     }

@@ -2512,3 +2512,168 @@ GROUP BY s.s_name
 ORDER BY numwait DESC, s.s_name
 LIMIT {Q21_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# Join + derived-category conditional counts (TPC-H Q12 shape): line counts
+# by ship-delay bucket split into high/low order priority
+# ---------------------------------------------------------------------------
+
+Q12_START = "1996-01-01"
+Q12_END = "1997-01-01"
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+# lexicographically ordered so pandas sort_values == SQL ORDER BY
+Q12_LABELS = ("01-30d", "31-60d", "61-90d", "90d+", "early")
+_Q12_DIGITIZE = (1, 31, 61, 91)  # delay<=0 -> early, 1-30, 31-60, 61-90, >90
+_Q12_LABEL_BY_BIN = ("early", "01-30d", "31-60d", "61-90d", "90d+")
+
+
+def ship_delay_priority_q12(sf_dir: str):
+    """TPC-H Q12 analog: lineitem line counts per ship-delay bucket
+    (days from order date to ship date), split into high-priority
+    (1-URGENT/2-HIGH) vs low-priority order counts — the shape where
+    the GROUP BY key is DERIVED FROM BOTH SIDES of a fact x fact join
+    (reference Q12 groups by l_shipmode with o_orderpriority CASE
+    counts; this corpus has no shipmode column, so the bucket is the
+    two-sided delay — a strictly harder join since neither side can
+    precompute the key alone).
+
+    Plan (part_type_profit_q9 family): no broadcast is possible —
+    orders is fact-sized and every surviving lineitem needs its order's
+    date AND priority — so both scans write one hive-partitioned pass
+    bucketed by ``orderkey % JOIN_BUCKETS`` (the write IS the
+    exchange): lineitem filtered to the ship-year window map-side and
+    pre-aggregated to (orderkey, ship_day, n_lines) partials; orders
+    reduced to (orderkey, order_day, is_high int8).  One task per
+    bucket joins co-located slices, digitizes the delay, and emits
+    <=5 (bucket-label, high, low) partial rows; the driver merges
+    5-row partials.  No groupby all-to-all ever sees a raw fact row.
+    """
+    import glob
+    import os
+    import shutil
+
+    @ray.remote
+    def join_bucket(li_files: list, od_files: list) -> pa.Table:
+        import pyarrow.parquet as pqq
+
+        li_t = pa.concat_tables(
+            [pqq.read_table(f) for f in li_files]
+        ).to_pandas()
+        od_t = pa.concat_tables(
+            [pqq.read_table(f) for f in od_files]
+        ).to_pandas()
+        j = li_t.merge(od_t, left_on="l_orderkey", right_on="o_orderkey")
+        delay = j["ship_day"].to_numpy() - j["order_day"].to_numpy()
+        bins = np.digitize(delay, _Q12_DIGITIZE)
+        lab = np.array(_Q12_LABEL_BY_BIN, dtype=object)[bins]
+        n = j["n_lines"].to_numpy()
+        hi = j["is_high"].to_numpy().astype(bool)
+        df = pd.DataFrame(
+            {
+                "delay_bucket": lab,
+                "high_line_count": np.where(hi, n, 0),
+                "low_line_count": np.where(hi, 0, n),
+            }
+        )
+        g = df.groupby("delay_bucket", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    d0, d1 = np.datetime64(Q12_START), np.datetime64(Q12_END)
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = (sd >= d0) & (sd < d1)
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)[keep]
+        day = (
+            sd[keep].astype("datetime64[D]").astype(np.int64).astype(np.int32)
+        )
+        df = pd.DataFrame({"l_orderkey": ok, "ship_day": day})
+        g = df.groupby(["l_orderkey", "ship_day"], as_index=False).size()
+        g = g.rename(columns={"size": "n_lines"})
+        g["n_lines"] = g["n_lines"].astype(np.int64)
+        g["bucket"] = (g["l_orderkey"] % JOIN_BUCKETS).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def od_prep(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        day = od.astype("datetime64[D]").astype(np.int64).astype(np.int32)
+        pr = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
+        hi = np.isin(pr, Q12_HIGH)
+        keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "order_day": pa.array(day),
+                "is_high": pa.array(hi.astype(np.int8)),
+                "bucket": pa.array((keys % JOIN_BUCKETS).astype(np.int32)),
+            }
+        )
+
+    key = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    root = f"/tmp/myaku_ray_join_q12/{key}_{JOIN_BUCKETS}"
+    li_dir, od_dir = f"{root}/lineitem", f"{root}/orders"
+    marker = f"{root}/_SUCCESS"
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_shipdate"],
+        ).map_batches(li_prep, batch_format="pyarrow").write_parquet(
+            li_dir, partition_cols=["bucket"]
+        )
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        ).map_batches(od_prep, batch_format="pyarrow").write_parquet(
+            od_dir, partition_cols=["bucket"]
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    def files_of(d: str) -> dict[int, list]:
+        out: dict[int, list] = {}
+        for f in glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True):
+            for part in f.split(os.sep):
+                if part.startswith("bucket="):
+                    out.setdefault(int(part.split("=")[1]), []).append(f)
+        return out
+
+    li_map, od_map = files_of(li_dir), files_of(od_dir)
+    parts = ray.get(
+        [
+            join_bucket.remote(li_map[b], od_map.get(b, []))
+            for b in sorted(li_map)
+            if od_map.get(b)
+        ]
+    )
+    merged = pa.concat_tables(parts).to_pandas()
+    out = merged.groupby("delay_bucket", as_index=False)[
+        ["high_line_count", "low_line_count"]
+    ].sum()
+    out["high_line_count"] = out["high_line_count"].astype(np.int64)
+    out["low_line_count"] = out["low_line_count"].astype(np.int64)
+    return out.sort_values("delay_bucket").reset_index(drop=True)
+
+
+SHIP_DELAY_PRIORITY_Q12_SQL = f"""
+WITH j AS (
+  SELECT date_diff('day', o.o_orderdate, l.l_shipdate) AS delay,
+         o.o_orderpriority AS pr
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_shipdate >= DATE '{Q12_START}'
+    AND l.l_shipdate <  DATE '{Q12_END}')
+SELECT CASE WHEN delay <= 0 THEN 'early'
+            WHEN delay <= 30 THEN '01-30d'
+            WHEN delay <= 60 THEN '31-60d'
+            WHEN delay <= 90 THEN '61-90d'
+            ELSE '90d+' END AS delay_bucket,
+  sum(CASE WHEN pr IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
+    AS high_line_count,
+  sum(CASE WHEN pr NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
+    AS low_line_count
+FROM j
+GROUP BY delay_bucket
+ORDER BY delay_bucket
+"""
