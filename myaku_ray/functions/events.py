@@ -2153,3 +2153,102 @@ ex AS (
 SELECT day_bucket, count(*)::BIGINT AS active_7d
 FROM ex GROUP BY day_bucket ORDER BY day_bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel conversion: first-touch stage chain within a window
+# ---------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+FUNNEL_WINDOW_HOURS = 24
+_FUNNEL_WINDOW_US = FUNNEL_WINDOW_HOURS * HOUR_US
+# past this many converting users the driver-side partial merge must
+# switch to a Ray groupby(user_id).min — same documented scale valve as
+# late_shipment_orders_q4 (the partial rows are (user, min_ts) pairs,
+# user-count-sized, NOT event-count-sized)
+FUNNEL_DRIVER_MERGE_LIMIT = 20_000_000
+
+
+def event_funnel(sf_dir: str):
+    """First-touch funnel conversion over ``FUNNEL_STAGES``: stage 1 is a
+    user's FIRST stage-1 event; stage k is the first stage-k event in
+    ``[t_{k-1}, t_{k-1} + window)``.  Output: one row per stage with the
+    user count that reached it — the classic product-analytics funnel,
+    deterministic because every step takes a min.
+
+    Plan: K pruned scans of events (one per stage), each a 3-column
+    map-side filter + per-batch min-per-user partial; between stages the
+    finalized (user -> stage time) map is broadcast as sorted arrays and
+    the next scan attaches it by searchsorted, masking events outside
+    the window BEFORE the partial min.  Nothing event-count-sized ever
+    enters an exchange — each stage's partials are user-sized (the
+    driver merge has the documented FUNNEL_DRIVER_MERGE_LIMIT valve).
+    """
+    prev: tuple[np.ndarray, np.ndarray] | None = None  # (users, t_us) sorted
+    out_rows = []
+    for k, stage in enumerate(FUNNEL_STAGES, start=1):
+        prev_ref = ray.put(prev)
+
+        def partial(batch: pa.Table, _stage=stage) -> pa.Table:
+            et = batch["event_type"].to_numpy(zero_copy_only=False)
+            batch = batch.filter(pa.array(et == _stage))
+            uid = batch["user_id"].to_numpy(zero_copy_only=False)
+            ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            gate = ray.get(prev_ref)
+            if gate is not None:
+                gu, gt = gate
+                if len(gu) == 0:
+                    uid = uid[:0]
+                    ts = ts[:0]
+                else:
+                    pos = np.searchsorted(gu, uid)
+                    pos[pos == len(gu)] = 0
+                    hit = gu[pos] == uid
+                    t0 = gt[pos]
+                    keep = hit & (ts >= t0) & (ts < t0 + _FUNNEL_WINDOW_US)
+                    uid, ts = uid[keep], ts[keep]
+            df = pd.DataFrame({"user_id": uid, "t_us": ts})
+            g = df.groupby("user_id", as_index=False)["t_us"].min()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        partials = rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type", "ts"],
+        ).map_batches(partial, batch_format="pyarrow").to_pandas()
+        if len(partials) > FUNNEL_DRIVER_MERGE_LIMIT:
+            raise NotImplementedError(
+                "stage partials exceed the driver-merge valve — finish "
+                "with a Ray groupby(user_id).min (late_shipment_orders_q4 "
+                "pattern)"
+            )
+        g = partials.groupby("user_id", as_index=False)["t_us"].min()
+        g = g.sort_values("user_id")
+        prev = (g["user_id"].to_numpy(), g["t_us"].to_numpy())
+        out_rows.append((k, stage, np.int64(len(g))))
+
+    return pd.DataFrame(
+        out_rows, columns=["stage", "event_type", "n_users"]
+    ).astype({"stage": np.int64, "n_users": np.int64})
+
+
+EVENT_FUNNEL_SQL = f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) t FROM events
+  WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.ts) t FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.ts >= s1.t
+    AND e.ts < s1.t + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(e.ts) t FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts >= s2.t
+    AND e.ts < s2.t + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR GROUP BY 1
+)
+SELECT 1::BIGINT AS stage, '{FUNNEL_STAGES[0]}' AS event_type,
+       (SELECT count(*) FROM s1)::BIGINT AS n_users
+UNION ALL
+SELECT 2::BIGINT, '{FUNNEL_STAGES[1]}', (SELECT count(*) FROM s2)::BIGINT
+UNION ALL
+SELECT 3::BIGINT, '{FUNNEL_STAGES[2]}', (SELECT count(*) FROM s3)::BIGINT
+ORDER BY stage
+"""
