@@ -327,8 +327,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Q12 shape: two-sided derived GROUP BY key over the bucketed
         # co-partition join (delay bucket x priority conditional counts)
         "ship_delay_priority_q12": relational.ship_delay_priority_q12,
-        # first-touch funnel: per-stage user counts, broadcast gate chain
-        "event_funnel": events.event_funnel,
+        # windowed first-touch funnel: broadcast gate chain, no shuffle
+        # (event_funnel is the unbounded strict-after variant)
+        "event_funnel_windowed": events.event_funnel_windowed,
     }
 
 
@@ -467,5 +468,5 @@ def oracle_sql() -> dict[str, str]:
         "waiting_suppliers_q21": relational.WAITING_SUPPLIERS_Q21_SQL,
         "pages_search_previews": pages_golden.PAGES_SEARCH_PREVIEWS_SQL,
         "ship_delay_priority_q12": relational.SHIP_DELAY_PRIORITY_Q12_SQL,
-        "event_funnel": events.EVENT_FUNNEL_SQL,
+        "event_funnel_windowed": events.EVENT_FUNNEL_WINDOWED_SQL,
     }

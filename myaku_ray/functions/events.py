@@ -2156,7 +2156,10 @@ FROM ex GROUP BY day_bucket ORDER BY day_bucket
 
 
 # ---------------------------------------------------------------------------
-# Ordered funnel conversion: first-touch stage chain within a window
+# Windowed funnel conversion: first-touch stage chain within a window
+# (event_funnel above is the UNBOUNDED strict-after variant with a
+# groupby(user) exchange; this one adds the conversion-window constraint
+# and a shuffle-free broadcast-gate plan)
 # ---------------------------------------------------------------------------
 
 FUNNEL_STAGES = ("view", "click", "purchase")
@@ -2169,7 +2172,7 @@ _FUNNEL_WINDOW_US = FUNNEL_WINDOW_HOURS * HOUR_US
 FUNNEL_DRIVER_MERGE_LIMIT = 20_000_000
 
 
-def event_funnel(sf_dir: str):
+def event_funnel_windowed(sf_dir: str):
     """First-touch funnel conversion over ``FUNNEL_STAGES``: stage 1 is a
     user's FIRST stage-1 event; stage k is the first stage-k event in
     ``[t_{k-1}, t_{k-1} + window)``.  Output: one row per stage with the
@@ -2231,7 +2234,7 @@ def event_funnel(sf_dir: str):
     ).astype({"stage": np.int64, "n_users": np.int64})
 
 
-EVENT_FUNNEL_SQL = f"""
+EVENT_FUNNEL_WINDOWED_SQL = f"""
 WITH s1 AS (
   SELECT user_id, min(ts) t FROM events
   WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY 1
