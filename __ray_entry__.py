@@ -330,6 +330,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windowed first-touch funnel: broadcast gate chain, no shuffle
         # (event_funnel is the unbounded strict-after variant)
         "event_funnel_windowed": events.event_funnel_windowed,
+        # K2 cursor pagination: heap-resume ranks 11..30 per query
+        "pages_search_paged": fulltext.pages_search_paged,
+        # A3 result-count endpoint: union count without hydration
+        "pages_result_counts": fulltext.pages_result_counts,
     }
 
 
@@ -469,4 +473,6 @@ def oracle_sql() -> dict[str, str]:
         "pages_search_previews": pages_golden.PAGES_SEARCH_PREVIEWS_SQL,
         "ship_delay_priority_q12": relational.SHIP_DELAY_PRIORITY_Q12_SQL,
         "event_funnel_windowed": events.EVENT_FUNNEL_WINDOWED_SQL,
+        "pages_search_paged": pages_golden.PAGES_SEARCH_PAGED_SQL,
+        "pages_result_counts": pages_golden.PAGES_RESULT_COUNTS_SQL,
     }

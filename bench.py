@@ -522,6 +522,8 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "near_dedup_survivors": dedup.near_dedup_survivors,
         "brand_band_revenue_q19": relational.brand_band_revenue_q19,
         "waiting_suppliers_q21": relational.waiting_suppliers_q21,
+        "ship_delay_priority_q12": relational.ship_delay_priority_q12,
+        "event_funnel_windowed": events.event_funnel_windowed,
     }
     # cold-time the Q5/Q9 bucketed layout writes too (same convention as
     # the cache rmtree above)
@@ -529,6 +531,7 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
     shutil.rmtree("/tmp/myaku_ray_join_q8", ignore_errors=True)
     shutil.rmtree("/tmp/myaku_ray_join_q9", ignore_errors=True)
     shutil.rmtree("/tmp/myaku_ray_join_q21", ignore_errors=True)
+    shutil.rmtree("/tmp/myaku_ray_join_q12", ignore_errors=True)
     import pandas as pd
     import pyarrow as pa
 

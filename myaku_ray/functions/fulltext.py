@@ -386,6 +386,41 @@ def pages_search_previews(sf_dir: str, k: int = 5):
     return pd.DataFrame(rows)
 
 
+def pages_search_paged(sf_dir: str, pages: tuple = (2, 3)):
+    """Cursor pagination (K2): pages 2-3 of each reference query via
+    ``Searcher.search_page`` — skip (page-1)*10, take 10 over the
+    bounded top-(page*10) heap, the reference's paginate contract
+    (index_search.py:232-236).  Page 1 is already pinned by
+    pages_search_topk; these rows pin that the heap-resume ranks
+    11..30 agree with the serial oracle's full ordering."""
+    from myaku_ray.oracle import reference_query_set
+
+    s = _pages_searcher()
+    rows = {"query": [], "page": [], "rank": [], "doc_id": [], "score": []}
+    for q in reference_query_set():
+        for page in pages:
+            for i, r in enumerate(s.search_page(q, page), start=1):
+                rows["query"].append(q)
+                rows["page"].append(page)
+                rows["rank"].append((page - 1) * s.PAGE_SIZE + i)
+                rows["doc_id"].append(r.doc_id)
+                rows["score"].append(round(r.score, 5))
+    return pd.DataFrame(rows).astype({"page": "int64", "rank": "int64"})
+
+
+def pages_result_counts(sf_dir: str):
+    """Total matched-doc count per reference query (A3 — the reference's
+    result-count endpoint, Searcher.count: posting-list length union
+    without hydration)."""
+    from myaku_ray.oracle import reference_query_set
+
+    s = _pages_searcher()
+    qs = list(reference_query_set())
+    return pd.DataFrame(
+        {"query": qs, "n_results": [s.count(q) for q in qs]}
+    ).astype({"n_results": "int64"})
+
+
 def pages_term_trend(sf_dir: str):
     """Crawl-time trend analytics: matched-doc counts per (query term,
     UTC month), computed entirely from the posting payload's warc_us

@@ -411,6 +411,35 @@ def main() -> None:
         + "\n) AS golden(query, rank, doc_id, matched_terms, preview)"
     )
 
+    # ---- pagination golden (ranks 11..30 from the serial full order) -----
+    paged_rows = []
+    count_rows = []
+    for q in reference_query_set():
+        full = oracle_topk(oi, q, k=1_000_000)
+        count_rows.append((q, len(full)))
+        for rank, (doc_id, score, _w) in enumerate(full[10:30], start=11):
+            paged_rows.append(
+                (q, (rank - 1) // 10 + 1, rank, doc_id, round(float(score), 5))
+            )
+    paged_values = ",\n  ".join(
+        f"({_sql_str(q)}, {page}::BIGINT, {rank}::BIGINT, {doc_id}::BIGINT, "
+        f"{score!r}::DOUBLE)"
+        for q, page, rank, doc_id, score in paged_rows
+    )
+    paged_sql = (
+        "SELECT * FROM (VALUES\n  "
+        + paged_values
+        + "\n) AS golden(query, page, rank, doc_id, score)"
+    )
+    count_values = ",\n  ".join(
+        f"({_sql_str(q)}, {n}::BIGINT)" for q, n in count_rows
+    )
+    counts_sql = (
+        "SELECT * FROM (VALUES\n  "
+        + count_values
+        + "\n) AS golden(query, n_results)"
+    )
+
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "myaku_ray", "functions", "pages_golden.py",
@@ -435,7 +464,9 @@ def main() -> None:
             f"PAGES_PREFIX_SEARCH_SQL = '''\n{pfx_sql}\n'''\n\n"
             f"PAGES_SEARCH_DIVERSE_SQL = '''\n{div_sql}\n'''\n\n"
             f"PAGES_SEARCH_DATED_SQL = '''\n{dated_sql}\n'''\n\n"
-            f"PAGES_SEARCH_PREVIEWS_SQL = '''\n{prev_sql}\n'''\n",
+            f"PAGES_SEARCH_PREVIEWS_SQL = '''\n{prev_sql}\n'''\n\n"
+            f"PAGES_SEARCH_PAGED_SQL = '''\n{paged_sql}\n'''\n\n"
+            f"PAGES_RESULT_COUNTS_SQL = '''\n{counts_sql}\n'''\n",
         )
     print(
         f"wrote {out}: {len(stats)} stats rows, {len(rows)} search rows, "
