@@ -334,6 +334,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_search_paged": fulltext.pages_search_paged,
         # A3 result-count endpoint: union count without hydration
         "pages_result_counts": fulltext.pages_result_counts,
+        # sequence-aware LM quality filter: interpolated bigram logppl
+        "doc_bigram_logppl": textops.doc_bigram_logppl,
     }
 
 
@@ -475,4 +477,5 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel_windowed": events.EVENT_FUNNEL_WINDOWED_SQL,
         "pages_search_paged": pages_golden.PAGES_SEARCH_PAGED_SQL,
         "pages_result_counts": pages_golden.PAGES_RESULT_COUNTS_SQL,
+        "doc_bigram_logppl": textops.DOC_BIGRAM_LOGPPL_SQL,
     }

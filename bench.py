@@ -524,6 +524,7 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "waiting_suppliers_q21": relational.waiting_suppliers_q21,
         "ship_delay_priority_q12": relational.ship_delay_priority_q12,
         "event_funnel_windowed": events.event_funnel_windowed,
+        "doc_bigram_logppl": textops.doc_bigram_logppl,
     }
     # cold-time the Q5/Q9 bucketed layout writes too (same convention as
     # the cache rmtree above)

@@ -2771,3 +2771,135 @@ SELECT CAST(row_number() OVER (ORDER BY rk, source) - 1 AS BIGINT)
   AS position, doc_id, source
 FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram-LM log-perplexity: the sequence-aware corpus-LM
+# quality filter (Jelinek-Mercer smoothing over the corpus's own bigram /
+# unigram tables) — catches shuffled-token and boilerplate docs that the
+# order-free unigram filter scores as fluent.
+# ---------------------------------------------------------------------------
+
+BIGRAM_LM_LAMBDA = 0.75
+
+
+def doc_bigram_logppl(sf_dir: str):
+    """Per-doc negative mean log-likelihood under the interpolated
+    bigram LM  p(w2|w1) = λ·c(w1,w2)/c(w1·) + (1-λ)·c(w2)/N  (c(w1·) =
+    bigram-left occurrences, N = corpus tokens).  Docs with fewer than
+    2 tokens have no bigram and are excluded (the SQL join does the
+    same).
+
+    Three streaming passes: the bigram table reuses ``bigram_counts``
+    (ONE distinct-pair exchange) and broadcasts once via ``ray.put``
+    together with its left-marginal and the unigram totals — the model
+    is distinct-bigram-sized, the documented scale valve being a count
+    floor / hash-sharded model (same family as TFIDF's vocab
+    broadcast); scoring is one pruned scan, fully vectorized (hash
+    ``pd.Index.get_indexer`` lookups, one np.log, per-doc bincount
+    segment sums).  Interpolation arithmetic mirrors the SQL term
+    order — (λ·c2)/c1 + ((1-λ)·cu)/N — and rounds to 6 decimals so
+    summation-order float noise cannot flip the DuckDB comparison
+    (doc_unigram_logppl precedent)."""
+    import pyarrow.compute as pc
+
+    bg = bigram_counts(sf_dir).to_pandas()
+    lf = bg.groupby("w1", as_index=False)["n"].sum()
+    tdf = term_doc_freq(sf_dir).to_pandas()
+    n_total = float(tdf["total_tf"].sum())
+
+    # integer bigram keys gid(w1)*V + gid(w2) over the global vocab —
+    # per-occurrence lookups stay pure int64 arithmetic (only each
+    # batch's DISTINCT tokens pass through a string indexer); V^2 must
+    # fit int64, the same >3e9-vocab cliff as bigram_counts' pair codes
+    uni_idx = pd.Index(tdf["term"])
+    v = len(uni_idx)
+    uni_n = tdf["total_tf"].to_numpy().astype(np.float64)
+    bg_key = pd.Index(
+        uni_idx.get_indexer(bg["w1"]).astype(np.int64) * v
+        + uni_idx.get_indexer(bg["w2"]).astype(np.int64)
+    )
+    bg_n = bg["n"].to_numpy().astype(np.float64)
+    lf_key = pd.Index(uni_idx.get_indexer(lf["w1"]).astype(np.int64))
+    lf_n = lf["n"].to_numpy().astype(np.float64)
+    model_ref = ray.put((uni_idx, uni_n, bg_key, bg_n, lf_key, lf_n, v))
+
+    lam = BIGRAM_LM_LAMBDA
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "bigram_logppl_r": pa.array([], pa.float64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        uni, unn, bgi, bgn, lfi, lfn, v = ray.get(model_ref)
+        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        if len(parents) < 2:
+            return empty
+        enc = pc.list_flatten(toks).dictionary_encode()
+        gid_of_code = uni.get_indexer(enc.dictionary.to_pylist()).astype(
+            np.int64
+        )
+        gid = gid_of_code[
+            enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ]
+        adj = parents[1:] == parents[:-1]
+        if not adj.any():
+            return empty
+        g1 = gid[:-1][adj]
+        g2 = gid[1:][adj]
+        doc = parents[:-1][adj]
+        c2 = bgn[bgi.get_indexer(g1 * v + g2)]
+        c1 = lfn[lfi.get_indexer(g1)]
+        cu = unn[g2]
+        p = (lam * c2) / c1 + ((1.0 - lam) * cu) / n_total
+        contrib = -np.log(p)
+        n = batch.num_rows
+        ll = np.bincount(doc, weights=contrib, minlength=n)
+        cnt = np.bincount(doc, minlength=n)
+        has = cnt > 0
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks().take(
+                    pa.array(np.flatnonzero(has))
+                ),
+                "bigram_logppl_r": pa.array(
+                    np.round(ll[has] / cnt[has], 6)
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+DOC_BIGRAM_LOGPPL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), flat AS (
+  SELECT doc_id, unnest(t) AS term FROM toks
+), nt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM flat),
+uni AS (SELECT term, count(*) AS cu FROM flat GROUP BY term),
+pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+), bg AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
+lf AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1)
+SELECT p.doc_id,
+  round(-sum(ln(
+    ({BIGRAM_LM_LAMBDA} * CAST(bg.c2 AS DOUBLE)) / lf.c1
+    + ({1.0 - BIGRAM_LM_LAMBDA} * CAST(uni.cu AS DOUBLE)) / nt.nn
+  )) / count(*), 6) AS bigram_logppl_r
+FROM pairs p
+JOIN bg USING (w1, w2) JOIN lf USING (w1)
+JOIN uni ON uni.term = p.w2 CROSS JOIN nt
+GROUP BY p.doc_id
+"""
