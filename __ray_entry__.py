@@ -336,6 +336,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_result_counts": fulltext.pages_result_counts,
         # sequence-aware LM quality filter: interpolated bigram logppl
         "doc_bigram_logppl": textops.doc_bigram_logppl,
+        # cumulative LTV triangle per weekly cohort (driver-side cumsum)
+        "cohort_ltv": events.cohort_ltv,
+        # Q11 shape: group sums vs a global-scalar HAVING, exact ints
+        "important_parts_q11": relational.important_parts_q11,
+        # Q16 shape: distinct-pair dedup + anti-join + COUNT DISTINCT
+        "supplier_count_by_part_q16": relational.supplier_count_by_part_q16,
     }
 
 
@@ -478,4 +484,8 @@ def oracle_sql() -> dict[str, str]:
         "pages_search_paged": pages_golden.PAGES_SEARCH_PAGED_SQL,
         "pages_result_counts": pages_golden.PAGES_RESULT_COUNTS_SQL,
         "doc_bigram_logppl": textops.DOC_BIGRAM_LOGPPL_SQL,
+        "cohort_ltv": events.COHORT_LTV_SQL,
+        "important_parts_q11": relational.IMPORTANT_PARTS_Q11_SQL,
+        "supplier_count_by_part_q16":
+            relational.SUPPLIER_COUNT_BY_PART_Q16_SQL,
     }

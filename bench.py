@@ -525,6 +525,10 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "ship_delay_priority_q12": relational.ship_delay_priority_q12,
         "event_funnel_windowed": events.event_funnel_windowed,
         "doc_bigram_logppl": textops.doc_bigram_logppl,
+        "cohort_ltv": events.cohort_ltv,
+        "important_parts_q11": relational.important_parts_q11,
+        "supplier_count_by_part_q16":
+            relational.supplier_count_by_part_q16,
     }
     # cold-time the Q5/Q9 bucketed layout writes too (same convention as
     # the cache rmtree above)

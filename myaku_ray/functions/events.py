@@ -2255,3 +2255,90 @@ UNION ALL
 SELECT 3::BIGINT, '{FUNNEL_STAGES[2]}', (SELECT count(*) FROM s3)::BIGINT
 ORDER BY stage
 """
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve: cumulative value by (first-active week, week offset)
+# ---------------------------------------------------------------------------
+
+
+def cohort_ltv(sf_dir: str):
+    """Cumulative lifetime value per weekly cohort: users grouped by
+    first-active week; for every week offset, the cohort's CUMULATIVE
+    event value through that week (exact millis ints) — the revenue
+    counterpart of ``user_retention_cohorts``'s count triangle.
+
+    Same single-exchange plan: per-batch prep pre-aggregates to
+    (user, week, value_millis) partials (the shuffle carries user-week
+    rows, never events), each user group derives cohort + offsets in
+    one pass, and the (cohort, offset) groupby is cohorts x offsets
+    sized; the running sum over offsets happens driver-side on that
+    tiny frame — the only ordered step, never distributed.  Matches
+    COHORT_LTV_SQL's window cumsum row-for-row."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        w = (
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // WEEK_US
+        )
+        v = _millis(batch["value"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({"user_id": u, "week": w, "value_millis": v})
+        g = df.groupby(["user_id", "week"], as_index=False)[
+            "value_millis"
+        ].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby("week", as_index=False)["value_millis"].sum()
+        weeks = gg["week"].to_numpy()
+        cohort = weeks.min()
+        return pd.DataFrame(
+            {
+                "cohort_week": np.full(len(weeks), cohort, dtype=np.int64),
+                "week_offset": weeks - cohort,
+                "value_millis": gg["value_millis"].to_numpy(),
+            }
+        )
+
+    flat = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(per_user)
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("value_millis", alias_name="value_millis"))
+        .to_pandas()
+    )
+    flat = flat.sort_values(["cohort_week", "week_offset"]).reset_index(
+        drop=True
+    )
+    flat["cum_value_millis"] = (
+        flat.groupby("cohort_week")["value_millis"].cumsum()
+    )
+    for c in flat.columns:
+        flat[c] = flat[c].astype(np.int64)
+    return flat[["cohort_week", "week_offset", "cum_value_millis"]]
+
+
+COHORT_LTV_SQL = f"""
+WITH uv AS (
+  SELECT user_id, epoch_us(ts) // {WEEK_US} AS week,
+         sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT user_id, min(week) AS cohort_week FROM uv GROUP BY 1
+), per AS (
+  SELECT c.cohort_week, uv.week - c.cohort_week AS week_offset,
+         sum(uv.v) AS v
+  FROM uv JOIN c USING (user_id) GROUP BY 1, 2
+)
+SELECT cohort_week::BIGINT AS cohort_week,
+       week_offset::BIGINT AS week_offset,
+       sum(v) OVER (PARTITION BY cohort_week ORDER BY week_offset
+                    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_value_millis
+FROM per
+ORDER BY cohort_week, week_offset
+"""

@@ -2677,3 +2677,240 @@ FROM j
 GROUP BY delay_bucket
 ORDER BY delay_bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# Group share-of-total filter (TPC-H Q11 shape): parts whose revenue from
+# one nation's suppliers exceeds a fraction of that nation's total
+# ---------------------------------------------------------------------------
+
+Q11_NATION = "NATION_3"
+# share threshold as an exact integer ratio: keep parts with
+# value_cents * Q11_FRACTION_DEN > total_cents (no float boundary)
+Q11_FRACTION_DEN = 1000
+
+
+def important_parts_q11(sf_dir: str):
+    """TPC-H Q11 analog: revenue per part from ONE nation's suppliers,
+    keeping parts whose share exceeds 1/``Q11_FRACTION_DEN`` of that
+    nation's total — the group-then-global-scalar-filter shape (the
+    HAVING compares each group against an aggregate over ALL groups).
+    Reference Q11 prices partsupp stock; this corpus has no partsupp,
+    so shipped revenue plays the value role — the plan shape is
+    identical.
+
+    Plan: supplier->nation filter broadcasts as a sorted suppkey array
+    (dimension-sized, Q9's documented valve); ONE lineitem scan filters
+    map-side and pre-aggregates (partkey, value_cents) per batch, ONE
+    part-keyed groupby finishes the sums (partials are
+    distinct-part-sized, never line-sized); the grand total is the sum
+    of the group sums (driver-side, part-count rows) and the share
+    filter is an exact integer cross-multiply.
+    """
+    import pyarrow.parquet as _pq
+
+    nation = _pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nk = nation.loc[nation["n_name"] == Q11_NATION, "n_nationkey"]
+    nset = set(nk.tolist())
+    supp = _pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    skeys = np.sort(
+        supp.loc[supp["s_nationkey"].isin(nset), "s_suppkey"].to_numpy()
+    )
+    s_ref = ray.put(skeys)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        sk = ray.get(s_ref)
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        if len(sk) == 0:
+            keep = np.zeros(len(lsk), dtype=bool)
+        else:
+            pos = np.searchsorted(sk, lsk)
+            pos[pos == len(sk)] = 0
+            keep = sk[pos] == lsk
+        batch = batch.filter(pa.array(keep))
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"l_partkey": pk, "value_cents": _cents(price * (1.0 - disc))}
+        )
+        g = df.groupby("l_partkey", as_index=False)["value_cents"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_part = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_partkey", "l_suppkey", "l_extendedprice", "l_discount",
+            ],
+        )
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("value_cents", alias_name="value_cents"))
+        .to_pandas()
+    )
+    total = int(per_part["value_cents"].sum())
+    keep = per_part["value_cents"].to_numpy() * Q11_FRACTION_DEN > total
+    out = per_part[keep].copy()
+    out["value_cents"] = out["value_cents"].astype(np.int64)
+    out["l_partkey"] = out["l_partkey"].astype(np.int64)
+    return out.sort_values(
+        ["value_cents", "l_partkey"], ascending=[False, True]
+    ).reset_index(drop=True)[["l_partkey", "value_cents"]]
+
+
+IMPORTANT_PARTS_Q11_SQL = f"""
+WITH pv AS (
+  SELECT l.l_partkey,
+    sum(CAST(floor(l.l_extendedprice * (1.0::DOUBLE - l.l_discount)
+        * 100.0 + 0.5) AS BIGINT)) AS value_cents
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = '{Q11_NATION}'
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, value_cents::BIGINT AS value_cents
+FROM pv
+WHERE value_cents * {Q11_FRACTION_DEN} > (SELECT sum(value_cents) FROM pv)
+ORDER BY value_cents DESC, l_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distinct-pair dedup + anti-join + grouped COUNT DISTINCT (TPC-H Q16
+# shape): supplier counts by part attributes, bad-standing suppliers out
+# ---------------------------------------------------------------------------
+
+Q16_EXCL_BRAND = "Brand#1"
+Q16_SIZES = (1, 9, 14, 19, 23, 36, 45, 49)
+# distinct (attr-group, suppkey) rows above this merge on a Ray groupby
+# instead of the driver (rows are bounded by groups x suppliers, never
+# line-count) — same valve family as FUNNEL_DRIVER_MERGE_LIMIT
+Q16_DRIVER_MERGE_LIMIT = 20_000_000
+
+
+def supplier_count_by_part_q16(sf_dir: str):
+    """TPC-H Q16 analog: how many DISTINCT suppliers ship each
+    (brand, type, size) combination — brand ``Q16_EXCL_BRAND`` and
+    PROMO-typed parts excluded, sizes restricted, suppliers with
+    negative account balance excluded (the reference's
+    complaint-comment exclusion; this corpus has no s_comment).  The
+    supply relation is the reference's partsupp; with no partsupp table
+    the distinct (l_partkey, l_suppkey) pairs OBSERVED in lineitem play
+    that role.
+
+    Plan: the part-attribute filter and the bad-supplier set broadcast
+    (dimension-sized); ONE lineitem scan attaches attrs map-side and
+    dedups each batch to distinct (brand, type, size, suppkey) rows via
+    one composite np.unique — the exchange carries those rows only,
+    bounded by groups x suppliers; the final dedup + COUNT DISTINCT is
+    a drop_duplicates + value_counts on that bounded frame (driver
+    merge under ``Q16_DRIVER_MERGE_LIMIT``).
+    """
+    import pyarrow.parquet as _pq
+
+    part = _pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    ).to_pandas()
+    part = part[
+        (part["p_brand"] != Q16_EXCL_BRAND)
+        & (part["p_type"] != "PROMO")
+        & (part["p_size"].isin(Q16_SIZES))
+    ].sort_values("p_partkey")
+    # attrs as small int codes for the composite-key dedup; decode at end
+    attr = (
+        part[["p_brand", "p_type", "p_size"]]
+        .drop_duplicates()
+        .sort_values(["p_brand", "p_type", "p_size"])
+        .reset_index(drop=True)
+    )
+    attr_of_part = pd.MultiIndex.from_frame(
+        part[["p_brand", "p_type", "p_size"]]
+    )
+    attr_idx = pd.MultiIndex.from_frame(attr)
+    part_attr_code = attr_idx.get_indexer(attr_of_part).astype(np.int64)
+
+    supp = _pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    ).to_pandas()
+    bad = np.sort(
+        supp.loc[supp["s_acctbal"] < 0.0, "s_suppkey"].to_numpy()
+    )
+    bcast = ray.put(
+        (part["p_partkey"].to_numpy(), part_attr_code, bad)
+    )
+
+    def li_pairs(batch: pa.Table) -> pa.Table:
+        pkeys, pattr, badk = ray.get(bcast)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        if len(pkeys) == 0:
+            keep = np.zeros(len(lpk), dtype=bool)
+            code = np.empty(0, np.int64)
+        else:
+            pos = np.searchsorted(pkeys, lpk)
+            pos[pos == len(pkeys)] = 0
+            keep = pkeys[pos] == lpk
+            code = pattr[pos[keep]]
+        sk = lsk[keep]
+        if len(badk):
+            bpos = np.searchsorted(badk, sk)
+            bpos[bpos == len(badk)] = 0
+            ok = badk[bpos] != sk
+            sk, code = sk[ok], code[ok]
+        pairs = np.empty(len(sk), dtype=[("a", np.int64), ("s", np.int64)])
+        pairs["a"], pairs["s"] = code, sk
+        uniq = np.unique(pairs)
+        return pa.table(
+            {
+                "attr_code": pa.array(uniq["a"]),
+                "s_suppkey": pa.array(uniq["s"]),
+            }
+        )
+
+    rows = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+        )
+        .map_batches(li_pairs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(rows) > Q16_DRIVER_MERGE_LIMIT:
+        raise NotImplementedError(
+            "distinct (attr, supplier) rows exceed the driver-merge "
+            "valve — finish with groupby(attr_code, s_suppkey).count() "
+            "then groupby(attr_code).count()"
+        )
+    cnt = (
+        rows.drop_duplicates()
+        .groupby("attr_code")
+        .size()
+        .rename("supplier_cnt")
+        .reset_index()
+    )
+    out = attr.iloc[cnt["attr_code"].to_numpy()].reset_index(drop=True)
+    out["supplier_cnt"] = cnt["supplier_cnt"].astype(np.int64)
+    out["p_size"] = out["p_size"].astype(np.int64)
+    return out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True],
+    ).reset_index(drop=True)
+
+
+SUPPLIER_COUNT_BY_PART_Q16_SQL = f"""
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> '{Q16_EXCL_BRAND}'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN {Q16_SIZES}
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p_size
+"""
