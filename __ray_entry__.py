@@ -342,6 +342,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "important_parts_q11": relational.important_parts_q11,
         # Q16 shape: distinct-pair dedup + anti-join + COUNT DISTINCT
         "supplier_count_by_part_q16": relational.supplier_count_by_part_q16,
+        # build-pipeline invariants vs the serial oracle's counts
+        "pages_index_stats": fulltext.pages_index_stats,
     }
 
 
@@ -488,4 +490,5 @@ def oracle_sql() -> dict[str, str]:
         "important_parts_q11": relational.IMPORTANT_PARTS_Q11_SQL,
         "supplier_count_by_part_q16":
             relational.SUPPLIER_COUNT_BY_PART_Q16_SQL,
+        "pages_index_stats": pages_golden.PAGES_INDEX_STATS_SQL,
     }

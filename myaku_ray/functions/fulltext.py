@@ -421,6 +421,33 @@ def pages_result_counts(sf_dir: str):
     ).astype({"n_results": "int64"})
 
 
+def pages_index_stats(sf_dir: str):
+    """Global index invariants as (metric, value) rows: n_docs, distinct
+    terms, total postings (Σ df) and total term occurrences (Σ ctf),
+    read from the BUILT index's df stage + stats manifest — layout- and
+    parallelism-independent constants that pin the build pipeline
+    (dedup, tokenize, df aggregation) against the serial oracle's
+    independently-computed counts (reference parity: the index-info
+    record, myaku/datastore/database.py's build summary)."""
+    import pyarrow.parquet as _pq
+
+    s = _pages_searcher()
+    dft = _pq.read_table(
+        os.path.join(s.index_dir, "df", "df.parquet"), columns=["df", "ctf"]
+    )
+    vals = {
+        "n_docs": int(s.stats["n_docs"]),
+        "n_terms": dft.num_rows,
+        "total_postings": int(
+            pa.compute.sum(dft["df"]).as_py()
+        ),
+        "total_tf": int(pa.compute.sum(dft["ctf"]).as_py()),
+    }
+    return pd.DataFrame(
+        {"metric": list(vals), "value": list(vals.values())}
+    ).astype({"value": "int64"})
+
+
 def pages_term_trend(sf_dir: str):
     """Crawl-time trend analytics: matched-doc counts per (query term,
     UTC month), computed entirely from the posting payload's warc_us

@@ -440,6 +440,24 @@ def main() -> None:
         + "\n) AS golden(query, n_results)"
     )
 
+    # ---- index invariants golden (serial oracle's independent counts) ----
+    inv = {
+        "n_docs": oi.n_docs,
+        "n_terms": len(oi.postings),
+        "total_postings": sum(len(pl) for pl in oi.postings.values()),
+        "total_tf": sum(
+            tf for pl in oi.postings.values() for _, tf in pl
+        ),
+    }
+    inv_values = ",\n  ".join(
+        f"({_sql_str(m)}, {v}::BIGINT)" for m, v in inv.items()
+    )
+    inv_sql = (
+        "SELECT * FROM (VALUES\n  "
+        + inv_values
+        + "\n) AS golden(metric, value)"
+    )
+
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "myaku_ray", "functions", "pages_golden.py",
@@ -466,7 +484,8 @@ def main() -> None:
             f"PAGES_SEARCH_DATED_SQL = '''\n{dated_sql}\n'''\n\n"
             f"PAGES_SEARCH_PREVIEWS_SQL = '''\n{prev_sql}\n'''\n\n"
             f"PAGES_SEARCH_PAGED_SQL = '''\n{paged_sql}\n'''\n\n"
-            f"PAGES_RESULT_COUNTS_SQL = '''\n{counts_sql}\n'''\n",
+            f"PAGES_RESULT_COUNTS_SQL = '''\n{counts_sql}\n'''\n\n"
+            f"PAGES_INDEX_STATS_SQL = '''\n{inv_sql}\n'''\n",
         )
     print(
         f"wrote {out}: {len(stats)} stats rows, {len(rows)} search rows, "
