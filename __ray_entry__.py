@@ -344,6 +344,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_count_by_part_q16": relational.supplier_count_by_part_q16,
         # build-pipeline invariants vs the serial oracle's counts
         "pages_index_stats": fulltext.pages_index_stats,
+        # incremental path (build -> update -> compact) converges to
+        # the from-scratch ranking (same golden as pages_search_topk)
+        "pages_update_search": fulltext.pages_update_search,
     }
 
 
@@ -491,4 +494,5 @@ def oracle_sql() -> dict[str, str]:
         "supplier_count_by_part_q16":
             relational.SUPPLIER_COUNT_BY_PART_Q16_SQL,
         "pages_index_stats": pages_golden.PAGES_INDEX_STATS_SQL,
+        "pages_update_search": pages_golden.PAGES_SEARCH_TOPK_SQL,
     }

@@ -421,6 +421,74 @@ def pages_result_counts(sf_dir: str):
     ).astype({"n_results": "int64"})
 
 
+UPDATE_SPLIT = 400
+
+
+def _pages_update_searcher():
+    """Build the pages index THROUGH THE INCREMENTAL PATH: initial build
+    over the corpus's first ``UPDATE_SPLIT`` pages (row order of the
+    fixed parquet — deterministic), then ``update_index`` with the
+    remaining pages as a crawl batch, then ``compact_index``.  The
+    final logical corpus equals the full 600-page corpus, so search
+    over this index must match the from-scratch golden — the update /
+    displacement / compaction machinery (J4/J5, S6) exercised under a
+    driver-recorded row instead of pytest only."""
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from myaku_ray.corpus import gen_blogs_table
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.pipelines.build import build_index
+    from myaku_ray.pipelines.update import compact_index, update_index
+
+    root = os.path.join(CACHE_ROOT, f"pagesupd_{PAGES_N}_{UPDATE_SPLIT}")
+    idx = os.path.join(root, "index")
+    marker = os.path.join(root, "_FLOW_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        base_d = os.path.join(root, "base")
+        delta_d = os.path.join(root, "delta")
+        os.makedirs(base_d)
+        os.makedirs(delta_d)
+        full = _pq.read_table(_pages_dir())
+        _pq.write_table(
+            full.slice(0, UPDATE_SPLIT),
+            os.path.join(base_d, "pages.parquet"),
+        )
+        _pq.write_table(
+            full.slice(UPDATE_SPLIT),
+            os.path.join(delta_d, "pages.parquet"),
+        )
+        blogs = gen_blogs_table()
+        ratings = dict(zip(blogs["blog_url"], blogs["rating"]))
+        build_index(base_d, idx, blog_ratings=ratings)
+        update_index(delta_d, idx, blog_ratings=ratings)
+        compact_index(idx)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return Searcher(idx)
+
+
+def pages_update_search(sf_dir: str, k: int = 10):
+    """Ranked reference-set results over the INCREMENTALLY-built index
+    (initial build -> update_index -> compact_index); the oracle is the
+    same stored golden as pages_search_topk, so this row certifies that
+    the incremental path converges to the from-scratch ranking."""
+    from myaku_ray.oracle import reference_query_set
+
+    s = _pages_update_searcher()
+    rows = {"query": [], "rank": [], "doc_id": [], "score": [], "url": []}
+    for q in reference_query_set():
+        for rank, r in enumerate(s.search(q, k), start=1):
+            rows["query"].append(q)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r.doc_id)
+            rows["score"].append(round(r.score, 5))
+            rows["url"].append(r.url)
+    return pd.DataFrame(rows)
+
+
 def pages_index_stats(sf_dir: str):
     """Global index invariants as (metric, value) rows: n_docs, distinct
     terms, total postings (Σ df) and total term occurrences (Σ ctf),
