@@ -347,6 +347,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental path (build -> update -> compact) converges to
         # the from-scratch ranking (same golden as pages_search_topk)
         "pages_update_search": fulltext.pages_update_search,
+        # positional sidecar survives update+compaction (phrase golden)
+        "pages_update_phrase": fulltext.pages_update_phrase,
     }
 
 
@@ -495,4 +497,5 @@ def oracle_sql() -> dict[str, str]:
             relational.SUPPLIER_COUNT_BY_PART_Q16_SQL,
         "pages_index_stats": pages_golden.PAGES_INDEX_STATS_SQL,
         "pages_update_search": pages_golden.PAGES_SEARCH_TOPK_SQL,
+        "pages_update_phrase": pages_golden.PAGES_PHRASE_SEARCH_SQL,
     }

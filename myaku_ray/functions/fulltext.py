@@ -489,6 +489,62 @@ def pages_update_search(sf_dir: str, k: int = 10):
     return pd.DataFrame(rows)
 
 
+def pages_update_phrase(sf_dir: str, k: int = 10):
+    """Phrase search over an INCREMENTALLY-built POSITIONAL index
+    (initial build with positions -> update_index -> compact_index over
+    the same corpus split as pages_update_search); oracle = the stored
+    phrase golden, certifying the pos_blob sidecar survives the update
+    + compaction path with ranking intact (the compaction-safety pytest
+    promoted to a driver row)."""
+    import shutil
+
+    from myaku_ray.corpus import gen_blogs_table
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.oracle import phrase_query_set
+    from myaku_ray.pipelines.build import build_index
+    from myaku_ray.pipelines.update import compact_index, update_index
+
+    import pyarrow.parquet as _pq
+
+    root = os.path.join(
+        CACHE_ROOT, f"pagesupdpos_{PAGES_N}_{UPDATE_SPLIT}"
+    )
+    idx = os.path.join(root, "index")
+    marker = os.path.join(root, "_FLOW_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        base_d = os.path.join(root, "base")
+        delta_d = os.path.join(root, "delta")
+        os.makedirs(base_d)
+        os.makedirs(delta_d)
+        full = _pq.read_table(_pages_dir())
+        _pq.write_table(
+            full.slice(0, UPDATE_SPLIT),
+            os.path.join(base_d, "pages.parquet"),
+        )
+        _pq.write_table(
+            full.slice(UPDATE_SPLIT),
+            os.path.join(delta_d, "pages.parquet"),
+        )
+        blogs = gen_blogs_table()
+        ratings = dict(zip(blogs["blog_url"], blogs["rating"]))
+        build_index(base_d, idx, blog_ratings=ratings, with_positions=True)
+        update_index(delta_d, idx, blog_ratings=ratings)
+        compact_index(idx)
+        with open(marker, "w") as f:
+            f.write("ok")
+    s = Searcher(idx)
+    rows = {"query": [], "rank": [], "doc_id": [], "score": [], "url": []}
+    for q in phrase_query_set(_pages_dir()):
+        for rank, r in enumerate(s.phrase_search(q, k), start=1):
+            rows["query"].append(q)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r.doc_id)
+            rows["score"].append(round(r.score, 5))
+            rows["url"].append(r.url)
+    return pd.DataFrame(rows)
+
+
 def pages_index_stats(sf_dir: str):
     """Global index invariants as (metric, value) rows: n_docs, distinct
     terms, total postings (Σ df) and total term occurrences (Σ ctf),
