@@ -349,6 +349,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_update_search": fulltext.pages_update_search,
         # positional sidecar survives update+compaction (phrase golden)
         "pages_update_phrase": fulltext.pages_update_phrase,
+        # general-wildcard (*ab / a*c / *b* / multi-star) vocabulary
+        # expansion ranked as one group through the array/WAND engine
+        "pages_wildcard_search": fulltext.pages_wildcard_search,
     }
 
 
@@ -498,4 +501,5 @@ def oracle_sql() -> dict[str, str]:
         "pages_index_stats": pages_golden.PAGES_INDEX_STATS_SQL,
         "pages_update_search": pages_golden.PAGES_SEARCH_TOPK_SQL,
         "pages_update_phrase": pages_golden.PAGES_PHRASE_SEARCH_SQL,
+        "pages_wildcard_search": pages_golden.PAGES_WILDCARD_SEARCH_SQL,
     }

@@ -108,6 +108,13 @@ def main(argv: list[str] | None = None) -> int:
     px.add_argument("prefix")
     px.add_argument("--k", type=int, default=10)
 
+    wc = sub.add_parser(
+        "wildcard", help="general-wildcard search: *ab, a*c, *b*, a*b*c"
+    )
+    wc.add_argument("index_dir")
+    wc.add_argument("pattern")
+    wc.add_argument("--k", type=int, default=10)
+
     d = sub.add_parser("delete")
     d.add_argument("index_dir")
     d.add_argument("urls", nargs="+")
@@ -252,6 +259,23 @@ def main(argv: list[str] | None = None) -> int:
         s_ = Searcher(args.index_dir)
         hits = s_.prefix_topk(args.prefix, args.k)
         for h in s_.hydrate(hits, args.prefix):
+            print(
+                json.dumps(
+                    {
+                        "doc_id": h.doc_id,
+                        "score": round(h.score, 5),
+                        "url": h.url,
+                        "title": h.title,
+                    },
+                    ensure_ascii=False,
+                )
+            )
+    elif args.cmd == "wildcard":
+        from myaku_ray.index.searcher import Searcher
+
+        s_ = Searcher(args.index_dir)
+        hits = s_.wildcard_topk(args.pattern, args.k)
+        for h in s_.hydrate(hits, args.pattern):
             print(
                 json.dumps(
                     {

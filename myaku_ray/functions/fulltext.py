@@ -311,6 +311,28 @@ def pages_prefix_search(sf_dir: str, k: int = 10):
     return pd.DataFrame(rows)
 
 
+def pages_wildcard_search(sf_dir: str, k: int = 10):
+    """General-wildcard search over the pages index (``*ab``, ``a*c``,
+    ``*b*``, multi-star): each corpus-derived pattern expands over the
+    vocabulary — capped to the highest-df ``Searcher.PREFIX_MAX_TERMS``
+    members in deterministic (-df, term) order — and the members score
+    as ONE alt-form-style group (per-doc max).  Stored golden = the
+    serial regex full-vocabulary scan (oracle.oracle_wildcard_topk)."""
+    from myaku_ray.oracle import wildcard_query_set
+
+    s = _pages_searcher()
+    rows = {"query": [], "rank": [], "doc_id": [], "score": [], "url": []}
+    for p in wildcard_query_set(_pages_dir()):
+        hits = s.wildcard_topk(p, k)
+        for rank, r in enumerate(s.hydrate(hits, p) if hits else [], start=1):
+            rows["query"].append(p)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r.doc_id)
+            rows["score"].append(round(r.score, 5))
+            rows["url"].append(r.url)
+    return pd.DataFrame(rows)
+
+
 def pages_search_diverse(sf_dir: str, k: int = 10):
     """Host-collapse (source-diversified) search over the pages index:
     the first k global-rank docs with at most 2 per source — web

@@ -984,9 +984,37 @@ class Searcher:
             if d != doc_id
         ][:k]
 
-    # -- prefix (trailing-wildcard) search --------------------------------
+    # -- prefix / wildcard search ------------------------------------------
 
     PREFIX_MAX_TERMS = 24
+
+    def _vocab_terms_dfs(self) -> tuple[list[str], list[int]]:
+        """The df stage's (term, df) vocabulary, cached SORTED by term
+        under the same mtime fingerprint key as the suggest map (an
+        in-place update/refresh rewrites df/ and invalidates both).
+        Shared by prefix and wildcard expansion."""
+        fp = self._df_fingerprint()
+        state = self._prefix_vocab_state
+        if state is None or state[0] != fp:
+            df_dir = os.path.join(self.index_dir, "df")
+            if os.path.isdir(df_dir):
+                tbl = pads.dataset(df_dir, format="parquet").to_table(
+                    columns=["term", "df"]
+                )
+                pairs = sorted(
+                    zip(
+                        tbl["term"].to_pylist(),
+                        tbl["df"].to_numpy(zero_copy_only=False).tolist(),
+                    )
+                )
+                terms = [t for t, _ in pairs]
+                dfs = [d for _, d in pairs]
+            else:
+                terms, dfs = [], []
+            state = (fp, terms, dfs)
+            self._prefix_vocab_state = state
+        _, terms, dfs = state
+        return terms, dfs
 
     def prefix_topk(
         self, prefix: str, k: int = 10, max_terms: int | None = None
@@ -1013,27 +1041,7 @@ class Searcher:
         q = normalize_char_width(prefix.strip())
         if not q:
             return []
-        fp = self._df_fingerprint()
-        state = self._prefix_vocab_state
-        if state is None or state[0] != fp:
-            df_dir = os.path.join(self.index_dir, "df")
-            if os.path.isdir(df_dir):
-                tbl = pads.dataset(df_dir, format="parquet").to_table(
-                    columns=["term", "df"]
-                )
-                pairs = sorted(
-                    zip(
-                        tbl["term"].to_pylist(),
-                        tbl["df"].to_numpy(zero_copy_only=False).tolist(),
-                    )
-                )
-                terms = [t for t, _ in pairs]
-                dfs = [d for _, d in pairs]
-            else:
-                terms, dfs = [], []
-            state = (fp, terms, dfs)
-            self._prefix_vocab_state = state
-        _, terms, dfs = state
+        terms, dfs = self._vocab_terms_dfs()
         lo = bisect.bisect_left(terms, q)
         cand = []
         i = lo
@@ -1044,12 +1052,92 @@ class Searcher:
         members = [t for _, t in cand[:max_terms]]
         if not members:
             return []
+        return self._ranked_group(q, members, k)
+
+    def wildcard_topk(
+        self, pattern: str, k: int = 10, max_terms: int | None = None
+    ) -> list[SearchResult]:
+        """General-wildcard search (``*`` matches any run of characters,
+        anchored at both ends): ``ab*``, ``*ab``, ``a*b``, ``*ab*`` and
+        multi-star patterns all expand over the vocabulary.  Matching
+        members are capped to the ``max_terms`` highest-df terms in
+        deterministic (-df, term) order — the same expansion valve as
+        ``prefix_topk`` — and score as ONE alt-form-style group (per-doc
+        max, SynonymMaxIterator semantics), so ranking rides the shared
+        array/WAND engine.  Rank identity vs the serial oracle's
+        regex-based full-vocabulary scan is pytest-gated.
+
+        Match contract (mirrored by ``oracle.oracle_wildcard_topk`` with
+        an independent regex implementation): the width-normalized
+        pattern splits on ``*`` into literal segments; a term matches iff
+        it starts with the first segment, ends with the last, and the
+        middle segments occur in order in the gap between them.  A
+        pattern with no literal characters is refused (full-vocabulary
+        union), and a pattern without ``*`` degenerates to an exact
+        vocabulary lookup.  Cost bound: one pass over the vocabulary
+        list when the pattern starts with ``*``; a bisect-narrowed
+        prefix range otherwise — the vocabulary is the index's small
+        side (df table), cached in-process.
+        """
+        import bisect
+
+        if max_terms is None:
+            max_terms = self.PREFIX_MAX_TERMS
+        q = normalize_char_width(pattern.strip())
+        segs = [s for s in q.split("*")]
+        # collapse runs of '*' (empty middle segments carry no constraint)
+        if len(segs) > 2:
+            segs = [segs[0]] + [s for s in segs[1:-1] if s] + [segs[-1]]
+        if not any(segs):
+            return []
+        if len(segs) == 1:
+            members = [q] if self.term_iterator(q) is not None else []
+            if not members:
+                return []
+            return self._ranked_group(q, members, k)
+        head, tail, mids = segs[0], segs[-1], segs[1:-1]
+        min_len = sum(len(s) for s in segs)
+
+        def match(term: str) -> bool:
+            if len(term) < min_len or not term.endswith(tail):
+                return False
+            pos, end = len(head), len(term) - len(tail)
+            for mid in mids:
+                i = term.find(mid, pos, end)
+                if i < 0:
+                    return False
+                pos = i + len(mid)
+            return pos <= end
+
+        terms, dfs = self._vocab_terms_dfs()
+        cand = []
+        if head:
+            i = bisect.bisect_left(terms, head)
+            while i < len(terms) and terms[i].startswith(head):
+                if match(terms[i]):
+                    cand.append((-dfs[i], terms[i]))
+                i += 1
+        else:
+            for t, d in zip(terms, dfs):
+                if match(t):
+                    cand.append((-d, t))
+        cand.sort()
+        members = [t for _, t in cand[:max_terms]]
+        if not members:
+            return []
+        return self._ranked_group(q, members, k)
+
+    def _ranked_group(
+        self, key: str, members: list[str], k: int
+    ) -> list[SearchResult]:
+        """Rank one expansion group (per-doc max over members) through
+        the shared array/WAND engine — the prefix/wildcard tail."""
         it = self._group_iterator(members)
         if it is None:
             return []
         from myaku_ray.index.wand import array_topk, wand_topk
 
-        iters = {q: it}
+        iters = {key: it}
         if isinstance(it, ArrayPostings):
             hits = array_topk(iters, k)
         else:

@@ -784,6 +784,90 @@ def oracle_prefix_topk(
     return [(d, s, w) for (s, w, d) in scored[:k]]
 
 
+def oracle_wildcard_topk(
+    index: OracleIndex,
+    pattern: str,
+    k: int = 10,
+    max_terms: int = PREFIX_MAX_TERMS,
+):
+    """Serial general-wildcard search — an INDEPENDENT regex
+    implementation of the engine's match contract (``Searcher.
+    wildcard_topk`` uses a find-based segment matcher): the
+    width-normalized pattern splits on ``*`` runs into literal
+    segments joined by ``.*`` and fullmatched against every vocabulary
+    term; matches cap to the ``max_terms`` highest-df members in
+    (-df, term) order and score as ONE group (per-doc max), ranked
+    (score, warc_us, doc_id) DESC."""
+    import re as _re
+
+    q = normalize_char_width(pattern.strip())
+    segs = q.split("*")
+    if not any(segs):
+        return []
+    if len(segs) == 1:
+        members = [q] if q in index.df else []
+    else:
+        rx = _re.compile(
+            "(?s)" + ".*".join(_re.escape(s) for s in segs) + r"\Z"
+        )
+        members = sorted(
+            (t for t in index.df if rx.match(t)),
+            key=lambda t: (-index.df[t], t),
+        )[:max_terms]
+    best: dict[int, float] = {}
+    for m in members:
+        dfv = index.df[m]
+        for doc_id, tf in index.postings[m]:
+            meta = index.docs[doc_id]
+            contrib = posting_score(
+                tf, meta["doclen"], meta["quality"], dfv, index.n_docs,
+                index.avgdl,
+            )
+            if doc_id not in best or contrib > best[doc_id]:
+                best[doc_id] = contrib
+    scored = sorted(
+        ((s, index.docs[d]["warc_us"], d) for d, s in best.items()),
+        reverse=True,
+    )
+    return [(d, s, w) for (s, w, d) in scored[:k]]
+
+
+def wildcard_query_set(pages_parquet: str) -> list[str]:
+    """Deterministic wildcard patterns derived from corpus content (URL
+    order, the _first_texts rule): for the first few 3+-char terms of
+    the first long docs, the suffix (``*bc``), infix (``a*c``),
+    contains (``*b*``) and multi-star (``a*b*``) shapes, plus a
+    zero-hit pattern and a no-star exact lookup."""
+    texts = _first_texts(pages_parquet, want=2, min_len=200)
+    out: list[str] = []
+    seen: set[str] = set()
+
+    def add(p: str) -> None:
+        if p not in seen:
+            seen.add(p)
+            out.append(p)
+
+    for tx in texts:
+        for t in analyze_query(tx[:400]):
+            if len(t) < 3 or t.isascii():
+                continue
+            add("*" + t[1:])
+            add(t[:1] + "*" + t[-1:])
+            add("*" + t[1:2] + "*")
+            add(t[:1] + "*" + t[1:2] + "*")
+            if len(out) >= 8:
+                break
+        if len(out) >= 8:
+            break
+    if texts:
+        for t in analyze_query(texts[0][:400]):
+            if len(t) >= 2 and not t.isascii():
+                add(t)  # no-star exact lookup
+                break
+    add("ゑゐ*ぬ")  # zero-hit pattern
+    return out
+
+
 def prefix_query_set(pages_parquet: str) -> list[str]:
     """Deterministic prefixes derived from corpus content (URL order,
     the _first_texts rule): the 1- and 2-char prefixes of the first

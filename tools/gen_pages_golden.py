@@ -440,6 +440,29 @@ def main() -> None:
         + "\n) AS golden(query, n_results)"
     )
 
+    # ---- general-wildcard search golden ----------------------------------
+    from myaku_ray.oracle import oracle_wildcard_topk, wildcard_query_set
+
+    wc_rows = []
+    for p in wildcard_query_set(pages_dir):
+        for rank, (doc_id, score, _w) in enumerate(
+            oracle_wildcard_topk(oi, p, k=10), start=1
+        ):
+            wc_rows.append(
+                (p, rank, doc_id, round(float(score), 5),
+                 oi.docs[doc_id]["url"])
+            )
+    wc_values = ",\n  ".join(
+        f"({_sql_str(p)}, {rank}::BIGINT, {doc_id}::BIGINT, "
+        f"{score!r}::DOUBLE, {_sql_str(url)})"
+        for p, rank, doc_id, score, url in wc_rows
+    )
+    wc_sql = (
+        "SELECT * FROM (VALUES\n  "
+        + wc_values
+        + "\n) AS golden(query, rank, doc_id, score, url)"
+    )
+
     # ---- index invariants golden (serial oracle's independent counts) ----
     inv = {
         "n_docs": oi.n_docs,
@@ -485,7 +508,8 @@ def main() -> None:
             f"PAGES_SEARCH_PREVIEWS_SQL = '''\n{prev_sql}\n'''\n\n"
             f"PAGES_SEARCH_PAGED_SQL = '''\n{paged_sql}\n'''\n\n"
             f"PAGES_RESULT_COUNTS_SQL = '''\n{counts_sql}\n'''\n\n"
-            f"PAGES_INDEX_STATS_SQL = '''\n{inv_sql}\n'''\n",
+            f"PAGES_INDEX_STATS_SQL = '''\n{inv_sql}\n'''\n\n"
+            f"PAGES_WILDCARD_SEARCH_SQL = '''\n{wc_sql}\n'''\n",
         )
     print(
         f"wrote {out}: {len(stats)} stats rows, {len(rows)} search rows, "
@@ -493,7 +517,8 @@ def main() -> None:
         f"{len(phrase_rows)} phrase rows, {len(near_rows)} near rows, "
         f"{len(trend_rows)} trend rows, {len(sug_rows)} suggest rows, "
         f"{len(bool_rows)} boolean rows, {len(facet_rows)} facet rows, "
-        f"{len(pfx_rows)} prefix rows, {len(prev_rows)} preview rows"
+        f"{len(pfx_rows)} prefix rows, {len(prev_rows)} preview rows, "
+        f"{len(wc_rows)} wildcard rows"
     )
 
 
