@@ -352,6 +352,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # general-wildcard (*ab / a*c / *b* / multi-star) vocabulary
         # expansion ranked as one group through the array/WAND engine
         "pages_wildcard_search": fulltext.pages_wildcard_search,
+        # fielded ranking: flat per-term boost when the doc TITLE
+        # contains the term (Lucene field-boost semantics)
+        "pages_search_title_boost": fulltext.pages_search_title_boost,
     }
 
 
@@ -502,4 +505,5 @@ def oracle_sql() -> dict[str, str]:
         "pages_update_search": pages_golden.PAGES_SEARCH_TOPK_SQL,
         "pages_update_phrase": pages_golden.PAGES_PHRASE_SEARCH_SQL,
         "pages_wildcard_search": pages_golden.PAGES_WILDCARD_SEARCH_SQL,
+        "pages_search_title_boost": pages_golden.PAGES_TITLE_BOOST_SQL,
     }

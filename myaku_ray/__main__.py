@@ -86,6 +86,11 @@ def main(argv: list[str] | None = None) -> int:
         "--until", default=None, metavar="YYYY-MM-DD",
         help="only docs crawled before this UTC date (exclusive)",
     )
+    s.add_argument(
+        "--title-boost", type=float, default=None, metavar="B",
+        help="fielded ranking: add B to a term's contribution when the "
+        "doc title contains it",
+    )
 
     ph = sub.add_parser("phrase")
     ph.add_argument("index_dir")
@@ -195,6 +200,11 @@ def main(argv: list[str] | None = None) -> int:
             hi = _us(args.until, 2**62) - (1 if args.until else 0)
             hits = s_.hydrate(
                 s_.topk_in_range(args.query, lo, hi, args.k), args.query
+            )
+        elif args.title_boost is not None:
+            hits = s_.hydrate(
+                s_.topk_title_boost(args.query, args.k, args.title_boost),
+                args.query,
             )
         else:
             hits = (

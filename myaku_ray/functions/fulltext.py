@@ -333,6 +333,29 @@ def pages_wildcard_search(sf_dir: str, k: int = 10):
     return pd.DataFrame(rows)
 
 
+def pages_search_title_boost(sf_dir: str, k: int = 10):
+    """Fielded (title-boosted) search over the pages index: a term's
+    posting contribution gains a flat ``Searcher.TITLE_BOOST`` when the
+    doc's TITLE contains the term (Lucene field-boost semantics; the
+    matched set is identical to plain search since title text is part
+    of the indexed body).  Stored golden = the serial oracle's boosted
+    ranking (oracle.oracle_title_boost_topk) over the reference query
+    set."""
+    from myaku_ray.oracle import reference_query_set
+
+    s = _pages_searcher()
+    rows = {"query": [], "rank": [], "doc_id": [], "score": [], "url": []}
+    for q in reference_query_set():
+        hits = s.topk_title_boost(q, k)
+        for rank, r in enumerate(s.hydrate(hits, q) if hits else [], start=1):
+            rows["query"].append(q)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r.doc_id)
+            rows["score"].append(round(r.score, 5))
+            rows["url"].append(r.url)
+    return pd.DataFrame(rows)
+
+
 def pages_search_diverse(sf_dir: str, k: int = 10):
     """Host-collapse (source-diversified) search over the pages index:
     the first k global-rank docs with at most 2 per source — web

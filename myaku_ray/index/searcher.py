@@ -159,6 +159,55 @@ class SynonymMaxIterator:
         return max(m for m, _ in infos), min(l for _, l in infos)
 
 
+class TitleBoostIterator:
+    """Fielded-boost wrapper: adds a flat ``boost`` to the contribution
+    of every posting whose doc's TITLE contains the term (Lucene-style
+    field boosting; title text is part of the indexed body, so the
+    boosted docs are a subset of the postings — the candidate set never
+    changes, only scores).  ``max_score`` and per-block bounds shift by
+    ``+boost``, which stays admissible (every posting's boosted score is
+    <= unboosted bound + boost).  Used on the streaming (above
+    DECODE_LIMIT) path; the array fast path adds the boost vectorized."""
+
+    __slots__ = ("_it", "_tids", "_b", "max_score")
+
+    def __init__(self, it, title_ids, boost: float):
+        self._it, self._tids, self._b = it, title_ids, float(boost)
+        self.max_score = it.max_score + float(boost)
+
+    @property
+    def exhausted(self) -> bool:
+        return self._it.exhausted
+
+    def doc_id(self) -> int:
+        return self._it.doc_id()
+
+    def warc_us(self) -> int:
+        return self._it.warc_us()
+
+    def next(self) -> None:
+        self._it.next()
+
+    def seek(self, target: int) -> None:
+        self._it.seek(target)
+
+    def score(self) -> float:
+        import numpy as np
+
+        s = self._it.score()
+        d = self._it.doc_id()
+        i = int(np.searchsorted(self._tids, d))
+        if i < len(self._tids) and int(self._tids[i]) == d:
+            return s + self._b
+        return s
+
+    def block_info(self, target: int) -> tuple[float, int] | None:
+        info = self._it.block_info(target)
+        if info is None:
+            return None
+        return info[0] + self._b, info[1]
+
+
 def make_term_iterator(rows: list):
     """Choose the query-path representation for one term's sub-list blobs:
     array-backed (vectorized) under DECODE_LIMIT postings, streaming
@@ -456,6 +505,7 @@ class Searcher:
         self._phrase_sub_bytes = 0
         self._suggest_state = None  # vocab map derives from df/ contents
         self._facet_state = None  # sidecar derives from docs/ contents
+        self._title_state = None  # title-term sidecar, also docs-derived
 
     def term_iterator(self, term: str):
         cached = self._term_arrays.get(term)
@@ -1478,4 +1528,106 @@ class Searcher:
             (names[i], int(counts[i])) for i in range(len(names)) if counts[i]
         ]
         out.sort(key=lambda kv: (-kv[1], kv[0]))
+        return out
+
+    # -- fielded (title-boosted) search ------------------------------------
+
+    TITLE_BOOST = 0.5
+
+    def _title_terms_arrays(self) -> dict:
+        """Lazy term -> sorted doc_id int64 array sidecar over TITLE
+        tokens, built from the docs store's (doc_id, title) columns and
+        cached under the same docs-fingerprint key as the facet sidecar.
+        Titles are a handful of tokens, so the map is O(docs) small —
+        fine to ~1e8 docs per serving process; past that the same map is
+        a build-time hive-partitioned sidecar (one ``term=`` directory
+        point-read per query term, the df/term-directory layout) or a
+        second index built by the ordinary build pipeline over
+        title-only text."""
+        import numpy as np
+
+        fp = self._docs_fingerprint()
+        state = getattr(self, "_title_state", None)
+        if state is None or state[0] != fp:
+            acc: dict[str, list[int]] = {}
+            docs_dir = os.path.join(self.index_dir, "docs")
+            if os.path.isdir(docs_dir):
+                tbl = pads.dataset(docs_dir, format="parquet").to_table(
+                    columns=["doc_id", "title"]
+                )
+                ids = tbl["doc_id"].to_pylist()
+                titles = tbl["title"].to_pylist()
+                for doc_id, title in zip(ids, titles):
+                    for t in set(self.analyze_query(title or "")):
+                        acc.setdefault(t, []).append(doc_id)
+            tmap = {
+                t: np.sort(np.asarray(v, dtype=np.int64))
+                for t, v in acc.items()
+            }
+            state = (fp, tmap)
+            self._title_state = state
+        return state[1]
+
+    def topk_title_boost(
+        self, query_str: str, k: int = 10, boost: float | None = None
+    ) -> list[SearchResult]:
+        """Fielded top-k: ordinary BM25 ranking where a term's posting
+        contribution gains a flat ``boost`` when the doc's TITLE contains
+        that term (Lucene field-boost semantics; exact query type).
+        Title text is part of the indexed body, so boosted docs are a
+        subset of each term's postings — the matched set is identical to
+        ``topk``'s, only the rank order shifts.  Array-backed terms add
+        the boost vectorized in float64; streaming terms ride
+        ``TitleBoostIterator`` whose ``+boost``-shifted block bounds keep
+        WAND pruning admissible.  Rank identity vs the serial oracle
+        (``oracle.oracle_title_boost_topk``) is pytest-gated on both
+        paths."""
+        import numpy as np
+
+        if boost is None:
+            boost = self.TITLE_BOOST
+        boost = float(boost)
+        memo_key = ("title_boost", query_str, k, boost)
+        cached = self._query_memo.get(memo_key)
+        if cached is not None:
+            return [
+                SearchResult(doc_id=d, score=s, warc_us=w)
+                for (d, s, w) in cached
+            ]
+        terms = self.analyze_query(query_str)
+        tmap = self._title_terms_arrays() if boost else {}
+        iters: dict[str, object] = {}
+        for t in terms:
+            it = self.term_iterator(t)
+            if it is None:
+                continue
+            tids = tmap.get(t)
+            if boost and tids is not None and len(tids):
+                if isinstance(it, ArrayPostings):
+                    scores = it.scores.astype(np.float64)
+                    pos = np.searchsorted(tids, it.ids)
+                    pos[pos == len(tids)] = 0
+                    scores[tids[pos] == it.ids] += boost
+                    it = ArrayPostings.from_arrays(
+                        it.ids, scores, it.warc, it.max_score + boost
+                    )
+                else:
+                    it = TitleBoostIterator(it, tids, boost)
+            iters[t] = it
+        if not iters:
+            return []
+        from myaku_ray.index.wand import array_topk, wand_topk
+
+        if all(isinstance(it, ArrayPostings) for it in iters.values()):
+            hits = array_topk(iters, k)
+        else:
+            hits = wand_topk(iters, k)
+        out = [
+            SearchResult(doc_id=d, score=s, warc_us=w) for (d, s, w) in hits
+        ]
+        if len(self._query_memo) >= self._query_memo_cap:
+            self._query_memo.pop(next(iter(self._query_memo)))
+        self._query_memo[memo_key] = [
+            (r.doc_id, r.score, r.warc_us) for r in out
+        ]
         return out

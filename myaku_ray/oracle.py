@@ -82,6 +82,7 @@ def build_oracle_index(
                 "quality": quality,
                 "warc_us": warc_us_col[i],
                 "source": er.source,
+                "title": er.title,
             }
         )
 
@@ -108,6 +109,7 @@ def build_oracle_index(
             "url": d["url"],
             "text": d["text"],
             "source": d["source"],
+            "title": d["title"],
         }
         for it in items:
             postings.setdefault(it["term"], []).append((d["doc_id"], it["tf"]))
@@ -829,6 +831,52 @@ def oracle_wildcard_topk(
         ((s, index.docs[d]["warc_us"], d) for d, s in best.items()),
         reverse=True,
     )
+    return [(d, s, w) for (s, w, d) in scored[:k]]
+
+
+def oracle_title_boost_topk(
+    index: OracleIndex, query_str: str, k: int = 10, boost: float = 0.5
+):
+    """Serial fielded (title-boosted) top-k — mirrors
+    ``Searcher.topk_title_boost``: a term's per-posting contribution
+    gains a flat ``boost`` (float64 add) when the doc's TITLE contains
+    that term, where title membership is ``t in set(analyze_query(
+    title))``.  Title text is part of the indexed body, so the matched
+    set equals the plain ranking's; per-doc score sums contributions in
+    sorted-term order, ranked (score, warc_us, doc_id) DESC.  Exact
+    query type only (no alt-form expansion)."""
+    terms = analyze_query(query_str)
+    title_sets: dict[int, set] = {}
+
+    def title_terms(doc_id: int) -> set:
+        s = title_sets.get(doc_id)
+        if s is None:
+            s = set(analyze_query(index.docs[doc_id].get("title") or ""))
+            title_sets[doc_id] = s
+        return s
+
+    per_doc: dict[int, dict[str, float]] = {}
+    for t in terms:
+        pl = index.postings.get(t)
+        if not pl:
+            continue
+        dfv = index.df[t]
+        for doc_id, tf in pl:
+            meta = index.docs[doc_id]
+            contrib = posting_score(
+                tf, meta["doclen"], meta["quality"], dfv, index.n_docs,
+                index.avgdl,
+            )
+            if boost and t in title_terms(doc_id):
+                contrib += boost
+            per_doc.setdefault(doc_id, {})[t] = contrib
+    scored = []
+    for doc_id, contribs in per_doc.items():
+        score = 0.0
+        for t in sorted(contribs):
+            score += contribs[t]
+        scored.append((score, index.docs[doc_id]["warc_us"], doc_id))
+    scored.sort(reverse=True)
     return [(d, s, w) for (s, w, d) in scored[:k]]
 
 

@@ -113,6 +113,64 @@ def test_wildcard_matcher_contract(wc_built):
         assert s.wildcard_topk(p, 10) == []
 
 
+def test_title_boost_rank_identity(wc_built):
+    """Fielded (title-boosted) ranking: docIDs AND scores identical to
+    the serial oracle on the reference query set, and the boost must
+    actually reorder at least one query vs plain topk (the title tokens
+    are real, so a no-op implementation cannot pass)."""
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.oracle import oracle_title_boost_topk, reference_query_set
+
+    pages, index_dir, oracle = wc_built
+    s = Searcher(index_dir)
+    reordered = 0
+    for q in reference_query_set():
+        eng = [(r.doc_id, r.score) for r in s.topk_title_boost(q, 10)]
+        ora = [
+            (d, sc) for (d, sc, _w) in oracle_title_boost_topk(oracle, q, 10)
+        ]
+        assert eng == ora, f"query {q!r}: engine {eng} != oracle {ora}"
+        plain = [r.doc_id for r in s.topk(q, 10)]
+        if [d for d, _ in eng] != plain:
+            reordered += 1
+    assert reordered >= 1
+
+
+def test_title_boost_zero_equals_plain(wc_built):
+    """boost=0 must reproduce the plain ranking bit-for-bit (scores
+    included) — the fielded path degrades to ordinary BM25."""
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.oracle import reference_query_set
+
+    pages, index_dir, _oracle = wc_built
+    s = Searcher(index_dir)
+    for q in reference_query_set():
+        z = [(r.doc_id, r.score, r.warc_us)
+             for r in s.topk_title_boost(q, 10, boost=0.0)]
+        plain = [(r.doc_id, r.score, r.warc_us) for r in s.topk(q, 10)]
+        assert z == plain, f"query {q!r}"
+
+
+def test_title_boost_streaming_path(wc_built, monkeypatch):
+    """Forced streaming WAND path (DECODE_LIMIT = -1): the
+    TitleBoostIterator wrapper's +boost-shifted block bounds must keep
+    pruning admissible — rank identity vs the same serial oracle."""
+    import myaku_ray.index.searcher as searcher_mod
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.oracle import oracle_title_boost_topk, reference_query_set
+
+    pages, index_dir, oracle = wc_built
+    monkeypatch.setattr(searcher_mod, "DECODE_LIMIT", -1)
+    s = Searcher(index_dir)
+    s._first_page = None
+    for q in reference_query_set():
+        eng = [(r.doc_id, r.score) for r in s.topk_title_boost(q, 10)]
+        ora = [
+            (d, sc) for (d, sc, _w) in oracle_title_boost_topk(oracle, q, 10)
+        ]
+        assert eng == ora, f"streaming path, query {q!r}"
+
+
 def test_wildcard_no_star_is_exact_lookup(wc_built):
     """A pattern without ``*`` degenerates to an exact vocabulary
     lookup and ranks identically to a plain single-term search."""

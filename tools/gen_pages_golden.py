@@ -463,6 +463,29 @@ def main() -> None:
         + "\n) AS golden(query, rank, doc_id, score, url)"
     )
 
+    # ---- title-boost (fielded) search golden -----------------------------
+    from myaku_ray.oracle import oracle_title_boost_topk
+
+    tb_rows = []
+    for q in reference_query_set():
+        for rank, (doc_id, score, _w) in enumerate(
+            oracle_title_boost_topk(oi, q, k=10), start=1
+        ):
+            tb_rows.append(
+                (q, rank, doc_id, round(float(score), 5),
+                 oi.docs[doc_id]["url"])
+            )
+    tb_values = ",\n  ".join(
+        f"({_sql_str(q)}, {rank}::BIGINT, {doc_id}::BIGINT, "
+        f"{score!r}::DOUBLE, {_sql_str(url)})"
+        for q, rank, doc_id, score, url in tb_rows
+    )
+    tb_sql = (
+        "SELECT * FROM (VALUES\n  "
+        + tb_values
+        + "\n) AS golden(query, rank, doc_id, score, url)"
+    )
+
     # ---- index invariants golden (serial oracle's independent counts) ----
     inv = {
         "n_docs": oi.n_docs,
@@ -509,7 +532,8 @@ def main() -> None:
             f"PAGES_SEARCH_PAGED_SQL = '''\n{paged_sql}\n'''\n\n"
             f"PAGES_RESULT_COUNTS_SQL = '''\n{counts_sql}\n'''\n\n"
             f"PAGES_INDEX_STATS_SQL = '''\n{inv_sql}\n'''\n\n"
-            f"PAGES_WILDCARD_SEARCH_SQL = '''\n{wc_sql}\n'''\n",
+            f"PAGES_WILDCARD_SEARCH_SQL = '''\n{wc_sql}\n'''\n\n"
+            f"PAGES_TITLE_BOOST_SQL = '''\n{tb_sql}\n'''\n",
         )
     print(
         f"wrote {out}: {len(stats)} stats rows, {len(rows)} search rows, "
@@ -518,7 +542,7 @@ def main() -> None:
         f"{len(trend_rows)} trend rows, {len(sug_rows)} suggest rows, "
         f"{len(bool_rows)} boolean rows, {len(facet_rows)} facet rows, "
         f"{len(pfx_rows)} prefix rows, {len(prev_rows)} preview rows, "
-        f"{len(wc_rows)} wildcard rows"
+        f"{len(wc_rows)} wildcard rows, {len(tb_rows)} title-boost rows"
     )
 
 
