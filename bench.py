@@ -367,6 +367,47 @@ def bench_phrase_serving(
             t0 = time.time()
             s.facets(q)
             warm_fc.append((time.time() - t0) * 1000)
+    # wildcard / prefix expansion latency: the first wildcard pays the
+    # df-vocabulary load; neither path is query-memoized, so warm still
+    # measures the per-query vocabulary scan + group ranking
+    from myaku_ray.oracle import prefix_query_set, wildcard_query_set
+
+    wqs = [p for p in wildcard_query_set(corpus_dir) if "*" in p]
+    pfx = prefix_query_set(corpus_dir)
+    t0 = time.time()
+    s.wildcard_topk(wqs[0], 10)
+    wc_vocab_build_ms = (time.time() - t0) * 1000
+    cold_wc = []
+    for p in wqs[1:]:
+        t0 = time.time()
+        s.wildcard_topk(p, 10)
+        cold_wc.append((time.time() - t0) * 1000)
+    warm_wc, warm_px = [], []
+    for _ in range(QUERY_REPEATS):
+        for p in wqs:
+            t0 = time.time()
+            s.wildcard_topk(p, 10)
+            warm_wc.append((time.time() - t0) * 1000)
+        for p in pfx:
+            t0 = time.time()
+            s.prefix_topk(p, 10)
+            warm_px.append((time.time() - t0) * 1000)
+    # fielded title-boost latency: the first query pays the title-term
+    # sidecar build (docs scan + title tokenization); warm = query memo
+    t0 = time.time()
+    s.topk_title_boost(fqs[0], 10)
+    tb_sidecar_build_ms = (time.time() - t0) * 1000
+    cold_tb = []
+    for q in fqs[1:]:
+        t0 = time.time()
+        s.topk_title_boost(q, 10)
+        cold_tb.append((time.time() - t0) * 1000)
+    warm_tb = []
+    for _ in range(QUERY_REPEATS):
+        for q in fqs:
+            t0 = time.time()
+            s.topk_title_boost(q, 10)
+            warm_tb.append((time.time() - t0) * 1000)
     preview = {}
     if plain_index is not None:
         from myaku_ray.oracle import reference_query_set
@@ -421,6 +462,23 @@ def bench_phrase_serving(
         "dated_warm_p50_ms": round(_st.median(warm_dt), 3) if warm_dt else None,
         "facet_sidecar_build_ms": round(facet_build_ms, 1),
         "facet_p50_ms": round(_st.median(warm_fc), 3) if warm_fc else None,
+        "wildcard_vocab_build_ms": round(wc_vocab_build_ms, 1),
+        "wildcard_cold_p50_ms": (
+            round(_st.median(cold_wc), 2) if cold_wc else None
+        ),
+        "wildcard_warm_p50_ms": (
+            round(_st.median(warm_wc), 2) if warm_wc else None
+        ),
+        "prefix_warm_p50_ms": (
+            round(_st.median(warm_px), 2) if warm_px else None
+        ),
+        "titleboost_sidecar_build_ms": round(tb_sidecar_build_ms, 1),
+        "titleboost_cold_p50_ms": (
+            round(_st.median(cold_tb), 2) if cold_tb else None
+        ),
+        "titleboost_warm_p50_ms": (
+            round(_st.median(warm_tb), 3) if warm_tb else None
+        ),
         "phrase_qps": round(len(pqs) / phrase_qps_wall, 1),
         "phrase_qps_capacity": round(phrase_qps_capacity, 1),
         "phrase_qps_n": len(pqs),
