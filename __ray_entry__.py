@@ -355,6 +355,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fielded ranking: flat per-term boost when the doc TITLE
         # contains the term (Lucene field-boost semantics)
         "pages_search_title_boost": fulltext.pages_search_title_boost,
+        # fuzzy (edit-distance) search: SymSpell deletion-neighborhood
+        # expansion ranked as one group through the array/WAND engine
+        "pages_fuzzy_search": fulltext.pages_fuzzy_search,
     }
 
 
@@ -506,4 +509,5 @@ def oracle_sql() -> dict[str, str]:
         "pages_update_phrase": pages_golden.PAGES_PHRASE_SEARCH_SQL,
         "pages_wildcard_search": pages_golden.PAGES_WILDCARD_SEARCH_SQL,
         "pages_search_title_boost": pages_golden.PAGES_TITLE_BOOST_SQL,
+        "pages_fuzzy_search": pages_golden.PAGES_FUZZY_SEARCH_SQL,
     }

@@ -120,6 +120,14 @@ def main(argv: list[str] | None = None) -> int:
     wc.add_argument("pattern")
     wc.add_argument("--k", type=int, default=10)
 
+    fz = sub.add_parser(
+        "fuzzy", help="edit-distance search: vocabulary terms within --dist"
+    )
+    fz.add_argument("index_dir")
+    fz.add_argument("term")
+    fz.add_argument("--k", type=int, default=10)
+    fz.add_argument("--dist", type=int, default=1)
+
     d = sub.add_parser("delete")
     d.add_argument("index_dir")
     d.add_argument("urls", nargs="+")
@@ -286,6 +294,23 @@ def main(argv: list[str] | None = None) -> int:
         s_ = Searcher(args.index_dir)
         hits = s_.wildcard_topk(args.pattern, args.k)
         for h in s_.hydrate(hits, args.pattern):
+            print(
+                json.dumps(
+                    {
+                        "doc_id": h.doc_id,
+                        "score": round(h.score, 5),
+                        "url": h.url,
+                        "title": h.title,
+                    },
+                    ensure_ascii=False,
+                )
+            )
+    elif args.cmd == "fuzzy":
+        from myaku_ray.index.searcher import Searcher
+
+        s_ = Searcher(args.index_dir)
+        hits = s_.fuzzy_topk(args.term, args.k, max_dist=args.dist)
+        for h in s_.hydrate(hits, args.term):
             print(
                 json.dumps(
                     {

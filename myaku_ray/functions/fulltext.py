@@ -333,6 +333,39 @@ def pages_wildcard_search(sf_dir: str, k: int = 10):
     return pd.DataFrame(rows)
 
 
+def pages_fuzzy_search(sf_dir: str, k: int = 10):
+    """Fuzzy (edit-distance) search over the pages index: each
+    corpus-derived misspelled query expands to the vocabulary terms
+    within Levenshtein distance <= max_dist (SymSpell
+    deletion-neighborhood candidates, banded-kernel verification; the
+    exact spelling included) — capped to ``Searcher.PREFIX_MAX_TERMS``
+    members in deterministic (distance, -df, term) order — and the
+    members score as ONE alt-form-style group (per-doc max).  Each
+    query runs at max_dist 1 and 2.  Stored golden = the serial
+    full-vocabulary scan with an independent Levenshtein
+    (oracle.oracle_fuzzy_topk)."""
+    from myaku_ray.oracle import fuzzy_query_set
+
+    s = _pages_searcher()
+    rows = {
+        "query": [], "max_dist": [], "rank": [], "doc_id": [],
+        "score": [], "url": [],
+    }
+    for q in fuzzy_query_set(_pages_dir()):
+        for dist in (1, 2):
+            hits = s.fuzzy_topk(q, k, max_dist=dist)
+            for rank, r in enumerate(
+                s.hydrate(hits, q) if hits else [], start=1
+            ):
+                rows["query"].append(q)
+                rows["max_dist"].append(dist)
+                rows["rank"].append(rank)
+                rows["doc_id"].append(r.doc_id)
+                rows["score"].append(round(r.score, 5))
+                rows["url"].append(r.url)
+    return pd.DataFrame(rows)
+
+
 def pages_search_title_boost(sf_dir: str, k: int = 10):
     """Fielded (title-boosted) search over the pages index: a term's
     posting contribution gains a flat ``Searcher.TITLE_BOOST`` when the

@@ -928,12 +928,7 @@ class Searcher:
         # mutation probes — fingerprint the df files directly (a handful
         # of getmtime calls) and rebuild when an in-place update/refresh
         # rewrote them
-        fp = self._df_fingerprint()
-        state = self._suggest_state
-        if state is None or state[0] != max_dist or state[1] != fp:
-            state = (max_dist, fp, *self._build_suggest_map(max_dist))
-            self._suggest_state = state
-        _, _, terms, dfs, nbhd = state
+        terms, dfs, nbhd = self._deletion_map(max_dist)
         cand: set[int] = set()
         for v in deletion_variants(q, max_dist):
             cand.update(nbhd.get(v, ()))
@@ -947,6 +942,71 @@ class Searcher:
                 scored.append((d, -int(dfs[i]), t))
         scored.sort()
         return [(t, d, -neg_df) for d, neg_df, t in scored[:k]]
+
+    def _deletion_map(self, max_dist: int):
+        """(terms, dfs, variant -> [vocab index]) built at deletion depth
+        >= max_dist — a depth-D map is a valid superset for any query
+        depth d <= D (two terms at distance <= d share a <= d-deletion
+        variant, and every <= d-deletion key is also a <= D-deletion
+        key), so ``suggest`` (default depth 2) and ``fuzzy_topk``
+        (default depth 1) share ONE cached map.  Rebuilt when the df
+        files' fingerprint changes (same staleness rule as before)."""
+        fp = self._df_fingerprint()
+        state = self._suggest_state
+        if state is None or state[0] < max_dist or state[1] != fp:
+            depth = max(2, max_dist)
+            state = (depth, fp, *self._build_suggest_map(depth))
+            self._suggest_state = state
+        _, _, terms, dfs, nbhd = state
+        return terms, dfs, nbhd
+
+    def fuzzy_topk(
+        self,
+        term: str,
+        k: int = 10,
+        max_dist: int = 1,
+        max_terms: int | None = None,
+    ) -> list[SearchResult]:
+        """Fuzzy (edit-distance) search: the query matches every
+        vocabulary term within Levenshtein distance <= ``max_dist`` of
+        the width-normalized query — the query spelling itself included
+        when it is in the vocabulary — capped to ``max_terms`` members
+        in deterministic (distance, -df, term) order (closer spellings
+        survive the cap before frequent-but-farther ones; contrast the
+        (-df, term) rule of prefix/wildcard, whose members are all
+        equally exact).  The members form ONE alt-form-style group
+        (per-doc score = max over members, SynonymMaxIterator
+        semantics), so ranking rides the same array/WAND engine as
+        every other query type; rank identity vs the serial oracle's
+        full-vocabulary distance scan is pytest-gated.
+
+        Candidates come from the SymSpell deletion-neighborhood map the
+        suggest path already maintains (``_deletion_map`` — exact
+        candidate recall, every candidate verified with the banded
+        kernel), so no vocabulary scan happens at query time; the map
+        is vocab-sized and shards by term hash at web scale (the
+        ``suggest`` docstring's layout note)."""
+        from myaku_ray.editdist import deletion_variants, levenshtein_capped
+
+        if max_terms is None:
+            max_terms = self.PREFIX_MAX_TERMS
+        q = normalize_char_width(term.strip())
+        if not q:
+            return []
+        terms, dfs, nbhd = self._deletion_map(max_dist)
+        cand: set[int] = set()
+        for v in deletion_variants(q, max_dist):
+            cand.update(nbhd.get(v, ()))
+        scored = []
+        for i in cand:
+            d = levenshtein_capped(q, terms[i], max_dist)
+            if d <= max_dist:
+                scored.append((d, -int(dfs[i]), terms[i]))
+        scored.sort()
+        members = [t for _, _, t in scored[:max_terms]]
+        if not members:
+            return []
+        return self._ranked_group(q, members, k)
 
     def _df_fingerprint(self) -> tuple:
         """Sorted (name, mtime) of the df stage's parquet files — the

@@ -834,6 +834,103 @@ def oracle_wildcard_topk(
     return [(d, s, w) for (s, w, d) in scored[:k]]
 
 
+def _oracle_levenshtein(a: str, b: str) -> int:
+    """Plain full-matrix unit-cost Levenshtein — deliberately an
+    INDEPENDENT implementation of the engine's banded/SymSpell path
+    (editdist.py), so the fuzzy goldens cross-check the kernel too."""
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (0 if ca == b[j - 1] else 1),
+            )
+        prev = cur
+    return prev[lb]
+
+
+def oracle_fuzzy_topk(
+    index: OracleIndex,
+    term: str,
+    k: int = 10,
+    max_dist: int = 1,
+    max_terms: int = PREFIX_MAX_TERMS,
+):
+    """Serial fuzzy (edit-distance) search: a FULL vocabulary scan with
+    an independent Levenshtein, keeping terms at distance <= max_dist
+    of the width-normalized query (the query spelling itself included),
+    capped to ``max_terms`` members in (distance, -df, term) order —
+    the engine's exact expansion rule — scored as ONE group (per-doc
+    contribution = max over members), ranked (score, warc_us, doc_id)
+    DESC."""
+    q = normalize_char_width(term.strip())
+    if not q:
+        return []
+    scored_terms = []
+    for t in index.df:
+        d = _oracle_levenshtein(q, t)
+        if d <= max_dist:
+            scored_terms.append((d, -index.df[t], t))
+    scored_terms.sort()
+    members = [t for _, _, t in scored_terms[:max_terms]]
+    best: dict[int, float] = {}
+    for m in members:
+        dfv = index.df[m]
+        for doc_id, tf in index.postings[m]:
+            meta = index.docs[doc_id]
+            contrib = posting_score(
+                tf, meta["doclen"], meta["quality"], dfv, index.n_docs,
+                index.avgdl,
+            )
+            if doc_id not in best or contrib > best[doc_id]:
+                best[doc_id] = contrib
+    scored = sorted(
+        ((s, index.docs[d]["warc_us"], d) for d, s in best.items()),
+        reverse=True,
+    )
+    return [(d, s, w) for (s, w, d) in scored[:k]]
+
+
+def fuzzy_query_set(pages_parquet: str) -> list[str]:
+    """Deterministic fuzzy-search queries derived from corpus content
+    (URL order, the _first_texts rule): for the first few 3+-char
+    terms of the first long docs, a one-deletion and a one-substitution
+    misspelling (guaranteed distance-1 vocabulary neighbors), one exact
+    vocabulary spelling (the distance-0 member must rank too), and a
+    nonsense string with no near neighbor (zero hits)."""
+    texts = _first_texts(pages_parquet, want=2, min_len=200)
+    out: list[str] = []
+    seen: set[str] = set()
+
+    def add(p: str) -> None:
+        if p and p not in seen:
+            seen.add(p)
+            out.append(p)
+
+    for tx in texts:
+        for t in analyze_query(tx[:400]):
+            if len(t) < 3 or t.isascii():
+                continue
+            mid = len(t) // 2
+            add(t[:mid] + t[mid + 1 :])  # one deletion
+            add(t[:mid] + "ぴ" + t[mid + 1 :])  # one substitution
+            if len(out) >= 6:
+                break
+        if len(out) >= 6:
+            break
+    if texts:
+        for t in analyze_query(texts[0][:400]):
+            if len(t) >= 3 and not t.isascii():
+                add(t)  # exact vocabulary spelling
+                break
+    add("ゑゐぴぬ")  # zero-hit query
+    return out
+
+
 def oracle_title_boost_topk(
     index: OracleIndex, query_str: str, k: int = 10, boost: float = 0.5
 ):

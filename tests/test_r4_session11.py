@@ -1,0 +1,129 @@
+"""Session-11 ops: fuzzy (edit-distance) ranked search.
+
+The engine (`Searcher.fuzzy_topk`) expands a query over the SymSpell
+deletion-neighborhood map (shared with `suggest`) and verifies
+candidates with the banded kernel; the oracle
+(`oracle.oracle_fuzzy_topk`) is an INDEPENDENT full-matrix Levenshtein
+over the whole vocabulary.  These tests pin (a) rank identity on the
+corpus-derived fuzzy query set at distances 1 and 2, (b) the
+(distance, -df, term) expansion-cap rule, (c) distance-0 behavior (an
+exact vocabulary spelling must rank like the plain search when it has
+no distance-<=d neighbors, and its group must include itself), and
+(d) map sharing between suggest and fuzzy (a depth-2 map serves
+depth-1 queries without a rebuild).
+"""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def fz_built(ray_session, tmp_path_factory):
+    from myaku_ray.corpus import gen_blogs_table, write_pages_parquet
+    from myaku_ray.oracle import build_oracle_index
+    from myaku_ray.pipelines.build import build_index
+
+    base = tmp_path_factory.mktemp("fz")
+    pages = str(base / "pages")
+    index_dir = str(base / "index")
+    write_pages_parquet(pages, 300)
+    blogs = gen_blogs_table()
+    ratings = dict(zip(blogs["blog_url"], blogs["rating"]))
+    build_index(pages, index_dir, blog_ratings=ratings)
+    oracle = build_oracle_index(pages, blog_ratings=ratings)
+    return pages, index_dir, oracle
+
+
+def test_fuzzy_rank_identity(fz_built):
+    """docIDs AND scores rank-identical to the serial full-vocabulary
+    Levenshtein scan on the corpus-derived fuzzy set, at max_dist 1
+    and 2 (deletion, substitution, exact and zero-hit shapes)."""
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.oracle import fuzzy_query_set, oracle_fuzzy_topk
+
+    pages, index_dir, oracle = fz_built
+    s = Searcher(index_dir)
+    qs = fuzzy_query_set(pages)
+    assert len(qs) >= 5
+    n_nonempty = 0
+    for q in qs:
+        for dist in (1, 2):
+            eng = [(r.doc_id, r.score) for r in s.fuzzy_topk(q, 10, max_dist=dist)]
+            ora = [
+                (d, sc)
+                for (d, sc, _w) in oracle_fuzzy_topk(oracle, q, 10, max_dist=dist)
+            ]
+            assert eng == ora, f"query {q!r} dist={dist}: {eng} != {ora}"
+            n_nonempty += bool(eng)
+    assert n_nonempty >= 6  # the set must actually exercise matches
+    assert s.fuzzy_topk("ゑゐぴぬ", 10, max_dist=1) == []
+
+
+def test_fuzzy_cap_rule(fz_built):
+    """max_terms=1 must pick exactly the (distance, -df, term)-first
+    member on both sides — closer spellings survive the cap before
+    frequent-but-farther ones."""
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.oracle import fuzzy_query_set, oracle_fuzzy_topk
+
+    pages, index_dir, oracle = fz_built
+    s = Searcher(index_dir)
+    checked = 0
+    for q in fuzzy_query_set(pages):
+        eng = [
+            (r.doc_id, r.score)
+            for r in s.fuzzy_topk(q, 10, max_dist=2, max_terms=1)
+        ]
+        ora = [
+            (d, sc)
+            for (d, sc, _w) in oracle_fuzzy_topk(
+                oracle, q, 10, max_dist=2, max_terms=1
+            )
+        ]
+        assert eng == ora, f"query {q!r} (max_terms=1)"
+        checked += bool(eng)
+    assert checked >= 3
+
+
+def test_fuzzy_exact_spelling_included(fz_built):
+    """A query that IS a vocabulary term includes itself (distance 0)
+    in the expansion group: with a max_terms=1 cap the ranking must
+    equal the plain single-term search bit-for-bit."""
+    from myaku_ray.index.searcher import Searcher
+
+    pages, index_dir, _oracle = fz_built
+    s = Searcher(index_dir)
+    terms, dfs = s._vocab_terms_dfs()
+    t = next(
+        t
+        for _d, t in sorted(zip(dfs, terms))[len(terms) // 2 :]
+        if len(t) >= 3 and not t.isascii() and s.analyze_query(t) == [t]
+    )
+    eng = [(r.doc_id, r.score) for r in s.fuzzy_topk(t, 10, max_dist=1, max_terms=1)]
+    plain = [(r.doc_id, r.score) for r in s.search(t, 10)]
+    assert eng == plain, f"term {t!r}"
+
+
+def test_fuzzy_and_suggest_share_map(fz_built):
+    """fuzzy_topk (depth 1) must reuse the depth-2 map suggest builds —
+    and suggest must stay correct after fuzzy populated the shared
+    state (no clobbering either way)."""
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.oracle import fuzzy_query_set
+
+    pages, index_dir, _oracle = fz_built
+    s = Searcher(index_dir)
+    qs = [q for q in fuzzy_query_set(pages) if len(q) >= 3][:2]
+    assert qs
+    # suggest first (builds depth-2 map), then fuzzy at depth 1
+    sug_before = {q: s.suggest(q, 5) for q in qs}
+    state_after_suggest = s._suggest_state
+    fz = {q: [(r.doc_id, r.score) for r in s.fuzzy_topk(q, 10, max_dist=1)] for q in qs}
+    assert s._suggest_state is state_after_suggest, "fuzzy rebuilt the map"
+    # fresh searcher: fuzzy first (still builds depth 2), suggest after
+    s2 = Searcher(index_dir)
+    fz2 = {q: [(r.doc_id, r.score) for r in s2.fuzzy_topk(q, 10, max_dist=1)] for q in qs}
+    state_after_fuzzy = s2._suggest_state
+    sug_after = {q: s2.suggest(q, 5) for q in qs}
+    assert s2._suggest_state is state_after_fuzzy, "suggest rebuilt the map"
+    assert fz == fz2
+    assert sug_before == sug_after

@@ -463,6 +463,30 @@ def main() -> None:
         + "\n) AS golden(query, rank, doc_id, score, url)"
     )
 
+    # ---- fuzzy (edit-distance) search golden ------------------------------
+    from myaku_ray.oracle import fuzzy_query_set, oracle_fuzzy_topk
+
+    fz_rows = []
+    for p in fuzzy_query_set(pages_dir):
+        for dist in (1, 2):
+            for rank, (doc_id, score, _w) in enumerate(
+                oracle_fuzzy_topk(oi, p, k=10, max_dist=dist), start=1
+            ):
+                fz_rows.append(
+                    (p, dist, rank, doc_id, round(float(score), 5),
+                     oi.docs[doc_id]["url"])
+                )
+    fz_values = ",\n  ".join(
+        f"({_sql_str(p)}, {dist}::BIGINT, {rank}::BIGINT, {doc_id}::BIGINT, "
+        f"{score!r}::DOUBLE, {_sql_str(url)})"
+        for p, dist, rank, doc_id, score, url in fz_rows
+    )
+    fz_sql = (
+        "SELECT * FROM (VALUES\n  "
+        + fz_values
+        + "\n) AS golden(query, max_dist, rank, doc_id, score, url)"
+    )
+
     # ---- title-boost (fielded) search golden -----------------------------
     from myaku_ray.oracle import oracle_title_boost_topk
 
@@ -533,7 +557,8 @@ def main() -> None:
             f"PAGES_RESULT_COUNTS_SQL = '''\n{counts_sql}\n'''\n\n"
             f"PAGES_INDEX_STATS_SQL = '''\n{inv_sql}\n'''\n\n"
             f"PAGES_WILDCARD_SEARCH_SQL = '''\n{wc_sql}\n'''\n\n"
-            f"PAGES_TITLE_BOOST_SQL = '''\n{tb_sql}\n'''\n",
+            f"PAGES_TITLE_BOOST_SQL = '''\n{tb_sql}\n'''\n\n"
+            f"PAGES_FUZZY_SEARCH_SQL = '''\n{fz_sql}\n'''\n",
         )
     print(
         f"wrote {out}: {len(stats)} stats rows, {len(rows)} search rows, "
@@ -542,7 +567,8 @@ def main() -> None:
         f"{len(trend_rows)} trend rows, {len(sug_rows)} suggest rows, "
         f"{len(bool_rows)} boolean rows, {len(facet_rows)} facet rows, "
         f"{len(pfx_rows)} prefix rows, {len(prev_rows)} preview rows, "
-        f"{len(wc_rows)} wildcard rows, {len(tb_rows)} title-boost rows"
+        f"{len(wc_rows)} wildcard rows, {len(tb_rows)} title-boost rows, "
+        f"{len(fz_rows)} fuzzy rows"
     )
 
 
