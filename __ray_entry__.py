@@ -358,6 +358,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fuzzy (edit-distance) search: SymSpell deletion-neighborhood
         # expansion ranked as one group through the array/WAND engine
         "pages_fuzzy_search": fulltext.pages_fuzzy_search,
+        # document-sharded build (global-IDF exchange) + federated
+        # top-k merge — must be bit-identical to the monolithic index,
+        # so it shares pages_search_topk's stored golden
+        "pages_sharded_search": fulltext.pages_sharded_search,
     }
 
 
@@ -510,4 +514,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_wildcard_search": pages_golden.PAGES_WILDCARD_SEARCH_SQL,
         "pages_search_title_boost": pages_golden.PAGES_TITLE_BOOST_SQL,
         "pages_fuzzy_search": pages_golden.PAGES_FUZZY_SEARCH_SQL,
+        # deliberately the SAME golden as pages_search_topk: sharded
+        # serving must reproduce the monolithic ranking bit-for-bit
+        "pages_sharded_search": pages_golden.PAGES_SEARCH_TOPK_SQL,
     }

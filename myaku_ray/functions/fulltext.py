@@ -366,6 +366,39 @@ def pages_fuzzy_search(sf_dir: str, k: int = 10):
     return pd.DataFrame(rows)
 
 
+def pages_sharded_search(sf_dir: str, k: int = 10, n_shards: int = 3):
+    """Document-sharded build + federated serving: the pages corpus is
+    built as ``n_shards`` document-routed index shards sharing GLOBAL
+    collection statistics (pipelines/shard.py — one tokenize pass,
+    hive-routed (shard, bucket) postings write, vocab-sized global-IDF
+    merge replicated to every shard), then the reference query set runs
+    through ShardedSearcher (per-shard top-k merged on the total rank
+    key).  The oracle is the SAME stored golden as pages_search_topk:
+    the sharded engine must be bit-identical to the monolithic one —
+    scores included — which is exactly the global-stats exchange's
+    guarantee."""
+    from myaku_ray.corpus import gen_blogs_table
+    from myaku_ray.index.sharded import ShardedSearcher
+    from myaku_ray.oracle import reference_query_set
+    from myaku_ray.pipelines.shard import build_sharded_index
+
+    pages = _pages_dir()
+    out = os.path.join(CACHE_ROOT, f"pagessharded_{PAGES_N}x{n_shards}")
+    blogs = gen_blogs_table()
+    ratings = dict(zip(blogs["blog_url"], blogs["rating"]))
+    m = build_sharded_index(pages, out, n_shards, blog_ratings=ratings)
+    fed = ShardedSearcher(m["shard_dirs"])
+    rows = {"query": [], "rank": [], "doc_id": [], "score": [], "url": []}
+    for q in reference_query_set():
+        for rank, r in enumerate(fed.search(q, k), start=1):
+            rows["query"].append(q)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r.doc_id)
+            rows["score"].append(round(r.score, 5))
+            rows["url"].append(r.url)
+    return pd.DataFrame(rows)
+
+
 def pages_search_title_boost(sf_dir: str, k: int = 10):
     """Fielded (title-boosted) search over the pages index: a term's
     posting contribution gains a flat ``Searcher.TITLE_BOOST`` when the

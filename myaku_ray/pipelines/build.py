@@ -166,35 +166,21 @@ def _clear_stage(index_dir: str, stage: str) -> None:
     shutil.rmtree(stage_dir(index_dir, stage), ignore_errors=True)
 
 
-def build_index(
+def ensure_docs_dedup(
     pages_path: str,
     index_dir: str,
     *,
     blog_ratings: dict[str, float] | None = None,
     fixed_now=FIXED_NOW,
-    num_segments: int = DEFAULT_NUM_SEGMENTS,
-    salt_buckets: int | None = None,
-    # encode write-partitions; None = scaled to corpus size (see
-    # _auto_encode_buckets) so per-bucket encode tasks stay ~constant work
-    encode_buckets: int | None = None,
-    tokenize_concurrency: int | tuple | None = None,
-    tokenize_batch_size: int = 128,
     resume: bool = True,
-    # opt-in positional sidecar (phrase / proximity queries): postings
-    # carry per-occurrence (start, len) records and segments gain a
-    # pos_blob column.  The score path (blob, WAND, rank identity) is
-    # byte-identical either way; positions cost ~tokenize 2x + payload.
-    with_positions: bool = False,
-    # tokenize+write input shards; None = auto (1 below
-    # POSTINGS_CHUNK_TARGET_BYTES of docs input — every corpus in this
-    # sandbox — else sized so each shard's pipeline stays bounded).
-    # Shards > 1 give the most expensive stage partition-level resume:
-    # an interrupted build redoes only unfinished shards.
-    postings_chunks: int | None = None,
-) -> dict:
-    """Build (or resume building) the full index. Returns build metrics."""
+    metrics: dict | None = None,
+) -> tuple[str, str]:
+    """Stages 1+2 of the build — HTML extract to ``docs/`` and exact
+    dedup to ``dedup/losers`` — shared verbatim by the monolithic
+    build and the sharded build (pipelines/shard.py runs them ONCE and
+    routes the winner docs to shards afterwards).  Returns
+    (docs_dir, dedup_dir)."""
     os.makedirs(index_dir, exist_ok=True)
-    metrics: dict = {}
     blog_ratings = blog_ratings or {}
 
     # ---- stage 1: docs -------------------------------------------------
@@ -214,7 +200,8 @@ def build_index(
             index_dir, "docs", rows=_parquet_rows(docs_dir),
             wall_s=round(time.time() - t0, 3),
         )
-        metrics["docs_wall_s"] = time.time() - t0
+        if metrics is not None:
+            metrics["docs_wall_s"] = time.time() - t0
 
     # ---- stage 2: exact dedup (losers) ---------------------------------
     # Scale switch: the groupby('text_hash') shuffle is the correct plan at
@@ -254,7 +241,46 @@ def build_index(
         mark_complete(
             index_dir, "dedup", rows=n_losers, wall_s=round(time.time() - t0, 3)
         )
-        metrics["dedup_losers"] = n_losers
+        if metrics is not None:
+            metrics["dedup_losers"] = n_losers
+    return docs_dir, dedup_dir
+
+
+def build_index(
+    pages_path: str,
+    index_dir: str,
+    *,
+    blog_ratings: dict[str, float] | None = None,
+    fixed_now=FIXED_NOW,
+    num_segments: int = DEFAULT_NUM_SEGMENTS,
+    salt_buckets: int | None = None,
+    # encode write-partitions; None = scaled to corpus size (see
+    # _auto_encode_buckets) so per-bucket encode tasks stay ~constant work
+    encode_buckets: int | None = None,
+    tokenize_concurrency: int | tuple | None = None,
+    tokenize_batch_size: int = 128,
+    resume: bool = True,
+    # opt-in positional sidecar (phrase / proximity queries): postings
+    # carry per-occurrence (start, len) records and segments gain a
+    # pos_blob column.  The score path (blob, WAND, rank identity) is
+    # byte-identical either way; positions cost ~tokenize 2x + payload.
+    with_positions: bool = False,
+    # tokenize+write input shards; None = auto (1 below
+    # POSTINGS_CHUNK_TARGET_BYTES of docs input — every corpus in this
+    # sandbox — else sized so each shard's pipeline stays bounded).
+    # Shards > 1 give the most expensive stage partition-level resume:
+    # an interrupted build redoes only unfinished shards.
+    postings_chunks: int | None = None,
+) -> dict:
+    """Build (or resume building) the full index. Returns build metrics."""
+    os.makedirs(index_dir, exist_ok=True)
+    metrics: dict = {}
+    blog_ratings = blog_ratings or {}
+
+    docs_dir, dedup_dir = ensure_docs_dedup(
+        pages_path, index_dir, blog_ratings=blog_ratings,
+        fixed_now=fixed_now, resume=resume, metrics=metrics,
+    )
 
     import pyarrow.parquet as _pq
 

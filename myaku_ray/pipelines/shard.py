@@ -1,0 +1,290 @@
+"""Document-sharded index build with a global-statistics exchange.
+
+At the north-star's 10^12-document scale one index directory is not
+servable from one node: the standard serving layout (Lucene/
+Elasticsearch shards, Vespa content groups) is N document-routed
+shards, each a complete self-contained index over its slice of the
+corpus.  BM25 bakes collection statistics (df, n_docs, avgdl) into
+every posting's quantized contribution at encode time
+(index/segment_build.py), so per-shard-local statistics would make
+scores — and therefore merged rankings — drift from the monolithic
+index.  The fix is the classic distributed-IDF exchange (Lucene's
+``dfs_query_then_fetch``): compute the statistics GLOBALLY, replicate
+them to every shard, and encode each shard with them.  Rankings
+merged across shards are then bit-identical to a single index — the
+driver gates ``pages_sharded_search`` against the SAME stored golden
+as ``pages_search_topk``, and pytest compares both engines
+hit-by-hit.
+
+Build plan (all stages marker-resumable like pipelines/build.py):
+
+1. ``docs`` + ``dedup`` run ONCE into ``out_root/_shared`` (exact
+   dedup is corpus-global curation — ``build.ensure_docs_dedup``,
+   shared verbatim with the monolithic build); shards stay disjoint
+   because routing happens after the winner set is fixed.
+2. ``postings``: ONE tokenize pass; the parquet write is
+   hive-partitioned by ``(shard, bucket)`` — the write IS both the
+   document routing (``doc_id % n_shards``; doc_id is a url hash, so
+   shards are balanced) and the (term, salt) exchange.  No posting
+   row moves twice, and no all-to-all is added vs the monolithic
+   build.
+3. ``df``: per-bucket partial df tasks over ALL shards' postings
+   merged once on the driver (``df_from_buckets`` — the vocab-sized
+   global-IDF all-reduce), then the df table + stats.json REPLICATED
+   into every shard dir (what a real engine broadcasts to its query
+   nodes; suggest/prefix/wildcard read it locally).
+4. ``segments``: per-shard partitioned encode with the global stats.
+   Each shard dir is a complete index directory the ordinary
+   ``Searcher`` opens unmodified (its ``docs`` is a symlink into
+   ``_shared`` — the shared document-store analog; a real deployment
+   would either copy the shard's slice or point at a doc service).
+
+Serving: ``index/sharded.ShardedSearcher`` fans a query to per-shard
+Searchers and merges on the total rank key.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from myaku_ray.corpus import FIXED_NOW
+from myaku_ray.index.segment_build import (
+    bucket_file_map,
+    df_from_buckets,
+    encode_segments_partitioned,
+)
+from myaku_ray.pipelines.build import (
+    DEFAULT_NUM_SEGMENTS,
+    TERMS_PER_DOC_EST,
+    _auto_encode_buckets,
+    _auto_salt_buckets,
+    _clear_stage,
+    _loser_ids_for,
+    _parquet_rows,
+    ensure_docs_dedup,
+)
+from myaku_ray.stages.tokenize import TokenizeStage
+from myaku_ray.state.lineage import is_complete, mark_complete, stage_dir
+
+
+def shard_dirs_of(out_root: str, n_shards: int) -> list[str]:
+    """The per-shard index directories of a sharded build."""
+    return [
+        os.path.join(out_root, f"shard-{i:05d}") for i in range(n_shards)
+    ]
+
+
+def build_sharded_index(
+    pages_path: str,
+    out_root: str,
+    n_shards: int = 2,
+    *,
+    blog_ratings: dict[str, float] | None = None,
+    fixed_now=FIXED_NOW,
+    num_segments: int = DEFAULT_NUM_SEGMENTS,
+    with_positions: bool = False,
+    tokenize_batch_size: int = 128,
+    resume: bool = True,
+) -> dict:
+    """Build (or resume) an ``n_shards``-way document-sharded index under
+    ``out_root``.  Returns metrics incl. ``shard_dirs``."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    os.makedirs(out_root, exist_ok=True)
+    metrics: dict = {"n_shards": n_shards}
+    shards = shard_dirs_of(out_root, n_shards)
+
+    # ---- stages 1+2 (shared): extract + global exact dedup -------------
+    shared = os.path.join(out_root, "_shared")
+    docs_dir, dedup_dir = ensure_docs_dedup(
+        pages_path, shared, blog_ratings=blog_ratings or {},
+        fixed_now=fixed_now, resume=resume, metrics=metrics,
+    )
+    import pyarrow.parquet as pq
+
+    n_losers = pq.read_table(dedup_dir, columns=["doc_id"]).num_rows
+    n_doc_count = _parquet_rows(docs_dir)
+    n_docs = n_doc_count - n_losers
+    # bucket/salt sizing from GLOBAL corpus size, like the monolithic
+    # build — per-bucket encode work then stays ~constant per shard too
+    salt_buckets = _auto_salt_buckets(n_doc_count)
+    encode_buckets = _auto_encode_buckets(n_doc_count)
+
+    # ---- stage 3: tokenize once, route by (shard, bucket) --------------
+    # A shard-layout change invalidates the whole stage (the marker
+    # records n_shards), mirroring the monolithic build's layout_sig
+    # rule: resuming under a different shard count must re-route.
+    postings_root = os.path.join(out_root, "postings")
+    marker_ok = False
+    if resume and is_complete(out_root, "postings"):
+        with open(os.path.join(postings_root, "_SUCCESS")) as f:
+            marker_ok = json.load(f).get("n_shards") == n_shards
+    if not marker_ok:
+        _clear_stage(out_root, "postings")
+        t0 = time.time()
+        _have_losers = n_losers > 0
+        _dedup = dedup_dir
+
+        def drop_losers(batch: pa.Table) -> pa.Table:
+            if not _have_losers:
+                return batch
+            larr = _loser_ids_for(_dedup)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(~np.isin(ids, larr)))
+
+        _n = n_shards
+
+        def add_shard(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "shard", pa.array((ids % _n).astype(np.int64))
+            )
+
+        avail = int(ray.cluster_resources().get("CPU", 8))
+        _salt, _enc, _wp = salt_buckets, encode_buckets, with_positions
+
+        class _PinnedTokenizeStage(TokenizeStage):
+            def __init__(self):
+                super().__init__(
+                    salt_buckets=_salt, encode_buckets=_enc,
+                    with_positions=_wp,
+                )
+
+        docs = rd.read_parquet(
+            docs_dir, columns=["doc_id", "text", "quality_score", "warc_ts"]
+        )
+        postings = (
+            docs.map_batches(drop_losers, batch_format="pyarrow")
+            .map_batches(
+                _PinnedTokenizeStage,
+                batch_format="pyarrow",
+                batch_size=tokenize_batch_size,
+                concurrency=max(avail - 2, 1),
+                num_cpus=1,
+            )
+            .map_batches(add_shard, batch_format="pyarrow")
+        )
+        # files per (shard, bucket) bounded at ~write_tasks, same rule
+        # as the monolithic build (round-2 finding)
+        est_rows = max(n_docs * TERMS_PER_DOC_EST, 1)
+        min_rows = max(est_rows // max(64, 2 * avail), 50_000)
+        postings.write_parquet(
+            postings_root,
+            partition_cols=["shard", "bucket"],
+            compression="lz4",
+            min_rows_per_file=min_rows,
+        )
+        mark_complete(
+            out_root, "postings", rows=_parquet_rows(postings_root),
+            wall_s=round(time.time() - t0, 3), n_shards=n_shards,
+        )
+        metrics["postings_wall_s"] = time.time() - t0
+
+    # ---- stage 4: GLOBAL df + stats, replicated to every shard ---------
+    if not (resume and is_complete(out_root, "df")):
+        _clear_stage(out_root, "df")
+        t0 = time.time()
+        buckets = bucket_file_map([postings_root])
+        df_tbl = df_from_buckets(buckets)
+        total_tokens = int(
+            df_tbl["ctf"].to_numpy(zero_copy_only=False).sum()
+        ) if df_tbl.num_rows else 0
+        avgdl = total_tokens / max(n_docs, 1)
+        stats = {
+            "n_docs": int(n_docs),
+            "total_tokens": total_tokens,
+            "avgdl": avgdl,
+            "n_terms": int(df_tbl.num_rows),
+            "num_segments": num_segments,
+            "salt_buckets": salt_buckets,
+            "encode_buckets": encode_buckets,
+            "fixed_now_us": int(fixed_now.timestamp() * 1_000_000),
+            "with_positions": bool(with_positions),
+            "n_shards": n_shards,
+            "global_stats": True,  # df/n_docs/avgdl are corpus-global
+        }
+        # the df stage dir under out_root is the single source of truth;
+        # shards get a replica (plus stats.json and the shared-docs link)
+        df_stage = stage_dir(out_root, "df")
+        os.makedirs(df_stage, exist_ok=True)
+        pq.write_table(df_tbl, os.path.join(df_stage, "df.parquet"))
+        for i, sdir in enumerate(shards):
+            os.makedirs(sdir, exist_ok=True)
+            sdf = os.path.join(sdir, "df")
+            os.makedirs(sdf, exist_ok=True)
+            pq.write_table(df_tbl, os.path.join(sdf, "df.parquet"))
+            with open(os.path.join(sdir, "stats.json"), "w") as f:
+                json.dump({**stats, "shard": i}, f)
+            link = os.path.join(sdir, "docs")
+            if not os.path.lexists(link):
+                os.symlink(
+                    os.path.relpath(docs_dir, sdir), link,
+                    target_is_directory=True,
+                )
+        mark_complete(
+            out_root, "df", rows=int(df_tbl.num_rows),
+            wall_s=round(time.time() - t0, 3),
+        )
+        metrics["df_wall_s"] = time.time() - t0
+
+    # ---- stage 5: per-shard segment encode with the global stats -------
+    df_stage = stage_dir(out_root, "df")
+    with open(os.path.join(shards[0], "stats.json")) as f:
+        stats = json.load(f)
+    df_pdf = pq.read_table(
+        os.path.join(df_stage, "df.parquet"), columns=["term", "df"]
+    )
+    df_map = dict(
+        zip(
+            df_pdf["term"].to_pylist(),
+            df_pdf["df"].to_numpy(zero_copy_only=False).astype(int),
+        )
+    )
+    post_success = os.path.join(stage_dir(out_root, "postings"), "_SUCCESS")
+    markers_newer_than = (
+        os.path.getmtime(post_success)
+        if os.path.exists(post_success)
+        else -1.0
+    )
+    for i, sdir in enumerate(shards):
+        if resume and is_complete(sdir, "segments"):
+            continue
+        t0 = time.time()
+        shard_postings = os.path.join(postings_root, f"shard={i}")
+        if not os.path.isdir(shard_postings):
+            # degenerate: no winner doc routed here (tiny corpus) — a
+            # complete-but-empty shard still serves (zero hits)
+            os.makedirs(stage_dir(sdir, "segments"), exist_ok=True)
+            mark_complete(sdir, "segments", wall_s=0.0, shard=i, empty=True)
+            continue
+        ok = encode_segments_partitioned(
+            [shard_postings],
+            stage_dir(sdir, "segments"),
+            df_map=df_map,
+            n_docs=stats["n_docs"],
+            avgdl=stats["avgdl"],
+            num_segments=num_segments,
+            resume=resume,
+            markers_newer_than=markers_newer_than,
+        )
+        if not ok:
+            raise RuntimeError(
+                f"shard {i}: postings at {shard_postings} are not "
+                "bucket-partitioned — sharded builds always route "
+                "through the hive write"
+            )
+        mark_complete(
+            sdir, "segments", wall_s=round(time.time() - t0, 3),
+            num_segments=num_segments, shard=i,
+        )
+
+    metrics["stats"] = stats
+    metrics["shard_dirs"] = shards
+    return metrics

@@ -127,3 +127,146 @@ def test_fuzzy_and_suggest_share_map(fz_built):
     assert s2._suggest_state is state_after_fuzzy, "suggest rebuilt the map"
     assert fz == fz2
     assert sug_before == sug_after
+
+
+# ---- document-sharded build + federated serving (pipelines/shard.py) ----
+
+
+@pytest.fixture(scope="module")
+def sh_built(ray_session, tmp_path_factory):
+    """Monolithic and 3-shard positional builds over the SAME corpus."""
+    from myaku_ray.corpus import gen_blogs_table, write_pages_parquet
+    from myaku_ray.pipelines.build import build_index
+    from myaku_ray.pipelines.shard import build_sharded_index
+
+    base = tmp_path_factory.mktemp("sh")
+    pages = str(base / "pages")
+    mono_dir = str(base / "mono")
+    shard_root = str(base / "sharded")
+    write_pages_parquet(pages, 300)
+    blogs = gen_blogs_table()
+    ratings = dict(zip(blogs["blog_url"], blogs["rating"]))
+    build_index(pages, mono_dir, blog_ratings=ratings, with_positions=True)
+    m = build_sharded_index(
+        pages, shard_root, 3, blog_ratings=ratings, with_positions=True
+    )
+    return pages, mono_dir, shard_root, m
+
+
+def test_sharded_rank_bit_identity(sh_built):
+    """Federated top-k must equal the monolithic index's bit-for-bit
+    (docIDs, scores, warc tie-keys) on the reference query set — the
+    global-stats exchange's guarantee — and counts must sum exactly."""
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.index.sharded import ShardedSearcher
+    from myaku_ray.oracle import reference_query_set
+
+    pages, mono_dir, _root, m = sh_built
+    mono = Searcher(mono_dir)
+    fed = ShardedSearcher(m["shard_dirs"])
+    nonempty = 0
+    for q in reference_query_set():
+        a = [(r.doc_id, r.score, r.warc_us) for r in mono.topk(q, 10)]
+        b = [(r.doc_id, r.score, r.warc_us) for r in fed.topk(q, 10)]
+        assert a == b, f"query {q!r}"
+        assert mono.count(q) == fed.count(q), f"count {q!r}"
+        nonempty += bool(a)
+    assert nonempty >= 5
+
+
+def test_sharded_shards_are_disjoint_and_complete(sh_built):
+    """Every matched doc lives in exactly ONE shard (doc_id % n routing)
+    and the union of shard matches equals the monolithic matched set."""
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.oracle import reference_query_set
+
+    pages, mono_dir, _root, m = sh_built
+    mono = Searcher(mono_dir)
+    per_shard = [Searcher(d) for d in m["shard_dirs"]]
+    n = len(per_shard)
+    for q in reference_query_set()[:4]:
+        full = [r.doc_id for r in mono.topk(q, 10_000)]
+        union: list[int] = []
+        for i, s in enumerate(per_shard):
+            ids = [r.doc_id for r in s.topk(q, 10_000)]
+            assert all(d % n == i for d in ids), f"shard {i} routing leak"
+            union.extend(ids)
+        assert sorted(union) == sorted(full), f"query {q!r}"
+
+
+def test_sharded_phrase_and_near(sh_built):
+    """Positional sidecar federates too: phrase/proximity top-k merged
+    across shards equals the monolithic positional index's."""
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.index.sharded import ShardedSearcher
+    from myaku_ray.oracle import near_query_set, phrase_query_set
+
+    pages, mono_dir, _root, m = sh_built
+    mono = Searcher(mono_dir)
+    fed = ShardedSearcher(m["shard_dirs"])
+    nonempty = 0
+    for q in phrase_query_set(pages):
+        a = [(r.doc_id, r.score) for r in mono.phrase_topk(q, 10)]
+        b = [(r.doc_id, r.score) for r in fed.phrase_topk(q, 10)]
+        assert a == b, f"phrase {q!r}"
+        nonempty += bool(a)
+    for q, w in near_query_set(pages):
+        a = [(r.doc_id, r.score) for r in mono.near_topk(q, w, 10)]
+        b = [(r.doc_id, r.score) for r in fed.near_topk(q, w, 10)]
+        assert a == b, f"near {q!r}"
+        nonempty += bool(a)
+    assert nonempty >= 2
+
+
+def test_sharded_hydration_routes_to_owner(sh_built):
+    """search() hydrates each hit on its owning shard and returns the
+    merged order with urls/titles identical to the monolithic path."""
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.index.sharded import ShardedSearcher
+    from myaku_ray.oracle import reference_query_set
+
+    pages, mono_dir, _root, m = sh_built
+    mono = Searcher(mono_dir)
+    fed = ShardedSearcher(m["shard_dirs"])
+    q = next(
+        q for q in reference_query_set() if mono.topk(q, 10)
+    )
+    a = [(r.doc_id, r.url, r.title) for r in mono.search(q, 10)]
+    b = [(r.doc_id, r.url, r.title) for r in fed.search(q, 10)]
+    assert a == b
+
+
+def test_sharded_resume_and_layout_invalidation(sh_built, tmp_path):
+    """A re-run with the same shard count is a marker no-op; changing
+    n_shards must invalidate the postings routing and rebuild (the
+    layout rule), still ending bit-identical on a probe query."""
+    import os
+    import time
+
+    from myaku_ray.corpus import gen_blogs_table
+    from myaku_ray.index.sharded import ShardedSearcher
+    from myaku_ray.oracle import reference_query_set
+    from myaku_ray.pipelines.shard import build_sharded_index
+
+    pages, _mono, shard_root, m = sh_built
+    blogs = gen_blogs_table()
+    ratings = dict(zip(blogs["blog_url"], blogs["rating"]))
+    marker = os.path.join(shard_root, "postings", "_SUCCESS")
+    mt0 = os.path.getmtime(marker)
+    t0 = time.time()
+    m2 = build_sharded_index(
+        pages, shard_root, 3, blog_ratings=ratings, with_positions=True
+    )
+    assert os.path.getmtime(marker) == mt0, "resume re-ran the postings stage"
+    assert m2["shard_dirs"] == m["shard_dirs"]
+    # different shard count in a fresh root: rebuild + still correct
+    fed3 = ShardedSearcher(m["shard_dirs"])
+    root2 = str(tmp_path / "re2")
+    m4 = build_sharded_index(
+        pages, root2, 2, blog_ratings=ratings, with_positions=True
+    )
+    fed2 = ShardedSearcher(m4["shard_dirs"])
+    q = next(q for q in reference_query_set() if fed3.topk(q, 10))
+    assert [
+        (r.doc_id, r.score) for r in fed2.topk(q, 10)
+    ] == [(r.doc_id, r.score) for r in fed3.topk(q, 10)]
