@@ -488,6 +488,96 @@ def bench_phrase_serving(
     }
 
 
+def bench_sharded(
+    pages: str, num_cpus: int, n_shards: int = 4, n_q: int = 2000
+) -> dict:
+    """Document-sharded tier over the SAME bench corpus: global-stats
+    sharded build (pipelines/shard.py) + federated serving latency
+    (in-process thread fan-out AND the Ray-actor query-node tier), plus
+    pipelined throughput through the actor federation — each query is
+    n_shards remote top-k calls merged on the coordinator, with a
+    window of queries in flight so query nodes never idle."""
+    import collections
+    import random
+
+    import ray as _ray
+
+    from myaku_ray.corpus import gen_blogs_table
+    from myaku_ray.index.sharded import RayShardedSearcher, ShardedSearcher
+    from myaku_ray.lexicon import build_lexicon
+    from myaku_ray.oracle import reference_query_set
+    from myaku_ray.pipelines.shard import build_sharded_index
+
+    blogs = gen_blogs_table()
+    ratings = dict(zip(blogs["blog_url"], blogs["rating"]))
+    root = f"{BENCH_BASE}/bench_sharded_{n_shards}"
+    shutil.rmtree(root, ignore_errors=True)
+    t0 = time.time()
+    m = build_sharded_index(pages, root, n_shards, blog_ratings=ratings)
+    out = {
+        "sharded_n_shards": n_shards,
+        "sharded_build_s": round(time.time() - t0, 3),
+    }
+
+    def lat(searcher) -> tuple[float, float]:
+        qs = reference_query_set()
+        cold, warm = [], []
+        for q in qs:
+            t0 = time.time()
+            searcher.topk(q, 10)
+            cold.append((time.time() - t0) * 1000)
+        for _ in range(QUERY_REPEATS):
+            for q in qs:
+                t0 = time.time()
+                searcher.topk(q, 10)
+                warm.append((time.time() - t0) * 1000)
+        return statistics.median(cold), statistics.median(warm)
+
+    c, w = lat(ShardedSearcher(m["shard_dirs"]))
+    out["sharded_thread_cold_p50_ms"] = round(c, 2)
+    out["sharded_thread_warm_p50_ms"] = round(w, 3)
+
+    act = RayShardedSearcher(m["shard_dirs"])
+    try:
+        c, w = lat(act)
+        out["sharded_actor_cold_p50_ms"] = round(c, 2)
+        out["sharded_actor_warm_p50_ms"] = round(w, 3)
+
+        # pipelined federation throughput: same query mix as
+        # bench_search_qps (2/3 single-term, 1/3 two-term WAND), a
+        # bounded window of fan-outs in flight
+        lex = [e.base_form for e in build_lexicon()]
+        rng = random.Random(11)
+        stream = [
+            rng.choice(lex) + "の" + rng.choice(lex)
+            if i % 3 == 2
+            else rng.choice(lex)
+            for i in range(n_q)
+        ]
+        window = max(4 * num_cpus // max(n_shards, 1), 8)
+        pending: collections.deque = collections.deque()
+        hits = 0
+        t0 = time.time()
+        for q in stream:
+            pending.append(act.topk_async(q, 10))
+            if len(pending) >= window:
+                hits += len(act.merge(_ray.get(pending.popleft()), 10))
+        while pending:
+            hits += len(act.merge(_ray.get(pending.popleft()), 10))
+        wall = time.time() - t0
+        out.update(
+            {
+                "sharded_actor_qps": round(n_q / wall, 1),
+                "sharded_actor_qps_n": n_q,
+                "sharded_actor_qps_hits": int(hits),
+                "sharded_actor_qps_window": window,
+            }
+        )
+    finally:
+        act.shutdown()
+    return out
+
+
 def bench_doc_pipelines(sf_dir: str) -> dict:
     from myaku_ray.functions import ann, dedup, events, fulltext, media, relational, textops
 
@@ -650,6 +740,10 @@ def run_once() -> dict:
                 pages, pos_idx, NUM_CPUS, plain_index=build["index_dir"]
             )
         )
+    # document-sharded build + federated serving (thread and Ray-actor
+    # tiers) over the same corpus; skip via MYAKU_BENCH_SHARDED=0
+    if not build_only and os.environ.get("MYAKU_BENCH_SHARDED", "1") != "0":
+        queries.update(bench_sharded(pages, NUM_CPUS))
     doc_timings = bench_doc_pipelines(SF_DIR) if not build_only else {}
 
     # 400k-page build IN the bench record (not just BASELINE.md prose) so

@@ -24,6 +24,8 @@ from __future__ import annotations
 import os
 from concurrent.futures import ThreadPoolExecutor
 
+import ray
+
 from myaku_ray.index.searcher import Searcher, SearchResult
 
 
@@ -99,3 +101,122 @@ class ShardedSearcher:
         return self._merge(
             self._fanout(lambda s: s.near_topk(query_str, window, k)), k
         )
+
+
+@ray.remote
+class _ShardQueryNode:
+    """One query node owning one shard directory — the process shape of
+    a real deployment (an Elasticsearch data node / Vespa content node).
+    The Searcher and all its lazily-built serving caches live inside the
+    actor, so segment state is loaded once per node, never shipped."""
+
+    def __init__(self, shard_dir: str):
+        self.searcher = Searcher(shard_dir)
+
+    def topk(self, q: str, k: int, query_type: str) -> list[SearchResult]:
+        return self.searcher.topk(q, k, query_type)
+
+    def count(self, q: str, query_type: str) -> int:
+        return self.searcher.count(q, query_type)
+
+    def phrase_topk(self, q: str, k: int) -> list[SearchResult]:
+        return self.searcher.phrase_topk(q, k)
+
+    def near_topk(self, q: str, window: int, k: int) -> list[SearchResult]:
+        return self.searcher.near_topk(q, window, k)
+
+    def hydrate(
+        self, hits: list[SearchResult], q: str, query_type: str
+    ) -> list[SearchResult]:
+        return self.searcher.hydrate(hits, q, query_type)
+
+
+class RayShardedSearcher:
+    """Federated serving over REAL process boundaries: one Ray actor per
+    shard (``_ShardQueryNode``), fan-out via ``.remote()`` futures, merge
+    on the coordinator under the same total rank key as ShardedSearcher.
+
+    This is the deployment-shaped tier — per-shard segment caches live
+    in separate processes (separate heaps, true parallelism, placeable
+    on different nodes by the Ray scheduler), and only top-k hit rows
+    (~k small dataclasses per shard) cross the process boundary per
+    query.  On a multi-node cluster the same class works unchanged: Ray
+    places each query node wherever its CPU reservation fits and the
+    coordinator's merge cost stays O(n_shards * k).
+
+    Results are bit-identical to ShardedSearcher (and therefore to the
+    monolithic Searcher) — pytest gates all three against each other.
+    """
+
+    def __init__(self, shard_dirs: list[str], num_cpus_per_shard: float = 1):
+        if not shard_dirs:
+            raise ValueError("need at least one shard dir")
+        self.shard_dirs = list(shard_dirs)
+        self.nodes = [
+            _ShardQueryNode.options(num_cpus=num_cpus_per_shard).remote(d)
+            for d in shard_dirs
+        ]
+
+    # -- async fan-out: returns futures so a caller can pipeline many
+    # queries (the QPS bench keeps a window in flight) ---------------------
+
+    def topk_async(self, q: str, k: int = 10, query_type: str = "exact"):
+        return [n.topk.remote(q, k, query_type) for n in self.nodes]
+
+    @staticmethod
+    def merge(per_shard: list[list[SearchResult]], k: int):
+        return ShardedSearcher._merge(per_shard, k)
+
+    # -- sync API (mirrors ShardedSearcher) -----------------------------------
+
+    def topk(
+        self, query_str: str, k: int = 10, query_type: str = "exact"
+    ) -> list[SearchResult]:
+        return self.merge(ray.get(self.topk_async(query_str, k, query_type)), k)
+
+    def count(self, query_str: str, query_type: str = "exact") -> int:
+        return sum(
+            ray.get([n.count.remote(query_str, query_type) for n in self.nodes])
+        )
+
+    def phrase_topk(self, query_str: str, k: int = 10) -> list[SearchResult]:
+        return self.merge(
+            ray.get([n.phrase_topk.remote(query_str, k) for n in self.nodes]), k
+        )
+
+    def near_topk(
+        self, query_str: str, window: int, k: int = 10
+    ) -> list[SearchResult]:
+        return self.merge(
+            ray.get(
+                [n.near_topk.remote(query_str, window, k) for n in self.nodes]
+            ),
+            k,
+        )
+
+    def search(
+        self, query_str: str, k: int = 10, query_type: str = "exact"
+    ) -> list[SearchResult]:
+        """topk + hydration on the owning node (doc_id % n routing)."""
+        hits = self.topk(query_str, k, query_type)
+        if not hits:
+            return hits
+        n = len(self.nodes)
+        by_shard: dict[int, list[SearchResult]] = {}
+        for r in hits:
+            by_shard.setdefault(r.doc_id % n, []).append(r)
+        futs = {
+            i: self.nodes[i].hydrate.remote(sub, query_str, query_type)
+            for i, sub in by_shard.items()
+        }
+        hydrated: dict[int, SearchResult] = {}
+        for sub in ray.get(list(futs.values())):
+            for r in sub:
+                hydrated[r.doc_id] = r
+        return [hydrated[r.doc_id] for r in hits]
+
+    def shutdown(self) -> None:
+        """Kill the query-node actors (bench hygiene between sections)."""
+        for n in self.nodes:
+            ray.kill(n)
+        self.nodes = []

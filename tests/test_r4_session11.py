@@ -270,3 +270,61 @@ def test_sharded_resume_and_layout_invalidation(sh_built, tmp_path):
     assert [
         (r.doc_id, r.score) for r in fed2.topk(q, 10)
     ] == [(r.doc_id, r.score) for r in fed3.topk(q, 10)]
+
+
+def test_ray_sharded_actor_tier_identity(sh_built):
+    """The actor tier (one Ray query-node process per shard) must be
+    bit-identical to the in-process thread federation — top-k, counts,
+    phrase/near, and hydrated search — since both merge the same
+    per-shard Searcher outputs under the same rank key."""
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.index.sharded import RayShardedSearcher, ShardedSearcher
+    from myaku_ray.oracle import near_query_set, phrase_query_set, reference_query_set
+
+    pages, mono_dir, _root, m = sh_built
+    mono = Searcher(mono_dir)
+    fed = ShardedSearcher(m["shard_dirs"])
+    act = RayShardedSearcher(m["shard_dirs"])
+    try:
+        for q in reference_query_set():
+            a = [(r.doc_id, r.score, r.warc_us) for r in fed.topk(q, 10)]
+            b = [(r.doc_id, r.score, r.warc_us) for r in act.topk(q, 10)]
+            assert a == b, f"topk {q!r}"
+            assert fed.count(q) == act.count(q), f"count {q!r}"
+        for q in phrase_query_set(pages)[:2]:
+            assert [(r.doc_id, r.score) for r in act.phrase_topk(q, 10)] == [
+                (r.doc_id, r.score) for r in mono.phrase_topk(q, 10)
+            ], f"phrase {q!r}"
+        for q, w in near_query_set(pages)[:2]:
+            assert [(r.doc_id, r.score) for r in act.near_topk(q, w, 10)] == [
+                (r.doc_id, r.score) for r in mono.near_topk(q, w, 10)
+            ], f"near {q!r}"
+        q = next(q for q in reference_query_set() if mono.topk(q, 10))
+        assert [(r.doc_id, r.url, r.title) for r in act.search(q, 10)] == [
+            (r.doc_id, r.url, r.title) for r in mono.search(q, 10)
+        ]
+    finally:
+        act.shutdown()
+
+
+def test_ray_sharded_async_pipeline(sh_built):
+    """topk_async + merge (the QPS bench's pipelined path) returns the
+    same rows as the sync call, with many queries in flight at once."""
+    import ray as _ray
+
+    from myaku_ray.index.sharded import RayShardedSearcher
+    from myaku_ray.oracle import reference_query_set
+
+    _pages, _mono, _root, m = sh_built
+    act = RayShardedSearcher(m["shard_dirs"])
+    try:
+        qs = reference_query_set()
+        futs = [act.topk_async(q, 10) for q in qs]  # all in flight
+        for q, per_shard in zip(qs, futs):
+            got = act.merge(_ray.get(per_shard), 10)
+            want = act.topk(q, 10)
+            assert [(r.doc_id, r.score) for r in got] == [
+                (r.doc_id, r.score) for r in want
+            ], q
+    finally:
+        act.shutdown()
