@@ -362,6 +362,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # top-k merge — must be bit-identical to the monolithic index,
         # so it shares pages_search_topk's stored golden
         "pages_sharded_search": fulltext.pages_sharded_search,
+        # incremental update on the sharded layout (delta routed through
+        # the hive (shard, bucket) write, global-stats refresh) driven to
+        # the from-scratch golden through federated serving
+        "pages_sharded_update_search": fulltext.pages_sharded_update_search,
     }
 
 
@@ -517,4 +521,7 @@ def oracle_sql() -> dict[str, str]:
         # deliberately the SAME golden as pages_search_topk: sharded
         # serving must reproduce the monolithic ranking bit-for-bit
         "pages_sharded_search": pages_golden.PAGES_SEARCH_TOPK_SQL,
+        # same golden again: sharded build -> sharded update -> federated
+        # serving must converge to the from-scratch monolithic ranking
+        "pages_sharded_update_search": pages_golden.PAGES_SEARCH_TOPK_SQL,
     }

@@ -399,6 +399,65 @@ def pages_sharded_search(sf_dir: str, k: int = 10, n_shards: int = 3):
     return pd.DataFrame(rows)
 
 
+def pages_sharded_update_search(sf_dir: str, k: int = 10, n_shards: int = 3):
+    """Incremental update ON THE SHARDED LAYOUT, driven to the
+    from-scratch golden: sharded build over the corpus's first
+    ``UPDATE_SPLIT`` pages, then ``update_sharded_index`` with the
+    remaining pages as a crawl batch (delta tokenize routed through the
+    same hive (shard, bucket) write, global-stats refresh re-encoding
+    every shard), then federated serving.  The final logical corpus
+    equals the full corpus, so the oracle is the SAME stored golden as
+    ``pages_search_topk`` — one row certifying build+update+stats
+    exchange+federation end to end."""
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from myaku_ray.corpus import gen_blogs_table
+    from myaku_ray.index.sharded import ShardedSearcher
+    from myaku_ray.oracle import reference_query_set
+    from myaku_ray.pipelines.shard import (
+        build_sharded_index,
+        shard_dirs_of,
+        update_sharded_index,
+    )
+
+    root = os.path.join(
+        CACHE_ROOT, f"pagesshupd_{PAGES_N}x{n_shards}_{UPDATE_SPLIT}"
+    )
+    out = os.path.join(root, "sharded")
+    marker = os.path.join(root, "_FLOW_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        base_d = os.path.join(root, "base")
+        delta_d = os.path.join(root, "delta")
+        os.makedirs(base_d)
+        os.makedirs(delta_d)
+        full = _pq.read_table(_pages_dir())
+        _pq.write_table(
+            full.slice(0, UPDATE_SPLIT), os.path.join(base_d, "pages.parquet")
+        )
+        _pq.write_table(
+            full.slice(UPDATE_SPLIT), os.path.join(delta_d, "pages.parquet")
+        )
+        blogs = gen_blogs_table()
+        ratings = dict(zip(blogs["blog_url"], blogs["rating"]))
+        build_sharded_index(base_d, out, n_shards, blog_ratings=ratings)
+        update_sharded_index(delta_d, out, blog_ratings=ratings)
+        with open(marker, "w") as f:
+            f.write("ok")
+    fed = ShardedSearcher(shard_dirs_of(out, n_shards))
+    rows = {"query": [], "rank": [], "doc_id": [], "score": [], "url": []}
+    for q in reference_query_set():
+        for rank, r in enumerate(fed.search(q, k), start=1):
+            rows["query"].append(q)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r.doc_id)
+            rows["score"].append(round(r.score, 5))
+            rows["url"].append(r.url)
+    return pd.DataFrame(rows)
+
+
 def pages_search_title_boost(sf_dir: str, k: int = 10):
     """Fielded (title-boosted) search over the pages index: a term's
     posting contribution gains a flat ``Searcher.TITLE_BOOST`` when the

@@ -71,7 +71,12 @@ from myaku_ray.pipelines.build import (
     ensure_docs_dedup,
 )
 from myaku_ray.stages.tokenize import TokenizeStage
-from myaku_ray.state.lineage import is_complete, mark_complete, stage_dir
+from myaku_ray.state.lineage import (
+    append_lineage,
+    is_complete,
+    mark_complete,
+    stage_dir,
+)
 
 
 def shard_dirs_of(out_root: str, n_shards: int) -> list[str]:
@@ -79,6 +84,21 @@ def shard_dirs_of(out_root: str, n_shards: int) -> list[str]:
     return [
         os.path.join(out_root, f"shard-{i:05d}") for i in range(n_shards)
     ]
+
+
+def _ensure_state_links(out_root: str) -> None:
+    """Symlink ``out_root/docs`` and ``out_root/dedup`` to the shared
+    stage dirs so pipelines/update.py's state derivations — committed doc
+    versions, tokenized set, delta counters — work on the sharded root
+    unchanged (they resolve ``stage_dir(index_dir, 'docs'|'dedup')``)."""
+    for stage in ("docs", "dedup"):
+        target = os.path.join(out_root, "_shared", stage)
+        link = os.path.join(out_root, stage)
+        if os.path.isdir(target) and not os.path.lexists(link):
+            os.symlink(
+                os.path.relpath(target, out_root), link,
+                target_is_directory=True,
+            )
 
 
 def build_sharded_index(
@@ -107,6 +127,7 @@ def build_sharded_index(
         pages_path, shared, blog_ratings=blog_ratings or {},
         fixed_now=fixed_now, resume=resume, metrics=metrics,
     )
+    _ensure_state_links(out_root)
     import pyarrow.parquet as pq
 
     n_losers = pq.read_table(dedup_dir, columns=["doc_id"]).num_rows
@@ -287,4 +308,251 @@ def build_sharded_index(
 
     metrics["stats"] = stats
     metrics["shard_dirs"] = shards
+    return metrics
+
+
+# ---------------------------------------------------------------------------
+# incremental update + refresh on the sharded layout
+# ---------------------------------------------------------------------------
+
+
+def _sharded_dirs(out_root: str) -> list[str]:
+    """Existing shard dirs of a built sharded index, in shard order."""
+    import glob
+
+    dirs = sorted(glob.glob(os.path.join(out_root, "shard-*")))
+    if not dirs:
+        raise FileNotFoundError(f"no shard dirs under {out_root}")
+    return dirs
+
+
+def refresh_sharded_index(out_root: str) -> dict:
+    """Recompute GLOBAL df / corpus stats and re-encode every shard's
+    segments from committed state — the sharded twin of
+    ``update.refresh_index``.  The statistics exchange is identical to
+    the base build's: one vocab-sized all-reduce over ALL shards'
+    postings (base + committed deltas, tombstones dropped), the result
+    replicated into every shard dir, then per-shard partitioned encodes
+    with the global stats — so the refreshed federation stays
+    bit-identical to a refreshed monolithic index over the same corpus
+    and update history.
+
+    Per-shard encodes only read that shard's ``shard=i`` posting
+    partitions; the doc-routed hive write means refresh adds no new
+    exchange either.  On a real cluster each shard's encode runs where
+    its data lives and only the df table (vocab-sized) is broadcast."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from myaku_ray.pipelines.update import (
+        _atomic_write_json,
+        _clean_partial_deltas,
+        _derive_refresh_state,
+        _max_committed_delta_id,
+        save_losers,
+    )
+
+    t0 = time.time()
+    shards = _sharded_dirs(out_root)
+    _ensure_state_links(out_root)
+    _clean_partial_deltas(out_root)
+    with open(os.path.join(shards[0], "stats.json")) as f:
+        prev_stats = json.load(f)
+    num_segments = prev_stats["num_segments"]
+
+    supersede, losers, deleted, overrides, n_docs = _derive_refresh_state(
+        out_root
+    )
+    save_losers(out_root, losers)
+    drop_ids = frozenset(losers | deleted)
+
+    postings_root = stage_dir(out_root, "postings")
+    df_stage = stage_dir(out_root, "df")
+    import shutil
+
+    shutil.rmtree(df_stage, ignore_errors=True)
+    buckets = bucket_file_map([postings_root])
+    # quality overrides don't change tf/df — same rule as the monolithic
+    # refresh's df recompute
+    df_tbl = df_from_buckets(buckets, drop=(drop_ids, supersede, {}))
+    total_tokens = (
+        int(df_tbl["ctf"].to_numpy(zero_copy_only=False).sum())
+        if df_tbl.num_rows
+        else 0
+    )
+    avgdl = total_tokens / max(n_docs, 1)
+    stats = {
+        **prev_stats,
+        "n_docs": int(n_docs),
+        "total_tokens": total_tokens,
+        "avgdl": avgdl,
+        "n_terms": int(df_tbl.num_rows),
+    }
+    stats.pop("refreshed_thru_delta", None)
+    os.makedirs(df_stage, exist_ok=True)
+    pq.write_table(df_tbl, os.path.join(df_stage, "df.parquet"))
+    for i, sdir in enumerate(shards):
+        sdf = os.path.join(sdir, "df")
+        shutil.rmtree(sdf, ignore_errors=True)
+        os.makedirs(sdf, exist_ok=True)
+        pq.write_table(df_tbl, os.path.join(sdf, "df.parquet"))
+        _atomic_write_json(
+            os.path.join(sdir, "stats.json"), {**stats, "shard": i}
+        )
+    mark_complete(out_root, "df", rows=int(df_tbl.num_rows), refreshed=True)
+
+    df_map = dict(
+        zip(
+            df_tbl["term"].to_pylist(),
+            df_tbl["df"].to_numpy(zero_copy_only=False).astype(int),
+        )
+    )
+    drop = (drop_ids, supersede, overrides)
+    for i, sdir in enumerate(shards):
+        seg_root = stage_dir(sdir, "segments")
+        shutil.rmtree(seg_root, ignore_errors=True)
+        sources = [os.path.join(postings_root, f"shard={i}")]
+        for d in sorted(glob.glob(os.path.join(postings_root, "delta-*"))):
+            if os.path.exists(os.path.join(d, "_DELTA_DONE")):
+                sources.append(os.path.join(d, f"shard={i}"))
+        sources = [p for p in sources if os.path.isdir(p)]
+        if not sources:
+            os.makedirs(seg_root, exist_ok=True)
+            mark_complete(sdir, "segments", refreshed=True, shard=i, empty=True)
+            continue
+        if not encode_segments_partitioned(
+            sources,
+            seg_root,
+            df_map=df_map,
+            n_docs=stats["n_docs"],
+            avgdl=stats["avgdl"],
+            num_segments=num_segments,
+            drop=drop,
+        ):
+            raise RuntimeError(
+                f"shard {i}: postings under {sources} are not "
+                "bucket-partitioned"
+            )
+        mark_complete(sdir, "segments", refreshed=True, shard=i)
+
+    # the refresh watermark lands LAST (per shard), so a crash anywhere
+    # above leaves it behind the committed-delta max and the next update
+    # cannot fast-path past a pending refresh
+    stats["refreshed_thru_delta"] = _max_committed_delta_id(out_root)
+    for i, sdir in enumerate(shards):
+        _atomic_write_json(
+            os.path.join(sdir, "stats.json"), {**stats, "shard": i}
+        )
+    return {"refresh_wall_s": round(time.time() - t0, 3), "stats": stats}
+
+
+def update_sharded_index(
+    pages_path: str,
+    out_root: str,
+    *,
+    blog_ratings: dict[str, float] | None = None,
+    fixed_now=FIXED_NOW,
+    tokenize_concurrency: int | tuple | None = (1, 8),
+    tokenize_batch_size: int = 128,
+) -> dict:
+    """Incrementally index new/updated pages into a sharded layout.
+
+    The ingest phase — watermark anti-join, delta extraction, crawl-skip
+    bookkeeping, corpus-global dedup recompute, need-set derivation — is
+    ``update._prepare_update`` VERBATIM (it runs against the shared docs
+    state via the ``out_root/docs`` symlink).  Only the delta tokenize
+    write differs: rows route through the same hive ``(shard, bucket)``
+    partitioned write as the base sharded build, so the update adds no
+    exchange the monolithic update doesn't have.  The refresh then
+    re-runs the global-stats exchange and per-shard encodes
+    (``refresh_sharded_index``), keeping the federation bit-identical to
+    a monolithic index updated with the same batch — and therefore to a
+    from-scratch build over the union corpus (the monolithic update's
+    own tested guarantee)."""
+    import numpy as _np
+    import ray.data as _rd
+
+    from myaku_ray.pipelines.update import (
+        _make_keep_need,
+        _mark_delta_done,
+        _max_committed_delta_id,
+        _prepare_update,
+        _write_tokenized_shard,
+    )
+
+    t_start = time.time()
+    blog_ratings = blog_ratings or {}
+    shards = _sharded_dirs(out_root)
+    _ensure_state_links(out_root)
+    with open(os.path.join(shards[0], "stats.json")) as f:
+        cur_stats = json.load(f)
+    n_shards = int(cur_stats["n_shards"])
+
+    prep = _prepare_update(pages_path, out_root, blog_ratings, fixed_now)
+    k, need = prep["k"], prep["need"]
+    n_new = prep["n_new"]
+    metrics = prep["metrics"]
+    metrics["n_shards"] = n_shards
+
+    if need:
+        docs_all = _rd.read_parquet(
+            stage_dir(out_root, "docs"),
+            columns=["doc_id", "text", "quality_score", "warc_ts"],
+        )
+        postings_delta_dir = os.path.join(
+            stage_dir(out_root, "postings"), f"delta-{k}"
+        )
+
+        def add_shard(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "shard", pa.array((ids % n_shards).astype(_np.int64))
+            )
+
+        (
+            docs_all.map_batches(_make_keep_need(need), batch_format="pyarrow")
+            .map_batches(
+                TokenizeStage,
+                batch_format="pyarrow",
+                batch_size=tokenize_batch_size,
+                concurrency=tokenize_concurrency,
+                num_cpus=1,
+                fn_constructor_kwargs={
+                    "salt_buckets": cur_stats["salt_buckets"],
+                    "encode_buckets": cur_stats.get("encode_buckets", 64),
+                    "with_positions": cur_stats.get("with_positions", False),
+                },
+            )
+            .map_batches(add_shard, batch_format="pyarrow")
+            .write_parquet(
+                postings_delta_dir,
+                partition_cols=["shard", "bucket"],
+                compression="lz4",
+            )
+        )
+        _write_tokenized_shard(postings_delta_dir, need)
+        _mark_delta_done(prep["docs_delta_dir"], postings_delta_dir)
+    elif n_new > 0:
+        _mark_delta_done(prep["docs_delta_dir"])
+
+    append_lineage(
+        out_root, stage=f"update-{k}", n_fresh=n_new,
+        n_tokenized=len(need), n_losers=len(prep["losers"]),
+        sharded=True, wall_s=round(time.time() - t_start, 3),
+    )
+
+    if (
+        n_new == 0
+        and not need
+        and prep["losers"] == prep["prev_losers"]
+        and cur_stats.get("refreshed_thru_delta", 0)
+        >= _max_committed_delta_id(out_root)
+    ):
+        metrics["refreshed"] = False
+        metrics["update_wall_s"] = round(time.time() - t_start, 3)
+        return metrics
+    metrics.update(refresh_sharded_index(out_root))
+    metrics["refreshed"] = True
+    metrics["update_wall_s"] = round(time.time() - t_start, 3)
     return metrics

@@ -415,18 +415,18 @@ def _make_keep_need(need: set[tuple[int, int]]):
 # update
 # ---------------------------------------------------------------------------
 
-def update_index(
+def _prepare_update(
     pages_path: str,
     index_dir: str,
-    *,
-    blog_ratings: dict[str, float] | None = None,
-    fixed_now=FIXED_NOW,
-    tokenize_concurrency: int | tuple | None = (1, 8),
-    tokenize_batch_size: int = 128,
+    blog_ratings: dict[str, float],
+    fixed_now,
 ) -> dict:
-    """Incrementally index new/updated pages; returns update metrics."""
-    t_start = time.time()
-    blog_ratings = blog_ratings or {}
+    """Shared ingest phase of an incremental update — anti-join, delta
+    extraction, crawl-skip bookkeeping, dedup recompute, need-set
+    derivation — identical for the monolithic index and the sharded
+    layout (pipelines/shard.py routes the same delta through the
+    hive (shard, bucket) write afterwards).  Returns the delta state:
+    ``{k, docs_delta_dir, n_new, need, losers, prev_losers, metrics}``."""
     metrics: dict = {}
 
     _clean_partial_deltas(index_dir)
@@ -562,6 +562,37 @@ def update_index(
         if d in winner_ids and (d, w) not in tokenized
     }
     metrics["n_tokenized"] = len(need)
+    return {
+        "k": k,
+        "docs_delta_dir": docs_delta_dir,
+        "n_new": n_new,
+        "need": need,
+        "losers": losers,
+        "prev_losers": prev_losers,
+        "metrics": metrics,
+    }
+
+
+def update_index(
+    pages_path: str,
+    index_dir: str,
+    *,
+    blog_ratings: dict[str, float] | None = None,
+    fixed_now=FIXED_NOW,
+    tokenize_concurrency: int | tuple | None = (1, 8),
+    tokenize_batch_size: int = 128,
+) -> dict:
+    """Incrementally index new/updated pages; returns update metrics."""
+    t_start = time.time()
+    blog_ratings = blog_ratings or {}
+    prep = _prepare_update(pages_path, index_dir, blog_ratings, fixed_now)
+    k = prep["k"]
+    docs_delta_dir = prep["docs_delta_dir"]
+    n_new = prep["n_new"]
+    need = prep["need"]
+    losers = prep["losers"]
+    prev_losers = prep["prev_losers"]
+    metrics = prep["metrics"]
 
     if need:
         docs_all = rd.read_parquet(

@@ -1,0 +1,182 @@
+"""Incremental update on the DOCUMENT-SHARDED layout (pipelines/shard.py
+``update_sharded_index`` / ``refresh_sharded_index``).
+
+The guarantee under test composes two already-tested ones: the
+monolithic update is rank-identical to a from-scratch build over the
+latest-version-per-url union corpus (tests/test_incremental.py), and the
+sharded build is bit-identical to the monolithic index over the same
+corpus (tests/test_r4_session11.py).  So here: update BOTH layouts with
+the same batch and assert the federation stays bit-identical to the
+updated monolithic index — scores, counts, and the from-scratch serial
+oracle over the union corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from myaku_ray.corpus import gen_blogs_table, write_pages_parquet
+from myaku_ray.corpus_update import (
+    gen_update_batch,
+    write_union_parquet,
+    write_update_parquet,
+)
+from myaku_ray.index.searcher import Searcher
+from myaku_ray.index.sharded import ShardedSearcher
+from myaku_ray.oracle import build_oracle_index, oracle_topk, reference_query_set
+from myaku_ray.pipelines.build import build_index
+from myaku_ray.pipelines.shard import (
+    build_sharded_index,
+    update_sharded_index,
+)
+from myaku_ray.pipelines.update import update_index
+
+N_BASE = 300
+
+
+@pytest.fixture(scope="module")
+def ratings():
+    blogs = gen_blogs_table()
+    return dict(zip(blogs["blog_url"], blogs["rating"]))
+
+
+@pytest.fixture(scope="module")
+def upd_built(ray_session, tmp_path_factory, ratings):
+    """Base mono + 3-shard builds, then the SAME update batch into both
+    (new docs + a re-crawl + an injected duplicate)."""
+    base = tmp_path_factory.mktemp("shupd")
+    pages = str(base / "pages")
+    write_pages_parquet(pages, N_BASE, use_ray=False)
+    mono_dir = str(base / "mono")
+    shard_root = str(base / "sharded")
+    build_index(pages, mono_dir, blog_ratings=ratings, tokenize_concurrency=2)
+    m0 = build_sharded_index(pages, shard_root, 3, blog_ratings=ratings)
+
+    batch = gen_update_batch(
+        N_BASE, n_new=50, recrawl_indices=[7], dup_of_indices=[40]
+    )
+    upd_dir = str(base / "upd")
+    write_update_parquet(upd_dir, batch)
+    mm = update_index(upd_dir, mono_dir, blog_ratings=ratings,
+                      tokenize_concurrency=2)
+    ms = update_sharded_index(upd_dir, shard_root, blog_ratings=ratings,
+                              tokenize_concurrency=2)
+    union = str(base / "union.parquet")
+    write_union_parquet(union, pages, batch)
+    return pages, mono_dir, shard_root, m0, mm, ms, union, upd_dir
+
+
+def test_sharded_update_metrics_match_monolithic(upd_built):
+    """The shared ingest phase must derive the identical delta on both
+    layouts: same fresh/recrawl/tokenized/loser counts, both refreshed."""
+    *_rest, mm, ms, _union, _upd = upd_built
+    _pages, _mono, _root, _m0 = _rest
+    for key in ("n_fresh_docs", "n_recrawled", "n_tokenized", "n_losers"):
+        assert mm[key] == ms[key], key
+    assert mm["refreshed"] and ms["refreshed"]
+    assert ms["n_shards"] == 3
+
+
+def test_sharded_update_rank_bit_identity(upd_built):
+    """After the update, federated top-k == updated monolithic top-k
+    bit-for-bit, and both == the serial oracle over the union corpus."""
+    _pages, mono_dir, shard_root, m0, _mm, _ms, union, _upd = upd_built
+    mono = Searcher(mono_dir)
+    fed = ShardedSearcher(m0["shard_dirs"])
+    oi = build_oracle_index(union, blog_ratings=dict(
+        zip(gen_blogs_table()["blog_url"], gen_blogs_table()["rating"])
+    ))
+    assert fed.shards[0].stats["n_docs"] == mono.stats["n_docs"] == oi.n_docs
+    nonempty = 0
+    for q in reference_query_set():
+        a = [(r.doc_id, round(r.score, 5), r.warc_us) for r in mono.topk(q, 10)]
+        b = [(r.doc_id, round(r.score, 5), r.warc_us) for r in fed.topk(q, 10)]
+        want = [(d, round(s, 5), w) for d, s, w in oracle_topk(oi, q, 10)]
+        assert a == b, f"fed vs mono {q!r}"
+        assert b == want, f"fed vs oracle {q!r}"
+        assert fed.count(q) == mono.count(q), f"count {q!r}"
+        nonempty += bool(a)
+    assert nonempty >= 5
+
+
+def test_sharded_update_delta_routed_not_rebuilt(upd_built):
+    """The update tokenized only the delta (postings delta dir is
+    (shard, bucket)-routed) and did NOT re-run the base postings stage."""
+    import glob
+    import json
+
+    _pages, _mono, shard_root, _m0, mm, ms, _union, _upd = upd_built
+    # delta postings exist, hive-routed by shard
+    deltas = sorted(glob.glob(os.path.join(shard_root, "postings", "delta-*")))
+    assert len(deltas) == 1
+    shard_parts = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(deltas[0], "shard=*"))
+    )
+    assert shard_parts and all(p.startswith("shard=") for p in shard_parts)
+    assert os.path.exists(os.path.join(deltas[0], "_DELTA_DONE"))
+    # the base postings _SUCCESS marker still reports the ORIGINAL build
+    with open(os.path.join(shard_root, "postings", "_SUCCESS")) as f:
+        assert json.load(f)["n_shards"] == 3
+    # both layouts tokenized the same delta size, far below the corpus
+    assert 0 < ms["n_tokenized"] == mm["n_tokenized"] < N_BASE
+
+
+def test_sharded_update_no_change_fast_path(upd_built, tmp_path):
+    """Re-presenting already-indexed pages is a no-op: nothing fresh,
+    nothing tokenized, refresh skipped (watermark already covers the
+    committed deltas)."""
+    import pyarrow.parquet as pq
+
+    pages, _mono, shard_root, _m0, _mm, _ms, _union, _upd = upd_built
+    blogs = gen_blogs_table()
+    ratings = dict(zip(blogs["blog_url"], blogs["rating"]))
+    nochange = str(tmp_path / "nochange")
+    write_update_parquet(nochange, pq.read_table(pages).slice(0, 80))
+    m = update_sharded_index(nochange, shard_root, blog_ratings=ratings,
+                             tokenize_concurrency=2)
+    assert m["n_fresh_docs"] == 0
+    assert m["n_tokenized"] == 0
+    assert m["refreshed"] is False
+
+
+def test_sharded_update_positional(ray_session, tmp_path_factory, ratings):
+    """Positional sidecar survives a sharded update: phrase/near top-k
+    over the updated federation == the updated monolithic positional
+    index's."""
+    from myaku_ray.oracle import near_query_set, phrase_query_set
+
+    base = tmp_path_factory.mktemp("shupdpos")
+    pages = str(base / "pages")
+    write_pages_parquet(pages, 200, use_ray=False)
+    mono_dir = str(base / "mono")
+    shard_root = str(base / "sharded")
+    build_index(pages, mono_dir, blog_ratings=ratings,
+                tokenize_concurrency=2, with_positions=True)
+    m0 = build_sharded_index(pages, shard_root, 2, blog_ratings=ratings,
+                             with_positions=True)
+    batch = gen_update_batch(200, n_new=30, recrawl_indices=[3])
+    upd_dir = str(base / "upd")
+    write_update_parquet(upd_dir, batch)
+    update_index(upd_dir, mono_dir, blog_ratings=ratings,
+                 tokenize_concurrency=2)
+    update_sharded_index(upd_dir, shard_root, blog_ratings=ratings,
+                         tokenize_concurrency=2)
+    mono = Searcher(mono_dir)
+    fed = ShardedSearcher(m0["shard_dirs"])
+    nonempty = 0
+    for q in reference_query_set():
+        assert [(r.doc_id, r.score) for r in fed.topk(q, 10)] == [
+            (r.doc_id, r.score) for r in mono.topk(q, 10)
+        ], q
+    for q in phrase_query_set(pages)[:3]:
+        a = [(r.doc_id, r.score) for r in mono.phrase_topk(q, 10)]
+        assert [(r.doc_id, r.score) for r in fed.phrase_topk(q, 10)] == a, q
+        nonempty += bool(a)
+    for q, w in near_query_set(pages)[:2]:
+        a = [(r.doc_id, r.score) for r in mono.near_topk(q, w, 10)]
+        assert [(r.doc_id, r.score) for r in fed.near_topk(q, w, 10)] == a, q
+        nonempty += bool(a)
+    assert nonempty >= 1
