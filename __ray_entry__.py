@@ -366,6 +366,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the hive (shard, bucket) write, global-stats refresh) driven to
         # the from-scratch golden through federated serving
         "pages_sharded_update_search": fulltext.pages_sharded_update_search,
+        # reshard 3 -> 2 without re-tokenizing (delta fold + posting
+        # re-route + global-stats re-encode), served federated
+        "pages_reshard_search": fulltext.pages_reshard_search,
     }
 
 
@@ -524,4 +527,6 @@ def oracle_sql() -> dict[str, str]:
         # same golden again: sharded build -> sharded update -> federated
         # serving must converge to the from-scratch monolithic ranking
         "pages_sharded_update_search": pages_golden.PAGES_SEARCH_TOPK_SQL,
+        # reshard must not move a rank or score: same golden again
+        "pages_reshard_search": pages_golden.PAGES_SEARCH_TOPK_SQL,
     }

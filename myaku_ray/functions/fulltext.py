@@ -399,26 +399,22 @@ def pages_sharded_search(sf_dir: str, k: int = 10, n_shards: int = 3):
     return pd.DataFrame(rows)
 
 
-def pages_sharded_update_search(sf_dir: str, k: int = 10, n_shards: int = 3):
-    """Incremental update ON THE SHARDED LAYOUT, driven to the
-    from-scratch golden: sharded build over the corpus's first
-    ``UPDATE_SPLIT`` pages, then ``update_sharded_index`` with the
-    remaining pages as a crawl batch (delta tokenize routed through the
-    same hive (shard, bucket) write, global-stats refresh re-encoding
-    every shard), then federated serving.  The final logical corpus
-    equals the full corpus, so the oracle is the SAME stored golden as
-    ``pages_search_topk`` — one row certifying build+update+stats
-    exchange+federation end to end."""
+def _pages_sharded_updated_root(n_shards: int = 3) -> str:
+    """Sharded index built THROUGH THE INCREMENTAL PATH over the pages
+    corpus: sharded build over the first ``UPDATE_SPLIT`` pages, then
+    ``update_sharded_index`` with the remaining pages as a crawl batch
+    (delta tokenize routed through the same hive (shard, bucket) write,
+    global-stats refresh re-encoding every shard).  The final logical
+    corpus equals the full corpus, so serving over this tree must match
+    the from-scratch golden.  Cached behind a flow marker; shared by
+    ``pages_sharded_update_search`` and ``pages_reshard_search``."""
     import shutil
 
     import pyarrow.parquet as _pq
 
     from myaku_ray.corpus import gen_blogs_table
-    from myaku_ray.index.sharded import ShardedSearcher
-    from myaku_ray.oracle import reference_query_set
     from myaku_ray.pipelines.shard import (
         build_sharded_index,
-        shard_dirs_of,
         update_sharded_index,
     )
 
@@ -446,7 +442,12 @@ def pages_sharded_update_search(sf_dir: str, k: int = 10, n_shards: int = 3):
         update_sharded_index(delta_d, out, blog_ratings=ratings)
         with open(marker, "w") as f:
             f.write("ok")
-    fed = ShardedSearcher(shard_dirs_of(out, n_shards))
+    return out
+
+
+def _fed_rows(fed, k: int) -> pd.DataFrame:
+    from myaku_ray.oracle import reference_query_set
+
     rows = {"query": [], "rank": [], "doc_id": [], "score": [], "url": []}
     for q in reference_query_set():
         for rank, r in enumerate(fed.search(q, k), start=1):
@@ -456,6 +457,42 @@ def pages_sharded_update_search(sf_dir: str, k: int = 10, n_shards: int = 3):
             rows["score"].append(round(r.score, 5))
             rows["url"].append(r.url)
     return pd.DataFrame(rows)
+
+
+def pages_sharded_update_search(sf_dir: str, k: int = 10, n_shards: int = 3):
+    """Incremental update ON THE SHARDED LAYOUT, driven to the
+    from-scratch golden (see ``_pages_sharded_updated_root``): one row
+    certifying build+update+stats exchange+federation end to end.  The
+    oracle is the SAME stored golden as ``pages_search_topk``."""
+    from myaku_ray.index.sharded import ShardedSearcher
+    from myaku_ray.pipelines.shard import shard_dirs_of
+
+    out = _pages_sharded_updated_root(n_shards)
+    return _fed_rows(ShardedSearcher(shard_dirs_of(out, n_shards)), k)
+
+
+def pages_reshard_search(sf_dir: str, k: int = 10, new_n: int = 2):
+    """Reshard the incrementally-updated 3-shard tree to ``new_n`` shards
+    WITHOUT re-tokenizing (``pipelines/shard.reshard_index``: fold
+    committed deltas/tombstones, re-route postings by the new
+    ``doc_id %% new_n`` in one per-bucket pass, re-encode with the
+    unchanged global stats) and serve the reference set through the new
+    federation.  Routing must not move a single rank or score, so the
+    oracle is STILL the from-scratch ``pages_search_topk`` golden —
+    build -> update -> reshard -> federated serving, one row."""
+    import shutil
+
+    from myaku_ray.index.sharded import ShardedSearcher
+    from myaku_ray.pipelines.shard import reshard_index, shard_dirs_of
+
+    src = _pages_sharded_updated_root(3)
+    new_root = os.path.join(
+        CACHE_ROOT, f"pagesreshard_{PAGES_N}_3to{new_n}"
+    )
+    if not os.path.exists(os.path.join(new_root, "reshard.json")):
+        shutil.rmtree(new_root, ignore_errors=True)
+        reshard_index(src, new_root, new_n)
+    return _fed_rows(ShardedSearcher(shard_dirs_of(new_root, new_n)), k)
 
 
 def pages_search_title_boost(sf_dir: str, k: int = 10):

@@ -556,3 +556,231 @@ def update_sharded_index(
     metrics["refreshed"] = True
     metrics["update_wall_s"] = round(time.time() - t_start, 3)
     return metrics
+
+
+# ---------------------------------------------------------------------------
+# resharding (change n_shards WITHOUT re-tokenizing)
+# ---------------------------------------------------------------------------
+
+
+def reshard_index(out_root: str, new_root: str, new_n_shards: int) -> dict:
+    """Re-route an existing sharded index to ``new_n_shards`` document
+    shards — the capacity-change operation (Elasticsearch shrink/split,
+    Vespa redistribution) — WITHOUT re-running tokenization, the build's
+    dominant cost.
+
+    Posting rows already carry everything encode needs (term, doc_id,
+    tf, doclen, quality, warc_us [, positions]), and both the bucket key
+    (term hash) and the GLOBAL collection statistics are routing-
+    invariant, so resharding is: fold committed state (compact_index's
+    drop rules — superseded versions out, loser/deleted tombstones out
+    of postings, docs keep the latest version of every doc as the
+    re-crawl watermark), rewrite postings hive-partitioned by the new
+    ``doc_id % new_n`` in one per-bucket pass, then per-shard encodes
+    with the unchanged global stats.  The new root is a complete,
+    UPDATABLE sharded tree (state records copied; no deltas — they were
+    folded), and its federation is bit-identical to the source's.
+
+    Writes into a fresh ``new_root`` and commits with a final marker
+    (``reshard.json``): a crashed reshard leaves the source untouched —
+    delete the partial destination and re-run.  At scale only rows whose
+    shard assignment changes NEED to move; this implementation rewrites
+    all posting rows (one sequential pass, no tokenize) for simplicity —
+    the fold has to touch every row anyway."""
+    import glob
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from myaku_ray.pipelines.update import (
+        _atomic_write_json,
+        _clean_partial_deltas,
+        _committed_doc_files,
+        _derive_refresh_state,
+        _sorted_lookup_pair,
+    )
+
+    if new_n_shards < 1:
+        raise ValueError("new_n_shards must be >= 1")
+    t0 = time.time()
+    src_shards = _sharded_dirs(out_root)
+    _ensure_state_links(out_root)
+    _clean_partial_deltas(out_root)
+    with open(os.path.join(src_shards[0], "stats.json")) as f:
+        src_stats = json.load(f)
+    if os.path.exists(os.path.join(new_root, "reshard.json")):
+        raise FileExistsError(f"{new_root} already holds a completed reshard")
+    shutil.rmtree(new_root, ignore_errors=True)
+    os.makedirs(new_root)
+
+    supersede, losers, deleted, _overrides, n_docs = _derive_refresh_state(
+        out_root
+    )
+
+    # ---- docs fold: latest committed versions (incl. losers/deleted —
+    # their rows are the re-crawl watermark), streamed, no shuffle -------
+    new_shared = os.path.join(new_root, "_shared")
+    docs_dst = stage_dir(new_shared, "docs")
+    files = _committed_doc_files(out_root)
+    docs_ds = rd.read_parquet(files)
+    if supersede:
+        sup_lookup = ray.put(_sorted_lookup_pair(supersede))
+
+        def drop_old_versions(batch: pa.Table) -> pa.Table:
+            sk, sv = ray.get(sup_lookup)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            warcs = batch["warc_ts"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            pos = np.minimum(np.searchsorted(sk, ids), len(sk) - 1)
+            hit = sk[pos] == ids
+            return batch.filter(pa.array(~(hit & (warcs < sv[pos]))))
+
+        docs_ds = docs_ds.map_batches(drop_old_versions, batch_format="pyarrow")
+    docs_ds.write_parquet(docs_dst)
+    mark_complete(new_shared, "docs", resharded_from=out_root)
+
+    dedup_dst = stage_dir(new_shared, "dedup")
+    os.makedirs(dedup_dst, exist_ok=True)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(sorted(losers), pa.int64())}),
+        os.path.join(dedup_dst, "losers.parquet"),
+    )
+    mark_complete(new_shared, "dedup", rows=len(losers))
+    _ensure_state_links(new_root)
+
+    # versioned state records stay derived-valid against the folded docs
+    for name in ("deleted.parquet", "quality_overrides.parquet",
+                 "crawl_skip.json", "losers.parquet"):
+        p = os.path.join(out_root, name)
+        if os.path.exists(p):
+            shutil.copy2(p, os.path.join(new_root, name))
+
+    # ---- postings: fold + re-route in one per-bucket pass --------------
+    postings_dst = os.path.join(new_root, "postings")
+    buckets = bucket_file_map([stage_dir(out_root, "postings")])
+    if not buckets:
+        raise RuntimeError("reshard_index requires bucket-partitioned postings")
+    drop_ref = ray.put((frozenset(losers | deleted), supersede, {}))
+    _new_n = new_n_shards
+
+    @ray.remote
+    def reroute_bucket(bucket: int, bfiles: list, drop, dst: str) -> int:
+        # `drop` arrives as an ObjectRef argument — Ray dereferences it
+        # to the (losers, supersede, overrides) tuple before the call
+        import pyarrow.parquet as _pq
+
+        from myaku_ray.index.segment_build import POSTING_COLS, apply_drop
+
+        cols = POSTING_COLS
+        if _pq.read_schema(bfiles[0]).get_field_index("positions") != -1:
+            cols = POSTING_COLS + ["positions"]
+        t = pa.concat_tables([_pq.read_table(f, columns=cols) for f in bfiles])
+        t = apply_drop(t, *drop)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        route = (ids % _new_n).astype(np.int64)
+        for i in np.unique(route):
+            d = os.path.join(dst, f"shard={int(i)}", f"bucket={bucket}")
+            os.makedirs(d, exist_ok=True)
+            _pq.write_table(
+                t.filter(pa.array(route == i)),
+                os.path.join(d, "resharded-00000.parquet"),
+                compression="lz4",
+            )
+        return t.num_rows
+
+    n_rows = sum(
+        ray.get(
+            [
+                reroute_bucket.remote(b, bf, drop_ref, postings_dst)
+                for b, bf in sorted(buckets.items())
+            ]
+        )
+    )
+    mark_complete(
+        new_root, "postings", rows=n_rows, n_shards=new_n_shards,
+        resharded_from=out_root,
+    )
+
+    # ---- global stats: routing-invariant, recomputed from the folded
+    # tree (vocab-sized) so exactness never depends on src refresh state -
+    df_tbl = df_from_buckets(bucket_file_map([postings_dst]))
+    total_tokens = (
+        int(df_tbl["ctf"].to_numpy(zero_copy_only=False).sum())
+        if df_tbl.num_rows
+        else 0
+    )
+    stats = {
+        **src_stats,
+        "n_docs": int(n_docs),
+        "total_tokens": total_tokens,
+        "avgdl": total_tokens / max(n_docs, 1),
+        "n_terms": int(df_tbl.num_rows),
+        "n_shards": new_n_shards,
+    }
+    stats.pop("refreshed_thru_delta", None)
+    df_stage = stage_dir(new_root, "df")
+    os.makedirs(df_stage, exist_ok=True)
+    pq.write_table(df_tbl, os.path.join(df_stage, "df.parquet"))
+    mark_complete(new_root, "df", rows=int(df_tbl.num_rows))
+
+    # ---- per-shard encode with the (unchanged) global stats ------------
+    new_shards = shard_dirs_of(new_root, new_n_shards)
+    df_map = dict(
+        zip(
+            df_tbl["term"].to_pylist(),
+            df_tbl["df"].to_numpy(zero_copy_only=False).astype(int),
+        )
+    )
+    docs_dir = stage_dir(new_shared, "docs")
+    for i, sdir in enumerate(new_shards):
+        os.makedirs(sdir, exist_ok=True)
+        sdf = os.path.join(sdir, "df")
+        os.makedirs(sdf, exist_ok=True)
+        pq.write_table(df_tbl, os.path.join(sdf, "df.parquet"))
+        _atomic_write_json(
+            os.path.join(sdir, "stats.json"), {**stats, "shard": i}
+        )
+        link = os.path.join(sdir, "docs")
+        if not os.path.lexists(link):
+            os.symlink(
+                os.path.relpath(docs_dir, sdir), link,
+                target_is_directory=True,
+            )
+        shard_postings = os.path.join(postings_dst, f"shard={i}")
+        if not os.path.isdir(shard_postings):
+            os.makedirs(stage_dir(sdir, "segments"), exist_ok=True)
+            mark_complete(sdir, "segments", shard=i, empty=True)
+            continue
+        if not encode_segments_partitioned(
+            [shard_postings],
+            stage_dir(sdir, "segments"),
+            df_map=df_map,
+            n_docs=stats["n_docs"],
+            avgdl=stats["avgdl"],
+            num_segments=stats["num_segments"],
+        ):
+            raise RuntimeError(f"shard {i}: reshard write was not partitioned")
+        mark_complete(sdir, "segments", shard=i, resharded=True)
+
+    wall = round(time.time() - t0, 3)
+    _atomic_write_json(
+        os.path.join(new_root, "reshard.json"),
+        {
+            "from": out_root,
+            "old_n_shards": int(src_stats["n_shards"]),
+            "new_n_shards": new_n_shards,
+            "n_posting_rows": int(n_rows),
+            "wall_s": wall,
+        },
+    )
+    append_lineage(
+        new_root, stage="reshard", n_rows=n_rows,
+        new_n_shards=new_n_shards, wall_s=wall,
+    )
+    return {
+        "shard_dirs": new_shards,
+        "n_posting_rows": int(n_rows),
+        "stats": stats,
+        "reshard_wall_s": wall,
+    }

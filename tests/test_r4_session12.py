@@ -180,3 +180,84 @@ def test_sharded_update_positional(ray_session, tmp_path_factory, ratings):
         assert [(r.doc_id, r.score) for r in fed.near_topk(q, w, 10)] == a, q
         nonempty += bool(a)
     assert nonempty >= 1
+
+
+# ---- resharding (change n_shards without re-tokenizing) -----------------
+
+
+def test_reshard_bit_identity_and_no_tokenize(upd_built, tmp_path):
+    """Resharding the UPDATED 3-shard tree (deltas + supersede + losers
+    present) to 2 shards must preserve the federated ranking bit-for-bit,
+    fold all deltas away, route every posting by the new key — and never
+    touch the tokenizer."""
+    import glob
+    import json
+
+    from myaku_ray.index.sharded import ShardedSearcher
+    from myaku_ray.pipelines.shard import reshard_index
+
+    _pages, _mono, shard_root, m0, _mm, _ms, _union, _upd = upd_built
+    new_root = str(tmp_path / "re2")
+    m2 = reshard_index(shard_root, new_root, 2)
+    fed3 = ShardedSearcher(m0["shard_dirs"])
+    fed2 = ShardedSearcher(m2["shard_dirs"])
+    assert len(m2["shard_dirs"]) == 2
+    nonempty = 0
+    for q in reference_query_set():
+        a = [(r.doc_id, r.score, r.warc_us) for r in fed3.topk(q, 10)]
+        b = [(r.doc_id, r.score, r.warc_us) for r in fed2.topk(q, 10)]
+        assert a == b, q
+        assert fed3.count(q) == fed2.count(q), q
+        nonempty += bool(a)
+    assert nonempty >= 5
+    # folded: no deltas in the new tree; shards routed by the new key
+    assert not glob.glob(os.path.join(new_root, "postings", "delta-*"))
+    for i in (0, 1):
+        for f in glob.glob(
+            os.path.join(new_root, "postings", f"shard={i}", "**", "*.parquet"),
+            recursive=True,
+        ):
+            import pyarrow.parquet as pq
+
+            ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+            assert all(d % 2 == i for d in ids), f
+            break  # one file per shard suffices
+    # stats are the global ones, re-stamped for the new layout
+    with open(os.path.join(m2["shard_dirs"][0], "stats.json")) as f:
+        st = json.load(f)
+    assert st["n_shards"] == 2 and st["n_docs"] == fed3.shards[0].stats["n_docs"]
+
+
+def test_resharded_tree_is_updatable(upd_built, tmp_path, ratings):
+    """A second crawl batch into the RESHARDED tree must converge to the
+    from-scratch serial oracle over the full union corpus — the folded
+    tree carries complete watermark/dedup/tokenized state."""
+    from myaku_ray.index.sharded import ShardedSearcher
+    from myaku_ray.pipelines.shard import reshard_index, update_sharded_index
+
+    pages, _mono, shard_root, _m0, _mm, _ms, _union, upd_dir = upd_built
+    new_root = str(tmp_path / "re2b")
+    m2 = reshard_index(shard_root, new_root, 2)
+    batch1 = gen_update_batch(N_BASE, n_new=50, recrawl_indices=[7],
+                              dup_of_indices=[40])
+    batch2 = gen_update_batch(N_BASE, n_new=0, recrawl_indices=[2, 11],
+                              dup_of_indices=[5])
+    upd2 = str(tmp_path / "upd2")
+    write_update_parquet(upd2, batch2)
+    m = update_sharded_index(upd2, new_root, blog_ratings=ratings,
+                             tokenize_concurrency=2)
+    assert m["refreshed"] and m["n_recrawled"] == 2
+    # only the second delta was tokenized, not the folded corpus
+    assert 0 < m["n_tokenized"] <= m["n_fresh_docs"] + 4
+    union2 = str(tmp_path / "union2.parquet")
+    write_union_parquet(union2, pages, batch1, batch2)
+    oi = build_oracle_index(union2, blog_ratings=ratings)
+    fed = ShardedSearcher(m2["shard_dirs"])
+    assert fed.shards[0].stats["n_docs"] == oi.n_docs
+    nonempty = 0
+    for q in reference_query_set():
+        got = [(r.doc_id, round(r.score, 5)) for r in fed.topk(q, 10)]
+        want = [(d, round(s, 5)) for d, s, _w in oracle_topk(oi, q, 10)]
+        assert got == want, q
+        nonempty += bool(got)
+    assert nonempty >= 5
