@@ -56,15 +56,12 @@ from myaku_ray.pipelines.update import (
 from myaku_ray.scoring import article_quality_score
 
 
-def rescore_index(
-    index_dir: str,
-    *,
-    now,
-    blog_ratings: dict[str, float] | None = None,
-) -> dict:
-    """Rescore all recency-affected docs as of ``now``; refresh segments."""
-    t0 = time.time()
-    blog_ratings = blog_ratings or {}
+def _changed_overrides(
+    index_dir: str, now, blog_ratings: dict[str, float]
+):
+    """(changed (doc_id, quality, warc_us) DataFrame, previous override
+    records) — the rescore derivation, shared verbatim by the monolithic
+    index and the sharded layout (pipelines/shard.py)."""
     ratings_ref = ray.put(blog_ratings)
 
     docs = rd.read_parquet(
@@ -139,6 +136,19 @@ def rescore_index(
         )
 
     changed = docs.map_batches(changed_quality, batch_format="pyarrow").to_pandas()
+    return changed, prev_records
+
+
+def rescore_index(
+    index_dir: str,
+    *,
+    now,
+    blog_ratings: dict[str, float] | None = None,
+) -> dict:
+    """Rescore all recency-affected docs as of ``now``; refresh segments."""
+    t0 = time.time()
+    blog_ratings = blog_ratings or {}
+    changed, prev_records = _changed_overrides(index_dir, now, blog_ratings)
     n_changed = len(changed)
 
     metrics = {"n_rescored": n_changed}

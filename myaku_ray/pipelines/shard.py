@@ -326,7 +326,7 @@ def _sharded_dirs(out_root: str) -> list[str]:
     return dirs
 
 
-def refresh_sharded_index(out_root: str) -> dict:
+def refresh_sharded_index(out_root: str, *, recompute_df: bool = True) -> dict:
     """Recompute GLOBAL df / corpus stats and re-encode every shard's
     segments from committed state — the sharded twin of
     ``update.refresh_index``.  The statistics exchange is identical to
@@ -371,11 +371,16 @@ def refresh_sharded_index(out_root: str) -> dict:
     df_stage = stage_dir(out_root, "df")
     import shutil
 
-    shutil.rmtree(df_stage, ignore_errors=True)
-    buckets = bucket_file_map([postings_root])
-    # quality overrides don't change tf/df — same rule as the monolithic
-    # refresh's df recompute
-    df_tbl = df_from_buckets(buckets, drop=(drop_ids, supersede, {}))
+    if recompute_df:
+        shutil.rmtree(df_stage, ignore_errors=True)
+        buckets = bucket_file_map([postings_root])
+        # quality overrides don't change tf/df — same rule as the
+        # monolithic refresh's df recompute
+        df_tbl = df_from_buckets(buckets, drop=(drop_ids, supersede, {}))
+    else:
+        # quality-only change (rescore): tf/df/doclen untouched — reuse
+        # the existing global df table, skip the vocab all-reduce
+        df_tbl = pq.read_table(os.path.join(df_stage, "df.parquet"))
     total_tokens = (
         int(df_tbl["ctf"].to_numpy(zero_copy_only=False).sum())
         if df_tbl.num_rows
@@ -784,3 +789,152 @@ def reshard_index(out_root: str, new_root: str, new_n_shards: int) -> dict:
         "stats": stats,
         "reshard_wall_s": wall,
     }
+
+
+# ---------------------------------------------------------------------------
+# document removal + time-decay rescore on the sharded layout
+# ---------------------------------------------------------------------------
+
+
+def delete_urls_sharded(
+    out_root: str,
+    urls: list[str],
+    *,
+    tokenize_concurrency: int | tuple | None = (1, 8),
+    tokenize_batch_size: int = 128,
+) -> dict:
+    """Remove documents on the sharded layout — derivation is
+    ``update._prepare_delete`` VERBATIM (delete record, dedup recompute
+    over survivors, resurrection need-set); the resurrection delta, if
+    any, routes through the hive ``(shard, bucket)`` write and the
+    global-stats refresh re-encodes every shard.  Rank semantics are the
+    monolithic ``delete_urls``'s exactly (pytest-gated federation vs
+    monolithic bit-identity)."""
+    import numpy as _np
+    import ray.data as _rd
+
+    from myaku_ray.pipelines.update import (
+        _make_keep_need,
+        _mark_delta_done,
+        _next_delta_id,
+        _prepare_delete,
+        _write_tokenized_shard,
+    )
+
+    t0 = time.time()
+    shards = _sharded_dirs(out_root)
+    _ensure_state_links(out_root)
+    with open(os.path.join(shards[0], "stats.json")) as f:
+        cur_stats = json.load(f)
+    n_shards = int(cur_stats["n_shards"])
+
+    prep = _prepare_delete(out_root, urls)
+    metrics = prep["metrics"]
+    need = prep["need"]
+    if prep["noop"]:
+        return metrics
+
+    if need:
+        k = _next_delta_id(out_root)
+        postings_delta_dir = os.path.join(
+            stage_dir(out_root, "postings"), f"delta-{k}"
+        )
+
+        def add_shard(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "shard", pa.array((ids % n_shards).astype(_np.int64))
+            )
+
+        (
+            _rd.read_parquet(
+                stage_dir(out_root, "docs"),
+                columns=["doc_id", "text", "quality_score", "warc_ts"],
+            )
+            .map_batches(_make_keep_need(need), batch_format="pyarrow")
+            .map_batches(
+                TokenizeStage,
+                batch_format="pyarrow",
+                batch_size=tokenize_batch_size,
+                concurrency=tokenize_concurrency,
+                num_cpus=1,
+                fn_constructor_kwargs={
+                    "salt_buckets": cur_stats["salt_buckets"],
+                    "encode_buckets": cur_stats.get("encode_buckets", 64),
+                    "with_positions": cur_stats.get("with_positions", False),
+                },
+            )
+            .map_batches(add_shard, batch_format="pyarrow")
+            .write_parquet(
+                postings_delta_dir,
+                partition_cols=["shard", "bucket"],
+                compression="lz4",
+            )
+        )
+        _write_tokenized_shard(postings_delta_dir, need)
+        _mark_delta_done(postings_delta_dir)
+
+    append_lineage(
+        out_root, stage="delete", n_deleted=metrics["n_deleted"],
+        n_resurrected=len(need), sharded=True,
+        wall_s=round(time.time() - t0, 3),
+    )
+    metrics.update(refresh_sharded_index(out_root))
+    metrics["refreshed"] = True
+    return metrics
+
+
+def rescore_sharded_index(
+    out_root: str,
+    *,
+    now,
+    blog_ratings: dict[str, float] | None = None,
+) -> dict:
+    """Time-decay rescore on the sharded layout: the changed-override
+    derivation is ``rescore._changed_overrides`` VERBATIM over the
+    shared docs, the merged override records land at the root, and the
+    refresh re-encodes every shard WITHOUT the df all-reduce
+    (quality-only change — tf/df/doclen untouched, same skip as the
+    monolithic ``refresh_index(recompute_df=False)``).  The new clock
+    stamps every shard's stats.json."""
+    from myaku_ray.pipelines.rescore import _changed_overrides
+    from myaku_ray.pipelines.update import (
+        _atomic_write_json,
+        load_quality_overrides,
+        save_quality_overrides,
+    )
+
+    t0 = time.time()
+    blog_ratings = blog_ratings or {}
+    shards = _sharded_dirs(out_root)
+    _ensure_state_links(out_root)
+    changed, prev_records = _changed_overrides(out_root, now, blog_ratings)
+    n_changed = len(changed)
+    metrics = {"n_rescored": n_changed}
+    if n_changed:
+        merged = dict(prev_records)
+        merged.update(
+            {
+                int(d): (int(q), int(w))
+                for d, q, w in zip(
+                    changed["doc_id"], changed["quality"], changed["warc_us"]
+                )
+            }
+        )
+        save_quality_overrides(out_root, merged)
+        metrics.update(refresh_sharded_index(out_root, recompute_df=False))
+    # the clock stamp lands on every shard (serving state) even when no
+    # score moved — the rescore-tracking checkpoint
+    for i, sdir in enumerate(shards):
+        p = os.path.join(sdir, "stats.json")
+        with open(p) as f:
+            st = json.load(f)
+        st["fixed_now_us"] = int(now.timestamp() * 1_000_000)
+        _atomic_write_json(p, st)
+    load_quality_overrides(out_root)  # derivable sanity read
+    append_lineage(
+        out_root, stage="rescore", n_rescored=n_changed, sharded=True,
+        wall_s=round(time.time() - t0, 3),
+    )
+    metrics["rescore_wall_s"] = round(time.time() - t0, 3)
+    return metrics

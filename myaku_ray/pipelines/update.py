@@ -1132,43 +1132,12 @@ def delete_urls(
     smallest surviving duplicate is resurrected (tokenized now if its
     postings never existed)."""
     t0 = time.time()
-    metrics: dict = {}
-    _clean_partial_deltas(index_dir)
-    _finish_compaction(index_dir)
-
-    old = _docs_light(index_dir)
-    tokenized = load_tokenized(index_dir)
-    latest_warc = dict(zip(old["doc_id"].astype(int), old["warc_us"].astype(int)))
-    del_records = load_deleted(index_dir)
-    already = effective_deleted(latest_warc, del_records)
-    url_ids = set(
-        old.loc[old["url"].isin(set(urls)), "doc_id"].astype(int)
-    )
-    new_deleted = url_ids - already
-    metrics["n_deleted"] = len(new_deleted)
-    if not new_deleted:
-        metrics["refreshed"] = False
+    prep = _prepare_delete(index_dir, urls)
+    metrics = prep["metrics"]
+    need = prep["need"]
+    if prep["noop"]:
         return metrics
-    # the delete record IS the user action — persist it first (atomic);
-    # everything downstream (losers, resurrection) derives from it
-    for d in new_deleted:
-        del_records[d] = latest_warc[d]
-    save_deleted(index_dir, del_records)
-    deleted = already | new_deleted
 
-    # dedup recompute over surviving docs (winner = min doc_id)
-    live = old[~old["doc_id"].isin(deleted)]
-    winners = live.groupby("text_hash")["doc_id"].min()
-    winner_ids = set(winners.astype(int))
-    losers = set(live["doc_id"].astype(int)) - winner_ids
-
-    # resurrected winners that were never tokenized
-    live_versions = set(zip(live["doc_id"].astype(int), live["warc_us"].astype(int)))
-    need = {
-        (d, w) for (d, w) in live_versions
-        if d in winner_ids and (d, w) not in tokenized
-    }
-    metrics["n_resurrected"] = len(need)
     if need:
         k = _next_delta_id(index_dir)
         postings_delta_dir = os.path.join(
@@ -1202,9 +1171,55 @@ def delete_urls(
         _mark_delta_done(postings_delta_dir)
 
     append_lineage(
-        index_dir, stage="delete", n_deleted=len(new_deleted),
+        index_dir, stage="delete", n_deleted=metrics["n_deleted"],
         n_resurrected=len(need), wall_s=round(time.time() - t0, 3),
     )
     metrics.update(refresh_index(index_dir))
     metrics["refreshed"] = True
     return metrics
+
+
+def _prepare_delete(index_dir: str, urls: list[str]) -> dict:
+    """Shared derivation phase of delete_urls — record the user action,
+    recompute dedup over survivors, find never-tokenized resurrected
+    winners.  Identical for the monolithic and sharded layouts
+    (pipelines/shard.py routes the resurrection delta through the hive
+    (shard, bucket) write afterwards)."""
+    metrics: dict = {}
+    _clean_partial_deltas(index_dir)
+    _finish_compaction(index_dir)
+
+    old = _docs_light(index_dir)
+    tokenized = load_tokenized(index_dir)
+    latest_warc = dict(zip(old["doc_id"].astype(int), old["warc_us"].astype(int)))
+    del_records = load_deleted(index_dir)
+    already = effective_deleted(latest_warc, del_records)
+    url_ids = set(
+        old.loc[old["url"].isin(set(urls)), "doc_id"].astype(int)
+    )
+    new_deleted = url_ids - already
+    metrics["n_deleted"] = len(new_deleted)
+    if not new_deleted:
+        metrics["refreshed"] = False
+        return {"metrics": metrics, "need": set(), "noop": True}
+    # the delete record IS the user action — persist it first (atomic);
+    # everything downstream (losers, resurrection) derives from it
+    for d in new_deleted:
+        del_records[d] = latest_warc[d]
+    save_deleted(index_dir, del_records)
+    deleted = already | new_deleted
+
+    # dedup recompute over surviving docs (winner = min doc_id)
+    live = old[~old["doc_id"].isin(deleted)]
+    winners = live.groupby("text_hash")["doc_id"].min()
+    winner_ids = set(winners.astype(int))
+    losers = set(live["doc_id"].astype(int)) - winner_ids
+
+    # resurrected winners that were never tokenized
+    live_versions = set(zip(live["doc_id"].astype(int), live["warc_us"].astype(int)))
+    need = {
+        (d, w) for (d, w) in live_versions
+        if d in winner_ids and (d, w) not in tokenized
+    }
+    metrics["n_resurrected"] = len(need)
+    return {"metrics": metrics, "need": need, "noop": False}

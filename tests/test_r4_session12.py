@@ -261,3 +261,100 @@ def test_resharded_tree_is_updatable(upd_built, tmp_path, ratings):
         assert got == want, q
         nonempty += bool(got)
     assert nonempty >= 5
+
+
+# ---- delete + rescore on the sharded layout ------------------------------
+
+
+@pytest.fixture(scope="module")
+def life_built(ray_session, tmp_path_factory, ratings):
+    """Fresh small mono + 2-shard builds reserved for the destructive
+    lifecycle tests (delete/rescore mutate the trees)."""
+    base = tmp_path_factory.mktemp("shlife")
+    pages = str(base / "pages")
+    write_pages_parquet(pages, 220, use_ray=False)
+    mono_dir = str(base / "mono")
+    shard_root = str(base / "sharded")
+    build_index(pages, mono_dir, blog_ratings=ratings, tokenize_concurrency=2)
+    m0 = build_sharded_index(pages, shard_root, 2, blog_ratings=ratings)
+    return pages, mono_dir, shard_root, m0
+
+
+def _fed_vs_mono(mono_dir: str, shard_dirs: list[str], min_nonempty: int = 4):
+    mono = Searcher(mono_dir)
+    fed = ShardedSearcher(shard_dirs)
+    nonempty = 0
+    for q in reference_query_set():
+        a = [(r.doc_id, r.score, r.warc_us) for r in mono.topk(q, 10)]
+        b = [(r.doc_id, r.score, r.warc_us) for r in fed.topk(q, 10)]
+        assert a == b, q
+        assert mono.count(q) == fed.count(q), q
+        nonempty += bool(a)
+    assert nonempty >= min_nonempty
+    return mono, fed
+
+
+def test_sharded_delete_with_resurrection(life_built):
+    """Deleting a dedup WINNER on both layouts: the sharded twin must
+    derive the same deletion/resurrection and stay bit-identical."""
+    import pyarrow.parquet as pq
+
+    from myaku_ray.pipelines.shard import delete_urls_sharded
+    from myaku_ray.pipelines.update import delete_urls
+
+    pages, mono_dir, shard_root, m0 = life_built
+    docs = pq.read_table(
+        os.path.join(mono_dir, "docs"),
+        columns=["doc_id", "url", "text_hash"],
+    ).to_pandas()
+    groups = docs.groupby("text_hash")["doc_id"].agg(["count", "min"])
+    dup = groups[groups["count"] > 1]
+    assert len(dup) > 0, "corpus has no dup group"
+    winner_id = int(dup["min"].iloc[0])
+    winner_url = docs.loc[docs["doc_id"] == winner_id, "url"].iloc[0]
+    plain_url = docs.loc[~docs["doc_id"].isin(dup["min"]), "url"].iloc[0]
+
+    urls = [winner_url, plain_url]
+    mm = delete_urls(mono_dir, urls, tokenize_concurrency=2)
+    ms = delete_urls_sharded(shard_root, urls, tokenize_concurrency=2)
+    assert mm["n_deleted"] == ms["n_deleted"] == 2
+    assert mm["n_resurrected"] == ms["n_resurrected"] >= 1
+    mono, fed = _fed_vs_mono(mono_dir, m0["shard_dirs"])
+    # the deleted docs are gone from both engines
+    assert mono.stats["n_docs"] == fed.shards[0].stats["n_docs"]
+    # idempotent: re-deleting is a no-op on both
+    assert delete_urls(mono_dir, urls)["refreshed"] is False
+    assert delete_urls_sharded(shard_root, urls)["refreshed"] is False
+
+
+def test_sharded_rescore_time_decay(life_built):
+    """Advancing the clock past recency-bucket boundaries: the sharded
+    rescore must change the same override set and keep the federation
+    bit-identical to the rescored monolithic index."""
+    from datetime import timedelta
+
+    from myaku_ray.corpus import FIXED_NOW, gen_blogs_table
+    from myaku_ray.pipelines.rescore import rescore_index
+    from myaku_ray.pipelines.shard import rescore_sharded_index
+
+    pages, mono_dir, shard_root, m0 = life_built
+    ratings = dict(
+        zip(gen_blogs_table()["blog_url"], gen_blogs_table()["rating"])
+    )
+    later = FIXED_NOW + timedelta(days=400)
+    mm = rescore_index(mono_dir, now=later, blog_ratings=ratings)
+    ms = rescore_sharded_index(shard_root, now=later, blog_ratings=ratings)
+    assert mm["n_rescored"] == ms["n_rescored"] > 0
+    _fed_vs_mono(mono_dir, m0["shard_dirs"])
+    import json
+
+    with open(os.path.join(m0["shard_dirs"][0], "stats.json")) as f:
+        assert json.load(f)["fixed_now_us"] == int(
+            later.timestamp() * 1_000_000
+        )
+    # second rescore at the same clock: no score moves on either layout
+    assert rescore_index(mono_dir, now=later, blog_ratings=ratings)[
+        "n_rescored"
+    ] == rescore_sharded_index(
+        shard_root, now=later, blog_ratings=ratings
+    )["n_rescored"] == 0
