@@ -354,6 +354,7 @@ def refresh_sharded_index(out_root: str, *, recompute_df: bool = True) -> dict:
     )
 
     t0 = time.time()
+    _finish_sharded_compaction(out_root)
     shards = _sharded_dirs(out_root)
     _ensure_state_links(out_root)
     _clean_partial_deltas(out_root)
@@ -488,6 +489,7 @@ def update_sharded_index(
 
     t_start = time.time()
     blog_ratings = blog_ratings or {}
+    _finish_sharded_compaction(out_root)
     shards = _sharded_dirs(out_root)
     _ensure_state_links(out_root)
     with open(os.path.join(shards[0], "stats.json")) as f:
@@ -608,6 +610,7 @@ def reshard_index(out_root: str, new_root: str, new_n_shards: int) -> dict:
     if new_n_shards < 1:
         raise ValueError("new_n_shards must be >= 1")
     t0 = time.time()
+    _finish_sharded_compaction(out_root)
     src_shards = _sharded_dirs(out_root)
     _ensure_state_links(out_root)
     _clean_partial_deltas(out_root)
@@ -822,6 +825,7 @@ def delete_urls_sharded(
     )
 
     t0 = time.time()
+    _finish_sharded_compaction(out_root)
     shards = _sharded_dirs(out_root)
     _ensure_state_links(out_root)
     with open(os.path.join(shards[0], "stats.json")) as f:
@@ -906,6 +910,7 @@ def rescore_sharded_index(
 
     t0 = time.time()
     blog_ratings = blog_ratings or {}
+    _finish_sharded_compaction(out_root)
     shards = _sharded_dirs(out_root)
     _ensure_state_links(out_root)
     changed, prev_records = _changed_overrides(out_root, now, blog_ratings)
@@ -938,3 +943,130 @@ def rescore_sharded_index(
     )
     metrics["rescore_wall_s"] = round(time.time() - t0, 3)
     return metrics
+
+
+# ---------------------------------------------------------------------------
+# in-place sharded compaction (fold deltas/tombstones, keep n_shards)
+# ---------------------------------------------------------------------------
+
+_SHARDED_COMPACT_MARKER = "compact_sharded.json"
+
+
+def _rm_any(path: str) -> None:
+    import shutil
+
+    if os.path.isdir(path) and not os.path.islink(path):
+        shutil.rmtree(path, ignore_errors=True)
+    elif os.path.lexists(path):
+        os.remove(path)
+
+
+def _finish_sharded_compaction(out_root: str) -> bool:
+    """Complete (or re-complete) a crashed sharded-compaction swap.
+    The marker is written only after the full ``.compactnew`` tree is
+    built, so recovery just redoes the per-entry rename sequence."""
+    import shutil
+
+    marker = os.path.join(out_root, _SHARDED_COMPACT_MARKER)
+    if not os.path.exists(marker):
+        return False
+    with open(marker) as f:
+        entries = json.load(f)["entries"]
+    newroot = out_root + ".compactnew"
+    for e in entries:
+        live = os.path.join(out_root, e)
+        new = os.path.join(newroot, e)
+        old = live + ".old"
+        if os.path.lexists(new):
+            _rm_any(old)
+            if os.path.lexists(live):
+                os.rename(live, old)
+            os.rename(new, live)
+        _rm_any(old)
+    shutil.rmtree(newroot, ignore_errors=True)
+    os.remove(marker)
+    return True
+
+
+def compact_sharded_index(out_root: str) -> dict:
+    """Fold committed deltas, superseded versions and tombstones back
+    into the base sharded layout IN PLACE — the periodic compaction that
+    keeps delta chains short (monolithic twin: ``update.compact_index``).
+
+    Implementation: a same-``n_shards`` ``reshard_index`` into a
+    ``.compactnew`` sibling (the fold and the re-route are the same
+    per-bucket pass; with an unchanged routing key no row changes shard)
+    followed by a marker-committed directory swap.  Idempotent via the
+    same rule as the monolithic compact: re-fold only when committed
+    deltas / supersede exist or the effective deleted set changed since
+    the last compaction (its signature is stamped into every shard's
+    stats.json)."""
+    import glob
+    import hashlib
+    import shutil
+
+    from myaku_ray.pipelines.update import (
+        _atomic_write_json,
+        _clean_partial_deltas,
+        _derive_refresh_state,
+    )
+
+    t0 = time.time()
+    _finish_sharded_compaction(out_root)
+    shards = _sharded_dirs(out_root)
+    _ensure_state_links(out_root)
+    _clean_partial_deltas(out_root)
+    with open(os.path.join(shards[0], "stats.json")) as f:
+        cur_stats = json.load(f)
+    n_shards = int(cur_stats["n_shards"])
+
+    has_deltas = any(
+        glob.glob(os.path.join(stage_dir(out_root, st), "delta-*"))
+        for st in ("docs", "postings")
+    )
+    supersede, _losers, deleted, _ov, _n = _derive_refresh_state(out_root)
+    tomb_sig = hashlib.blake2b(
+        np.asarray(sorted(deleted), dtype=np.int64).tobytes(), digest_size=8
+    ).hexdigest()
+    if (
+        not has_deltas
+        and not supersede
+        and cur_stats.get("compacted_tomb_sig") == tomb_sig
+    ):
+        return {"compacted": False, "reason": "nothing to fold"}
+
+    newroot = out_root + ".compactnew"
+    shutil.rmtree(newroot, ignore_errors=True)
+    m = reshard_index(out_root, newroot, n_shards)
+    os.remove(os.path.join(newroot, "reshard.json"))
+    # stamp the folded tombstone signature into the new tree's stats
+    for i, sdir in enumerate(
+        shard_dirs_of(newroot, n_shards)
+    ):
+        p = os.path.join(sdir, "stats.json")
+        with open(p) as f:
+            st = json.load(f)
+        st["compacted_tomb_sig"] = tomb_sig
+        _atomic_write_json(p, st)
+
+    entries = ["_shared", "postings", "df"] + [
+        os.path.basename(s) for s in shards
+    ]
+    for name in ("losers.parquet",):
+        if os.path.exists(os.path.join(newroot, name)):
+            entries.append(name)
+    _atomic_write_json(
+        os.path.join(out_root, _SHARDED_COMPACT_MARKER), {"entries": entries}
+    )
+    _finish_sharded_compaction(out_root)
+    append_lineage(
+        out_root, stage="compact", sharded=True,
+        n_superseded_folded=len(supersede),
+        n_posting_rows=m["n_posting_rows"],
+        wall_s=round(time.time() - t0, 3),
+    )
+    return {
+        "compacted": True,
+        "n_superseded_folded": len(supersede),
+        "compact_wall_s": round(time.time() - t0, 3),
+    }

@@ -358,3 +358,51 @@ def test_sharded_rescore_time_decay(life_built):
     ] == rescore_sharded_index(
         shard_root, now=later, blog_ratings=ratings
     )["n_rescored"] == 0
+
+
+def test_sharded_compaction_in_place(upd_built):
+    """In-place compaction folds the update's delta + superseded rows
+    into the base sharded layout, leaves ranking bit-identical to the
+    (uncompacted) monolithic twin, and is idempotent."""
+    import glob
+
+    from myaku_ray.pipelines.shard import compact_sharded_index
+
+    _pages, mono_dir, shard_root, m0, _mm, _ms, _union, _upd = upd_built
+    assert glob.glob(os.path.join(shard_root, "postings", "delta-*"))
+    m = compact_sharded_index(shard_root)
+    assert m["compacted"] and m["n_superseded_folded"] >= 1
+    # deltas folded away, marker cleaned, no leftover swap dirs
+    assert not glob.glob(os.path.join(shard_root, "postings", "delta-*"))
+    assert not glob.glob(os.path.join(shard_root, "docs", "delta-*"))
+    assert not os.path.exists(shard_root + ".compactnew")
+    assert not os.path.exists(os.path.join(shard_root, "compact_sharded.json"))
+    mono = Searcher(mono_dir)
+    fed = ShardedSearcher(
+        sorted(glob.glob(os.path.join(shard_root, "shard-*")))
+    )
+    nonempty = 0
+    for q in reference_query_set():
+        a = [(r.doc_id, r.score, r.warc_us) for r in mono.topk(q, 10)]
+        b = [(r.doc_id, r.score, r.warc_us) for r in fed.topk(q, 10)]
+        assert a == b, q
+        nonempty += bool(a)
+    assert nonempty >= 5
+    # idempotent: nothing left to fold
+    assert compact_sharded_index(shard_root)["compacted"] is False
+    # and the compacted tree still fast-paths a no-change crawl
+    from myaku_ray.pipelines.shard import update_sharded_index
+
+    import pyarrow.parquet as pq
+
+    from myaku_ray.corpus import gen_blogs_table
+
+    blogs = gen_blogs_table()
+    nochange = os.path.join(shard_root + "_nc")
+    write_update_parquet(nochange, pq.read_table(_pages).slice(0, 50))
+    m2 = update_sharded_index(
+        nochange, shard_root,
+        blog_ratings=dict(zip(blogs["blog_url"], blogs["rating"])),
+        tokenize_concurrency=2,
+    )
+    assert m2["refreshed"] is False
