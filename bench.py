@@ -575,6 +575,55 @@ def bench_sharded(
         )
     finally:
         act.shutdown()
+
+    # replica groups: same shards, 2 query nodes each — the query-
+    # throughput axis on top of the corpus axis (N shards x R replicas).
+    # Replicas only pay off when per-shard query COST dominates the
+    # coordinator RPC, so the comparison runs a heavy mix (distinct
+    # 3-term WAND conjunctions, k=50, memo-proof) at r=1 and r=2.
+    heavy = [
+        f"{rng.choice(lex)}の{rng.choice(lex)}の{rng.choice(lex)}"
+        for _ in range(n_q)
+    ]
+
+    def pipelined_qps(searcher, qs: list) -> float:
+        pending: collections.deque = collections.deque()
+        t0 = time.time()
+        for q in qs:
+            pending.append(searcher.topk_async(q, 50))
+            if len(pending) >= window:
+                searcher.merge(_ray.get(pending.popleft()), 50)
+        while pending:
+            searcher.merge(_ray.get(pending.popleft()), 50)
+        return round(len(qs) / (time.time() - t0), 1)
+
+    act1 = RayShardedSearcher(m["shard_dirs"])
+    try:
+        out["sharded_actor_heavy_qps"] = pipelined_qps(act1, heavy)
+    finally:
+        act1.shutdown()
+    act2 = RayShardedSearcher(m["shard_dirs"], replicas=2)
+    try:
+        out["sharded_actor_heavy_qps_r2"] = pipelined_qps(act2, heavy)
+        out["sharded_replica_speedup"] = round(
+            out["sharded_actor_heavy_qps_r2"]
+            / max(out["sharded_actor_heavy_qps"], 1e-9),
+            3,
+        )
+    finally:
+        act2.shutdown()
+
+    # reshard (n -> n-1) WITHOUT re-tokenizing, vs the full sharded
+    # build: quantifies the fold+re-route+re-encode-only path
+    from myaku_ray.pipelines.shard import reshard_index
+
+    shutil.rmtree(root + "_re", ignore_errors=True)
+    t0 = time.time()
+    reshard_index(root, root + "_re", max(n_shards - 1, 1))
+    out["sharded_reshard_s"] = round(time.time() - t0, 3)
+    out["sharded_reshard_vs_build"] = round(
+        out["sharded_reshard_s"] / max(out["sharded_build_s"], 1e-9), 3
+    )
     return out
 
 

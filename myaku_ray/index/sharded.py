@@ -146,22 +146,58 @@ class RayShardedSearcher:
 
     Results are bit-identical to ShardedSearcher (and therefore to the
     monolithic Searcher) — pytest gates all three against each other.
+
+    ``replicas`` is the query-throughput axis: R query nodes per shard
+    over the same shard directory (a real deployment's replica groups).
+    Each query fans to ONE replica per shard, chosen round-robin, so
+    concurrent queries spread across replica groups while every query
+    still sees the whole corpus.  Correctness is replica-invariant
+    (same directories), so the identity gates hold for any R.
+
+    Scheduling note: n_shards x replicas x num_cpus_per_shard CPU is
+    reserved up front; if it exceeds the cluster, actor creation pends
+    and the first query blocks forever — size replicas to the cluster
+    (or pass fractional num_cpus_per_shard in small sessions).
     """
 
-    def __init__(self, shard_dirs: list[str], num_cpus_per_shard: float = 1):
+    def __init__(
+        self,
+        shard_dirs: list[str],
+        num_cpus_per_shard: float = 1,
+        replicas: int = 1,
+    ):
         if not shard_dirs:
             raise ValueError("need at least one shard dir")
+        if replicas < 1:
+            raise ValueError("replicas must be >= 1")
         self.shard_dirs = list(shard_dirs)
-        self.nodes = [
-            _ShardQueryNode.options(num_cpus=num_cpus_per_shard).remote(d)
+        self.replica_groups = [
+            [
+                _ShardQueryNode.options(num_cpus=num_cpus_per_shard).remote(d)
+                for _ in range(replicas)
+            ]
             for d in shard_dirs
         ]
+        self._rr = 0
+
+    @property
+    def nodes(self):
+        """One representative node per shard (replica 0) — the hydration
+        owner path and existing callers use this."""
+        return [g[0] for g in self.replica_groups]
+
+    def _pick(self):
+        """One node per shard for a single query, round-robin across
+        replica groups."""
+        r = self._rr
+        self._rr += 1
+        return [g[r % len(g)] for g in self.replica_groups]
 
     # -- async fan-out: returns futures so a caller can pipeline many
     # queries (the QPS bench keeps a window in flight) ---------------------
 
     def topk_async(self, q: str, k: int = 10, query_type: str = "exact"):
-        return [n.topk.remote(q, k, query_type) for n in self.nodes]
+        return [n.topk.remote(q, k, query_type) for n in self._pick()]
 
     @staticmethod
     def merge(per_shard: list[list[SearchResult]], k: int):
@@ -176,12 +212,17 @@ class RayShardedSearcher:
 
     def count(self, query_str: str, query_type: str = "exact") -> int:
         return sum(
-            ray.get([n.count.remote(query_str, query_type) for n in self.nodes])
+            ray.get(
+                [n.count.remote(query_str, query_type) for n in self._pick()]
+            )
         )
 
     def phrase_topk(self, query_str: str, k: int = 10) -> list[SearchResult]:
         return self.merge(
-            ray.get([n.phrase_topk.remote(query_str, k) for n in self.nodes]), k
+            ray.get(
+                [n.phrase_topk.remote(query_str, k) for n in self._pick()]
+            ),
+            k,
         )
 
     def near_topk(
@@ -189,7 +230,7 @@ class RayShardedSearcher:
     ) -> list[SearchResult]:
         return self.merge(
             ray.get(
-                [n.near_topk.remote(query_str, window, k) for n in self.nodes]
+                [n.near_topk.remote(query_str, window, k) for n in self._pick()]
             ),
             k,
         )
@@ -201,12 +242,14 @@ class RayShardedSearcher:
         hits = self.topk(query_str, k, query_type)
         if not hits:
             return hits
-        n = len(self.nodes)
+        n = len(self.replica_groups)
         by_shard: dict[int, list[SearchResult]] = {}
         for r in hits:
             by_shard.setdefault(r.doc_id % n, []).append(r)
+        rr = self._rr
         futs = {
-            i: self.nodes[i].hydrate.remote(sub, query_str, query_type)
+            i: self.replica_groups[i][rr % len(self.replica_groups[i])]
+            .hydrate.remote(sub, query_str, query_type)
             for i, sub in by_shard.items()
         }
         hydrated: dict[int, SearchResult] = {}
@@ -216,7 +259,8 @@ class RayShardedSearcher:
         return [hydrated[r.doc_id] for r in hits]
 
     def shutdown(self) -> None:
-        """Kill the query-node actors (bench hygiene between sections)."""
-        for n in self.nodes:
-            ray.kill(n)
-        self.nodes = []
+        """Kill every query-node actor (bench hygiene between sections)."""
+        for g in self.replica_groups:
+            for n in g:
+                ray.kill(n)
+        self.replica_groups = []

@@ -328,3 +328,34 @@ def test_ray_sharded_async_pipeline(sh_built):
             ], q
     finally:
         act.shutdown()
+
+
+def test_ray_sharded_replicas_identity(sh_built):
+    """replicas=2 (two query nodes per shard, round-robin) must be
+    result-invariant: every query, count, and hydrated search matches
+    the single-replica federation across MANY calls (so the round-robin
+    cycles through every replica group member)."""
+    from myaku_ray.index.sharded import RayShardedSearcher, ShardedSearcher
+    from myaku_ray.oracle import reference_query_set
+
+    _pages, _mono, _root, m = sh_built
+    fed = ShardedSearcher(m["shard_dirs"])
+    # 3 shards x 2 replicas = 6 actors; the test session has 4 CPUs, so
+    # reserve fractional CPUs or the actor pool would never schedule
+    act = RayShardedSearcher(
+        m["shard_dirs"], num_cpus_per_shard=0.5, replicas=2
+    )
+    try:
+        assert all(len(g) == 2 for g in act.replica_groups)
+        for rep in range(2):  # two passes -> both replicas serve each q
+            for q in reference_query_set():
+                a = [(r.doc_id, r.score) for r in fed.topk(q, 10)]
+                b = [(r.doc_id, r.score) for r in act.topk(q, 10)]
+                assert a == b, (rep, q)
+                assert fed.count(q) == act.count(q), (rep, q)
+        q = next(q for q in reference_query_set() if fed.topk(q, 10))
+        assert [(r.doc_id, r.url) for r in act.search(q, 10)] == [
+            (r.doc_id, r.url) for r in fed.search(q, 10)
+        ]
+    finally:
+        act.shutdown()
