@@ -358,6 +358,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fuzzy (edit-distance) search: SymSpell deletion-neighborhood
         # expansion ranked as one group through the array/WAND engine
         "pages_fuzzy_search": fulltext.pages_fuzzy_search,
+        # Rocchio pseudo-relevance feedback: top-R feedback docs feed
+        # tf x idf expansion terms into ONE second disjunctive pass
+        "pages_search_prf": fulltext.pages_search_prf,
+        # significant-terms aggregation: foreground (top-ranked sample)
+        # vs background (df) lift, exact-Fraction ranked
+        "pages_significant_terms": fulltext.pages_significant_terms,
         # document-sharded build (global-IDF exchange) + federated
         # top-k merge — must be bit-identical to the monolithic index,
         # so it shares pages_search_topk's stored golden
@@ -521,6 +527,8 @@ def oracle_sql() -> dict[str, str]:
         "pages_wildcard_search": pages_golden.PAGES_WILDCARD_SEARCH_SQL,
         "pages_search_title_boost": pages_golden.PAGES_TITLE_BOOST_SQL,
         "pages_fuzzy_search": pages_golden.PAGES_FUZZY_SEARCH_SQL,
+        "pages_search_prf": pages_golden.PAGES_SEARCH_PRF_SQL,
+        "pages_significant_terms": pages_golden.PAGES_SIGNIFICANT_TERMS_SQL,
         # deliberately the SAME golden as pages_search_topk: sharded
         # serving must reproduce the monolithic ranking bit-for-bit
         "pages_sharded_search": pages_golden.PAGES_SEARCH_TOPK_SQL,

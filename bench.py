@@ -169,6 +169,19 @@ def bench_queries(index_dir: str, corpus_dir: str | None = None) -> dict:
                 "suggest_n_queries": len(sqs),
             }
         )
+    # PRF expansion + significant-terms serving cost: both pay one
+    # plain query + fb-doc hydration + tokenize; PRF adds the second
+    # (|q|+E)-term disjunctive pass (first-pass memo warm by now)
+    prf_ms, sig_ms = [], []
+    for q in qs:
+        t0 = time.time()
+        s.topk_prf(q, 10)
+        prf_ms.append((time.time() - t0) * 1000)
+        t0 = time.time()
+        s.significant_terms(q)
+        sig_ms.append((time.time() - t0) * 1000)
+    out["prf_p50_ms"] = round(statistics.median(prf_ms), 2)
+    out["significant_terms_p50_ms"] = round(statistics.median(sig_ms), 2)
     return out
 
 

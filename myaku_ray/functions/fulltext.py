@@ -1086,3 +1086,62 @@ def pages_more_like_this(sf_dir: str, k: int = 10):
             rows["score"].append(round(r.score, 5))
             rows["url"].append(urls.get(r.doc_id))
     return pd.DataFrame(rows)
+
+
+def pages_search_prf(sf_dir: str, k: int = 10):
+    """Pseudo-relevance-feedback search (Rocchio expansion) over the
+    pages index: first-pass top-R docs feed summed-tf x idf expansion
+    terms (shared kernel scoring.select_prf_terms), then ONE disjunctive
+    query over original + expansion terms (Searcher.topk_prf).  Cost
+    per query is corpus-size-independent: one ordinary query + R point
+    hydrations + one (|q|+E)-term query.  Stored golden = the serial
+    two-pass oracle (oracle.oracle_prf_topk)."""
+    from myaku_ray.oracle import reference_query_set
+
+    s = _pages_searcher()
+    rows = {"query": [], "rank": [], "doc_id": [], "score": [], "url": []}
+    for q in reference_query_set():
+        results = s.topk_prf(q, k)
+        urls: dict[int, str] = {}
+        if results:
+            docs = s._read_docs_by_id([r.doc_id for r in results])
+            best: dict[int, int] = {}
+            for d, u, w in zip(
+                docs["doc_id"], docs["url"], docs["warc_ts"].cast("int64")
+            ):
+                did, wv = d.as_py(), w.as_py()
+                if did not in best or wv > best[did]:
+                    best[did] = wv
+                    urls[did] = u.as_py()
+        for rank, r in enumerate(results, start=1):
+            rows["query"].append(q)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r.doc_id)
+            rows["score"].append(round(r.score, 5))
+            rows["url"].append(urls.get(r.doc_id))
+    return pd.DataFrame(rows)
+
+
+def pages_significant_terms(sf_dir: str):
+    """Significant-terms aggregation per reference query: terms
+    overrepresented in the query's top-ranked doc sample vs the whole
+    corpus (foreground count vs df), ranked by the exact-Fraction lift
+    kernel scoring.rank_significant_terms — the "what is this result
+    set about" serving aggregation.  Foreground is the top-SIG_FB_DOCS
+    sample, so the cost is bounded at any corpus size even for
+    particle queries whose matched set is the corpus.  Stored golden =
+    the serial oracle (oracle.oracle_significant_terms)."""
+    from myaku_ray.oracle import reference_query_set
+
+    s = _pages_searcher()
+    rows = {"query": [], "rank": [], "term": [], "fg": [], "df": []}
+    for q in reference_query_set():
+        for rank, (term, fg, df) in enumerate(
+            s.significant_terms(q), start=1
+        ):
+            rows["query"].append(q)
+            rows["rank"].append(rank)
+            rows["term"].append(term)
+            rows["fg"].append(fg)
+            rows["df"].append(df)
+    return pd.DataFrame(rows)

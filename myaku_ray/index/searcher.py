@@ -571,6 +571,21 @@ class Searcher:
         tbl = ds.to_table(columns=["term", "count"], filter=pads.field("term") == term)
         return int(sum(c.as_py() for c in tbl["count"]))
 
+    def _df_map(self) -> dict:
+        """term -> df dict over the cached df-stage vocabulary — the
+        bulk-lookup form of ``term_df`` for paths that probe hundreds
+        of candidate terms per query (PRF expansion, significant
+        terms): one dict get replaces a per-term segment-dataset filter
+        (~5 ms each).  Cached under the same df-file fingerprint as
+        the vocab lists, so in-place update/refresh invalidates it."""
+        fp = self._df_fingerprint()
+        state = getattr(self, "_df_map_state", None)
+        if state is None or state[0] != fp:
+            terms, dfs = self._vocab_terms_dfs()
+            state = (fp, dict(zip(terms, dfs)))
+            self._df_map_state = state
+        return state[1]
+
     # -- WAND top-k -------------------------------------------------------
 
     def topk(
@@ -1093,6 +1108,119 @@ class Searcher:
             for (d, s, w) in hits
             if d != doc_id
         ][:k]
+
+    def _latest_texts_by_id(self, doc_ids: list[int]) -> dict[int, str]:
+        """Bounded point-hydration: latest-warc_ts text per requested
+        doc_id (same version rule as ``hydrate``/``more_like_this``)."""
+        if not doc_ids:
+            return {}
+        docs = self._read_docs_by_id(doc_ids)
+        best: dict[int, int] = {}
+        texts: dict[int, str] = {}
+        for d, x, w in zip(
+            docs["doc_id"], docs["text"], docs["warc_ts"].cast("int64")
+        ):
+            did, wv = d.as_py(), w.as_py()
+            if did not in best or wv > best[did]:
+                best[did] = wv
+                texts[did] = x.as_py()
+        return texts
+
+    def topk_prf(
+        self,
+        query_str: str,
+        k: int = 10,
+        fb_docs: int | None = None,
+        n_terms: int | None = None,
+    ) -> list[SearchResult]:
+        """Rocchio-style pseudo-relevance-feedback search: run the
+        standard exact top-``fb_docs`` first pass, tokenize those docs'
+        stored texts (the build dictionary), pick ``n_terms`` expansion
+        terms by summed-tf x idf (shared kernel
+        ``scoring.select_prf_terms`` — identical selection in the serial
+        oracle), and re-run ONE disjunctive query over original +
+        expansion terms.  Cost = one ordinary query + ``fb_docs`` point
+        hydrations + one (|q| + n_terms)-term query — no corpus scan, so
+        the bound is independent of corpus size.  Rank =
+        (score, warc_us, doc_id) DESC, the engine-wide key."""
+        from myaku_ray.scoring import (
+            PRF_FB_DOCS, PRF_N_TERMS, select_prf_terms,
+        )
+
+        if fb_docs is None:
+            fb_docs = PRF_FB_DOCS
+        if n_terms is None:
+            n_terms = PRF_N_TERMS
+        qterms = self.analyze_query(query_str)
+        qset = set(qterms)
+        first = self.topk(query_str, k=fb_docs)
+        tf_by_term: dict[str, int] = {}
+        for text in self._latest_texts_by_id(
+            [r.doc_id for r in first]
+        ).values():
+            for it in self._tok.find_lexical_items(text):
+                t = it["term"]
+                if t not in qset:
+                    tf_by_term[t] = tf_by_term.get(t, 0) + int(it["tf"])
+        dfm = self._df_map()
+        expansion = select_prf_terms(
+            tf_by_term, lambda t: dfm.get(t, 0), self.stats["n_docs"],
+            n_terms,
+        )
+        iters: dict[str, object] = {}
+        for t in qterms + expansion:
+            it = self._group_iterator([t])
+            if it is not None:
+                iters[t] = it
+        if not iters:
+            return []
+        from myaku_ray.index.wand import array_topk, wand_topk
+
+        if all(isinstance(it, ArrayPostings) for it in iters.values()):
+            hits = array_topk(iters, k)
+        else:
+            hits = wand_topk(iters, k)
+        return [
+            SearchResult(doc_id=d, score=s, warc_us=w) for (d, s, w) in hits
+        ]
+
+    def significant_terms(
+        self,
+        query_str: str,
+        k: int | None = None,
+        fb_docs: int | None = None,
+    ) -> list[tuple[str, int, int]]:
+        """Significant-terms aggregation over the query's result sample:
+        foreground = the top-``fb_docs`` ranked docs (deterministic and
+        bounded at ANY corpus size — the whole matched set of a particle
+        query would be corpus-sized), fg(t) = foreground docs containing
+        t, background = the df stage.  Ranking is the shared
+        exact-arithmetic lift kernel ``scoring.rank_significant_terms``
+        (Fraction compare, no float ties).  Returns
+        [(term, fg, df), ...] best-first, query terms excluded."""
+        from myaku_ray.scoring import (
+            SIG_FB_DOCS, SIG_TOPK, rank_significant_terms,
+        )
+
+        if k is None:
+            k = SIG_TOPK
+        if fb_docs is None:
+            fb_docs = SIG_FB_DOCS
+        qset = set(self.analyze_query(query_str))
+        first = self.topk(query_str, k=fb_docs)
+        fg_by_term: dict[str, int] = {}
+        for text in self._latest_texts_by_id(
+            [r.doc_id for r in first]
+        ).values():
+            for t in {
+                it["term"] for it in self._tok.find_lexical_items(text)
+            }:
+                if t not in qset:
+                    fg_by_term[t] = fg_by_term.get(t, 0) + 1
+        dfm = self._df_map()
+        return rank_significant_terms(
+            fg_by_term, lambda t: dfm.get(t, 0), self.stats["n_docs"], k
+        )
 
     # -- prefix / wildcard search ------------------------------------------
 

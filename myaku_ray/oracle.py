@@ -1060,3 +1060,61 @@ def oracle_topk_diverse(
         if len(out) == k:
             break
     return out
+
+
+def oracle_prf_topk(index: OracleIndex, query_str: str, k: int = 10):
+    """Serial reference for ``Searcher.topk_prf``: first-pass top-R via
+    ``oracle_topk`` (rank-identical to the engine by the search golden),
+    feedback tfs from tokenizing those docs' texts with query terms
+    excluded, expansion via the SHARED kernel
+    ``scoring.select_prf_terms``, then one disjunctive pass over
+    original + expansion terms ranked (score, warc_us, doc_id) DESC."""
+    from myaku_ray.scoring import PRF_FB_DOCS, select_prf_terms
+
+    qterms = analyze_query(query_str)
+    qset = set(qterms)
+    first = oracle_topk(index, query_str, k=PRF_FB_DOCS)
+    tok = get_tokenizer()
+    tf_by_term: dict[str, int] = {}
+    for doc_id, _s, _w in first:
+        for it in tok.find_lexical_items(index.docs[doc_id]["text"]):
+            t = it["term"]
+            if t not in qset:
+                tf_by_term[t] = tf_by_term.get(t, 0) + int(it["tf"])
+    expansion = select_prf_terms(
+        tf_by_term, lambda t: index.df.get(t, 0), index.n_docs
+    )
+    per_doc: dict[int, float] = {}
+    for t in dict.fromkeys(qterms + expansion):
+        for d, tf in index.postings.get(t, []):
+            m = index.docs[d]
+            per_doc[d] = per_doc.get(d, 0.0) + posting_score(
+                tf, m["doclen"], m["quality"], index.df[t], index.n_docs,
+                index.avgdl,
+            )
+    scored = [(s, index.docs[d]["warc_us"], d) for d, s in per_doc.items()]
+    scored.sort(reverse=True)
+    return [(d, s, w) for (s, w, d) in scored[:k]]
+
+
+def oracle_significant_terms(index: OracleIndex, query_str: str):
+    """Serial reference for ``Searcher.significant_terms``: foreground =
+    the top-SIG_FB_DOCS ranked docs, fg(t) = foreground docs containing
+    t (query terms excluded), df from the independent serial index,
+    ranked by the SHARED exact-Fraction lift kernel."""
+    from myaku_ray.scoring import SIG_FB_DOCS, rank_significant_terms
+
+    qset = set(analyze_query(query_str))
+    first = oracle_topk(index, query_str, k=SIG_FB_DOCS)
+    tok = get_tokenizer()
+    fg_by_term: dict[str, int] = {}
+    for doc_id, _s, _w in first:
+        for t in {
+            it["term"]
+            for it in tok.find_lexical_items(index.docs[doc_id]["text"])
+        }:
+            if t not in qset:
+                fg_by_term[t] = fg_by_term.get(t, 0) + 1
+    return rank_significant_terms(
+        fg_by_term, lambda t: index.df.get(t, 0), index.n_docs
+    )

@@ -217,3 +217,58 @@ def select_mlt_terms(
             scored.append((-mlt_term_score(tf, df, n_docs), term))
     scored.sort()
     return [t for (_, t) in scored[:n_terms]]
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance-feedback (Rocchio-style) expansion-term selection and
+# significant-terms ranking — shared by the Searcher serving paths and the
+# serial oracle so every float/tie decision is identical on both sides.
+# ---------------------------------------------------------------------------
+
+PRF_FB_DOCS = 5  # feedback depth: top-R first-pass docs
+PRF_N_TERMS = 8  # expansion terms added to the query
+
+SIG_FB_DOCS = 20  # foreground sample: top-R matched docs
+SIG_TOPK = 10
+SIG_MIN_FG = 2  # a term seen in one foreground doc is noise, not signal
+
+
+def select_prf_terms(
+    tf_by_term: dict, df_of, n_docs: int, n_terms: int = PRF_N_TERMS
+) -> list:
+    """Expansion terms for pseudo-relevance feedback: the MLT salience
+    kernel (summed feedback tf x idf, 6-decimal rounding, term-ASC tie
+    break) over the CONCATENATED feedback documents.  The caller must
+    already have removed the original query terms from ``tf_by_term``
+    (they are the query, not an expansion)."""
+    return select_mlt_terms(tf_by_term, df_of, n_docs, n_terms)
+
+
+def rank_significant_terms(
+    fg_by_term: dict,
+    df_of,
+    n_docs: int,
+    k: int = SIG_TOPK,
+    min_fg: int = SIG_MIN_FG,
+) -> list:
+    """Foreground-vs-background lift ranking with EXACT arithmetic.
+
+    ``fg_by_term[t]`` = number of foreground (matched-sample) docs
+    containing ``t``; background rate = df(t) / n_docs.  With the
+    foreground size constant per query, lift order == (fg * n_docs) /
+    df order, compared as exact ``Fraction``s — no float epsilon can
+    reorder ties, so the serial oracle is bit-reproducible.  Rank =
+    (lift DESC, fg DESC, term ASC); terms below ``min_fg`` or absent
+    from the index are dropped.  Returns [(term, fg, df), ...]."""
+    from fractions import Fraction
+
+    scored = []
+    for t, fg in fg_by_term.items():
+        if fg < min_fg:
+            continue
+        df = df_of(t)
+        if not df or df <= 0:
+            continue
+        scored.append((-Fraction(fg * n_docs, df), -fg, t, df))
+    scored.sort()
+    return [(t, -nfg, df) for (_lift, nfg, t, df) in scored[:k]]

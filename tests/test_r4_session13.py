@@ -1,0 +1,107 @@
+"""Round-4 thirteenth-session serving ops: pseudo-relevance-feedback
+expansion search (Searcher.topk_prf) and significant-terms aggregation
+(Searcher.significant_terms) — engine-vs-serial-oracle identity on a
+fresh fixture index, plus kernel-level ordering contracts."""
+
+from __future__ import annotations
+
+import pytest
+
+from myaku_ray.corpus import gen_blogs_table, write_pages_parquet
+
+N_PAGES = 200
+
+
+@pytest.fixture(scope="module")
+def s13_built(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("s13")
+    pages = str(root / "pages")
+    write_pages_parquet(pages, N_PAGES)
+    blogs = gen_blogs_table()
+    ratings = dict(zip(blogs["blog_url"], blogs["rating"]))
+    from myaku_ray.pipelines.build import build_index
+
+    idx = str(root / "idx")
+    build_index(pages, idx, blog_ratings=ratings)
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.oracle import build_oracle_index
+
+    return Searcher(idx), build_oracle_index(pages, blog_ratings=ratings)
+
+
+def test_prf_engine_matches_serial_oracle(s13_built):
+    from myaku_ray.oracle import oracle_prf_topk, reference_query_set
+
+    s, oi = s13_built
+    for q in reference_query_set():
+        eng = [(r.doc_id, round(r.score, 5)) for r in s.topk_prf(q, 10)]
+        ora = [
+            (d, round(sc, 5)) for d, sc, _w in oracle_prf_topk(oi, q, 10)
+        ]
+        assert eng == ora, q
+
+
+def test_prf_expansion_changes_some_ranking(s13_built):
+    """PRF must not be a silent no-op: on the fixture corpus at least
+    one reference query's expanded top-10 differs from the plain
+    top-10 (doc set or order)."""
+    from myaku_ray.oracle import reference_query_set
+
+    s, _oi = s13_built
+    changed = 0
+    for q in reference_query_set():
+        plain = [r.doc_id for r in s.topk(q, 10)]
+        prf = [r.doc_id for r in s.topk_prf(q, 10)]
+        if plain != prf:
+            changed += 1
+    assert changed >= 1
+
+
+def test_significant_terms_engine_matches_serial_oracle(s13_built):
+    from myaku_ray.oracle import (
+        oracle_significant_terms, reference_query_set,
+    )
+
+    s, oi = s13_built
+    for q in reference_query_set():
+        assert s.significant_terms(q) == oracle_significant_terms(oi, q), q
+
+
+def test_significant_terms_excludes_query_terms(s13_built):
+    from myaku_ray.oracle import reference_query_set
+
+    s, _oi = s13_built
+    for q in reference_query_set():
+        qset = set(s.analyze_query(q))
+        for term, fg, df in s.significant_terms(q):
+            assert term not in qset
+            assert fg >= 2
+            assert df >= fg  # fg docs are a subsample of the df docs
+
+
+def test_rank_significant_terms_exact_ordering():
+    """Lift ties break by fg DESC then term ASC; sub-min_fg and df-0
+    terms drop; comparison is exact (no float lift)."""
+    from myaku_ray.scoring import rank_significant_terms
+
+    df = {"a": 10, "b": 5, "c": 1, "d": 5, "z": 0}
+    fg = {"a": 3, "b": 3, "c": 1, "d": 3, "e": 9, "z": 4}
+    out = rank_significant_terms(fg, df.get, 100, k=10)
+    # e absent from index, z df=0, c below min_fg -> only a/b/d rank;
+    # b and d tie on lift (3*100/5) and fg -> term ASC
+    assert out == [("b", 3, 5), ("d", 3, 5), ("a", 3, 10)]
+    # exactness: a lift that differs by 1 part in 10^12 must still order
+    big = 10**12
+    fg2 = {"x": 1000, "y": 1000}
+    df2 = {"x": big - 1, "y": big}
+    out2 = rank_significant_terms(fg2, df2.get, big, k=2, min_fg=1)
+    assert [t for t, _f, _d in out2] == ["x", "y"]
+
+
+def test_prf_terms_kernel_is_mlt_selection():
+    """select_prf_terms shares the MLT salience kernel verbatim."""
+    from myaku_ray.scoring import select_mlt_terms, select_prf_terms
+
+    tfs = {"x": 5, "y": 2, "w": 9}
+    df = {"x": 3, "y": 1, "w": 0}.get
+    assert select_prf_terms(tfs, df, 50) == select_mlt_terms(tfs, df, 50)

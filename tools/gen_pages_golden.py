@@ -510,6 +510,49 @@ def main() -> None:
         + "\n) AS golden(query, rank, doc_id, score, url)"
     )
 
+    # ---- pseudo-relevance-feedback search golden --------------------------
+    from myaku_ray.oracle import oracle_prf_topk
+
+    prf_rows = []
+    for q in reference_query_set():
+        for rank, (doc_id, score, _w) in enumerate(
+            oracle_prf_topk(oi, q, k=10), start=1
+        ):
+            prf_rows.append(
+                (q, rank, doc_id, round(float(score), 5),
+                 oi.docs[doc_id]["url"])
+            )
+    prf_values = ",\n  ".join(
+        f"({_sql_str(q)}, {rank}::BIGINT, {doc_id}::BIGINT, "
+        f"{score!r}::DOUBLE, {_sql_str(url)})"
+        for q, rank, doc_id, score, url in prf_rows
+    )
+    prf_sql = (
+        "SELECT * FROM (VALUES\n  "
+        + prf_values
+        + "\n) AS golden(query, rank, doc_id, score, url)"
+    )
+
+    # ---- significant-terms aggregation golden -----------------------------
+    from myaku_ray.oracle import oracle_significant_terms
+
+    sig_rows = []
+    for q in reference_query_set():
+        for rank, (term, fg, dfreq) in enumerate(
+            oracle_significant_terms(oi, q), start=1
+        ):
+            sig_rows.append((q, rank, term, fg, dfreq))
+    sig_values = ",\n  ".join(
+        f"({_sql_str(q)}, {rank}::BIGINT, {_sql_str(t)}, "
+        f"{fg}::BIGINT, {dfreq}::BIGINT)"
+        for q, rank, t, fg, dfreq in sig_rows
+    )
+    sig_sql = (
+        "SELECT * FROM (VALUES\n  "
+        + sig_values
+        + "\n) AS golden(query, rank, term, fg, df)"
+    )
+
     # ---- index invariants golden (serial oracle's independent counts) ----
     inv = {
         "n_docs": oi.n_docs,
@@ -558,7 +601,9 @@ def main() -> None:
             f"PAGES_INDEX_STATS_SQL = '''\n{inv_sql}\n'''\n\n"
             f"PAGES_WILDCARD_SEARCH_SQL = '''\n{wc_sql}\n'''\n\n"
             f"PAGES_TITLE_BOOST_SQL = '''\n{tb_sql}\n'''\n\n"
-            f"PAGES_FUZZY_SEARCH_SQL = '''\n{fz_sql}\n'''\n",
+            f"PAGES_FUZZY_SEARCH_SQL = '''\n{fz_sql}\n'''\n\n"
+            f"PAGES_SEARCH_PRF_SQL = '''\n{prf_sql}\n'''\n\n"
+            f"PAGES_SIGNIFICANT_TERMS_SQL = '''\n{sig_sql}\n'''\n",
         )
     print(
         f"wrote {out}: {len(stats)} stats rows, {len(rows)} search rows, "
@@ -568,7 +613,8 @@ def main() -> None:
         f"{len(bool_rows)} boolean rows, {len(facet_rows)} facet rows, "
         f"{len(pfx_rows)} prefix rows, {len(prev_rows)} preview rows, "
         f"{len(wc_rows)} wildcard rows, {len(tb_rows)} title-boost rows, "
-        f"{len(fz_rows)} fuzzy rows"
+        f"{len(fz_rows)} fuzzy rows, {len(prf_rows)} prf rows, "
+        f"{len(sig_rows)} significant-terms rows"
     )
 
 
