@@ -92,6 +92,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_doc_freq": textops.term_doc_freq,
         "doc_quality": textops.doc_quality,
         "dedup_exact": textops.dedup_exact,
+        # continuous-crawl dedup: new-delta docs against an existing
+        # snapshot (ONE hash-group exchange, corpus never broadcast)
+        "dedup_incremental": textops.dedup_incremental,
+        # zlib compressibility quality signal (exact-integer ratio)
+        "doc_compression_ratio": textops.doc_compression_ratio,
         "lang_source_profile": textops.lang_source_profile,
         "doc_fingerprints": textops.doc_fingerprints,
         "top_docs_per_source": textops.top_docs_per_source,
@@ -407,6 +412,8 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": events.EVENT_FUNNEL_SQL,
         "doc_quality": textops.DOC_QUALITY_SQL,
         "dedup_exact": textops.DEDUP_EXACT_SQL,
+        "dedup_incremental": textops.DEDUP_INCREMENTAL_SQL,
+        "doc_compression_ratio": op_goldens.DOC_COMPRESSION_RATIO_SQL,
         "lang_source_profile": textops.LANG_SOURCE_PROFILE_SQL,
         "doc_fingerprints": textops.DOC_FINGERPRINTS_SQL,
         "top_docs_per_source": textops.TOP_DOCS_PER_SOURCE_SQL,

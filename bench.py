@@ -739,6 +739,10 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "important_parts_q11": relational.important_parts_q11,
         "supplier_count_by_part_q16":
             relational.supplier_count_by_part_q16,
+        "dedup_incremental": textops.dedup_incremental,
+        "doc_compression_ratio": textops.doc_compression_ratio,
+        "pages_search_prf": fulltext.pages_search_prf,
+        "pages_significant_terms": fulltext.pages_significant_terms,
     }
     # cold-time the Q5/Q9 bucketed layout writes too (same convention as
     # the cache rmtree above)

@@ -2903,3 +2903,140 @@ JOIN bg USING (w1, w2) JOIN lf USING (w1)
 JOIN uni ON uni.term = p.w2 CROSS JOIN nt
 GROUP BY p.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental (snapshot-delta) exact dedup — the continuous-crawl shape:
+# dedup NEW documents against an EXISTING corpus without rereading it per
+# batch.  The split is derived from doc_id (existing = doc_id <= 3/5 of
+# max), standing in for the crawl watermark pipelines/update.py keeps.
+# ---------------------------------------------------------------------------
+
+INCR_SPLIT_NUM, INCR_SPLIT_DEN = 3, 5
+
+
+def dedup_incremental(sf_dir: str):
+    """New-delta exact dedup against an existing snapshot: a new doc
+    survives iff its content fingerprint collides with NO existing doc
+    AND it is the min-doc_id copy within the delta (the dedup_exact
+    winner rule applied delta-side).
+
+    Scale shape: per-batch vectorized fingerprinting
+    (hashkit.md5_u64_str — bit-identical to the DuckDB oracle), then
+    ONE groupby(h) exchange carrying three int64 columns per row — the
+    existing corpus is never broadcast and text never crosses the
+    exchange, so at 100 TB the shuffle moves 24 B/doc.  At 10^12 docs
+    the same plan holds; only the hash-group exchange scales."""
+    from myaku_ray.functions.hashkit import md5_u64_str
+
+    meta = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).max("doc_id")
+    split = int(meta) * INCR_SPLIT_NUM // INCR_SPLIT_DEN
+    big = np.iinfo(np.int64).max
+
+    def fp(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = (md5_u64_str(batch["text"]) & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(
+            np.int64
+        )
+        is_new = ids > split
+        return pa.table(
+            {
+                "h": pa.array(h, pa.int64()),
+                # Min() skips the sentinel only if no new doc is in the
+                # group; filtered below
+                "new_id": pa.array(np.where(is_new, ids, big), pa.int64()),
+                "is_old": pa.array((~is_new).astype(np.int64), pa.int64()),
+                "is_new": pa.array(is_new.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(fp, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(
+            Min("new_id", alias_name="keeper_doc_id"),
+            Sum("is_old", alias_name="n_old"),
+            Sum("is_new", alias_name="n_new_copies"),
+        )
+    )
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.and_(
+            pc.equal(batch["n_old"], 0), pc.greater(batch["n_new_copies"], 0)
+        )
+        t = batch.filter(keep)
+        return t.select(["keeper_doc_id", "n_new_copies"])
+
+    return agg.map_batches(survivors, batch_format="pyarrow")
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH s AS (
+  SELECT (max(doc_id) * {INCR_SPLIT_NUM}) // {INCR_SPLIT_DEN} AS split
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(text), 1, 16))::UBIGINT
+         & 9223372036854775807::UBIGINT AS BIGINT) AS h,
+    doc_id > (SELECT split FROM s) AS is_new
+  FROM documents
+)
+SELECT min(CASE WHEN is_new THEN doc_id END) AS keeper_doc_id,
+       count(CASE WHEN is_new THEN 1 END) AS n_new_copies
+FROM h GROUP BY h
+HAVING count(CASE WHEN NOT is_new THEN 1 END) = 0
+   AND count(CASE WHEN is_new THEN 1 END) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (RedPajama/Dolma-style): highly
+# compressible text is repetitive/templated; near-incompressible text is
+# noise.  zlib level pinned so the stored golden is reproducible.
+# ---------------------------------------------------------------------------
+
+ZRATIO_LEVEL = 6
+
+
+def doc_compression_ratio(sf_dir: str):
+    """Per-doc zlib compressibility: (doc_id, n_raw, n_zlib,
+    ratio_milli) with ratio_milli = 1000 * n_zlib // n_raw — exact
+    integers end to end.  Pure per-doc map (one C zlib call per doc,
+    the dedup_exact hashing idiom), no shuffle, so the plan is a single
+    streaming pass at any corpus size.  Stored golden = serial zlib
+    pass over the same rows (tools/gen_op_goldens.py)."""
+    import zlib
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        raw = np.fromiter(
+            (len(t.encode("utf-8")) for t in texts), np.int64, len(texts)
+        )
+        comp = np.fromiter(
+            (
+                len(zlib.compress(t.encode("utf-8"), ZRATIO_LEVEL))
+                for t in texts
+            ),
+            np.int64,
+            len(texts),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_raw": pa.array(raw, pa.int64()),
+                "n_zlib": pa.array(comp, pa.int64()),
+                "ratio_milli": pa.array(
+                    1000 * comp // np.maximum(raw, 1), pa.int64()
+                ),
+            }
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(ratio, batch_format="pyarrow")

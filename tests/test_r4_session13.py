@@ -105,3 +105,58 @@ def test_prf_terms_kernel_is_mlt_selection():
     tfs = {"x": 5, "y": 2, "w": 9}
     df = {"x": 3, "y": 1, "w": 0}.get
     assert select_prf_terms(tfs, df, 50) == select_mlt_terms(tfs, df, 50)
+
+
+def test_dedup_incremental_matches_serial_recompute(ray_session):
+    """The one-exchange delta-dedup must equal a direct serial pass:
+    group all docs by exact text, then a new doc survives iff its
+    group holds no existing doc and it is the min new id."""
+    import pyarrow.parquet as pq
+
+    from myaku_ray.functions.textops import (
+        INCR_SPLIT_DEN, INCR_SPLIT_NUM, dedup_incremental,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = dedup_incremental(sf).to_pandas()
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    ids, texts = t["doc_id"].to_pylist(), t["text"].to_pylist()
+    split = max(ids) * INCR_SPLIT_NUM // INCR_SPLIT_DEN
+    groups: dict[str, list[int]] = {}
+    for did, tx in zip(ids, texts):
+        groups.setdefault(tx, []).append(did)
+    expect = {}
+    for members in groups.values():
+        new = [d for d in members if d > split]
+        if new and len(new) == len(members):
+            expect[min(new)] = len(new)
+    assert dict(zip(got["keeper_doc_id"], got["n_new_copies"])) == expect
+    assert len(got) == len(expect)
+
+
+def test_doc_compression_ratio_serial_parity(ray_session):
+    """Distributed zlib signal == serial zlib pass, exact ints."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    from myaku_ray.functions.textops import (
+        ZRATIO_LEVEL, doc_compression_ratio,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        doc_compression_ratio(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    for i, (did, tx) in enumerate(
+        zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    ):
+        b = tx.encode("utf-8")
+        c = len(zlib.compress(b, ZRATIO_LEVEL))
+        row = got.iloc[i]
+        assert (row["doc_id"], row["n_raw"], row["n_zlib"]) == (did, len(b), c)
+        assert row["ratio_milli"] == 1000 * c // max(len(b), 1)

@@ -515,6 +515,32 @@ def golden_media_frames() -> str:
     )
 
 
+def golden_zratio() -> str:
+    """Serial zlib pass over the documents rows — the independent
+    reference for doc_compression_ratio (no Ray, no batching)."""
+    import zlib
+
+    from myaku_ray.functions.textops import ZRATIO_LEVEL
+
+    t = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    rows = []
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        b = text.encode("utf-8")
+        c = len(zlib.compress(b, ZRATIO_LEVEL))
+        rows.append((int(did), len(b), c, 1000 * c // max(len(b), 1)))
+    return values_sql(
+        rows,
+        [
+            ("doc_id", "BIGINT"),
+            ("n_raw", "BIGINT"),
+            ("n_zlib", "BIGINT"),
+            ("ratio_milli", "BIGINT"),
+        ],
+    )
+
+
 def main() -> None:
     n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
     n_emb = pq.read_metadata(f"{SF_DIR}/embeddings.parquet").num_rows
@@ -532,6 +558,7 @@ def main() -> None:
         "PAGES_FLI_INTERPS_SQL": golden_pages_fli(),
         "MEDIA_FEATURES_SQL": golden_media_features(),
         "MEDIA_FRAME_SAMPLE_SQL": golden_media_frames(),
+        "DOC_COMPRESSION_RATIO_SQL": golden_zratio(),
     }
     with open(OUT, "w") as f:
         f.write(
