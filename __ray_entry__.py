@@ -369,6 +369,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # significant-terms aggregation: foreground (top-ranked sample)
         # vs background (df) lift, exact-Fraction ranked
         "pages_significant_terms": fulltext.pages_significant_terms,
+        # impact-ordered static-pruning serving tier: per-term top-P
+        # postings by the engine rank key; single-term top-k exact,
+        # multi-term approximation measured by pages_pruned_recall
+        "pages_pruned_search": fulltext.pages_pruned_search,
+        "pages_pruned_recall": fulltext.pages_pruned_recall,
         # document-sharded build (global-IDF exchange) + federated
         # top-k merge — must be bit-identical to the monolithic index,
         # so it shares pages_search_topk's stored golden
@@ -536,6 +541,9 @@ def oracle_sql() -> dict[str, str]:
         "pages_fuzzy_search": pages_golden.PAGES_FUZZY_SEARCH_SQL,
         "pages_search_prf": pages_golden.PAGES_SEARCH_PRF_SQL,
         "pages_significant_terms": pages_golden.PAGES_SIGNIFICANT_TERMS_SQL,
+        "pages_pruned_search": pages_golden.PAGES_PRUNED_SEARCH_SQL,
+        # TRUE SQL composed from the pruned + exact stored rankings
+        "pages_pruned_recall": fulltext.pages_pruned_recall_sql(),
         # deliberately the SAME golden as pages_search_topk: sharded
         # serving must reproduce the monolithic ranking bit-for-bit
         "pages_sharded_search": pages_golden.PAGES_SEARCH_TOPK_SQL,

@@ -182,6 +182,27 @@ def bench_queries(index_dir: str, corpus_dir: str | None = None) -> dict:
         sig_ms.append((time.time() - t0) * 1000)
     out["prf_p50_ms"] = round(statistics.median(prf_ms), 2)
     out["significant_terms_p50_ms"] = round(statistics.median(sig_ms), 2)
+    # impact-pruned serving tier: derivation wall, kept fraction, and
+    # the cold-query latency it buys (fresh Searcher, no memo)
+    from myaku_ray.pipelines.prune import prune_index
+
+    pruned_dir = index_dir.rstrip("/") + "_pruned"
+    shutil.rmtree(pruned_dir, ignore_errors=True)
+    t0 = time.time()
+    info = prune_index(index_dir, pruned_dir)
+    out["prune_wall_s"] = round(time.time() - t0, 3)
+    out["pruned_kept_frac"] = round(
+        info["postings_kept"] / max(info["postings_in"], 1), 4
+    )
+    sp = Searcher(pruned_dir)
+    pcold = []
+    for q in qs:
+        t0 = time.time()
+        sp.topk(q, 10)
+        pcold.append((time.time() - t0) * 1000)
+    pcold.sort()
+    out["pruned_cold_p50_ms"] = round(statistics.median(pcold), 2)
+    out["pruned_cold_p95_ms"] = round(pcold[int(len(pcold) * 0.95)], 2)
     return out
 
 

@@ -1145,3 +1145,72 @@ def pages_significant_terms(sf_dir: str):
             rows["fg"].append(fg)
             rows["df"].append(df)
     return pd.DataFrame(rows)
+
+
+def _pages_pruned_searcher():
+    """Derive (idempotently) the impact-pruned serving tier from the
+    cached pages index and return a Searcher over it — a pruned
+    directory is a fully valid index layout, so serving needs no
+    special mode."""
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.pipelines.prune import prune_index
+
+    _pages_searcher()  # ensure the source index exists
+    idx = os.path.join(CACHE_ROOT, f"pagesindex_{PAGES_N}")
+    pruned = idx + "_pruned"
+    prune_index(idx, pruned)
+    return Searcher(pruned)
+
+
+def pages_pruned_search(sf_dir: str, k: int = 10):
+    """Reference query set served from the impact-pruned tier
+    (pipelines/prune.py: per-term top-P postings by the engine rank
+    key).  Single-term queries with k <= P are EXACT by construction;
+    multi-term disjunctive queries are the measured approximation —
+    pages_pruned_recall quantifies it against the exact golden.
+    Stored golden = serial per-term prune + rank
+    (oracle.oracle_pruned_topk, same lexsort key)."""
+    from myaku_ray.oracle import reference_query_set
+
+    s = _pages_pruned_searcher()
+    rows = {"query": [], "rank": [], "doc_id": [], "score": [], "url": []}
+    for q in reference_query_set():
+        for rank, r in enumerate(s.search(q, k), start=1):
+            rows["query"].append(q)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r.doc_id)
+            rows["score"].append(round(r.score, 5))
+            rows["url"].append(r.url)
+    return pd.DataFrame(rows)
+
+
+def pages_pruned_recall(sf_dir: str, k: int = 10):
+    """Overlap@k of the pruned tier vs the exact engine per reference
+    query — the recall price of serving from per-term top-P postings.
+    Oracle = TRUE SQL composed from the two stored rankings (join the
+    pruned golden against the exact golden on (query, doc_id))."""
+    from myaku_ray.oracle import reference_query_set
+
+    exact = _pages_searcher()
+    pruned = _pages_pruned_searcher()
+    rows = {"query": [], "n_overlap": []}
+    for q in reference_query_set():
+        e = {r.doc_id for r in exact.topk(q, k)}
+        p = {r.doc_id for r in pruned.topk(q, k)}
+        rows["query"].append(q)
+        rows["n_overlap"].append(len(e & p))
+    return pd.DataFrame(rows)
+
+
+def pages_pruned_recall_sql() -> str:
+    from myaku_ray.functions.pages_golden import (
+        PAGES_PRUNED_SEARCH_SQL, PAGES_SEARCH_TOPK_SQL,
+    )
+
+    return f"""
+WITH p AS ({PAGES_PRUNED_SEARCH_SQL}),
+e AS ({PAGES_SEARCH_TOPK_SQL})
+SELECT e.query, count(p.doc_id) AS n_overlap
+FROM e LEFT JOIN p ON p.query = e.query AND p.doc_id = e.doc_id
+GROUP BY e.query
+"""

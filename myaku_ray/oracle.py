@@ -1118,3 +1118,53 @@ def oracle_significant_terms(index: OracleIndex, query_str: str):
     return rank_significant_terms(
         fg_by_term, lambda t: index.df.get(t, 0), index.n_docs
     )
+
+
+def oracle_pruned_topk(
+    index: OracleIndex,
+    query_str: str,
+    k: int = 10,
+    max_postings: int | None = None,
+):
+    """Serial reference for serving over the impact-pruned tier
+    (pipelines/prune.py): per query term keep only the top-P postings
+    by the engine rank key (score, warc_us, doc_id) DESC — the same
+    lexsort selection the pruning derivation applies — then plain
+    disjunctive scoring over the kept postings."""
+    import numpy as np
+
+    if max_postings is None:
+        from myaku_ray.pipelines.prune import PRUNE_MAX_POSTINGS
+
+        max_postings = PRUNE_MAX_POSTINGS
+    per_doc: dict[int, float] = {}
+    for t in dict.fromkeys(analyze_query(query_str)):
+        pl = index.postings.get(t)
+        if not pl:
+            continue
+        ids = np.array([d for d, _tf in pl], dtype=np.int64)
+        scores = np.array(
+            [
+                posting_score(
+                    tf,
+                    index.docs[d]["doclen"],
+                    index.docs[d]["quality"],
+                    index.df[t],
+                    index.n_docs,
+                    index.avgdl,
+                )
+                for d, tf in pl
+            ],
+            dtype=np.float32,
+        )
+        warc = np.array(
+            [index.docs[d]["warc_us"] for d, _tf in pl], dtype=np.uint64
+        )
+        if len(ids) > max_postings:
+            keep = np.lexsort((ids, warc, scores))[-max_postings:]
+            ids, scores, warc = ids[keep], scores[keep], warc[keep]
+        for d, s in zip(ids.tolist(), scores.tolist()):
+            per_doc[d] = per_doc.get(d, 0.0) + s
+    scored = [(s, index.docs[d]["warc_us"], d) for d, s in per_doc.items()]
+    scored.sort(reverse=True)
+    return [(d, s, w) for (s, w, d) in scored[:k]]

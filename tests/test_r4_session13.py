@@ -26,13 +26,15 @@ def s13_built(ray_session, tmp_path_factory):
     from myaku_ray.index.searcher import Searcher
     from myaku_ray.oracle import build_oracle_index
 
-    return Searcher(idx), build_oracle_index(pages, blog_ratings=ratings)
+    return (
+        Searcher(idx), build_oracle_index(pages, blog_ratings=ratings), idx
+    )
 
 
 def test_prf_engine_matches_serial_oracle(s13_built):
     from myaku_ray.oracle import oracle_prf_topk, reference_query_set
 
-    s, oi = s13_built
+    s, oi, _idx = s13_built
     for q in reference_query_set():
         eng = [(r.doc_id, round(r.score, 5)) for r in s.topk_prf(q, 10)]
         ora = [
@@ -47,7 +49,7 @@ def test_prf_expansion_changes_some_ranking(s13_built):
     top-10 (doc set or order)."""
     from myaku_ray.oracle import reference_query_set
 
-    s, _oi = s13_built
+    s, _oi, _idx = s13_built
     changed = 0
     for q in reference_query_set():
         plain = [r.doc_id for r in s.topk(q, 10)]
@@ -62,7 +64,7 @@ def test_significant_terms_engine_matches_serial_oracle(s13_built):
         oracle_significant_terms, reference_query_set,
     )
 
-    s, oi = s13_built
+    s, oi, _idx = s13_built
     for q in reference_query_set():
         assert s.significant_terms(q) == oracle_significant_terms(oi, q), q
 
@@ -70,7 +72,7 @@ def test_significant_terms_engine_matches_serial_oracle(s13_built):
 def test_significant_terms_excludes_query_terms(s13_built):
     from myaku_ray.oracle import reference_query_set
 
-    s, _oi = s13_built
+    s, _oi, _idx = s13_built
     for q in reference_query_set():
         qset = set(s.analyze_query(q))
         for term, fg, df in s.significant_terms(q):
@@ -160,3 +162,44 @@ def test_doc_compression_ratio_serial_parity(ray_session):
         row = got.iloc[i]
         assert (row["doc_id"], row["n_raw"], row["n_zlib"]) == (did, len(b), c)
         assert row["ratio_milli"] == 1000 * c // max(len(b), 1)
+
+
+def test_pruned_tier_engine_matches_serial_oracle(s13_built, tmp_path):
+    """Searcher over the pruned layout == the serial per-term prune +
+    rank oracle for every reference query; single-term queries with
+    k <= P must also equal the EXACT ranking (rank-key-prefix kept
+    set)."""
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.oracle import (
+        oracle_pruned_topk, oracle_topk, reference_query_set,
+    )
+    from myaku_ray.pipelines.prune import prune_index
+
+    _s, oi, idx = s13_built
+    pruned_dir = str(tmp_path / "pruned")
+    info = prune_index(idx, pruned_dir)
+    assert info["postings_kept"] < info["postings_in"]  # pruning bites
+    sp = Searcher(pruned_dir)
+    for q in reference_query_set():
+        eng = [(r.doc_id, round(r.score, 5)) for r in sp.topk(q, 10)]
+        ora = [
+            (d, round(sc, 5)) for d, sc, _w in oracle_pruned_topk(oi, q, 10)
+        ]
+        assert eng == ora, q
+        if len(sp.analyze_query(q)) == 1:
+            exact = [
+                (d, round(sc, 5)) for d, sc, _w in oracle_topk(oi, q, 10)
+            ]
+            assert eng == exact, ("single-term must stay exact", q)
+
+
+def test_prune_index_idempotent(s13_built, tmp_path):
+    """A second prune_index call over the same marker is a no-op that
+    returns the recorded stats (resume contract)."""
+    from myaku_ray.pipelines.prune import prune_index
+
+    _s, _oi, idx = s13_built
+    d = str(tmp_path / "pruned2")
+    a = prune_index(idx, d)
+    b = prune_index(idx, d)
+    assert a == b

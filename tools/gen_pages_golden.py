@@ -553,6 +553,29 @@ def main() -> None:
         + "\n) AS golden(query, rank, term, fg, df)"
     )
 
+    # ---- impact-pruned tier search golden ----------------------------------
+    from myaku_ray.oracle import oracle_pruned_topk
+
+    pr_rows = []
+    for q in reference_query_set():
+        for rank, (doc_id, score, _w) in enumerate(
+            oracle_pruned_topk(oi, q, k=10), start=1
+        ):
+            pr_rows.append(
+                (q, rank, doc_id, round(float(score), 5),
+                 oi.docs[doc_id]["url"])
+            )
+    pr_values = ",\n  ".join(
+        f"({_sql_str(q)}, {rank}::BIGINT, {doc_id}::BIGINT, "
+        f"{score!r}::DOUBLE, {_sql_str(url)})"
+        for q, rank, doc_id, score, url in pr_rows
+    )
+    pruned_sql = (
+        "SELECT * FROM (VALUES\n  "
+        + pr_values
+        + "\n) AS golden(query, rank, doc_id, score, url)"
+    )
+
     # ---- index invariants golden (serial oracle's independent counts) ----
     inv = {
         "n_docs": oi.n_docs,
@@ -603,7 +626,8 @@ def main() -> None:
             f"PAGES_TITLE_BOOST_SQL = '''\n{tb_sql}\n'''\n\n"
             f"PAGES_FUZZY_SEARCH_SQL = '''\n{fz_sql}\n'''\n\n"
             f"PAGES_SEARCH_PRF_SQL = '''\n{prf_sql}\n'''\n\n"
-            f"PAGES_SIGNIFICANT_TERMS_SQL = '''\n{sig_sql}\n'''\n",
+            f"PAGES_SIGNIFICANT_TERMS_SQL = '''\n{sig_sql}\n'''\n\n"
+            f"PAGES_PRUNED_SEARCH_SQL = '''\n{pruned_sql}\n'''\n",
         )
     print(
         f"wrote {out}: {len(stats)} stats rows, {len(rows)} search rows, "
@@ -614,7 +638,8 @@ def main() -> None:
         f"{len(pfx_rows)} prefix rows, {len(prev_rows)} preview rows, "
         f"{len(wc_rows)} wildcard rows, {len(tb_rows)} title-boost rows, "
         f"{len(fz_rows)} fuzzy rows, {len(prf_rows)} prf rows, "
-        f"{len(sig_rows)} significant-terms rows"
+        f"{len(sig_rows)} significant-terms rows, "
+        f"{len(pr_rows)} pruned rows"
     )
 
 
