@@ -385,6 +385,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reshard 3 -> 2 without re-tokenizing (delta fold + posting
         # re-route + global-stats re-encode), served federated
         "pages_reshard_search": fulltext.pages_reshard_search,
+        # TERM-routed serving tier (the other sharding axis): owning-
+        # shard fan-out returns posting arrays, coordinator ranks —
+        # bit-identical to monolithic, shares the exact search golden
+        "pages_term_sharded_search": fulltext.pages_term_sharded_search,
     }
 
 
@@ -552,4 +556,6 @@ def oracle_sql() -> dict[str, str]:
         "pages_sharded_update_search": pages_golden.PAGES_SEARCH_TOPK_SQL,
         # reshard must not move a rank or score: same golden again
         "pages_reshard_search": pages_golden.PAGES_SEARCH_TOPK_SQL,
+        # term-routed tier must be bit-identical too: same golden
+        "pages_term_sharded_search": pages_golden.PAGES_SEARCH_TOPK_SQL,
     }

@@ -661,6 +661,54 @@ def bench_sharded(
     return out
 
 
+def bench_term_sharded(index_dir: str, n_shards: int = 4) -> dict:
+    """Term-routed tier over the full bench index AND over its pruned
+    derivation: cold/warm latency plus the per-query posting transfer
+    both ways — the doc-vs-term routing trade, measured (full-index
+    term routing moves df-sized arrays; pruned term routing is bounded
+    by P postings/term)."""
+    from myaku_ray.index.term_sharded import TermShardedSearcher
+    from myaku_ray.oracle import reference_query_set
+    from myaku_ray.pipelines.prune import prune_index
+
+    out: dict = {}
+    qs = reference_query_set()
+    for tag, idx in (
+        ("full", index_dir),
+        ("pruned", index_dir.rstrip("/") + "_pruned"),
+    ):
+        if tag == "pruned":
+            prune_index(index_dir, idx)  # idempotent (bench_queries made it)
+        ts = TermShardedSearcher(idx, n_shards=n_shards)
+        try:
+            cold, moved = [], []
+            for q in qs:
+                t0 = time.time()
+                ts.topk(q, 10)
+                cold.append((time.time() - t0) * 1000)
+                moved.append(ts.transfer_bytes)
+            warm = []
+            for q in qs:
+                t0 = time.time()
+                ts.topk(q, 10)
+                warm.append((time.time() - t0) * 1000)
+            out[f"term_sharded_{tag}_cold_p50_ms"] = round(
+                statistics.median(cold), 2
+            )
+            out[f"term_sharded_{tag}_warm_p50_ms"] = round(
+                statistics.median(warm), 2
+            )
+            out[f"term_sharded_{tag}_xfer_p50_kb"] = round(
+                statistics.median(moved) / 1e3, 1
+            )
+            out[f"term_sharded_{tag}_xfer_max_kb"] = round(
+                max(moved) / 1e3, 1
+            )
+        finally:
+            ts.shutdown()
+    return out
+
+
 def bench_doc_pipelines(sf_dir: str) -> dict:
     from myaku_ray.functions import ann, dedup, events, fulltext, media, relational, textops
 
@@ -831,6 +879,7 @@ def run_once() -> dict:
     # tiers) over the same corpus; skip via MYAKU_BENCH_SHARDED=0
     if not build_only and os.environ.get("MYAKU_BENCH_SHARDED", "1") != "0":
         queries.update(bench_sharded(pages, NUM_CPUS))
+        queries.update(bench_term_sharded(build["index_dir"]))
     doc_timings = bench_doc_pipelines(SF_DIR) if not build_only else {}
 
     # 400k-page build IN the bench record (not just BASELINE.md prose) so

@@ -1214,3 +1214,33 @@ SELECT e.query, count(p.doc_id) AS n_overlap
 FROM e LEFT JOIN p ON p.query = e.query AND p.doc_id = e.doc_id
 GROUP BY e.query
 """
+
+
+def pages_term_sharded_search(sf_dir: str, k: int = 10, n_shards: int = 3):
+    """Reference query set served through the TERM-routed tier
+    (index/term_sharded.py): query terms fan out only to their owning
+    shard actors, which return decoded posting arrays; the coordinator
+    runs the ordinary ranking kernel.  Must be BIT-IDENTICAL to the
+    monolithic ranking, so it shares pages_search_topk's stored golden
+    — the same contract the doc-routed federation meets from the other
+    sharding axis."""
+    from myaku_ray.index.term_sharded import TermShardedSearcher
+    from myaku_ray.oracle import reference_query_set
+
+    _pages_searcher()  # ensure the index exists
+    idx = os.path.join(CACHE_ROOT, f"pagesindex_{PAGES_N}")
+    ts = TermShardedSearcher(idx, n_shards=n_shards)
+    try:
+        rows = {
+            "query": [], "rank": [], "doc_id": [], "score": [], "url": [],
+        }
+        for q in reference_query_set():
+            for rank, r in enumerate(ts.search(q, k), start=1):
+                rows["query"].append(q)
+                rows["rank"].append(rank)
+                rows["doc_id"].append(r.doc_id)
+                rows["score"].append(round(r.score, 5))
+                rows["url"].append(r.url)
+        return pd.DataFrame(rows)
+    finally:
+        ts.shutdown()

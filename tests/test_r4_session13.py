@@ -203,3 +203,51 @@ def test_prune_index_idempotent(s13_built, tmp_path):
     a = prune_index(idx, d)
     b = prune_index(idx, d)
     assert a == b
+
+
+def test_term_sharded_bit_identical_to_monolithic(s13_built):
+    """Term-routed fan-out must reproduce the monolithic ranking
+    bit-for-bit (same arrays, same kernel), and report a non-zero
+    posting transfer for matching queries."""
+    from myaku_ray.index.term_sharded import TermShardedSearcher
+    from myaku_ray.oracle import reference_query_set
+
+    s, _oi, idx = s13_built
+    ts = TermShardedSearcher(idx, n_shards=3)
+    try:
+        moved = 0
+        for q in reference_query_set():
+            mono = [(r.doc_id, r.score, r.warc_us) for r in s.topk(q, 10)]
+            shard = [(r.doc_id, r.score, r.warc_us) for r in ts.topk(q, 10)]
+            assert mono == shard, q
+            moved += ts.transfer_bytes
+        assert moved > 0
+    finally:
+        ts.shutdown()
+
+
+def test_term_sharded_over_pruned_tier(s13_built, tmp_path):
+    """Composition: term-routing the PRUNED tier bounds the per-term
+    transfer by P postings while matching the pruned-tier ranking."""
+    from myaku_ray.index.searcher import Searcher
+    from myaku_ray.index.term_sharded import TermShardedSearcher
+    from myaku_ray.oracle import reference_query_set
+    from myaku_ray.pipelines.prune import PRUNE_MAX_POSTINGS, prune_index
+
+    _s, _oi, idx = s13_built
+    pruned_dir = str(tmp_path / "pruned_ts")
+    prune_index(idx, pruned_dir)
+    sp = Searcher(pruned_dir)
+    ts = TermShardedSearcher(pruned_dir, n_shards=2)
+    try:
+        per_posting = 8 + 4 + 8  # id + score + warc bytes
+        for q in reference_query_set():
+            mono = [(r.doc_id, r.score, r.warc_us) for r in sp.topk(q, 10)]
+            shard = [(r.doc_id, r.score, r.warc_us) for r in ts.topk(q, 10)]
+            assert mono == shard, q
+            n_terms = len(set(ts._local.analyze_query(q)))
+            assert ts.transfer_bytes <= (
+                n_terms * PRUNE_MAX_POSTINGS * per_posting
+            )
+    finally:
+        ts.shutdown()
