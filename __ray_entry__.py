@@ -374,6 +374,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-term approximation measured by pages_pruned_recall
         "pages_pruned_search": fulltext.pages_pruned_search,
         "pages_pruned_recall": fulltext.pages_pruned_recall,
+        # tiered router: pruned head tier for single-term k<=P (exact
+        # by the rank-key-prefix property), full index for the rest —
+        # bit-identical on every query, shares the exact golden
+        "pages_tiered_search": fulltext.pages_tiered_search,
         # document-sharded build (global-IDF exchange) + federated
         # top-k merge — must be bit-identical to the monolithic index,
         # so it shares pages_search_topk's stored golden
@@ -558,4 +562,6 @@ def oracle_sql() -> dict[str, str]:
         "pages_reshard_search": pages_golden.PAGES_SEARCH_TOPK_SQL,
         # term-routed tier must be bit-identical too: same golden
         "pages_term_sharded_search": pages_golden.PAGES_SEARCH_TOPK_SQL,
+        # tiered router guarantees exactness at routing time: same golden
+        "pages_tiered_search": pages_golden.PAGES_SEARCH_TOPK_SQL,
     }

@@ -1244,3 +1244,28 @@ def pages_term_sharded_search(sf_dir: str, k: int = 10, n_shards: int = 3):
         return pd.DataFrame(rows)
     finally:
         ts.shutdown()
+
+
+def pages_tiered_search(sf_dir: str, k: int = 10):
+    """Reference query set through the tiered router
+    (index/tiered.py): single-term queries with k <= P answer from the
+    pruned head tier (exact by the rank-key-prefix property),
+    everything else from the full index — bit-identical to the
+    monolithic ranking on every query, so it shares the exact search
+    golden."""
+    from myaku_ray.index.tiered import TieredSearcher
+    from myaku_ray.oracle import reference_query_set
+
+    _pages_pruned_searcher()  # ensure both tiers exist
+    idx = os.path.join(CACHE_ROOT, f"pagesindex_{PAGES_N}")
+    ts = TieredSearcher(idx, idx + "_pruned")
+    rows = {"query": [], "rank": [], "doc_id": [], "score": [], "url": []}
+    for q in reference_query_set():
+        for rank, r in enumerate(ts.search(q, k), start=1):
+            rows["query"].append(q)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r.doc_id)
+            rows["score"].append(round(r.score, 5))
+            rows["url"].append(r.url)
+    assert ts.served_pruned > 0  # the head tier actually serves traffic
+    return pd.DataFrame(rows)

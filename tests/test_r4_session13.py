@@ -251,3 +251,29 @@ def test_term_sharded_over_pruned_tier(s13_built, tmp_path):
             )
     finally:
         ts.shutdown()
+
+
+def test_tiered_router_bit_identical_and_routes_head(s13_built, tmp_path):
+    """The tiered router must equal the monolithic ranking on EVERY
+    query (exactness precondition enforced at routing time) and must
+    actually send single-term queries to the pruned tier."""
+    from myaku_ray.index.tiered import TieredSearcher
+    from myaku_ray.oracle import reference_query_set
+    from myaku_ray.pipelines.prune import prune_index
+
+    s, _oi, idx = s13_built
+    pruned_dir = str(tmp_path / "pruned_tier")
+    prune_index(idx, pruned_dir)
+    ts = TieredSearcher(idx, pruned_dir)
+    singles = 0
+    for q in reference_query_set():
+        mono = [(r.doc_id, r.score, r.warc_us) for r in s.topk(q, 10)]
+        tier = [(r.doc_id, r.score, r.warc_us) for r in ts.topk(q, 10)]
+        assert mono == tier, q
+        if len(set(s.analyze_query(q))) == 1:
+            singles += 1
+    assert ts.served_pruned == singles > 0
+    # deep pagination past P must fall back to the full tier
+    before = ts.served_full
+    ts.topk("の", k=ts.max_postings + 1)
+    assert ts.served_full == before + 1
