@@ -505,7 +505,9 @@ class Searcher:
         self._phrase_sub_bytes = 0
         self._suggest_state = None  # vocab map derives from df/ contents
         self._facet_state = None  # sidecar derives from docs/ contents
-        self._title_state = None  # title-term sidecar, also docs-derived
+        self._title_state = None  # legacy title map, also docs-derived
+        self._title_sidecar_state = None  # build-time sidecar validity
+        self._title_term_cache = {}  # per-term point-read cache
 
     def term_iterator(self, term: str):
         cached = self._term_arrays.get(term)
@@ -1600,21 +1602,20 @@ class Searcher:
     # -- faceted search ----------------------------------------------------
 
     def _docs_fingerprint(self) -> tuple:
-        """Sorted (name, mtime) of the docs store's parquet files — the
-        facet sidecar's staleness key (its read path never touches
-        segments, so the segment-mutation probe can't cover it; same
-        rule as the suggest map's df fingerprint)."""
-        docs_dir = os.path.join(self.index_dir, "docs")
-        try:
-            return tuple(
-                sorted(
-                    (f, os.path.getmtime(os.path.join(docs_dir, f)))
-                    for f in os.listdir(docs_dir)
-                    if f.endswith(".parquet")
-                )
+        """Recursive (relpath, mtime_ns, size) of the docs store's
+        parquet files — the facet/title sidecars' staleness key (their
+        read paths never touch segments, so the segment-mutation probe
+        can't cover them; same rule as the suggest map's df
+        fingerprint).  Recursive so ``delta-k/`` update dirs invalidate
+        too — the sidecar read views see exactly this file set."""
+        from myaku_ray.index.title_sidecar import docs_fingerprint
+
+        return tuple(
+            (f, m, s)
+            for f, m, s in docs_fingerprint(
+                os.path.join(self.index_dir, "docs")
             )
-        except FileNotFoundError:
-            return ()
+        )
 
     def _facet_arrays(self):
         """Lazy doc_id -> source-code sidecar: sorted doc_id int64 array
@@ -1722,16 +1723,63 @@ class Searcher:
 
     TITLE_BOOST = 0.5
 
+    def _title_sidecar_meta(self) -> dict | None:
+        """The build-time title sidecar's meta iff present AND its
+        pinned docs fingerprint matches the live docs store; None sends
+        ``_title_doc_ids`` to the legacy in-process map (an updated but
+        not-yet-refreshed index — correct either way, A/B gated).
+        Validity is re-checked per docs fingerprint, and the per-term
+        read cache flushes with it."""
+        from myaku_ray.index import title_sidecar as _ts
+
+        fp = self._docs_fingerprint()
+        state = getattr(self, "_title_sidecar_state", None)
+        if state is None or state[0] != fp:
+            meta = _ts.title_sidecar_valid(
+                self.index_dir, docs_fp=[list(e) for e in fp]
+            )
+            state = (fp, meta)
+            self._title_sidecar_state = state
+            self._title_term_cache: dict = {}
+        return state[1]
+
+    _TITLE_TERM_CACHE_CAP = 4096
+
+    def _title_doc_ids(self, term: str):
+        """Sorted doc_id array whose TITLE contains ``term`` — ONE
+        bucket-directory point read against the build-time sidecar
+        (row-group-pruned, O(bucket bytes) worst case, no O(docs)
+        serving state), falling back to the legacy in-process map when
+        the sidecar is absent or stale.  Per-term results are cached
+        (bounded, FIFO) under the same fingerprint as the validity
+        check."""
+        meta = None if getattr(self, "_title_force_legacy", False) else (
+            self._title_sidecar_meta()
+        )
+        if meta is None:
+            return self._title_terms_arrays().get(term)
+        cache = self._title_term_cache
+        ids = cache.get(term)
+        if ids is None:
+            from myaku_ray.index import title_sidecar as _ts
+
+            ids = _ts.read_title_doc_ids(
+                self.index_dir, term, meta["n_buckets"]
+            )
+            if len(cache) >= self._TITLE_TERM_CACHE_CAP:
+                cache.pop(next(iter(cache)))
+            cache[term] = ids
+        return ids
+
     def _title_terms_arrays(self) -> dict:
-        """Lazy term -> sorted doc_id int64 array sidecar over TITLE
-        tokens, built from the docs store's (doc_id, title) columns and
-        cached under the same docs-fingerprint key as the facet sidecar.
-        Titles are a handful of tokens, so the map is O(docs) small —
-        fine to ~1e8 docs per serving process; past that the same map is
-        a build-time hive-partitioned sidecar (one ``term=`` directory
-        point-read per query term, the df/term-directory layout) or a
-        second index built by the ordinary build pipeline over
-        title-only text."""
+        """LEGACY in-process term -> sorted doc_id int64 array map over
+        TITLE tokens, built from the docs store's (doc_id, title)
+        columns and cached under the same docs-fingerprint key as the
+        facet sidecar.  Since round 5 this is only the fallback for an
+        index whose build-time sidecar (index/title_sidecar.py) is
+        absent (legacy layout) or stale (docs updated, refresh pending);
+        the O(docs) bound — fine to ~1e8 docs, 2.9 s at 370k — now
+        applies only to that window, never to steady-state serving."""
         import numpy as np
 
         fp = self._docs_fingerprint()
@@ -1783,13 +1831,12 @@ class Searcher:
                 for (d, s, w) in cached
             ]
         terms = self.analyze_query(query_str)
-        tmap = self._title_terms_arrays() if boost else {}
         iters: dict[str, object] = {}
         for t in terms:
             it = self.term_iterator(t)
             if it is None:
                 continue
-            tids = tmap.get(t)
+            tids = self._title_doc_ids(t) if boost else None
             if boost and tids is not None and len(tids):
                 if isinstance(it, ArrayPostings):
                     scores = it.scores.astype(np.float64)

@@ -579,5 +579,22 @@ def build_index(
         )
         metrics["segments_wall_s"] = time.time() - t0
 
+    # ---- stage 6: title-term sidecar -----------------------------------
+    # Build-time replacement for the serving-init per-row title map
+    # (round-4 verdict ask #2).  Resume check is the sidecar's own
+    # fingerprint-pinned meta: docs rewritten -> fingerprint mismatch ->
+    # rebuild; unchanged docs -> skip.  Cost: driver-side serial loop on
+    # test corpora (<= DRIVER_LIMIT docs), else one small actor-pool job
+    # over (doc_id, title) only (~1-2% of the body-tokenize work).
+    from myaku_ray.index.title_sidecar import (
+        build_title_sidecar, title_sidecar_valid,
+    )
+
+    if not (resume and title_sidecar_valid(index_dir)):
+        t0 = time.time()
+        side_meta = build_title_sidecar(index_dir)
+        metrics["title_sidecar_wall_s"] = time.time() - t0
+        metrics["title_sidecar_rows"] = side_meta["n_rows"]
+
     metrics["stats"] = stats
     return metrics

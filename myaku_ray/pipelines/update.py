@@ -922,6 +922,22 @@ def refresh_index(index_dir: str, *, recompute_df: bool = True) -> dict:
     # past a pending refresh
     stats["refreshed_thru_delta"] = _max_committed_delta_id(index_dir)
     _atomic_write_json(os.path.join(index_dir, "stats.json"), stats)
+
+    # ---- title-term sidecar re-pin -------------------------------------
+    # Doc deltas changed the docs-store fingerprint, so a build-time
+    # sidecar (index/title_sidecar.py) is now stale and serving would
+    # fall back to the in-process map.  Rebuild it here for any index
+    # that has one (skip legacy indexes without a sidecar — they never
+    # paid for it and keep the lazy path).
+    from myaku_ray.index.title_sidecar import (
+        build_title_sidecar, load_title_meta, title_sidecar_valid,
+    )
+
+    if load_title_meta(index_dir) is not None and not title_sidecar_valid(
+        index_dir
+    ):
+        build_title_sidecar(index_dir)
+
     return {"refresh_wall_s": round(time.time() - t0, 3), "stats": stats}
 
 
