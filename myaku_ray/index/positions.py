@@ -67,27 +67,63 @@ def encode_position_record(starts: np.ndarray, lens: np.ndarray) -> bytes:
 def encode_position_records_from_pairs(pos_lists: list) -> list[bytes]:
     """Batch encoder over tuple-list inputs: ``pos_lists[i]`` is the
     kernel's [(start, len), ...] for row i.  Flattens the WHOLE batch
-    with two ``np.fromiter`` calls and delta-encodes segmented in numpy
-    — no per-term array materialization (benchmarked ~1.7x the
-    per-row-pair path at tokenize-stage batch sizes)."""
+    with two ``np.fromiter`` calls, then shares the array encoder."""
     n_rows = len(pos_lists)
     counts = np.fromiter(
         (len(p) for p in pos_lists), dtype=np.int64, count=n_rows
     )
     total = int(counts.sum())
-    if total == 0:
-        empty = encode_position_record(np.empty(0), np.empty(0))
-        return [empty] * n_rows
     starts = np.fromiter(
         (p[0] for ps in pos_lists for p in ps), dtype=np.int64, count=total
     )
     lens = np.fromiter(
         (p[1] for ps in pos_lists for p in ps), dtype=np.int64, count=total
     )
+    return encode_position_records_from_arrays(counts, starts, lens)
+
+
+def _segmented_dst(starts_arr: np.ndarray, seg_lens: np.ndarray) -> np.ndarray:
+    """Flat destination indices for consecutive segments of ``seg_lens``
+    bytes placed at ``starts_arr`` — the segmented-arange scatter trick
+    (one np.repeat + one np.arange, no per-segment loop)."""
+    total = int(seg_lens.sum())
+    shift = np.zeros(len(seg_lens), dtype=np.int64)
+    if len(seg_lens) > 1:
+        np.cumsum(seg_lens[:-1], out=shift[1:])
+    return np.repeat(starts_arr - shift, seg_lens) + np.arange(total)
+
+
+def encode_position_records_packed(
+    counts: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Array-native batch encoder (round-4 ask #5's single-scan path):
+    ``counts[i]`` occurrences per row, ``starts``/``lens`` flat in row
+    order — exactly ``find_term_positions_arrays``'s layout, so the
+    tokenize stage feeds the kernel output straight in with zero
+    per-occurrence (or even per-row) Python objects.
+
+    Returns ``(data_u8, offsets_i64[n_rows+1])``: every record packed
+    into ONE buffer, assembled by three segmented scatters (count
+    varints, delta stream, length stream interleaved per row).  Record
+    bytes are identical to ``encode_position_record`` (property-
+    tested); the stage wraps the buffer as an Arrow binary column
+    zero-copy."""
+    n_rows = len(counts)
+    counts = np.asarray(counts, dtype=np.int64)
+    cbytes, clens = encode_varint_stream(counts.astype(np.uint64))
+    clens = clens.astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        offs = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(clens, out=offs[1:])
+        return cbytes, offs
+    starts = np.asarray(starts, dtype=np.int64)
+    lens = np.asarray(lens, dtype=np.int64)
     deltas = starts.copy()
     deltas[1:] -= starts[:-1]
-    firsts = np.cumsum(counts) - counts  # row-first flat index
-    firsts = firsts[counts > 0]
+    c_cum = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(counts, out=c_cum[1:])
+    firsts = c_cum[:-1][counts > 0]
     deltas[firsts] = starts[firsts]  # reset at row boundaries
     dbytes, dlens = encode_varint_stream(deltas.astype(np.uint64))
     lbytes, llens = encode_varint_stream(lens.astype(np.uint64))
@@ -95,17 +131,26 @@ def encode_position_records_from_pairs(pos_lists: list) -> list[bytes]:
     np.cumsum(dlens, out=d_cum[1:])
     l_cum = np.zeros(total + 1, dtype=np.int64)
     np.cumsum(llens, out=l_cum[1:])
-    c_cum = np.zeros(n_rows + 1, dtype=np.int64)
-    np.cumsum(counts, out=c_cum[1:])
-    out = []
-    for i in range(n_rows):
-        rec = bytearray()
-        write_varint(rec, int(counts[i]))
-        lo, hi = int(c_cum[i]), int(c_cum[i + 1])
-        rec += dbytes[d_cum[lo] : d_cum[hi]].tobytes()
-        rec += lbytes[l_cum[lo] : l_cum[hi]].tobytes()
-        out.append(bytes(rec))
-    return out
+    dseg = d_cum[c_cum[1:]] - d_cum[c_cum[:-1]]
+    lseg = l_cum[c_cum[1:]] - l_cum[c_cum[:-1]]
+    offs = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(clens + dseg + lseg, out=offs[1:])
+    out = np.empty(int(offs[-1]), dtype=np.uint8)
+    out[_segmented_dst(offs[:-1], clens)] = cbytes
+    out[_segmented_dst(offs[:-1] + clens, dseg)] = dbytes
+    out[_segmented_dst(offs[:-1] + clens + dseg, lseg)] = lbytes
+    return out, offs
+
+
+def encode_position_records_from_arrays(
+    counts: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> list[bytes]:
+    """List-of-bytes view over the packed encoder (tests / slow paths)."""
+    data, offs = encode_position_records_packed(counts, starts, lens)
+    buf = data.tobytes()
+    return [
+        buf[offs[i] : offs[i + 1]] for i in range(len(offs) - 1)
+    ]
 
 
 def encode_pos_blob(records: list[bytes]) -> bytes:

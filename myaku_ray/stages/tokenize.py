@@ -70,17 +70,26 @@ class TokenizeStage:
         out_dl: list[int] = []
         out_q: list[int] = []
         out_w: list[int] = []
-        pos_lists: list = []  # (starts, lens) per row, positional build only
+        # positional build: per-doc flat arrays from the array-native
+        # kernel, concatenated once per batch — zero per-occurrence
+        # Python objects between kernel and record encoder
+        counts_acc: list = []
+        starts_acc: list = []
+        lens_acc: list = []
         with_pos = self._with_positions
         for text, did, q, w in zip(texts, doc_ids, qualities, warcs):
             if with_pos:
                 # positional kernel: same term set, tf == len(positions)
-                poss = self._tok.find_term_positions(text)
-                doclen = sum(len(v) for v in poss.values())
-                n = len(poss)
-                terms.extend(poss.keys())
-                out_tf.extend(len(v) for v in poss.values())
-                pos_lists.extend(poss.values())
+                terms_i, counts_i, starts_i, lens_i = (
+                    self._tok.find_term_positions_arrays(text)
+                )
+                doclen = int(counts_i.sum())
+                n = len(terms_i)
+                terms.extend(terms_i)
+                out_tf.extend(counts_i.tolist())
+                counts_acc.append(counts_i)
+                starts_acc.append(starts_i)
+                lens_acc.append(lens_i)
             else:
                 tfs = self._tok.find_term_tfs(text)
                 doclen = sum(tfs.values())
@@ -102,17 +111,27 @@ class TokenizeStage:
         }
         if with_pos:
             from myaku_ray.index.positions import (
-                encode_position_records_from_pairs,
+                encode_position_records_packed,
             )
 
+            empty = np.empty(0, np.int64)
+            data, offs = encode_position_records_packed(
+                np.concatenate(counts_acc) if counts_acc else empty,
+                np.concatenate(starts_acc) if starts_acc else empty,
+                np.concatenate(lens_acc) if lens_acc else empty,
+            )
+            # zero-copy Arrow binary column over the packed buffer
+            pos_col = pa.Array.from_buffers(
+                pa.binary(),
+                len(terms),
+                [
+                    None,
+                    pa.py_buffer(offs.astype(np.int32)),
+                    pa.py_buffer(data),
+                ],
+            )
             out = pa.Table.from_pydict(
-                dict(
-                    cols,
-                    positions=pa.array(
-                        encode_position_records_from_pairs(pos_lists),
-                        pa.binary(),
-                    ),
-                ),
+                dict(cols, positions=pos_col),
                 schema=POSTING_POS_SCHEMA,
             )
         else:

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
+
 from myaku_ray.lexicon import (
     build_phrases,
     max_surface_len,
@@ -150,6 +152,231 @@ class Tokenizer:
             _re.DOTALL,
         )
         self._word_char = _re.compile(r"[^\W_]")
+        # --- array-native positions kernel state (find_term_positions_
+        # arrays): persistent surface -> small-int code map with numpy
+        # property mirrors, so the per-OCCURRENCE work is one C-level
+        # dict get (np.fromiter(map(dict.__getitem__, toks))) plus numpy
+        # fancy indexing — no per-token Python branch, no tuple
+        # construction.  Codes are per-tokenizer-instance (per actor)
+        # and capped: unknown latin/digit runs grow the vocabulary
+        # unboundedly over a corpus, so past _VC_CAP the maps reset
+        # (pure memoization — results are unaffected).
+        self._phrase_firsts = {a for a, _b in self._phrases}
+        self._phrase_seconds = {b for _a, b in self._phrases}
+        self._vc_codes: dict[str, int] = {}
+        self._vc_base: list[str] = []          # code -> base form
+        self._vc_bids: dict[str, int] = {}     # base/term -> group id
+        self._vc_terms: list[str] = []         # bid -> term string
+        cap = 4096
+        self._vc_len_arr = np.zeros(cap, np.int64)
+        self._vc_bid_arr = np.zeros(cap, np.int64)
+        self._vc_emit_arr = np.zeros(cap, bool)
+        self._vc_tok_arr = np.zeros(cap, bool)
+        self._vc_defer_arr = np.zeros(cap, bool)
+        self._vc_first_arr = np.zeros(cap, bool)   # base in phrase firsts
+        self._vc_second_arr = np.zeros(cap, bool)  # base in phrase seconds
+
+    _VC_CAP = 400_000
+
+    def _vc_reset(self) -> None:
+        self._vc_codes = {}
+        self._vc_base = []
+        self._vc_bids = {}
+        self._vc_terms = []
+        cap = 4096
+        self._vc_len_arr = np.zeros(cap, np.int64)
+        self._vc_bid_arr = np.zeros(cap, np.int64)
+        self._vc_emit_arr = np.zeros(cap, bool)
+        self._vc_tok_arr = np.zeros(cap, bool)
+        self._vc_defer_arr = np.zeros(cap, bool)
+        self._vc_first_arr = np.zeros(cap, bool)
+        self._vc_second_arr = np.zeros(cap, bool)
+
+    def _vc_bid(self, term: str) -> int:
+        bid = self._vc_bids.get(term)
+        if bid is None:
+            bid = self._vc_bids[term] = len(self._vc_terms)
+            self._vc_terms.append(term)
+        return bid
+
+    def _vc_classify(self, s_: str) -> None:
+        """Assign ``s_`` a code and fill its property-array row."""
+        code = len(self._vc_base)
+        if code >= len(self._vc_len_arr):
+            new_cap = max(code + 1, 2 * len(self._vc_len_arr))
+            for name in (
+                "_vc_len_arr", "_vc_bid_arr", "_vc_emit_arr",
+                "_vc_tok_arr", "_vc_defer_arr", "_vc_first_arr",
+                "_vc_second_arr",
+            ):
+                old = getattr(self, name)
+                new = np.zeros(new_cap, old.dtype)
+                new[: len(old)] = old
+                setattr(self, name, new)
+        e = self._surfaces.get(s_)
+        base = ""
+        emit = tok = defer = False
+        if e is not None:
+            base, _r, p, _ct, _cf = e
+            emit, tok = p != _SYMBOL_POS, True
+        elif _is_latin_alnum(s_[0]):
+            base = normalize_char_width(s_).lower()
+            emit = tok = True
+        elif s_.isalnum():
+            if len(s_) != 1:
+                defer = True  # regex word class vs str.isalnum mismatch
+            else:
+                base = normalize_char_width(s_)
+                emit = tok = True
+        elif len(s_) == 1 and self._word_char.match(s_):
+            defer = True  # exotic \w char str.isalnum rejects
+        # else: gap run (emit = tok = False)
+        self._vc_codes[s_] = code
+        self._vc_base.append(base)
+        self._vc_len_arr[code] = len(s_)
+        self._vc_bid_arr[code] = self._vc_bid(base) if tok and emit else -1
+        self._vc_emit_arr[code] = emit
+        self._vc_tok_arr[code] = tok
+        self._vc_defer_arr[code] = defer
+        self._vc_first_arr[code] = tok and base in self._phrase_firsts
+        self._vc_second_arr[code] = tok and base in self._phrase_seconds
+
+    _EMPTY_I64 = None  # set lazily to a shared empty array
+
+    def find_term_positions_arrays(self, text: str):
+        """Array-native positions kernel: ``(terms, counts, starts,
+        lens)`` where ``terms[i]`` owns the flat slice
+        ``starts/lens[counts[:i].sum() : counts[:i+1].sum()]`` — the
+        exact groups of ``find_term_positions`` with zero per-occurrence
+        Python objects (round-4 ask #5's single-scan kernel).
+
+        One all-consuming ``findall`` (offsets = running sum of match
+        lengths), surfaces resolved to persistent per-actor codes
+        (``np.fromiter(map(dict.__getitem__, ...))`` — one C dict get
+        per token), all properties via fancy indexing, phrase 2-grams
+        via vectorized first/second masks with an exact dict check only
+        on the (rare) candidates.  Token-stream groups are ascending by
+        construction; only groups also fed by the phrase stream re-sort
+        + dedup (FLI set-union semantics).  Parity with
+        ``find_lexical_items`` is pytest-gated; the tokenize stage feeds
+        these arrays straight into the positional record encoder."""
+        if not self._fast_ok:
+            return self._positions_arrays_slow(text)
+        toks = self._combined_all.findall(text)
+        n = len(toks)
+        empty = np.empty(0, np.int64)
+        if n == 0:
+            return [], empty, empty, empty
+        codes_map = self._vc_codes
+        missing = set(toks).difference(codes_map)
+        if missing:
+            if len(codes_map) + len(missing) > self._VC_CAP:
+                self._vc_reset()
+                missing = set(toks)
+            for s_ in missing:
+                self._vc_classify(s_)
+        codes = np.fromiter(
+            map(codes_map.__getitem__, toks), np.int64, count=n
+        )
+        if self._vc_defer_arr[codes].any():
+            return self._positions_arrays_slow(text)
+        lens = self._vc_len_arr[codes]
+        starts = np.empty(n, np.int64)
+        starts[0] = 0
+        np.cumsum(lens[:-1], out=starts[1:])
+
+        emitm = self._vc_emit_arr[codes]
+        ekeys = self._vc_bid_arr[codes[emitm]]
+        estarts = starts[emitm]
+        elens = lens[emitm]
+
+        # phrase 2-grams over the token stream (gaps transparent,
+        # symbol-dict tokens participate as `prev`)
+        pkeys = pstarts = plens = None
+        if self._phrases:
+            tokm = self._vc_tok_arr[codes]
+            tcodes = codes[tokm]
+            if len(tcodes) > 1:
+                cand = (
+                    self._vc_first_arr[tcodes[:-1]]
+                    & self._vc_second_arr[tcodes[1:]]
+                )
+                if cand.any():
+                    idxs = np.flatnonzero(cand)
+                    base = self._vc_base
+                    phrases = self._phrases
+                    keep = []
+                    kbids = []
+                    for i in idxs.tolist():
+                        key = (base[tcodes[i]], base[tcodes[i + 1]])
+                        if key in phrases:
+                            keep.append(i)
+                            kbids.append(self._vc_bid(key[0] + key[1]))
+                    if keep:
+                        ki = np.asarray(keep, np.int64)
+                        tstarts = starts[tokm]
+                        tlens = lens[tokm]
+                        pkeys = np.asarray(kbids, np.int64)
+                        pstarts = tstarts[ki]
+                        plens = tstarts[ki + 1] + tlens[ki + 1] - pstarts
+
+        if pkeys is None:
+            if len(ekeys) == 0:
+                return [], empty, empty, empty
+            # stable sort by group keeps stream order = ascending starts
+            keys, st, ln = ekeys, estarts, elens
+            order = np.argsort(keys, kind="stable")
+            keys = keys[order]
+            st = st[order]
+            ln = ln[order]
+        else:
+            # phrase rows may interleave / duplicate vs a same-term
+            # token stream: ONE global (key, start, len) lexsort puts
+            # every group in canonical sorted-tuple order and makes
+            # duplicates adjacent (FLI set-union semantics), with no
+            # per-group Python work
+            keys = np.concatenate([ekeys, pkeys])
+            st = np.concatenate([estarts, pstarts])
+            ln = np.concatenate([elens, plens])
+            order = np.lexsort((ln, st, keys))
+            keys = keys[order]
+            st = st[order]
+            ln = ln[order]
+            dup = (
+                (keys[1:] == keys[:-1])
+                & (st[1:] == st[:-1])
+                & (ln[1:] == ln[:-1])
+            )
+            if dup.any():
+                keep = np.concatenate(([True], ~dup))
+                keys = keys[keep]
+                st = st[keep]
+                ln = ln[keep]
+        bounds = np.empty(0, np.int64)
+        if len(keys) > 1:
+            bounds = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+        g_lo = np.concatenate(([0], bounds))
+        g_hi = np.concatenate((bounds, [len(keys)]))
+        vterms = self._vc_terms
+        terms_out = [vterms[k] for k in keys[g_lo].tolist()]
+        return terms_out, (g_hi - g_lo), st, ln
+
+    def _positions_arrays_slow(self, text: str):
+        """Reference-path fallback (exotic chars / non-single-script
+        lexicon): arrays derived from find_lexical_items."""
+        items = self.find_lexical_items(text)
+        terms = [it["term"] for it in items]
+        counts = np.asarray([len(it["positions"]) for it in items], np.int64)
+        total = int(counts.sum())
+        starts = np.empty(total, np.int64)
+        lens = np.empty(total, np.int64)
+        i = 0
+        for it in items:
+            for s, ln in it["positions"]:
+                starts[i] = s
+                lens[i] = ln
+                i += 1
+        return terms, counts, starts, lens
 
     def tokenize(self, text: str) -> list[Token]:
         """Segment text into dictionary tokens with char offsets."""
@@ -369,94 +596,21 @@ class Tokenizer:
         by ONE ``findall`` pass over the ALL-CONSUMING combined pattern
         (``_combined_all``): every char lands in exactly one match, so
         offsets are the running sum of match lengths and no match
-        objects are built (~1.3x the previous finditer pass; the regex
-        scan is now ~the tf kernel's findall).  Gap matches (whitespace
-        / non-dict symbols) carry offsets but are transparent to the
-        2-gram ``prev`` chain, exactly like the chars ``tokenize``
-        drops.  All per-distinct-surface work memoizes, so the
-        per-OCCURRENCE cost is one cache get + one list append.  (A
-        fully numpy re.split/factorize variant was benchmarked SLOWER:
-        docs are a few hundred tokens, and small-array numpy constants
-        beat the saved interpreter work.)  Runs only in the opt-in
-        positional build (``build_index(with_positions=True)``)."""
-        if not self._fast_ok:
-            return {
-                it["term"]: [tuple(p) for p in it["positions"]]
-                for it in self.find_lexical_items(text)
-            }
-        surfaces = self._surfaces
-        phrases = self._phrases
-        found: dict[str, list] = {}
-        # surface -> (occurrence list | None, surface len, base, is_token)
-        scache: dict[str, tuple] = {}
-        # (prev surface, surface) -> phrase occurrence list | False
-        pcache: dict[tuple, object] = {}
-        phrase_keys: list[str] = []
-        prev_s: str | None = None
-        prev_start = 0
-        start = 0
-        for s_ in self._combined_all.findall(text):
-            c = scache.get(s_)
-            if c is None:
-                e = surfaces.get(s_)
-                if e is not None:
-                    b, _r, p, _ct, _cf = e
-                    c = (
-                        found.setdefault(b, []) if p != _SYMBOL_POS else None,
-                        len(s_), b, True,
-                    )
-                elif _is_latin_alnum(s_[0]):
-                    b = normalize_char_width(s_).lower()
-                    c = (found.setdefault(b, []), len(s_), b, True)
-                elif s_.isalnum():
-                    if len(s_) != 1:
-                        # an alnum gap run can only mean the regex word
-                        # class and str.isalnum disagree — defer
-                        return {
-                            it["term"]: [tuple(p) for p in it["positions"]]
-                            for it in self.find_lexical_items(text)
-                        }
-                    b = normalize_char_width(s_)
-                    c = (found.setdefault(b, []), len(s_), b, True)
-                elif len(s_) == 1 and self._word_char.match(s_):
-                    # exotic \w char str.isalnum rejects: defer to the
-                    # reference longest-match path (same rule as the tf
-                    # kernel)
-                    return {
-                        it["term"]: [tuple(p) for p in it["positions"]]
-                        for it in self.find_lexical_items(text)
-                    }
-                else:
-                    c = (None, len(s_), "", False)  # gap run
-                scache[s_] = c
-            lst, slen, b, is_token = c
-            if is_token:
-                if lst is not None:
-                    lst.append((start, slen))
-                # meta 2-gram phrase over adjacent tokens (dict-symbol
-                # tokens participate as `prev`, exactly as in
-                # find_lexical_items; gap runs never update `prev`)
-                if prev_s is not None:
-                    pc = pcache.get((prev_s, s_))
-                    if pc is None:
-                        pb = scache[prev_s][2]
-                        if (pb, b) in phrases:
-                            pc = found.setdefault(pb + b, [])
-                            phrase_keys.append(pb + b)
-                        else:
-                            pc = False
-                        pcache[(prev_s, s_)] = pc
-                    if pc is not False:
-                        pc.append((prev_start, start + slen - prev_start))
-                prev_s, prev_start = s_, start
-            start += slen
-        # matches emit ascending starts, so every single-stream list is
-        # already sorted; only terms fed by BOTH a token stream and a
-        # phrase stream (base form == some phrase concatenation) can
-        # interleave — re-sort exactly those (FLI set-union semantics)
-        for k in phrase_keys:
-            found[k] = sorted(set(found[k]))
-        return found
+        objects are built.  Since round 5 this is a thin tuple-list view
+        over ``find_term_positions_arrays`` (the array-native kernel:
+        persistent surface codes, fancy-indexed properties, vectorized
+        phrase candidates — zero per-occurrence Python objects); kept
+        for tests, oracles and slow-path fallbacks.  Runs only in the
+        opt-in positional build (``build_index(with_positions=True)``)."""
+        terms, counts, starts, lens = self.find_term_positions_arrays(text)
+        out: dict[str, list] = {}
+        lo = 0
+        sl = starts.tolist()
+        ll = lens.tolist()
+        for t, c in zip(terms, counts.tolist()):
+            out[t] = list(zip(sl[lo : lo + c], ll[lo : lo + c]))
+            lo += c
+        return out
 
     def _find_term_tfs_slow(self, text: str) -> dict[str, int]:
         """Longest-match-loop reference implementation (parity-tested
