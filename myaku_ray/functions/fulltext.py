@@ -1188,7 +1188,14 @@ def pages_pruned_recall(sf_dir: str, k: int = 10):
     """Overlap@k of the pruned tier vs the exact engine per reference
     query — the recall price of serving from per-term top-P postings.
     Oracle = TRUE SQL composed from the two stored rankings (join the
-    pruned golden against the exact golden on (query, doc_id))."""
+    pruned golden against the exact golden on (query, doc_id)).
+
+    Queries whose EXACT top-k is empty are skipped: overlap@k is
+    undefined over an empty exact set, and the SQL side (grouped off
+    the exact golden's rows) naturally emits no row for them — both
+    sides agree by construction (round-4 ADVICE item; a pytest asserts
+    the reference set currently has no such query, so this is contract
+    hardening, not a behavior change)."""
     from myaku_ray.oracle import reference_query_set
 
     exact = _pages_searcher()
@@ -1196,6 +1203,8 @@ def pages_pruned_recall(sf_dir: str, k: int = 10):
     rows = {"query": [], "n_overlap": []}
     for q in reference_query_set():
         e = {r.doc_id for r in exact.topk(q, k)}
+        if not e:
+            continue
         p = {r.doc_id for r in pruned.topk(q, k)}
         rows["query"].append(q)
         rows["n_overlap"].append(len(e & p))

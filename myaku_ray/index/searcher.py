@@ -566,12 +566,22 @@ class Searcher:
         return SynonymMaxIterator(its)
 
     def term_df(self, term: str) -> int:
+        """Document frequency of ``term`` — reads the segment rows' df
+        column (the ORIGINAL corpus df every row carries), NOT the sum
+        of per-row posting counts.  The two are equal over a full
+        layout, but over an impact-pruned tier (pipelines/prune.py)
+        count = kept postings <= P while df stays the corpus value —
+        df-dependent paths (PRF expansion, significant terms, suggest
+        ranking) must see the real df either way (round-4 ADVICE
+        item)."""
         seg = term_hash(term) % self.stats["num_segments"]
         ds = self._segment_dataset(seg)
         if ds is None:
             return 0
-        tbl = ds.to_table(columns=["term", "count"], filter=pads.field("term") == term)
-        return int(sum(c.as_py() for c in tbl["count"]))
+        tbl = ds.to_table(
+            columns=["term", "df"], filter=pads.field("term") == term
+        )
+        return int(max((c.as_py() for c in tbl["df"]), default=0))
 
     def _df_map(self) -> dict:
         """term -> df dict over the cached df-stage vocabulary — the

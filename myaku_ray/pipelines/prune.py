@@ -17,6 +17,13 @@ Scale shape: ONE ``groupby(term)`` exchange over the segment rows
 segment partitions), then a per-term decode -> lexsort-select ->
 re-encode inside ``map_groups``.  Nothing corpus-sized ever sits on the
 driver.
+
+df semantics over the pruned layout (round-4 ADVICE): pruned rows store
+``df`` = the ORIGINAL corpus document frequency and ``count`` = kept
+postings (<= P).  ``Searcher.term_df`` reads the ``df`` column, so
+df-dependent serving paths (PRF expansion, significant terms, suggest
+ranking, vocab stats) report the real corpus df over BOTH tiers; only
+the scanned posting set differs.
 """
 
 from __future__ import annotations
