@@ -18,11 +18,12 @@ O(docs) state in the query process.
 
 Scale switch (the ``dedup_exact`` pattern, pipelines/build.py:81): at or
 under ``DRIVER_LIMIT`` docs the map is built driver-side with the serial
-tokenizer (test corpora); above it, a Ray Data actor-pool stage over the
-docs store (``stages.tokenize.TitleTermsStage`` — dictionary in
-``__init__``, exactly the body-tokenize shape).  Both paths write the
-identical layout and are equality-gated in pytest
-(tests/test_title_sidecar.py).
+tokenizer (test corpora); above it, a plain-task Ray Data stage over the
+docs store — the tokenizer loads once per long-lived worker process via
+the ``get_tokenizer()`` singleton (an actor pool's spin-up/drain
+dominated this tiny stage, ~5 s measured at 100k docs, vs <1 s as
+tasks).  Both paths write the identical layout and are equality-gated
+in pytest (tests/test_title_sidecar.py).
 
 Staleness: ``_meta.json`` pins the docs-store fingerprint — recursive
 (relpath, mtime_ns, size) over every committed parquet file, including
@@ -180,28 +181,70 @@ def build_title_sidecar(
                 ).drop_columns(["tbucket"])
                 pq.write_table(sub, os.path.join(bdir, "part-0.parquet"))
     elif doc_files:
-        import ray
         import ray.data as rd
 
-        from myaku_ray.stages.tokenize import TitleTermsStage
-
-        if concurrency is None:
-            avail = int(ray.cluster_resources().get("CPU", 8))
-            concurrency = max(avail - 2, 1)
+        # Plain-TASK map_batches, not an actor pool: this stage is tiny
+        # (titles are ~2% of the body-tokenize work) and an actor pool's
+        # spin-up/drain dominated it (~5 s measured at 100k docs).  Ray
+        # task workers are long-lived processes, so get_tokenizer()'s
+        # process singleton gives the same init-once-per-worker
+        # semantics with zero pool overhead.
         _nb = int(n_buckets)
 
-        class _PinnedTitleStage(TitleTermsStage):
-            def __init__(self):
-                super().__init__(n_buckets=_nb)
+        def _title_rows(batch):
+            import pyarrow as _pa
+
+            from myaku_ray.normalize import normalize_char_width
+            from myaku_ray.tokenizer import get_tokenizer
+
+            tok = get_tokenizer()
+            terms: list[str] = []
+            out_doc: list[int] = []
+            for did, title in zip(
+                batch["doc_id"].to_pylist(), batch["title"].to_pylist()
+            ):
+                distinct = {
+                    it["term"]
+                    for it in tok.find_lexical_items(
+                        normalize_char_width(title or "")
+                    )
+                }
+                terms.extend(distinct)
+                out_doc.extend([did] * len(distinct))
+            tb = np.fromiter(
+                (title_bucket(t, _nb) for t in terms),
+                dtype=np.int32,
+                count=len(terms),
+            )
+            out = _pa.table(
+                {
+                    "term": _pa.array(terms, _pa.string()),
+                    "doc_id": _pa.array(
+                        np.asarray(out_doc, dtype=np.int64)
+                    ),
+                    "tbucket": _pa.array(tb),
+                }
+            )
+            return out.sort_by(
+                [("term", "ascending"), ("doc_id", "ascending")]
+            )
 
         rows = rd.read_parquet(doc_files, columns=["doc_id", "title"]).map_batches(
-            _PinnedTitleStage,
+            _title_rows,
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=concurrency,
             num_cpus=1,
         )
-        rows.write_parquet(out_dir, partition_cols=["tbucket"], compression="lz4")
+        # Bundle map-output blocks: without min_rows_per_file the write
+        # makes blocks x buckets tiny files (8,960 x ~11 KB measured at
+        # 740k docs) — the same superlinear-file-creation trap the
+        # postings write fixed in round 2.  ~6 title terms/doc estimate.
+        rows.write_parquet(
+            out_dir,
+            partition_cols=["tbucket"],
+            compression="lz4",
+            min_rows_per_file=max((n_docs * 6) // 64, 20_000),
+        )
         n_rows = sum(
             pq.read_metadata(f).num_rows
             for f in glob.glob(

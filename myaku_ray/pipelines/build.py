@@ -284,6 +284,30 @@ def build_index(
 
     import pyarrow.parquet as _pq
 
+    # ---- title-term sidecar (round-4 ask #2), OVERLAPPED -----------------
+    # Depends only on the completed docs store, so it runs CONCURRENTLY
+    # with the tokenize/df/segments stages as a zero-CPU Ray task that
+    # drives its own (tiny — ~2% of the tokenize work) Ray Data job and
+    # fills the main pipeline's scheduling gaps: measured ~0 wall added
+    # vs ~3-6 s when run serially after the build.  A separate task
+    # PROCESS, not a driver thread: concurrent rd.read_parquet path
+    # resolution from two driver threads races on the fsspec http
+    # lazy-import (no aiohttp in this env) and crashes the build.
+    # Resume check is the sidecar's own fingerprint-pinned meta: docs
+    # rewritten -> fingerprint mismatch -> rebuild; unchanged -> skip.
+    # Awaited (errors re-raised) before build_index returns.
+    from myaku_ray.index.title_sidecar import (
+        build_title_sidecar, title_sidecar_valid,
+    )
+
+    _side_future = None
+    _side_t0 = time.time()
+    if not (resume and title_sidecar_valid(index_dir)):
+        _side_future = (
+            ray.remote(num_cpus=0)(build_title_sidecar)
+            .remote(index_dir)
+        )
+
     n_losers = _pq.read_table(dedup_dir, columns=["doc_id"]).num_rows
 
     n_doc_count = _parquet_rows(docs_dir)
@@ -579,21 +603,11 @@ def build_index(
         )
         metrics["segments_wall_s"] = time.time() - t0
 
-    # ---- stage 6: title-term sidecar -----------------------------------
-    # Build-time replacement for the serving-init per-row title map
-    # (round-4 verdict ask #2).  Resume check is the sidecar's own
-    # fingerprint-pinned meta: docs rewritten -> fingerprint mismatch ->
-    # rebuild; unchanged docs -> skip.  Cost: driver-side serial loop on
-    # test corpora (<= DRIVER_LIMIT docs), else one small actor-pool job
-    # over (doc_id, title) only (~1-2% of the body-tokenize work).
-    from myaku_ray.index.title_sidecar import (
-        build_title_sidecar, title_sidecar_valid,
-    )
-
-    if not (resume and title_sidecar_valid(index_dir)):
-        t0 = time.time()
-        side_meta = build_title_sidecar(index_dir)
-        metrics["title_sidecar_wall_s"] = time.time() - t0
+    # ---- await the overlapped title-sidecar task -----------------------
+    if _side_future is not None:
+        side_meta = ray.get(_side_future)
+        metrics["title_sidecar_wall_s"] = time.time() - _side_t0
+        metrics["title_sidecar_stage_s"] = side_meta.get("wall_s")
         metrics["title_sidecar_rows"] = side_meta["n_rows"]
 
     metrics["stats"] = stats

@@ -143,68 +143,6 @@ class TokenizeStage:
         return out
 
 
-TITLE_TERMS_SCHEMA = pa.schema(
-    [
-        ("term", pa.string()),
-        ("doc_id", pa.int64()),
-        ("tbucket", pa.int32()),
-    ]
-)
-
-
-class TitleTermsStage:
-    """(doc_id, title) -> distinct TITLE-token rows (term, doc_id,
-    tbucket) for the build-time title-boost sidecar
-    (index/title_sidecar.py).  Same actor-pool shape as TokenizeStage:
-    the dictionary is built once per actor in ``__init__``.  Each output
-    batch is sorted by (term, doc_id) so every parquet row group in the
-    hive ``tbucket=`` write carries tight term min/max statistics for
-    point-read pruning.  Term set per title == the Searcher's
-    ``analyze_query`` (normalize widths, lemma tokenize, distinct)."""
-
-    def __init__(self, n_buckets: int | None = None) -> None:
-        from myaku_ray.index.title_sidecar import TITLE_BUCKETS
-
-        self._tok = Tokenizer()
-        self._nb = int(n_buckets or TITLE_BUCKETS)
-        self._bucket_memo: dict[str, int] = {}
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from myaku_ray.index.title_sidecar import title_bucket
-        from myaku_ray.normalize import normalize_char_width
-
-        terms: list[str] = []
-        out_doc: list[int] = []
-        for did, title in zip(
-            batch["doc_id"].to_pylist(), batch["title"].to_pylist()
-        ):
-            distinct = {
-                it["term"]
-                for it in self._tok.find_lexical_items(
-                    normalize_char_width(title or "")
-                )
-            }
-            terms.extend(distinct)
-            out_doc.extend([did] * len(distinct))
-        memo = self._bucket_memo
-        nb = self._nb
-        tb = np.empty(len(terms), dtype=np.int32)
-        for i, t in enumerate(terms):
-            b = memo.get(t)
-            if b is None:
-                b = memo[t] = title_bucket(t, nb)
-            tb[i] = b
-        out = pa.Table.from_pydict(
-            {
-                "term": terms,
-                "doc_id": np.asarray(out_doc, dtype=np.int64),
-                "tbucket": tb,
-            },
-            schema=TITLE_TERMS_SCHEMA,
-        )
-        return out.sort_by([("term", "ascending"), ("doc_id", "ascending")])
-
-
 # ---------------------------------------------------------------------------
 # Full FLI payload stage (positions + lexical interpretations)
 # ---------------------------------------------------------------------------
