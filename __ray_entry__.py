@@ -100,7 +100,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_survivors": dedup.near_dedup_survivors,
         "shingle_novelty": dedup.shingle_novelty,
         "embedding_outliers": ann.embedding_outliers,
-        # -- positions 51-80: the remaining never-driver-recorded entries --
+        # -- positions 51-80: the remaining never-driver-recorded entries
+        #    (ivf_add_delta is NEW this round — incremental IVF
+        #    maintenance, the vector-side analog of the text index's
+        #    batch-incremental update; placed at the top of this block
+        #    so it records first if the driver budget exceeds 50) --
+        "ivf_add_delta": ann.ivf_add_delta,
         "term_suggestions": textops.term_suggestions,
         "bigram_counts": textops.bigram_counts,
         "doc_length_band": textops.doc_length_band,
@@ -230,6 +235,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": textops.DEDUP_EXACT_SQL,
         "dedup_incremental": textops.DEDUP_INCREMENTAL_SQL,
         "doc_compression_ratio": op_goldens.DOC_COMPRESSION_RATIO_SQL,
+        "ivf_add_delta": op_goldens.IVF_ADD_DELTA_SQL,
         "lang_source_profile": textops.LANG_SOURCE_PROFILE_SQL,
         "doc_fingerprints": textops.DOC_FINGERPRINTS_SQL,
         "top_docs_per_source": textops.TOP_DOCS_PER_SOURCE_SQL,

@@ -406,12 +406,16 @@ def _train_centroids(X: np.ndarray, n_clusters: int, iters: int) -> np.ndarray:
     return C
 
 
-def _strided_training_sample(src: str, target: int) -> np.ndarray:
+def _strided_training_sample(
+    src: str, target: int, limit_rows: int | None = None
+) -> np.ndarray:
     """Evenly-strided training rows read via ROW-GROUP pruning: only row
     groups containing a sampled global index are decoded, so the training
     read touches ~target rows of I/O regardless of corpus size (vs the
     former ``head(target)`` which was a non-random prefix AND forced a
-    sequential front read)."""
+    sequential front read).  ``limit_rows`` restricts the sampled range
+    to the first N global rows (the base-snapshot window for the
+    incremental-IVF path — vec_id is the ordered row index)."""
     import glob as _glob
 
     import pyarrow.parquet as pq
@@ -419,6 +423,8 @@ def _strided_training_sample(src: str, target: int) -> np.ndarray:
     files = sorted(_glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True)) \
         if os.path.isdir(src) else [src]
     total = sum(pq.read_metadata(f).num_rows for f in files)
+    if limit_rows is not None:
+        total = min(total, int(limit_rows))
     stride = max(total // max(target, 1), 1)
     want = set(range(0, total, stride))
     parts: list[np.ndarray] = []
@@ -439,6 +445,7 @@ def build_ivf_layout(
     sf_dir: str,
     layout_dir: str | None = None,
     n_clusters: int = IVF_N_CLUSTERS,
+    vec_id_max: int | None = None,
 ) -> str:
     """Materialize the cell-partitioned embeddings layout ONCE: train
     centroids on a strided sample, assign every vector map-side, write
@@ -458,6 +465,8 @@ def build_ivf_layout(
         if os.path.isdir(src) else [src]
     total = sum(pq.read_metadata(f).num_rows for f in files)
     key = f"{os.path.abspath(sf_dir).strip('/').replace('/', '_')}-{total}-{n_clusters}"
+    if vec_id_max is not None:
+        key += f"-vmax{int(vec_id_max)}"
     layout_dir = layout_dir or os.path.join(IVF_LAYOUT_ROOT, key)
     marker = os.path.join(layout_dir, "_SUCCESS")
     if os.path.exists(marker):
@@ -466,14 +475,23 @@ def build_ivf_layout(
     import shutil
 
     shutil.rmtree(layout_dir, ignore_errors=True)
-    X_train = _strided_training_sample(src, IVF_TRAIN_SAMPLE)
+    X_train = _strided_training_sample(
+        src, IVF_TRAIN_SAMPLE, limit_rows=vec_id_max
+    )
     C = _train_centroids(X_train, n_clusters, IVF_KMEANS_ITERS)
     c_ref = ray.put(C)
+    _vmax = vec_id_max
 
     def assign_cell(batch: pa.Table) -> pa.Table:
         C_l = ray.get(c_ref)
-        X = _matrix(batch["embedding"])
-        cell = (_unit(X) @ C_l.T).argmax(axis=1).astype(np.int32)
+        if _vmax is not None:
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            batch = batch.filter(pa.array(ids < _vmax))
+        if batch.num_rows == 0:
+            cell = np.empty(0, np.int32)
+        else:
+            X = _matrix(batch["embedding"])
+            cell = (_unit(X) @ C_l.T).argmax(axis=1).astype(np.int32)
         batch = batch.append_column("cell_id", pa.array(cell, pa.int32()))
         return batch.append_column("cell", pa.array(cell, pa.int32()))
 
@@ -579,6 +597,121 @@ def ivf_cosine_topk(
     out = cands.groupby("query_vec_id").head(k).reset_index(drop=True)
     out["rank"] = out.groupby("query_vec_id").cumcount()
     return out[["query_vec_id", "rank", "neighbor_vec_id", "sim_r"]]
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF maintenance — the vector-side analog of the text
+# index's batch-incremental update (pipelines/update.py): new vectors
+# join an EXISTING cell layout by map-side assignment against the FROZEN
+# centroids.  No re-train, no re-shuffle, and the base cells' files are
+# never rewritten — the delta lands as new uniquely-named parquet files
+# inside the same hive ``cell=`` dirs, exactly how the text index's
+# delta postings ride the existing ``bucket=`` layout.
+# ---------------------------------------------------------------------------
+
+# base snapshot = the first 80% of vec_ids (vec_id is the ordered row
+# index of the embeddings table); the remaining 20% play the
+# continuously-arriving delta
+IVF_DELTA_FRAC = 0.8
+
+
+def _ivf_delta_cut(src: str) -> int:
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        _glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True)
+    ) if os.path.isdir(src) else [src]
+    total = sum(pq.read_metadata(f).num_rows for f in files)
+    return int(total * IVF_DELTA_FRAC)
+
+
+def ivf_add_delta(sf_dir: str, n_clusters: int = IVF_N_CLUSTERS):
+    """Add the delta vectors (vec_id >= cut) to the base IVF layout
+    (built over vec_id < cut only — its centroids were trained on a
+    base-window strided sample and are FROZEN).  The add is ONE
+    filtered map pass: assign each delta vector to its nearest existing
+    centroid, hive-write into the same ``cell=`` layout (idempotent via
+    a per-cut marker).  At 10^12 vectors this is the only viable
+    maintenance shape — re-clustering the corpus per delta batch is off
+    the table, and the probed-cells read path (``ivf_cosine_topk``)
+    serves base + delta files without modification.
+
+    Output (exact integers, stored golden by the serial replica sharing
+    the same deterministic centroid kernels): one row per cell with
+    ``(cell_id, n_base, n_delta, delta_id_sum)`` — the delta-id sum
+    pins the exact assignment, not just the counts."""
+    src = f"{sf_dir}/embeddings.parquet"
+    cut = _ivf_delta_cut(src)
+    layout_dir = build_ivf_layout(
+        sf_dir, n_clusters=n_clusters, vec_id_max=cut
+    )
+    C = np.load(os.path.join(layout_dir, "centroids.npy"))
+    marker = os.path.join(layout_dir, f"_DELTA_{cut}")
+    if not os.path.exists(marker):
+        c_ref = ray.put(C)
+
+        def assign_delta(batch: pa.Table) -> pa.Table:
+            C_l = ray.get(c_ref)
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            batch = batch.filter(pa.array(ids >= cut))
+            if batch.num_rows == 0:
+                cell = np.empty(0, np.int32)
+            else:
+                X = _matrix(batch["embedding"])
+                cell = (_unit(X) @ C_l.T).argmax(axis=1).astype(np.int32)
+            batch = batch.append_column(
+                "cell_id", pa.array(cell, pa.int32())
+            )
+            return batch.append_column("cell", pa.array(cell, pa.int32()))
+
+        rd.read_parquet(src).map_batches(
+            assign_delta, batch_format="pyarrow"
+        ).write_parquet(layout_dir, partition_cols=["cell"])
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    # per-cell counts + delta-id checksum: a pruned (vec_id, cell_id)
+    # scan with per-batch partials; the driver merges <= cells x blocks
+    # tiny rows
+    import glob as _glob
+
+    files = sorted(
+        _glob.glob(os.path.join(layout_dir, "**", "*.parquet"), recursive=True)
+    )
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        cell = batch["cell_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_delta = ids >= cut
+        df = pd.DataFrame(
+            {
+                "cell_id": cell,
+                "n_base": (~is_delta).astype(np.int64),
+                "n_delta": is_delta.astype(np.int64),
+                "delta_id_sum": np.where(is_delta, ids, 0),
+            }
+        )
+        g = df.groupby("cell_id", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (
+        rd.read_parquet(files, columns=["vec_id", "cell_id"])
+        .map_batches(cell_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = (
+        parts.groupby("cell_id", as_index=False)[
+            ["n_base", "n_delta", "delta_id_sum"]
+        ]
+        .sum()
+        .sort_values("cell_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
 
 
 # ---------------------------------------------------------------------------

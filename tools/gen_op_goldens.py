@@ -541,6 +541,49 @@ def golden_zratio() -> str:
     )
 
 
+def golden_ivf_add_delta() -> str:
+    """Serial replica of ivf_add_delta: same deterministic centroid
+    kernels over the base window, then assign EVERY vector and reduce
+    per-cell (n_base, n_delta, delta-id sum) in one numpy pass."""
+    from myaku_ray.functions.ann import (
+        IVF_DELTA_FRAC, IVF_KMEANS_ITERS, IVF_N_CLUSTERS,
+        IVF_TRAIN_SAMPLE, _matrix, _strided_training_sample,
+        _train_centroids, _unit,
+    )
+
+    src = f"{SF_DIR}/embeddings.parquet"
+    t = pq.read_table(src, columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    X = _matrix(t["embedding"])
+    cut = int(len(ids) * IVF_DELTA_FRAC)
+    C = _train_centroids(
+        _strided_training_sample(src, IVF_TRAIN_SAMPLE, limit_rows=cut),
+        IVF_N_CLUSTERS, IVF_KMEANS_ITERS,
+    )
+    cell = (_unit(X) @ C.T).argmax(axis=1)
+    is_delta = ids >= cut
+    rows = []
+    for c in sorted(set(int(v) for v in cell)):
+        m = cell == c
+        rows.append(
+            (
+                c,
+                int((m & ~is_delta).sum()),
+                int((m & is_delta).sum()),
+                int(ids[m & is_delta].sum()),
+            )
+        )
+    return values_sql(
+        rows,
+        [
+            ("cell_id", "BIGINT"),
+            ("n_base", "BIGINT"),
+            ("n_delta", "BIGINT"),
+            ("delta_id_sum", "BIGINT"),
+        ],
+    )
+
+
 def main() -> None:
     n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
     n_emb = pq.read_metadata(f"{SF_DIR}/embeddings.parquet").num_rows
@@ -559,6 +602,7 @@ def main() -> None:
         "MEDIA_FEATURES_SQL": golden_media_features(),
         "MEDIA_FRAME_SAMPLE_SQL": golden_media_frames(),
         "DOC_COMPRESSION_RATIO_SQL": golden_zratio(),
+        "IVF_ADD_DELTA_SQL": golden_ivf_add_delta(),
     }
     with open(OUT, "w") as f:
         f.write(
