@@ -106,6 +106,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    batch-incremental update; placed at the top of this block
         #    so it records first if the driver budget exceeds 50) --
         "ivf_add_delta": ann.ivf_add_delta,
+        # PQ recall@k vs the exact brute leg (round-5: the compression-
+        # axis companion to ivf_recall_eval)
+        "pq_recall_eval": ann.pq_recall_eval,
         "term_suggestions": textops.term_suggestions,
         "bigram_counts": textops.bigram_counts,
         "doc_length_band": textops.doc_length_band,
@@ -236,6 +239,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": textops.DEDUP_INCREMENTAL_SQL,
         "doc_compression_ratio": op_goldens.DOC_COMPRESSION_RATIO_SQL,
         "ivf_add_delta": op_goldens.IVF_ADD_DELTA_SQL,
+        "pq_recall_eval": ann._pq_recall_sql(),
         "lang_source_profile": textops.LANG_SOURCE_PROFILE_SQL,
         "doc_fingerprints": textops.DOC_FINGERPRINTS_SQL,
         "top_docs_per_source": textops.TOP_DOCS_PER_SOURCE_SQL,

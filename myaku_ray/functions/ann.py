@@ -1530,6 +1530,56 @@ ORDER BY ivf.query_vec_id
 """
 
 
+def pq_recall_eval(sf_dir: str):
+    """Recall@k of the PQ-ADC approximate top-k against the exact
+    brute-force cosine top-k, per query vector — the companion eval to
+    ``ivf_recall_eval`` for the OTHER approximation axis (16x vector
+    compression instead of pruned reads; together they bound the
+    compressed-and-pruned production config).  Same composition
+    contract: both legs are the already-oracled ops, joined
+    result-sized; the SQL oracle composes the same two oracle
+    queries."""
+    approx = pq_cosine_topk(sf_dir)
+    brute = ann_cosine_topk(sf_dir)
+    if not isinstance(approx, pd.DataFrame):
+        approx = approx.to_pandas()
+    if not isinstance(brute, pd.DataFrame):
+        brute = brute.to_pandas()
+    m = approx.merge(
+        brute[["query_vec_id", "neighbor_vec_id"]].assign(hit=1),
+        on=["query_vec_id", "neighbor_vec_id"],
+        how="left",
+    )
+    g = (
+        m.groupby("query_vec_id", as_index=False)
+        .agg(n_hits=("hit", lambda s: int(s.notna().sum())))
+        .sort_values("query_vec_id")
+        .reset_index(drop=True)
+    )
+    g["n_hits"] = g["n_hits"].astype(np.int64)
+    g["k"] = np.int64(TOPK)
+    g["recall_r"] = np.round(g["n_hits"].to_numpy() / float(TOPK), 6)
+    return g[["query_vec_id", "n_hits", "k", "recall_r"]]
+
+
+def _pq_recall_sql() -> str:
+    from myaku_ray.functions import op_goldens
+
+    return f"""
+WITH pq AS ({op_goldens.PQ_COSINE_TOPK_SQL}),
+brute AS ({ANN_COSINE_TOPK_SQL})
+SELECT pq.query_vec_id,
+  count(brute.neighbor_vec_id)::BIGINT AS n_hits,
+  {TOPK}::BIGINT AS k,
+  round(count(brute.neighbor_vec_id)::DOUBLE / {TOPK}, 6) AS recall_r
+FROM pq LEFT JOIN brute
+  ON brute.query_vec_id = pq.query_vec_id
+  AND brute.neighbor_vec_id = pq.neighbor_vec_id
+GROUP BY pq.query_vec_id
+ORDER BY pq.query_vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Exact k-NN graph (all-pairs top-k) via bounded tile-pair exchange
 # ---------------------------------------------------------------------------

@@ -64,3 +64,23 @@ def test_ivf_add_delta_idempotent_and_base_immutable(ray_session):
     total = pq.read_metadata(src).num_rows
     assert int(first["n_base"].sum()) == cut
     assert int(first["n_delta"].sum()) == total - cut
+
+
+def test_pq_recall_eval_consistent(ray_session):
+    """pq_recall_eval must equal a direct per-query set intersection of
+    its two (already-oracled) legs, with sane bounds."""
+    from myaku_ray.functions.ann import (
+        TOPK, ann_cosine_topk, pq_cosine_topk, pq_recall_eval,
+    )
+
+    got = pq_recall_eval(SF)
+    pq_df = pq_cosine_topk(SF)
+    brute = ann_cosine_topk(SF)
+    for _, row in got.iterrows():
+        q = row["query_vec_id"]
+        a = set(pq_df.loc[pq_df["query_vec_id"] == q, "neighbor_vec_id"])
+        b = set(brute.loc[brute["query_vec_id"] == q, "neighbor_vec_id"])
+        assert row["n_hits"] == len(a & b)
+        assert 0 <= row["n_hits"] <= TOPK == row["k"]
+    assert got["recall_r"].between(0, 1).all()
+    assert got["n_hits"].sum() > 0  # the approximation isn't junk
