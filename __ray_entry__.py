@@ -109,6 +109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PQ recall@k vs the exact brute leg (round-5: the compression-
         # axis companion to ivf_recall_eval)
         "pq_recall_eval": ann.pq_recall_eval,
+        # CCNet-style per-language perplexity terciles (round-5): ONE
+        # streaming histogram pass, range-sized driver state, TRUE SQL
+        "doc_ppl_buckets": textops.doc_ppl_buckets,
         "term_suggestions": textops.term_suggestions,
         "bigram_counts": textops.bigram_counts,
         "doc_length_band": textops.doc_length_band,
@@ -240,6 +243,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_compression_ratio": op_goldens.DOC_COMPRESSION_RATIO_SQL,
         "ivf_add_delta": op_goldens.IVF_ADD_DELTA_SQL,
         "pq_recall_eval": ann._pq_recall_sql(),
+        "doc_ppl_buckets": textops.DOC_PPL_BUCKETS_SQL,
         "lang_source_profile": textops.LANG_SOURCE_PROFILE_SQL,
         "doc_fingerprints": textops.DOC_FINGERPRINTS_SQL,
         "top_docs_per_source": textops.TOP_DOCS_PER_SOURCE_SQL,

@@ -749,6 +749,7 @@ def bench_doc_pipelines(sf_dir: str) -> dict:
         "ivf_cosine_topk": ann.ivf_cosine_topk,
         "ivf_add_delta": ann.ivf_add_delta,
         "pq_recall_eval": ann.pq_recall_eval,
+        "doc_ppl_buckets": textops.doc_ppl_buckets,
         "pq_cosine_topk": ann.pq_cosine_topk,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_docs": dedup.simhash_docs,

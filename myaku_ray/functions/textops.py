@@ -1633,6 +1633,138 @@ GROUP BY tok.doc_id
 """
 
 
+def doc_ppl_buckets(sf_dir: str):
+    """CCNet-style per-language perplexity buckets (Wenzek et al. 2020):
+    each language's docs split into head / middle / tail terciles by
+    unigram-LM log-perplexity — the classic quality-stratification step
+    before sampling training data mostly from the head.
+
+    Scale shape (the ``doc_length_band`` idiom generalized to a float
+    score): ONE streaming pass scores every doc (corpus LM broadcast,
+    the ``doc_unigram_logppl`` kernel) and reduces per-batch
+    ``(lang, logppl_milli)`` histogram partials — logppl in
+    milli-units is RANGE-bounded (~0..20k for any real corpus), so the
+    driver merge is (langs x value-range)-sized regardless of doc
+    count, and the tercile cuts, bucket counts AND per-bucket min/max
+    all come from that one histogram: no sort, no second scan, no
+    doc-count-sized driver state.  Conventions pinned to DuckDB:
+    ``logppl_milli = floor(logppl_r * 1000 + 0.5)`` (the module's
+    exact-cents idiom over the already-oracle-equal 6-decimal score)
+    and per-lang tercile cut = ascending order statistic at
+    ``ceil(q*n)-1`` (quantile_disc).  Bucket = value-threshold compare
+    against the cuts, so ties land identically on both sides."""
+    tdf = term_doc_freq(sf_dir).to_pandas()
+    total = int(tdf["total_tf"].sum())
+    p_ref = ray.put(
+        dict(zip(tdf["term"], tdf["total_tf"].astype(np.int64)))
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "milli": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        tf_map = ray.get(p_ref)
+        doc_idx, codes, tfs, dictionary = _doc_term_tfs(batch)
+        logp = np.log(
+            np.array(
+                [tf_map[t] for t in dictionary.to_pylist()], dtype=np.float64
+            )
+            / total
+        )
+        contrib = tfs * logp[codes]
+        n = batch.num_rows
+        ll = np.bincount(doc_idx, weights=contrib, minlength=n)
+        n_tok = np.bincount(doc_idx, weights=tfs, minlength=n)
+        logppl_r = np.round(-ll / n_tok, 6)
+        milli = np.floor(logppl_r * 1000.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_numpy(zero_copy_only=False),
+                "milli": milli,
+                "n": np.ones(n, dtype=np.int64),
+            }
+        )
+        g = df.groupby(["lang", "milli"], as_index=False)["n"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    import math
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["lang", "milli"], as_index=False)["n"]
+        .sum()
+    )
+    rows = []
+    for lang, sub in hist.groupby("lang", sort=True):
+        sub = sub.sort_values("milli")
+        vals = sub["milli"].to_numpy()
+        cnts = sub["n"].to_numpy()
+        cum = np.cumsum(cnts)
+        n_docs = int(cum[-1])
+        cuts = []
+        for q_num in (1, 2):
+            rank = max(0, math.ceil(q_num * n_docs / 3) - 1)
+            cuts.append(int(vals[np.searchsorted(cum, rank + 1)]))
+        t1, t2 = cuts
+        masks = {
+            "head": vals <= t1,
+            "middle": (vals > t1) & (vals <= t2),
+            "tail": vals > t2,
+        }
+        for bucket in ("head", "middle", "tail"):
+            m = masks[bucket]
+            if not m.any():
+                continue
+            rows.append(
+                (
+                    lang,
+                    bucket,
+                    int(cnts[m].sum()),
+                    int(vals[m].min()),
+                    int(vals[m].max()),
+                )
+            )
+    out = pd.DataFrame(
+        rows, columns=["lang", "bucket", "n_docs", "min_milli", "max_milli"]
+    )
+    return out.sort_values(["lang", "bucket"]).reset_index(drop=True)
+
+
+DOC_PPL_BUCKETS_SQL = f"""
+WITH l AS ({DOC_UNIGRAM_LOGPPL_SQL}),
+j AS (
+  SELECT d.lang,
+    CAST(floor(l.logppl_r * 1000.0 + 0.5) AS BIGINT) AS milli
+  FROM l JOIN documents d USING (doc_id)
+), cuts AS (
+  SELECT lang,
+    quantile_disc(milli, 1.0/3.0) AS t1,
+    quantile_disc(milli, 2.0/3.0) AS t2
+  FROM j GROUP BY lang
+)
+SELECT j.lang,
+  CASE WHEN j.milli <= c.t1 THEN 'head'
+       WHEN j.milli <= c.t2 THEN 'middle'
+       ELSE 'tail' END AS bucket,
+  count(*)::BIGINT AS n_docs,
+  min(j.milli) AS min_milli,
+  max(j.milli) AS max_milli
+FROM j JOIN cuts c USING (lang)
+GROUP BY j.lang, bucket
+ORDER BY j.lang, bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # Gopher-style repetition signals: the quality-filter family every
 # LLM-curation pipeline runs (Rae et al. 2021 §A1.1 — fraction of the doc

@@ -84,3 +84,35 @@ def test_pq_recall_eval_consistent(ray_session):
         assert 0 <= row["n_hits"] <= TOPK == row["k"]
     assert got["recall_r"].between(0, 1).all()
     assert got["n_hits"].sum() > 0  # the approximation isn't junk
+
+
+def test_doc_ppl_buckets_invariants(ray_session):
+    """CCNet tercile buckets: per-language totals reconcile with the
+    documents table, bucket milli-ranges are ordered and disjoint, and
+    the head tercile holds ceil(n/3) docs (value-threshold ties can
+    only grow it past n/3, never shrink it)."""
+    import duckdb
+    import math
+
+    from myaku_ray.functions.textops import doc_ppl_buckets
+
+    got = doc_ppl_buckets(SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM parquet_scan('{SF}/documents.parquet')"
+    )
+    lang_totals = dict(
+        con.execute("SELECT lang, count(*) FROM documents GROUP BY lang")
+        .fetchall()
+    )
+    for lang, sub in got.groupby("lang"):
+        assert int(sub["n_docs"].sum()) == lang_totals[lang]
+        by = {r["bucket"]: r for _, r in sub.iterrows()}
+        assert set(by) <= {"head", "middle", "tail"}
+        if "head" in by and "middle" in by:
+            assert by["head"]["max_milli"] < by["middle"]["min_milli"]
+        if "middle" in by and "tail" in by:
+            assert by["middle"]["max_milli"] < by["tail"]["min_milli"]
+        n = lang_totals[lang]
+        assert by["head"]["n_docs"] >= math.ceil(n / 3) - 1
