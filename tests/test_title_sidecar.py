@@ -189,3 +189,28 @@ def test_update_refresh_repins_sidecar(
         if a != _boost_rows(base, q):
             diff_from_base += 1
     assert diff_from_base >= 1  # the update actually moved a ranking
+
+
+def test_crashed_sidecar_rebuilds_on_resume(built, ratings, tmp_path):
+    """A build killed between the sidecar write and its meta commit
+    leaves an invalid sidecar (meta is written LAST); a resumed build
+    must rebuild it while skipping the completed index stages."""
+    import time
+
+    from myaku_ray.index.title_sidecar import _meta_path
+    from myaku_ray.pipelines.build import build_index
+
+    pages, index_dir = built
+    work = str(tmp_path / "idxcrash")
+    shutil.copytree(index_dir, work)
+    os.remove(_meta_path(work))  # simulate the crash point
+    assert title_sidecar_valid(work) is None
+    t0 = time.time()
+    build_index(pages, work, blog_ratings=ratings, tokenize_concurrency=2)
+    wall = time.time() - t0
+    assert title_sidecar_valid(work) is not None  # rebuilt
+    assert wall < 30  # index stages resumed, not rebuilt
+    s = Searcher(work)
+    base = Searcher(index_dir)
+    for q in reference_query_set():
+        assert _boost_rows(s, q) == _boost_rows(base, q)
