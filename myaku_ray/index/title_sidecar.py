@@ -53,7 +53,7 @@ import pyarrow.parquet as pq
 
 TITLE_BUCKETS = 32
 # Docs at or under this build the sidecar driver-side (serial tokenizer,
-# no Ray job — test corpora); above it the actor-pool stage runs.  The
+# no Ray job — test corpora); above it the plain-task Ray stage runs.  The
 # serial loop measured ~2.9 s at 370k docs (BENCH_r04), so the switch
 # sits well below where the driver path would show up in a build wall.
 DRIVER_LIMIT = 20_000
@@ -136,7 +136,6 @@ def build_title_sidecar(
     n_buckets: int = TITLE_BUCKETS,
     driver_limit: int = DRIVER_LIMIT,
     force_distributed: bool = False,
-    concurrency: int | None = None,
     batch_size: int = 2048,
 ) -> dict:
     """(Re)build ``<index_dir>/title_terms/``; returns {n_rows, path,
