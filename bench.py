@@ -1471,12 +1471,18 @@ def run_kernel_ab() -> dict:
 
     passes = int(os.environ.get("MYAKU_AB_PASSES", "3"))
     fast_times, slow_times = [], []
-    for _ in range(passes):  # alternate so host drift hits both equally
+    pos_times = []
+    for _ in range(passes):  # alternate so host drift hits all equally
         fast_times.append(time_pass(tok.find_term_tfs))
         slow_times.append(time_pass(tok._find_term_tfs_slow))
+        # round-5 third lane: the array-native positions kernel (same
+        # term set + per-occurrence offsets) measured against the same
+        # texts — the POSITIONS_r05 1.045x build claim's kernel basis
+        pos_times.append(time_pass(tok.find_term_positions_arrays))
     n_chars = sum(len(t) for t in texts)
     fast_s = _st.median(fast_times)
     slow_s = _st.median(slow_times)
+    pos_s = _st.median(pos_times)
     return {
         "metric": "tokenizer tf-kernel A/B (same process, same texts)",
         "n_docs": len(texts),
@@ -1484,11 +1490,15 @@ def run_kernel_ab() -> dict:
         "passes": passes,
         "kernel_fast_s": round(fast_s, 3),
         "kernel_slow_s": round(slow_s, 3),
+        "kernel_positions_s": round(pos_s, 3),
         "fast_times_s": [round(x, 3) for x in fast_times],
         "slow_times_s": [round(x, 3) for x in slow_times],
+        "positions_times_s": [round(x, 3) for x in pos_times],
         "speedup": round(slow_s / fast_s, 3),
+        "positions_vs_fast_x": round(pos_s / fast_s, 3),
         "fast_mchars_per_s": round(n_chars / fast_s / 1e6, 2),
         "slow_mchars_per_s": round(n_chars / slow_s / 1e6, 2),
+        "positions_mchars_per_s": round(n_chars / pos_s / 1e6, 2),
     }
 
 
